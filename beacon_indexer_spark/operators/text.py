@@ -1,0 +1,167 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no Python UDFs.
+Designed for the 100 TB document case: every op is a narrow map over the
+`text` column; the only shuffles are the aggregations the caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from beacon_indexer_spark.functions.core import _col, ColumnOrName
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+def tokens(text: ColumnOrName) -> Column:
+    """Whitespace tokens with empties removed — array<string>."""
+    return F.filter(F.split(_col(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: ColumnOrName) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text: ColumnOrName) -> Column:
+    """A BPE-flavored tokenizer: alpha runs, digit runs, single punctuation
+    marks — the standard pre-tokenization split used before byte-pair
+    merging. regexp_extract_all keeps it expression-only."""
+    return F.regexp_extract_all(_col(text), F.lit(_BPE_ISH), 0)
+
+
+def bpe_ish_token_count(text: ColumnOrName) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def punct_count(text: ColumnOrName) -> Column:
+    return F.size(F.regexp_extract_all(_col(text), F.lit(r"[^\w\s]"), 0))
+
+
+def digit_ratio(text: ColumnOrName) -> Column:
+    t = _col(text)
+    return F.when(F.length(t) > 0,
+                  F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0)) / F.length(t)
+                  ).otherwise(F.lit(0.0))
+
+
+def mean_token_length(text: ColumnOrName) -> Column:
+    tk = tokens(text)
+    total = F.aggregate(tk, F.lit(0), lambda a, t: a + F.length(t))
+    return F.when(F.size(tk) > 0, total / F.size(tk)).otherwise(F.lit(0.0))
+
+
+_STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def stopword_ratio(text: ColumnOrName, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords."""
+    sw = stopwords or _STOPWORDS_EN
+    tk = tokens(F.lower(_col(text)))
+    n_sw = F.size(F.filter(tk, lambda t: t.isin(sw)))
+    return F.when(F.size(tk) > 0, n_sw / F.size(tk)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: ColumnOrName) -> Column:
+    """Composite [0,1] quality heuristic: length, punctuation balance,
+    token-length sanity. Deterministic arithmetic over exact int counts —
+    reproducible across engines for oracle checking."""
+    t = _col(text)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, punct_count(t) / n_chars).otherwise(F.lit(0.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5)
+    mtl = mean_token_length(t)
+    tok_score = F.when((mtl >= 2) & (mtl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    nonempty = F.when(n_tok > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_score * 0.4 + punct_score * 0.3 + tok_score * 0.3) * nonempty
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram / stopword heuristic)
+# ---------------------------------------------------------------------------
+
+# tiny per-language marker lexicons — heuristic langid without models.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "it", "for", "with", "a"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "es"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans", "pour", "que", "du"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "für", "zu"],
+}
+
+
+def _isin_fn(words: list[str]):
+    # NB: a plain `lambda t, m=words:` would be treated as an arity-2
+    # higher-order-function lambda by PySpark (second arg = element index) —
+    # bind via closure factory instead.
+    return lambda t: t.isin(words)
+
+
+def lang_scores(text: ColumnOrName) -> dict[str, Column]:
+    """Marker-hit count per language over lowercase whitespace tokens."""
+    tk = tokens(F.lower(_col(text)))
+    return {
+        lang: F.size(F.filter(tk, _isin_fn(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: ColumnOrName) -> Column:
+    """argmax language with deterministic tie-break (alphabetical language
+    code wins ties; 'und' when no markers hit)."""
+    scores = lang_scores(text)
+    # build (score, neg-ordered lang) structs and take greatest — tie-break by
+    # lexicographically smallest lang means greatest of (score, reversed lang).
+    pairs = [
+        F.struct(score.alias("s"), F.lit(_rev(lang)).alias("rl"), F.lit(lang).alias("l"))
+        for lang, score in sorted(scores.items())
+    ]
+    best = F.greatest(*pairs)
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def _rev(lang: str) -> str:
+    """Map a language code to a string whose ordering is reversed, so that
+    `greatest` prefers alphabetically-smaller codes on score ties."""
+    return "".join(chr(255 - ord(ch)) for ch in lang)
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalized_text(text: ColumnOrName) -> Column:
+    """Lowercase, collapse whitespace, strip — canonical text for hashing."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+
+
+def fingerprint(text: ColumnOrName) -> Column:
+    """Content fingerprint: md5 of normalized text. Stable across engines."""
+    return F.md5(normalized_text(text))
+
+
+def sorted_token_fingerprint(text: ColumnOrName) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token set
+    (catches shuffled/paraphrase-lite duplicates)."""
+    tk = F.array_sort(F.array_distinct(tokens(F.lower(_col(text)))))
+    return F.md5(F.array_join(tk, " "))
+
+
+def word_shingles(text: ColumnOrName, n: int = 3) -> Column:
+    """n-gram word shingles as array<string> (space-joined windows)."""
+    tk = tokens(F.lower(_col(text)))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(tk, i, n), " ")
+    )

@@ -1,0 +1,864 @@
+"""The engine's declared query surface (driver correctness gate).
+
+Each entry couples a Spark implementation ``(spark, sf_dir) -> DataFrame``
+with an ANSI-SQL oracle string DuckDB runs on the same parquet tables.
+Coverage maps to SURVEY §2's operator inventory (IDs in each docstring)
+plus the training-data-pipeline operators (dedup / similarity / text).
+
+Cross-engine determinism rules applied throughout:
+- money/quantity aggregations go through DECIMAL casts (exact arithmetic),
+  final results cast to DOUBLE — bit-identical across engines;
+- vector math uses sequential left-to-right double accumulation on both
+  sides (see operators/similarity.py);
+- every hash is md5-derived (portable), never engine-native hash();
+- all integer outputs cast to BIGINT, timestamps to epoch BIGINT or
+  formatted VARCHAR, so schemas align.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from beacon_indexer_spark.functions.core import (
+    hex_to_long,
+    last_slot_of_day,
+    latest,
+    popcount_hex,
+)
+from beacon_indexer_spark.operators import dedup as D
+from beacon_indexer_spark.operators import relational as R
+from beacon_indexer_spark.operators import similarity as S
+from beacon_indexer_spark.operators import text as X
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the driver's events table stores TIMESTAMP(NANOS), which the vectorized
+    # parquet reader rejects — read nanos as long and convert exactly
+    # (integer `div`, no double round-trip).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+_DEC = "decimal(18,2)"
+
+# DuckDB fragments
+_DD_TOKENS = r"list_filter(string_split_regex(lower({c}), '\s+'), t -> t <> '')"
+_DD_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+
+
+def _dd_hex15_to_long(x: str) -> str:
+    """First 15 hex chars of `x` → 60-bit integer, positional fold (matches
+    Spark's conv(substr(x, 1, 15), 16, 10))."""
+    return (
+        f"list_reduce(list_transform(string_split(substr({x}, 1, 15), ''),"
+        " c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),"
+        " (a, b) -> a * 16 + b)"
+    )
+
+
+def _dd_md5_long(x: str) -> str:
+    return _dd_hex15_to_long(f"md5({x})")
+
+
+# ===========================================================================
+# Relational surface (TPC-ish tables)
+# ===========================================================================
+
+def q_pruned_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P7/O5: pushed-down filter + projection + top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("l_extendedprice").alias("l_extendedprice"),
+        )
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+ORACLE_PRUNED_SCAN_TOPK = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount > 0.05
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4 (TPC-H Q1 shape): grouped aggregation with exact decimal math."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(_DEC) - disc)).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5 + A8: multi-way equi-join with broadcast dims + grouped sum."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_REGION_REVENUE = """
+SELECT r_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/O5: top-k grouped count with deterministic tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    return R.top_k(
+        ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_events")
+        ),
+        [F.desc("n_events"), F.asc("user_id")],
+        10,
+    )
+
+
+ORACLE_TOP_USERS = """
+SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC LIMIT 10
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3/W1/A11: latest-wins dedup (ReplacingMergeTree+FINAL semantics),
+    version = (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__v", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = latest(ev, ["user_id"], "__v")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "event_type",
+        F.col("value").alias("value"),
+    )
+
+
+ORACLE_LATEST_EVENT_PER_USER = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/C12: gap detection via sequence anti-join (simulated gaps: ids
+    divisible by 97 treated as not-loaded)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 97 != 0)
+    return R.detect_gaps(ev, "event_id").select(
+        F.col("event_id").cast("long").alias("missing_id")
+    )
+
+
+ORACLE_EVENT_GAPS = """
+WITH loaded AS (SELECT event_id FROM events WHERE event_id % 97 <> 0),
+     bounds AS (SELECT min(event_id) lo, max(event_id) hi FROM loaded),
+     expected AS (SELECT unnest(generate_series(lo, hi)) AS x FROM bounds)
+SELECT CAST(x AS BIGINT) AS missing_id
+FROM expected
+WHERE NOT EXISTS (SELECT 1 FROM loaded WHERE loaded.event_id = expected.x)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2/U2: anti-join (the control plane's work-discovery shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return R.untransformed_ranges(
+        cust.select(F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"),
+        orders.select(F.col("o_custkey").cast("long").alias("c_custkey")),
+        ["c_custkey"],
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/F12: time-bucketed aggregates (toStartOfHour analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.unix_timestamp("bucket").alias("bucket_epoch"), "n", "sum_value")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: conditional counts (countIf pivot shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("n_high"),
+        F.max(F.when(F.col("value") > 50.0, F.col("user_id")).otherwise(None))
+        .cast("long")
+        .alias("max_high_user"),
+    )
+
+
+ORACLE_EVENT_TYPE_STATS = """
+SELECT event_type, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(MAX(CASE WHEN value > 50.0 THEN user_id END) AS BIGINT) AS max_high_user
+FROM events GROUP BY event_type
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: COUNT(DISTINCT) per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/A1: UNION ALL monitoring rollup across tables."""
+    parts = []
+    for name in ["customer", "orders", "lineitem", "events"]:
+        df = _t(spark, sf_dir, name)
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(name).alias("table_name"), "n_rows"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_TABLE_COUNTS = """
+SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+UNION ALL SELECT 'events', COUNT(*) FROM events
+"""
+
+
+def q_first_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O4: row_number per group (chunk-numbering shape), first 3 orders."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+ORACLE_FIRST_ORDERS_PER_CUSTOMER = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn
+      FROM orders) WHERE rn <= 3
+"""
+
+
+def q_nation_status_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: GROUP_CONCAT with deterministic (sorted) ordering."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return j.groupBy("n_name").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_NATION_STATUS_CONCAT = """
+WITH j AS (
+  SELECT n_name, o_orderstatus FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey),
+concats AS (
+  SELECT n_name, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+  FROM (SELECT DISTINCT n_name, o_orderstatus FROM j) GROUP BY n_name),
+counts AS (SELECT n_name, COUNT(*) AS n_orders FROM j GROUP BY n_name)
+SELECT n_name, statuses, n_orders FROM concats JOIN counts USING (n_name)
+"""
+
+
+def q_daily_last_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/F11: last-slot-of-UTC-day predicate (validators daily snapshot),
+    event_id as the slot clock (432 s slots → 200 slots/day)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(last_slot_of_day("event_id", 0, 432))
+        .select(
+            F.col("event_id").cast("long").alias("slot"),
+            F.date_format(
+                F.timestamp_seconds(F.col("event_id") * 432), "yyyy-MM-dd"
+            ).alias("day"),
+        )
+    )
+
+
+ORACLE_DAILY_LAST_SLOT = """
+SELECT CAST(event_id AS BIGINT) AS slot,
+       strftime(make_timestamp(event_id * 432 * 1000000), '%Y-%m-%d') AS day
+FROM events
+WHERE (event_id * 432) // 86400 <> ((event_id + 1) * 432) // 86400
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: JSON path extraction from a payload column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k") > 50)
+    )
+
+
+ORACLE_EVENTS_JSON_EXTRACT = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(props->>'$.k' AS BIGINT) AS k
+FROM events WHERE CAST(props->>'$.k' AS BIGINT) > 50
+"""
+
+
+def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame extension (running sum) — documented beyond-reference op."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+ORACLE_USER_RUNNING_VALUE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events WHERE user_id < 20
+"""
+
+
+# ===========================================================================
+# Scalar-function surface (F4/F6/F8 style) over documents
+# ===========================================================================
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F6/F8: content fingerprint (md5 of canonical text), sorted-token
+    fingerprint, hex popcount, hex-prefix→int64."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = X.fingerprint("text")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        fp.alias("fp"),
+        X.sorted_token_fingerprint("text").alias("token_fp"),
+        popcount_hex(fp).cast("long").alias("fp_popcount"),
+        # bare hex (no 0x prefix) → parse base-16 directly
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp_prefix_int"),
+    )
+
+
+ORACLE_DOC_FINGERPRINTS = f"""
+WITH base AS (
+  SELECT doc_id,
+         md5({_DD_NORM.format(c='text')}) AS fp,
+         md5(array_to_string(list_sort(list_distinct({_DD_TOKENS.format(c='text')})), ' ')) AS token_fp
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, fp, token_fp,
+       CAST(bit_count(CAST(from_hex(fp) AS BIT)) AS BIGINT) AS fp_popcount,
+       {_dd_hex15_to_long('fp')} AS fp_prefix_int
+FROM base
+"""
+
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting (whitespace + BPE-ish regex), quality
+    scoring, mean token length."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        X.token_count("text").cast("long").alias("n_tokens"),
+        X.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.round(X.mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(X.quality_score("text"), 6).alias("quality"),
+    )
+
+
+# quality formula mirror: see operators/text.py quality_score
+ORACLE_DOC_TEXT_STATS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS bpe,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(bpe) AS n_bpe_tokens, n_chars, n_punct,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl
+  FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       round(mtl, 6) AS mean_token_len,
+       round((least(n_chars / 500.0, 1.0) * 0.4
+             + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
+             + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
+             * (CASE WHEN n_tokens > 0 THEN 1.0 ELSE 0.0 END), 6) AS quality
+FROM m
+"""
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-lexicon argmax, deterministic ties)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        X.lang_id("text").alias("pred_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+def _dd_lang_score(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in X.LANG_MARKERS[lang])
+    toks = _DD_TOKENS.format(c="text")
+    return f"len(list_filter({toks}, t -> t IN ({words})))"
+
+
+ORACLE_DOC_LANGID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_dd_lang_score('en')} AS s_en,
+         {_dd_lang_score('es')} AS s_es,
+         {_dd_lang_score('fr')} AS s_fr,
+         {_dd_lang_score('de')} AS s_de
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       lang AS labeled_lang
+FROM s
+"""
+
+
+# ===========================================================================
+# Dedup family
+# ===========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (hash-groupBy on normalized-content fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.exact_duplicates(docs, "doc_id", "text")
+    return out.select(
+        "fp",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), ",").alias(
+            "members"
+        ),
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5({_DD_NORM.format(c='text')}) AS fp,
+       COUNT(*) AS n_members,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def _dd_shingles(n: int = 3) -> str:
+    """DuckDB expression for distinct n-gram word shingles of `text`."""
+    toks = _DD_TOKENS.format(c="text")
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)),"
+        f" i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (exact set similarity, shingle-blocked
+    join — never a cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1, shingle_n=3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_dd_shingles(3)}) AS shingle FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(id_a AS BIGINT) id_a, CAST(id_b AS BIGINT) id_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+"""
+
+
+_MINHASH_K = 8
+_MINHASH_BANDS = 4
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (shingle → k salted md5-derived hashes → min)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    return sigs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.col(f"sig_{i}").cast("long").alias(f"sig_{i}") for i in range(_MINHASH_K)],
+    )
+
+
+def _oracle_minhash_sql() -> str:
+    sig_cols = []
+    for i in range(_MINHASH_K):
+        hashed = _dd_md5_long(f"concat('{i}:', s)")
+        sig_cols.append(
+            f"coalesce(list_min(list_transform(sh, s -> {hashed})), -1) AS sig_{i}"
+        )
+    cols = ",\n       ".join(sig_cols)
+    return f"""
+WITH base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {cols}
+FROM base
+"""
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs (band-bucket equi-join)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+def _oracle_minhash_lsh_sql() -> str:
+    rows = _MINHASH_K // _MINHASH_BANDS
+    sig_exprs = []
+    for i in range(_MINHASH_K):
+        hashed = _dd_md5_long(f"concat('{i}:', s)")
+        sig_exprs.append(
+            f"coalesce(list_min(list_transform(sh, s -> {hashed})), -1) AS sig_{i}"
+        )
+    band_rows = []
+    for b in range(_MINHASH_BANDS):
+        parts = ", ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {parts})) AS key FROM sigs"
+        )
+    bands_union = "\nUNION ALL ".join(band_rows)
+    sig_cols = ",\n       ".join(sig_exprs)
+    return f"""
+WITH base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents),
+sigs AS (SELECT doc_id, {sig_cols} FROM base),
+keyed AS ({bands_union})
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (majority vote over token md5 bits)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.simhash(docs, "doc_id", "text")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
+
+
+def _oracle_simhash_sql() -> str:
+    toks = f"list_distinct({_DD_TOKENS.format(c='text')})"
+    digit_exprs = []
+    for pos in range(1, 17):
+        nib = f"CAST(strpos('0123456789abcdef', substr(md5(t), {pos}, 1)) AS BIGINT) - 1"
+        bit_exprs = []
+        for bit in (8, 4, 2, 1):
+            votes = (
+                f"list_sum(list_transform(toks, t -> CASE WHEN (({nib}) // {bit}) % 2 = 1"
+                f" THEN 1 ELSE -1 END))"
+            )
+            bit_exprs.append(f"(CASE WHEN {votes} > 0 THEN 1 ELSE 0 END)")
+        digit_val = (
+            f"({bit_exprs[0]} * 8 + {bit_exprs[1]} * 4 + {bit_exprs[2]} * 2 + {bit_exprs[3]})"
+        )
+        digit_exprs.append(f"substr('0123456789abcdef', {digit_val} + 1, 1)")
+    concat = " || ".join(digit_exprs)
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {concat} AS simhash FROM base
+"""
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (brute force baseline) for query vectors id<5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+ORACLE_SIMILARITY_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+v AS (SELECT vec_id AS neighbor_id, embedding AS vv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))), (a,b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a,b) -> a + b))
+      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(vv)), i -> CAST(vv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))), (a,b) -> a + b))) AS cos_sim
+  FROM q, v WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) query_id, CAST(neighbor_id AS BIGINT) neighbor_id,
+       CAST(rank AS BIGINT) rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH sign-bucket blocked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.embedding_near_duplicates(emb, dim=64, threshold=0.35, n_bits=4)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+def _oracle_embedding_near_dupes_sql() -> str:
+    # inline the deterministic hyperplanes used by lsh_bucket (dim=64, 4 bits)
+    planes = [S._hyperplane(64, b) for b in range(4)]
+    plane_sql = []
+    for b, plane in enumerate(planes):
+        arr = "list_value(" + ", ".join(str(x) for x in plane) + ")"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 64),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), (a,b) -> a + b)"
+        )
+        plane_sql.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    bucket = " || ".join(plane_sql)
+    dotp = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 64),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 64),"
+        " i -> CAST({e}.embedding[i] AS DOUBLE) * CAST({e}.embedding[i] AS DOUBLE))), (x,y) -> x + y))"
+    )
+    return f"""
+WITH kb AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) id_a, CAST(b.vec_id AS BIGINT) id_b,
+       round({dotp} / ({norm.format(e='a')} * {norm.format(e='b')}), 6) AS cos_sim
+FROM kb a JOIN kb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {dotp} / ({norm.format(e='a')} * {norm.format(e='b')}) >= 0.35
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES: dict[str, QueryFn] = {
+    "pruned_scan_topk": q_pruned_scan_topk,
+    "pricing_summary": q_pricing_summary,
+    "region_revenue": q_region_revenue,
+    "top_users": q_top_users,
+    "latest_event_per_user": q_latest_event_per_user,
+    "event_gaps": q_event_gaps,
+    "customers_without_orders": q_customers_without_orders,
+    "events_hourly": q_events_hourly,
+    "event_type_stats": q_event_type_stats,
+    "distinct_users": q_distinct_users,
+    "table_counts": q_table_counts,
+    "first_orders_per_customer": q_first_orders_per_customer,
+    "nation_status_concat": q_nation_status_concat,
+    "daily_last_slot": q_daily_last_slot,
+    "events_json_extract": q_events_json_extract,
+    "user_running_value": q_user_running_value,
+    "doc_fingerprints": q_doc_fingerprints,
+    "doc_text_stats": q_doc_text_stats,
+    "doc_langid": q_doc_langid,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_bruteforce": q_similarity_bruteforce,
+    "embedding_near_dupes": q_embedding_near_dupes,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "pruned_scan_topk": ORACLE_PRUNED_SCAN_TOPK,
+        "pricing_summary": ORACLE_PRICING_SUMMARY,
+        "region_revenue": ORACLE_REGION_REVENUE,
+        "top_users": ORACLE_TOP_USERS,
+        "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
+        "event_gaps": ORACLE_EVENT_GAPS,
+        "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+        "events_hourly": ORACLE_EVENTS_HOURLY,
+        "event_type_stats": ORACLE_EVENT_TYPE_STATS,
+        "distinct_users": ORACLE_DISTINCT_USERS,
+        "table_counts": ORACLE_TABLE_COUNTS,
+        "first_orders_per_customer": ORACLE_FIRST_ORDERS_PER_CUSTOMER,
+        "nation_status_concat": ORACLE_NATION_STATUS_CONCAT,
+        "daily_last_slot": ORACLE_DAILY_LAST_SLOT,
+        "events_json_extract": ORACLE_EVENTS_JSON_EXTRACT,
+        "user_running_value": ORACLE_USER_RUNNING_VALUE,
+        "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+        "doc_text_stats": ORACLE_DOC_TEXT_STATS,
+        "doc_langid": ORACLE_DOC_LANGID,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash": _oracle_minhash_sql(),
+        "dedup_minhash_lsh_pairs": _oracle_minhash_lsh_sql(),
+        "dedup_simhash": _oracle_simhash_sql(),
+        "similarity_bruteforce": ORACLE_SIMILARITY_BRUTEFORCE,
+        "embedding_near_dupes": _oracle_embedding_near_dupes_sql(),
+    }

@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables, then
+compare row count, column names, and (order-insensitively) values.
+
+Values are compared exactly for ints/strings and to 1e-9 relative for
+floats — stricter than any reasonable value-hash, so passing here means the
+driver's hash compare passes too.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float):
+                vals.append(("f", round(v, 9)))
+            else:
+                vals.append((type(v).__name__[:1], v))
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+def _values_match(a, b) -> bool:
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        for (ta, va), (tb, vb) in zip(ra, rb):
+            if ta == "f" and tb == "f":
+                if not (
+                    va == vb
+                    or (isinstance(va, float) and isinstance(vb, float)
+                        and math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9))
+                ):
+                    return False
+            elif va != vb:
+                return False
+    return True
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    qfn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = qfn(spark, SF_DIR)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    assert sql is not None, f"no oracle for {name}"
+    ora = ddb.execute(sql)
+    ora_cols = [d[0] for d in ora.description]
+    ora_rows = [dict(zip(ora_cols, row)) for row in ora.fetchall()]
+
+    assert sorted(sdf.columns) == sorted(ora_cols), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(ora_cols)}"
+    )
+    assert len(spark_rows) == len(ora_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(ora_rows)}"
+    )
+    cols = sorted(sdf.columns)
+    sn = _normalize(spark_rows, cols)
+    on = _normalize(ora_rows, cols)
+    if not _values_match(sn, on):
+        diffs = [(x, y) for x, y in zip(sn, on) if x != y][:5]
+        pytest.fail(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
