@@ -1,0 +1,145 @@
+"""Parquet lake: the engine's primary store.
+
+Layout matches the reference's own Parquet backend
+(``src/services/parquet_storage.py:30-43,91-109`` in /root/reference):
+``{base}/{table}/date=YYYY-MM-DD/part-*.parquet`` — hive-style daily
+partitions derived from ``slot_timestamp``, every row stamped with
+``inserted_at``. Non-slot config tables (``genesis``/``specs``) are
+unpartitioned single-row tables.
+
+Semantics (reference ReplacingMergeTree, SURVEY §1.3):
+- **append-only**: every write appends; duplicate keys across writes are
+  expected (re-fetch, re-transform, re-org).
+- **latest-wins on read**: ``read_latest`` applies the ``latest()`` dedup on
+  the table's declared key/version — the FINAL-read analogue.
+- **repair = partition overwrite**: ``overwrite_date_partitions`` replaces
+  only the affected daily partitions (dynamic partitionOverwriteMode),
+  standing in for the reference's ``ALTER TABLE ... DELETE`` + mutation
+  throttle (``src/services/maintenance.py:207-275``) with a plain
+  idempotent write.
+- **compaction**: ``compact`` rewrites a table's partitions keeping only the
+  latest version per key — the background-merge analogue, run explicitly.
+
+Scale notes: daily partitions keep each overwrite bounded (~7k slots/day);
+writes sort within partitions by slot so parquet row-group min/max stats
+make slot-range predicates prune at the row-group level, which is what the
+reference's ``ORDER BY (slot, ...)`` sparse index buys it.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beacon_indexer_spark.config import ForkSchedule
+from beacon_indexer_spark.functions.core import latest, slot_timestamp
+from beacon_indexer_spark.schemas.raw import RAW_KEY, RAW_TABLES, RAW_VERSION
+from beacon_indexer_spark.schemas.structured import STRUCTURED_TABLES
+
+_UNPARTITIONED = {"genesis", "specs", "raw_genesis", "raw_specs", "time_helpers"}
+
+
+def table_key_version(table: str) -> tuple[list[str], str]:
+    """Dedup key + latest-wins version column for any table in the lake."""
+    if table in STRUCTURED_TABLES:
+        spec = STRUCTURED_TABLES[table]
+        return list(spec.keys), spec.version
+    if table in RAW_TABLES:
+        return list(RAW_KEY if table not in _UNPARTITIONED else ("payload_hash",)), RAW_VERSION
+    raise KeyError(f"unknown table {table!r}")
+
+
+class ParquetLake:
+    def __init__(self, spark: SparkSession, base_dir: str, schedule: ForkSchedule):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.schedule = schedule
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.base_dir, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    # -- write ------------------------------------------------------------
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        """Stamp the storage columns the reference's writer adds
+        (parquet_storage.py:75-109): slot_timestamp (if absent), date
+        partition, inserted_at."""
+        if "slot" in df.columns and "slot_timestamp" not in df.columns:
+            df = df.withColumn(
+                "slot_timestamp",
+                slot_timestamp(
+                    "slot", self.schedule.genesis_time, self.schedule.seconds_per_slot
+                ),
+            )
+        if "slot_timestamp" in df.columns:
+            df = df.withColumn("date", F.to_date("slot_timestamp"))
+        return df.withColumn(
+            "inserted_at", F.lit(datetime.now(timezone.utc)).cast("timestamp")
+        )
+
+    def write(self, table: str, df: DataFrame, mode: str = "append") -> None:
+        df = self._prepare(df)
+        writer = df.write.mode(mode)
+        if "date" in df.columns and table not in _UNPARTITIONED:
+            # sortWithinPartitions(slot): row-group stats → slot-range pruning
+            sort_keys = [c for c in ("slot",) if c in df.columns]
+            if sort_keys:
+                df = df.sortWithinPartitions(*sort_keys)
+                writer = df.write.mode(mode)
+            writer = writer.partitionBy("date")
+        writer.parquet(self.path(table))
+
+    def overwrite_date_partitions(self, table: str, df: DataFrame) -> None:
+        """Repair path: replace exactly the daily partitions present in
+        ``df`` (requires spark.sql.sources.partitionOverwriteMode=dynamic,
+        set by session.get_spark)."""
+        self.write(table, df, mode="overwrite")
+
+    # -- read -------------------------------------------------------------
+
+    def read(self, table: str) -> DataFrame:
+        """Raw append-only read — duplicates (re-orgs, re-transforms)
+        included. Most callers want :meth:`read_latest`."""
+        return self.spark.read.parquet(self.path(table))
+
+    def read_latest(self, table: str, slot_range: tuple[int, int] | None = None) -> DataFrame:
+        """FINAL-semantics read: latest version per table key, optional
+        slot-range pushdown applied *before* the dedup shuffle."""
+        df = self.read(table)
+        if slot_range is not None and "slot" in df.columns:
+            lo, hi = slot_range
+            df = df.filter((F.col("slot") >= lo) & (F.col("slot") <= hi))
+        keys, version = table_key_version(table)
+        return latest(df, keys, version)
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, table: str) -> None:
+        """Rewrite the table keeping only the latest version per key — the
+        ReplacingMergeTree background-merge analogue, run explicitly.
+        Overwrites all partitions it touches (which, reading the whole
+        table, is all of them)."""
+        deduped = self.read_latest(table).drop("date").cache()
+        deduped.count()  # materialize before overwriting the source files
+        self.write(table, deduped, mode="overwrite")
+        deduped.unpersist()
+
+    def table_stats(self, table: str) -> dict:
+        """count / min(slot) / max(slot) health check (reference A1,
+        ``src/services/loader.py:349-374``)."""
+        df = self.read(table)
+        if "slot" not in df.columns:
+            return {"table": table, "rows": df.count(), "min_slot": None, "max_slot": None}
+        row = df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("slot").alias("min_slot"),
+            F.max("slot").alias("max_slot"),
+        ).collect()[0]
+        return {"table": table, "rows": row["rows"],
+                "min_slot": row["min_slot"], "max_slot": row["max_slot"]}
