@@ -27,6 +27,13 @@ def get_spark(
     parallelism; on a real cluster, pass ``master=None`` with external
     spark-submit conf and these SQL configs still apply.
     """
+    # make this package importable on executor python workers (local mode
+    # inherits the driver env; clusters ship the package via --py-files)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
         master = f"local[{cpus}]"
