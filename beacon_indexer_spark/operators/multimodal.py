@@ -1,0 +1,237 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+A large-scale training-data pipeline carries media as ``binary`` columns
+with typed metadata and runs decode / feature-extract / resize /
+frame-sample as Arrow-batched Pandas UDFs (``mapInPandas``) so the bytes
+never round-trip through row-at-a-time Python. This module implements that
+plumbing for real — schemas, batch iteration, partitioning-neutral
+signatures — with the *codec* layer split in two:
+
+- **Deterministic built-in codecs** for the engine's own container formats
+  (``IMG1``/``AUD1``/``VID1`` headers below). These are real parsers over
+  real bytes — used by tests and by synthetic data generation.
+- **External codecs (PIL / soundfile / av)** behind import-guards: if the
+  library is present, real decode; otherwise a clearly-marked
+  ``NotImplementedError`` (this container ships no media libs).
+
+Container formats (big-endian):
+- image: ``b"IMG1" | u16 width | u16 height | u8 channels | pixels``
+  (``width*height*channels`` bytes, row-major)
+- audio: ``b"AUD1" | u32 sample_rate | u32 n_samples | i16 samples``
+- video: ``b"VID1" | u16 n_frames | u16 width | u16 height | u8 channels
+  | frames`` (each frame one image payload, no header)
+
+Scale notes: every operator is a narrow ``mapInPandas`` — no shuffle; the
+only fan-out is ``sample_frames`` (row → ≤n_frames rows), still
+shuffle-free. Batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``; media blobs being large,
+callers should keep that low (the session default 10k rows is fine for
+metadata, set ~64 for 4K-frame video work).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# deterministic built-in codecs (engine container formats)
+# ---------------------------------------------------------------------------
+
+IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"IMG1", b"AUD1", b"VID1"
+
+
+def encode_image(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    assert len(pixels) == width * height * channels
+    return IMG_MAGIC + struct.pack(">HHB", width, height, channels) + pixels
+
+
+def decode_image_bytes(buf: bytes) -> tuple[int, int, int, bytes]:
+    if buf[:4] != IMG_MAGIC:
+        raise _external_decode_error("image")
+    w, h, c = struct.unpack(">HHB", buf[4:9])
+    return w, h, c, buf[9 : 9 + w * h * c]
+
+
+def encode_audio(sample_rate: int, samples: list[int]) -> bytes:
+    return (
+        AUD_MAGIC
+        + struct.pack(">II", sample_rate, len(samples))
+        + struct.pack(f">{len(samples)}h", *samples)
+    )
+
+
+def decode_audio_bytes(buf: bytes) -> tuple[int, list[int]]:
+    if buf[:4] != AUD_MAGIC:
+        raise _external_decode_error("audio")
+    rate, n = struct.unpack(">II", buf[4:12])
+    return rate, list(struct.unpack(f">{n}h", buf[12 : 12 + 2 * n]))
+
+
+def encode_video(width: int, height: int, channels: int, frames: list[bytes]) -> bytes:
+    assert all(len(f) == width * height * channels for f in frames)
+    return (
+        VID_MAGIC
+        + struct.pack(">HHHB", len(frames), width, height, channels)
+        + b"".join(frames)
+    )
+
+
+def decode_video_bytes(buf: bytes) -> tuple[int, int, int, list[bytes]]:
+    if buf[:4] != VID_MAGIC:
+        raise _external_decode_error("video")
+    n, w, h, c = struct.unpack(">HHHB", buf[4:11])
+    fsz = w * h * c
+    frames = [buf[11 + i * fsz : 11 + (i + 1) * fsz] for i in range(n)]
+    return w, h, c, frames
+
+
+def _external_decode_error(kind: str) -> Exception:
+    """External-format decode is STUBBED: media libraries (PIL / soundfile /
+    av) are not shipped in this environment. The Spark-side plumbing
+    (schemas, Arrow batching, signatures) is real; plugging in a codec means
+    replacing this raise with the library call."""
+    return NotImplementedError(
+        f"external {kind} codec not available in this environment — use the "
+        f"engine container formats ({IMG_MAGIC!r}/{AUD_MAGIC!r}/{VID_MAGIC!r}) "
+        f"or install PIL/soundfile/av and wire them here"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (mapInPandas — Arrow-batched, shuffle-free)
+# ---------------------------------------------------------------------------
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("byte_length", T.LongType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def decode_images(df: DataFrame, id_col: str = "doc_id",
+                  content_col: str = "content") -> DataFrame:
+    """binary images → typed metadata + mean pixel intensity."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, buf in zip(pdf[id_col], pdf[content_col]):
+                w, h, c, px = decode_image_bytes(bytes(buf))
+                mean = (sum(px) / len(px)) if px else 0.0
+                out.append((did, w, h, c, len(buf), mean))
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
+
+    return df.select(id_col, content_col).mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """Nearest-neighbor resize inside the engine container format."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, buf in zip(pdf[id_col], pdf[content_col]):
+                w, h, c, px = decode_image_bytes(bytes(buf))
+                resized = bytearray()
+                for y in range(target_h):
+                    sy = min(h - 1, y * h // target_h)
+                    for x in range(target_w):
+                        sx = min(w - 1, x * w // target_w)
+                        base = (sy * w + sx) * c
+                        resized += px[base : base + c]
+                out.append(
+                    (did, encode_image(target_w, target_h, c, bytes(resized)),
+                     target_w, target_h)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, content_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
+                           content_col: str = "content") -> DataFrame:
+    """binary audio → rate/duration/RMS/peak features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out = []
+            for did, buf in zip(pdf[id_col], pdf[content_col]):
+                rate, samples = decode_audio_bytes(bytes(buf))
+                n = len(samples)
+                rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+                peak = max((abs(s) for s in samples), default=0)
+                out.append((did, rate, n, n / rate if rate else 0.0, rms, peak))
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.select(id_col, content_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_nth: int = 1, id_col: str = "doc_id",
+                  content_col: str = "content") -> DataFrame:
+    """binary video → one row per sampled frame (as engine-format images)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, buf in zip(pdf[id_col], pdf[content_col]):
+                w, h, c, frames = decode_video_bytes(bytes(buf))
+                for i in range(0, len(frames), every_nth):
+                    out.append((did, i, encode_image(w, h, c, frames[i]), w, h))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.select(id_col, content_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def media_fingerprint(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Exact-dup identity for media blobs: sha256 + length, pure JVM-side
+    expressions (no Python) — joins/groupBys on this column dedup exactly."""
+    return df.withColumn("media_sha256", F.sha2(F.col(content_col), 256)).withColumn(
+        "media_bytes", F.length(F.col(content_col)).cast("long")
+    )

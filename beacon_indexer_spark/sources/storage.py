@@ -85,6 +85,10 @@ class ParquetLake:
 
     def write(self, table: str, df: DataFrame, mode: str = "append") -> None:
         df = self._prepare(df)
+        if df.isEmpty():
+            # a partitioned write of 0 rows leaves a schema-less directory
+            # (only _SUCCESS) that breaks subsequent reads — skip it
+            return
         writer = df.write.mode(mode)
         if "date" in df.columns and table not in _UNPARTITIONED:
             # sortWithinPartitions(slot): row-group stats → slot-range pruning

@@ -1,0 +1,120 @@
+"""CLI command-surface + ClickHouse sink option/normalization tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from beacon_indexer_spark.cli import main
+from beacon_indexer_spark.schemas.raw import raw_envelope
+from beacon_indexer_spark.sources import clickhouse as CH
+from beacon_indexer_spark.sources.storage import ParquetLake
+from beacon_indexer_spark.config import GNOSIS
+from tests import fixtures as FX
+
+SLOT0 = 27_000_000
+
+
+def _run(capsys, argv, spark):
+    rc = main(argv, spark=spark)
+    assert rc == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+@pytest.fixture()
+def seeded_lake(spark, tmp_path):
+    lake = ParquetLake(spark, str(tmp_path / "lake"), GNOSIS)
+    rows = [FX.raw_row(SLOT0 + i, FX.block_payload(SLOT0 + i)) for i in range(10)]
+    lake.write("raw_blocks", spark.createDataFrame(rows, schema=raw_envelope()))
+    return lake
+
+
+def test_cli_maintain_gaps(spark, capsys, seeded_lake):
+    out = _run(
+        capsys,
+        ["--lake-dir", seeded_lake.base_dir, "maintain", "gaps",
+         "--start-slot", str(SLOT0), "--end-slot", str(SLOT0 + 14)],
+        spark,
+    )
+    assert out["report"]["expected"] == 15
+    assert out["report"]["actual"] == 10
+    assert out["report"]["missing"] == 5
+
+
+def test_cli_transform_then_status_and_integrity(spark, capsys, seeded_lake, tmp_path):
+    from beacon_indexer_spark.control import ledger as L
+
+    ledger = L.ChunkLedger(
+        spark, f"{seeded_lake.base_dir}/_control/load_state_chunks"
+    )
+    chunks = L.generate_chunks(spark, SLOT0, SLOT0 + 9, 10, "blocks")
+    ledger.append(chunks)
+    ledger.mark(ledger.current(), L.COMPLETED)
+
+    out = _run(capsys, ["--lake-dir", seeded_lake.base_dir, "transform", "batch"], spark)
+    assert out["chunks"] == [
+        {"start_slot": SLOT0, "end_slot": SLOT0 + 9,
+         "rows": out["chunks"][0]["rows"]}
+    ]
+    assert out["chunks"][0]["rows"]["blocks"] == 10
+
+    st = _run(capsys, ["--lake-dir", seeded_lake.base_dir, "maintain", "status"], spark)
+    assert st["chunks"][0]["completed"] == 1
+    assert any(t["table"] == "blocks" and t["rows"] == 10 for t in st["tables"])
+
+    ig = _run(
+        capsys,
+        ["--lake-dir", seeded_lake.base_dir, "maintain", "integrity"],
+        spark,
+    )
+    assert ig["report"] == {"failed_chunks": 0, "untransformed_chunks": 0}
+
+
+def test_cli_maintain_reset(spark, capsys, seeded_lake):
+    from beacon_indexer_spark.control import ledger as L
+
+    ledger = L.ChunkLedger(spark, f"{seeded_lake.base_dir}/_control/load_state_chunks")
+    chunks = L.generate_chunks(spark, SLOT0, SLOT0 + 9, 5, "blocks")
+    ledger.append(chunks)
+    ledger.mark(ledger.current(), L.FAILED)
+    out = _run(capsys, ["--lake-dir", seeded_lake.base_dir, "maintain", "reset"], spark)
+    assert out["reset"] == 2
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse sink
+# ---------------------------------------------------------------------------
+
+def test_jdbc_options_reference_tuning():
+    o = CH.clickhouse_jdbc_options("ch.example:8123", "attestations")
+    assert o["url"] == "jdbc:clickhouse://ch.example:8123/beacon"
+    assert o["batchsize"] == "500"  # reference per-table write chunk
+    assert o["isolationLevel"] == "NONE"
+    assert CH.clickhouse_jdbc_options("x", "transactions")["batchsize"] == "100"
+    assert CH.clickhouse_jdbc_options("x", "validators")["batchsize"] == "5000"
+    assert CH.clickhouse_jdbc_options("x", "blocks")["batchsize"] == "10000"
+    # explicit url passes through
+    assert CH.clickhouse_jdbc_options("jdbc:clickhouse://h/d", "t")["url"] == (
+        "jdbc:clickhouse://h/d"
+    )
+
+
+def test_normalize_for_clickhouse(spark):
+    df = spark.createDataFrame(
+        [(1, True, {"a": 1}, [1, 2])],
+        "id long, flag boolean, meta map<string,int>, arr array<int>",
+    )
+    out = CH.normalize_for_clickhouse(df)
+    row = out.collect()[0]
+    assert row["flag"] == 1  # bool → UInt8-compatible int
+    assert json.loads(row["meta"]) == {"a": 1}  # map → JSON string
+    assert row["arr"] == [1, 2]  # primitive arrays pass through
+    kinds = dict(out.dtypes)
+    assert kinds["flag"] == "int" and kinds["meta"] == "string"
+
+
+def test_write_clickhouse_requires_driver(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(RuntimeError, match="JDBC driver not on the Spark classpath"):
+        CH.write_clickhouse(df, "blocks", "ch:8123")

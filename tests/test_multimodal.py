@@ -1,0 +1,83 @@
+"""Multimodal operator tests: real bytes through real mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from beacon_indexer_spark.operators import multimodal as M
+
+
+def test_codec_roundtrip():
+    px = bytes(range(12))
+    buf = M.encode_image(2, 2, 3, px)
+    assert M.decode_image_bytes(buf) == (2, 2, 3, px)
+    a = M.encode_audio(16000, [0, 100, -100, 32767, -32768])
+    assert M.decode_audio_bytes(a) == (16000, [0, 100, -100, 32767, -32768])
+    frames = [bytes([i] * 4) for i in range(3)]
+    v = M.encode_video(2, 2, 1, frames)
+    assert M.decode_video_bytes(v) == (2, 2, 1, frames)
+
+
+def test_external_format_raises_not_implemented():
+    with pytest.raises(NotImplementedError, match="codec not available"):
+        M.decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_images(spark):
+    rows = [
+        (1, M.encode_image(2, 2, 1, bytes([10, 20, 30, 40]))),
+        (2, M.encode_image(1, 3, 2, bytes([0, 0, 0, 0, 60, 60]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r.asDict() for r in M.decode_images(df).collect()}
+    assert got[1]["width"] == 2 and got[1]["height"] == 2 and got[1]["channels"] == 1
+    assert got[1]["mean_intensity"] == 25.0
+    assert got[2]["channels"] == 2 and got[2]["mean_intensity"] == 20.0
+    assert got[1]["byte_length"] == 9 + 4
+
+
+def test_resize_images(spark):
+    # 4x4 single-channel gradient → 2x2 nearest-neighbor
+    px = bytes(range(16))
+    df = spark.createDataFrame([(7, M.encode_image(4, 4, 1, px))],
+                               "doc_id long, content binary")
+    out = M.resize_images(df, 2, 2).collect()[0]
+    w, h, c, rpx = M.decode_image_bytes(bytes(out["content"]))
+    assert (w, h, c) == (2, 2, 1)
+    # nearest-neighbor picks (0,0),(0,2),(2,0),(2,2) = 0,2,8,10
+    assert list(rpx) == [0, 2, 8, 10]
+
+
+def test_audio_features(spark):
+    samples = [3, -4, 3, -4]
+    df = spark.createDataFrame([(9, M.encode_audio(8000, samples))],
+                               "doc_id long, content binary")
+    r = M.extract_audio_features(df).collect()[0]
+    assert r["sample_rate"] == 8000 and r["n_samples"] == 4
+    assert r["duration_s"] == 4 / 8000
+    assert math.isclose(r["rms"], math.sqrt((9 + 16 + 9 + 16) / 4))
+    assert r["peak"] == 4
+
+
+def test_sample_frames(spark):
+    frames = [bytes([i] * 4) for i in range(6)]
+    df = spark.createDataFrame([(5, M.encode_video(2, 2, 1, frames))],
+                               "doc_id long, content binary")
+    got = M.sample_frames(df, every_nth=2).collect()
+    assert [r["frame_index"] for r in got] == [0, 2, 4]
+    w, h, c, px = M.decode_image_bytes(bytes(got[1]["frame"]))
+    assert px == bytes([2] * 4)
+
+
+def test_media_fingerprint_dedup(spark):
+    blob = M.encode_image(1, 1, 1, b"\x42")
+    df = spark.createDataFrame(
+        [(1, blob), (2, blob), (3, M.encode_image(1, 1, 1, b"\x43"))],
+        "doc_id long, content binary",
+    )
+    fp = M.media_fingerprint(df)
+    groups = fp.groupBy("media_sha256").count().collect()
+    assert sorted(g["count"] for g in groups) == [1, 2]
+    assert all(g["media_sha256"] and len(g["media_sha256"]) == 64 for g in groups)
