@@ -36,6 +36,21 @@ def _md5_long(c: Column, salt: int) -> Column:
     return F.conv(F.substring(h, 1, _HEX_PREFIX_LEN), 16, 10).cast("long")
 
 
+# Universal-hash family for minhash: h_i(x) = (a_i * (md5_60(x) mod P) + b_i)
+# mod P with P = 2^31-1 (Mersenne prime). ONE md5 per shingle; the k salted
+# variants are integer arithmetic (products stay < 2^62 — no overflow in
+# either engine). Constants derived from Knuth's multiplicative constant,
+# fixed here so Spark and the DuckDB oracle agree byte-for-byte.
+MINHASH_P = 2**31 - 1
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    return [
+        (((i + 1) * 2654435761) % MINHASH_P | 1, ((i + 1) * 40503) % MINHASH_P)
+        for i in range(k)
+    ]
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -80,19 +95,64 @@ def minhash_signatures(
     Computed without exploding: min-over-array per hash is a pure expression,
     so the stage is a narrow map (no shuffle at all). Docs shorter than one
     shingle get signature -1 (their own bucket family).
-    """
-    sh = word_shingles(text_col, shingle_n)
-    cols = [F.col(id_col).cast("long").alias(id_col)]
 
-    def salted(salt: int):
+    Two-stage evaluation, each materialized as a projection so work is done
+    once: (1) tokenize+shingle (regexp-heavy) → shingle array; (2) ONE md5
+    per shingle reduced mod P; then each of the k signatures is just
+    ``min((a_i*h + b_i) mod P)`` — integer arithmetic, no further hashing.
+    """
+    shingled = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        word_shingles(text_col, shingle_n).alias("__sh"),
+    )
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform(F.col("__sh"), lambda s: _md5_long(s, 0) % MINHASH_P).alias("__h"),
+    )
+
+    def affine(a: int, b: int):
         # closure factory: a default-arg lambda would become arity-2 and
         # receive the element index as its second argument
-        return lambda s: _md5_long(s, salt)
+        return lambda h: (h * a + b) % MINHASH_P
 
-    for i in range(k):
-        mins = F.array_min(F.transform(sh, salted(i)))
+    cols = [F.col(id_col)]
+    for i, (a, b) in enumerate(minhash_coeffs(k)):
+        mins = F.array_min(F.transform(F.col("__h"), affine(a, b)))
         cols.append(F.coalesce(mins, F.lit(-1)).alias(f"sig_{i}"))
-    return df.select(*cols)
+    return hashed.select(*cols)
+
+
+def _bucket_pairs(ids: Column) -> Column:
+    """All (id_a < id_b) pairs within a sorted id array — in-bucket pair
+    expansion, array<struct<id_a,id_b>>."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _pairs_from_buckets(keyed: DataFrame, id_col: str, *bucket_cols: str) -> DataFrame:
+    """(bucket → ids) groupBy, then expand pairs inside each bucket.
+
+    One shuffle carrying (bucket_key, id) only — the upstream signature
+    computation runs ONCE (a self-join would execute the whole branch
+    twice). Bucket skew (a band key shared by a huge dup cluster) produces
+    the same quadratic pair count either way; AQE skew-split handles the
+    shuffle side.
+    """
+    return (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
 
 
 def minhash_lsh_candidates(
@@ -106,9 +166,9 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
     k signatures split into `bands` bands of k/bands rows; docs sharing any
-    band key are candidates. The self-join is an equi-join on the band key —
-    shuffles only (band_key, id); at 100 TB the hot path is band-bucket skew,
-    mitigated by AQE skew-join (enabled in session defaults).
+    band key are candidates. Implemented as band-bucket groupBy + in-bucket
+    pair expansion: signatures are computed once and the only shuffle
+    carries (band, key, id) triples.
     """
     assert k % bands == 0, "k must divide evenly into bands"
     rows_per_band = k // bands
@@ -122,22 +182,7 @@ def minhash_lsh_candidates(
     keyed = sigs.select(
         id_col, F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    return pairs
+    return _pairs_from_buckets(keyed, id_col, "band", "key")
 
 
 # ---------------------------------------------------------------------------
@@ -169,15 +214,21 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # shingle-blocked pair generation WITHOUT a self-join: group each
+    # shingle's (sorted, distinct) doc list, expand in-block pairs, count
+    # pair occurrences = |intersection|. The tokenize+shingle tree runs
+    # once for the intersection and once (narrow, no shuffle) for sizes.
     sh = shingle_sets(df, id_col, text_col, shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sizes = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(F.array_distinct(word_shingles(text_col, shingle_n))).alias("n"),
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     if candidates is not None:
@@ -208,33 +259,55 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Per token: 64 bits of md5(token)[:16]. Per bit: majority vote (+1/-1)
     across tokens. Pure expressions over arrays — a narrow map stage, no
-    shuffle, no UDF: for each of 16 hex digits we sum per-token nibble bits
-    and reassemble a hex digit.
+    shuffle, no UDF.
+
+    Staged for evaluation cost: (1) materialize the token-hash array once;
+    (2) per hex position, ONE ``aggregate`` whose accumulator is a single
+    long packing the four set-bit counters in 16-bit lanes (counts < 2^16
+    tokens — far beyond any document) — a +1/-1 vote is positive iff the
+    set-count exceeds half the tokens; (3) unpack lanes, assemble digits.
+    16 cheap array traversals per row instead of 64 struct-merging ones.
     """
     from beacon_indexer_spark.operators.text import tokens
 
+    LANE = 2**16
     tk = F.array_distinct(tokens(F.lower(F.col(text_col))))
-    hashes = F.transform(tk, lambda t: F.substring(F.md5(t), 1, 16))
+    staged = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(tk, lambda t: F.substring(F.md5(t), 1, 16)).alias("__h"),
+    )
 
-    def nib_at(pos: int):
-        return lambda h: F.conv(F.substring(h, pos, 1), 16, 10).cast("int")
+    def packed_counts(pos: int) -> Column:
+        """long packing set-bit counts of digit `pos`: lanes (hi→lo)
+        bit8|bit4|bit2|bit1."""
 
-    def vote(bit: int):
-        return lambda acc, v: acc + F.when(F.floor(v / bit) % 2 == 1, 1).otherwise(-1)
+        def merge(acc: Column, h: Column) -> Column:
+            v = F.conv(F.substring(h, pos, 1), 16, 10).cast("long")
+            term = (
+                (F.floor(v / 8) % 2) * LANE**3
+                + (F.floor(v / 4) % 2) * LANE**2
+                + (F.floor(v / 2) % 2) * LANE
+                + v % 2
+            )
+            return acc + term
 
+        return F.aggregate(F.col("__h"), F.lit(0).cast("long"), merge)
+
+    n = F.size(F.col("__h"))
     digits = []
     for pos in range(1, 17):  # hex digit positions in the md5 prefix
-        nib = F.transform(hashes, nib_at(pos))
-        bits = []
-        for bit in (8, 4, 2, 1):
-            votes = F.aggregate(nib, F.lit(0), vote(bit))
-            bits.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)))
+        c = packed_counts(pos)
+        lanes = [
+            F.floor(c / LANE**3) % LANE,
+            F.floor(c / LANE**2) % LANE,
+            F.floor(c / LANE) % LANE,
+            c % LANE,
+        ]
+        # vote > 0 ⟺ 2*set_count > n_tokens
+        bits = [F.when(lane * 2 > n, F.lit(1)).otherwise(F.lit(0)) for lane in lanes]
         digit_val = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
         digits.append(F.lower(F.conv(digit_val.cast("string"), 10, 16)))
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.concat(*digits).alias("simhash"),
-    )
+    return staged.select(F.col(id_col), F.concat(*digits).alias("simhash"))
 
 
 def simhash_candidates(
@@ -252,16 +325,6 @@ def simhash_candidates(
         for b in range(bands)
     ]
     keyed = sh.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, "bk.band", "bk.key"
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _pairs_from_buckets(keyed, id_col, "band", "key")

@@ -103,7 +103,9 @@ def lsh_bucket(vec: Column, dim: int, n_bits: int = 8) -> Column:
     """Sign-bit bucket key: n_bits-char string of 0/1 by hyperplane side."""
     bits = []
     for b in range(n_bits):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, b)])
+        # one array literal per plane (a per-component F.lit costs dim
+        # py4j round-trips of driver-side plan construction)
+        plane = F.lit(_hyperplane(dim, b))
         bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -159,21 +161,40 @@ def embedding_near_duplicates(
     """Near-duplicate pairs by cosine ≥ threshold, LSH-blocked: only pairs
     sharing a sign-bucket are scored (high-cosine pairs almost always share
     all sign bits). Output (id_a, id_b, cos_sim), id_a < id_b."""
+    # per-vector norm computed ONCE here — per-pair work is then a single
+    # dot product (norms recomputed per pair would triple the hot loop)
     vb = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
         lsh_bucket(F.col(vec_col), dim, n_bits).alias("bucket"),
     )
-    a, b = vb.alias("a"), vb.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    # bucket-groupBy + in-bucket pair expansion: the n_bits dot-product
+    # bucket signature is computed ONCE per vector (a self-join would
+    # execute that branch twice) and the shuffle carries (bucket, id, vec)
+    # exactly once. Struct sort is by id (first field, unique).
+    items = F.col("__items")
+    pairs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    denom = F.col("p.a.nrm") * F.col("p.b.nrm")
+    return (
+        vb.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "vec", "nrm"))).alias("__items"))
+        .filter(F.size("__items") > 1)
+        .select(F.explode(pairs).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.when(denom > 0, dot(F.col("p.a.vec"), F.col("p.b.vec")) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

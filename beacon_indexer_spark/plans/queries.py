@@ -73,6 +73,28 @@ def _dd_md5_long(x: str) -> str:
     return _dd_hex15_to_long(f"md5({x})")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's parallelism when the
+    scan produced fewer input splits than cores (small files → 1 split →
+    single-threaded CPU-heavy expressions). At real scale inputs have many
+    splits and this is a no-op; it deliberately runs AFTER the scan so
+    filter/column pushdown is unaffected."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def _dd_minhash_base(x: str) -> str:
+    """md5_60(x, salt 0) mod P — the per-shingle base hash of the minhash
+    universal-hash family (operators/dedup.py)."""
+    from beacon_indexer_spark.operators.dedup import MINHASH_P
+
+    salted = f"concat('0:', {x})"
+    return f"({_dd_md5_long(salted)} % {MINHASH_P})"
+
+
 # ===========================================================================
 # Relational surface (TPC-ish tables)
 # ===========================================================================
@@ -458,7 +480,7 @@ FROM events WHERE user_id < 20
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F5/F6/F8: content fingerprint (md5 of canonical text), sorted-token
     fingerprint, hex popcount, hex-prefix→int64."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     fp = X.fingerprint("text")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -486,7 +508,7 @@ FROM base
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counting (whitespace + BPE-ish regex), quality
     scoring, mean token length."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         X.token_count("text").cast("long").alias("n_tokens"),
@@ -525,7 +547,7 @@ FROM m
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-lexicon argmax, deterministic ties)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         X.lang_id("text").alias("pred_lang"),
@@ -564,7 +586,7 @@ FROM s
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups (hash-groupBy on normalized-content fingerprint)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     out = D.exact_duplicates(docs, "doc_id", "text")
     return out.select(
         "fp",
@@ -598,7 +620,7 @@ def _dd_shingles(n: int = 3) -> str:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (exact set similarity, shingle-blocked
     join — never a cross join)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     out = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1, shingle_n=3)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -628,7 +650,7 @@ _MINHASH_BANDS = 4
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (shingle → k salted md5-derived hashes → min)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     sigs = D.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
     return sigs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -636,25 +658,38 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_sql() -> str:
+def _dd_minhash_sigs() -> tuple[str, str]:
+    """(hashed-CTE fragment, sig column list) for the universal-hash
+    minhash family — mirrors operators/dedup.py exactly."""
+    from beacon_indexer_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    hashed = (
+        f"SELECT doc_id, list_transform(sh, s -> {_dd_minhash_base('s')}) AS hs "
+        "FROM base"
+    )
     sig_cols = []
-    for i in range(_MINHASH_K):
-        hashed = _dd_md5_long(f"concat('{i}:', s)")
+    for i, (a, b) in enumerate(minhash_coeffs(_MINHASH_K)):
         sig_cols.append(
-            f"coalesce(list_min(list_transform(sh, s -> {hashed})), -1) AS sig_{i}"
+            f"coalesce(list_min(list_transform(hs, h -> (h * {a} + {b}) % "
+            f"{MINHASH_P})), -1) AS sig_{i}"
         )
-    cols = ",\n       ".join(sig_cols)
+    return hashed, ",\n       ".join(sig_cols)
+
+
+def _oracle_minhash_sql() -> str:
+    hashed, cols = _dd_minhash_sigs()
     return f"""
-WITH base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents)
+WITH base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents),
+hashed AS ({hashed})
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {cols}
-FROM base
+FROM hashed
 """
 
 
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs (band-bucket equi-join)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     out = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -666,12 +701,7 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_minhash_lsh_sql() -> str:
     rows = _MINHASH_K // _MINHASH_BANDS
-    sig_exprs = []
-    for i in range(_MINHASH_K):
-        hashed = _dd_md5_long(f"concat('{i}:', s)")
-        sig_exprs.append(
-            f"coalesce(list_min(list_transform(sh, s -> {hashed})), -1) AS sig_{i}"
-        )
+    hashed, sig_cols = _dd_minhash_sigs()
     band_rows = []
     for b in range(_MINHASH_BANDS):
         parts = ", ".join(
@@ -681,10 +711,10 @@ def _oracle_minhash_lsh_sql() -> str:
             f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {parts})) AS key FROM sigs"
         )
     bands_union = "\nUNION ALL ".join(band_rows)
-    sig_cols = ",\n       ".join(sig_exprs)
     return f"""
 WITH base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents),
-sigs AS (SELECT doc_id, {sig_cols} FROM base),
+hashed AS ({hashed}),
+sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
 keyed AS ({bands_union})
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
 FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -693,7 +723,7 @@ FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (majority vote over token md5 bits)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     out = D.simhash(docs, "doc_id", "text")
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
 
@@ -727,7 +757,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, {concat} AS simhash FROM base
 
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k (brute force baseline) for query vectors id<5."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.brute_force_topk(emb, queries, k=5)
     return out.select(
@@ -761,7 +791,7 @@ FROM ranked WHERE rank <= 5
 
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH sign-bucket blocked."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     out = S.embedding_near_duplicates(emb, dim=64, threshold=0.35, n_bits=4)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
