@@ -150,6 +150,97 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest coarse centroids
+    (IVF inverted lists). Centroids ship as literals (they're small by
+    construction); assignment is a narrow map — no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-dot(F.col(vec_col), F.lit(c)) * 2 + F.lit(_sq(c))).alias("d2"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    # ||v - c||^2 = ||v||^2 - 2 v·c + ||c||^2; ||v||^2 constant per row →
+    # ranking by (-2 v·c + ||c||^2) is exact nearest-centroid order
+    ranked = F.slice(F.array_sort(scored), 1, nprobe)
+    return vectors.withColumn(
+        "__lists", F.transform(ranked, lambda s: s["cid"])
+    ).withColumn("ivf_list", F.explode("__lists")).drop("__lists")
+
+
+def _sq(c: list[float]) -> float:
+    total = 0.0
+    for x in c:
+        total += x * x
+    return total
+
+
+def ivf_centroids(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the k corpus vectors whose md5(id) is
+    smallest — a reproducible pseudo-random sample (no RNG state, no
+    iteration; real IVF training would k-means these, which at 100 TB runs
+    on a sampled subset anyway)."""
+    rows = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("__r", F.md5(F.col("id").cast("string")))
+        .orderBy("__r")
+        .limit(k)
+        .collect()
+    )
+    return [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors whose inverted list
+    matches one of the query's ``nprobe`` probed lists.
+
+    The corpus is bucketed once (narrow); the join is an equi-join on
+    ``ivf_list`` with the (small) probed query side broadcast — at 100 TB
+    this scans ~nprobe/k_lists of the corpus per query instead of all of it.
+    """
+    vb = ivf_assign(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vvec")),
+        centroids, "__vvec", nprobe=1,
+    )
+    qb = F.broadcast(
+        ivf_assign(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")),
+            centroids, "__qvec", nprobe=nprobe,
+        )
+    )
+    scored = (
+        vb.join(qb, "ivf_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__vvec")).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))  # dedup multi-probe hits
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     id_col: str = "vec_id",

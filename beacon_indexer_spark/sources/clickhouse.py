@@ -77,6 +77,32 @@ def clickhouse_jdbc_options(
     return opts
 
 
+def read_clickhouse(
+    spark,
+    table_or_query: str,
+    url: str,
+    partition_column: str | None = "slot",
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **kw,
+) -> DataFrame:
+    """Optional ClickHouse *scan* (reference S11,
+    ``src/services/clickhouse.py:411-428``): parameterized query → DataFrame
+    via JDBC, range-partitioned on ``slot`` so the read parallelizes instead
+    of streaming through one connection."""
+    opts = clickhouse_jdbc_options(url, table_or_query, **kw)
+    reader = spark.read.format("jdbc").options(**opts)
+    if partition_column and lower_bound is not None and upper_bound is not None:
+        reader = reader.options(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return reader.load()
+
+
 def write_clickhouse(df: DataFrame, table: str, url: str, **kw) -> None:
     """Append ``df`` into a ClickHouse table. Normalizes types, bounds
     write parallelism to the reference's 4 concurrent inserts."""

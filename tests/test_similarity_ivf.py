@@ -1,0 +1,87 @@
+"""Similarity-search operator tests: IVF path vs brute-force ground truth."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beacon_indexer_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Deterministic 16-dim corpus: 4 well-separated clusters of 25 vectors
+    (cluster axis + small deterministic jitter)."""
+    rows = []
+    for vid in range(100):
+        cluster = vid % 4
+        vec = [0.0] * 16
+        for d in range(16):
+            base = 1.0 if d // 4 == cluster else 0.0
+            jitter = ((vid * 31 + d * 17) % 13 - 6) / 100.0
+            vec[d] = base + jitter
+        rows.append((vid, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_brute_force_topk_exact(vectors):
+    queries = vectors.filter(F.col("vec_id") < 2)
+    got = S.brute_force_topk(vectors, queries, k=5)
+    rows = got.filter(F.col("query_id") == 0).orderBy("rank").collect()
+    assert len(rows) == 5
+    # nearest neighbors of query 0 (cluster 0) are cluster-0 members
+    assert all(r["neighbor_id"] % 4 == 0 for r in rows)
+    assert rows[0]["cos_sim"] >= rows[-1]["cos_sim"]
+    assert rows[0]["neighbor_id"] != 0  # self excluded
+
+
+def test_ivf_centroids_deterministic(vectors):
+    c1 = S.ivf_centroids(vectors, k=8)
+    c2 = S.ivf_centroids(vectors, k=8)
+    assert [cid for cid, _ in c1] == list(range(8))
+    assert c1 == c2
+
+
+def test_ivf_assign_lists(vectors):
+    cents = S.ivf_centroids(vectors, k=8)
+    assigned = S.ivf_assign(vectors, cents, nprobe=2)
+    per_vec = assigned.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 2 for r in per_vec)  # nprobe lists each
+    n_lists = assigned.select("ivf_list").distinct().count()
+    assert 1 < n_lists <= 8
+
+
+def test_ivf_topk_recall_vs_bruteforce(vectors):
+    queries = vectors.filter(F.col("vec_id") < 4)
+    cents = S.ivf_centroids(vectors, k=8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(vectors, queries, cents, k=5, nprobe=4).collect()
+    }
+    # with clustered data and 4 probes of 8 lists, recall should be high
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
+    # scores for common pairs are identical (same cosine arithmetic)
+    ivf_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in S.ivf_topk(vectors, queries, cents, k=5, nprobe=4).collect()
+    }
+    bf_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in S.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    for pair in exact & approx:
+        assert math.isclose(ivf_scores[pair], bf_scores[pair], rel_tol=0, abs_tol=0)
+
+
+def test_lsh_topk_shapes(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    got = S.lsh_topk(vectors, queries, dim=16, k=3, n_bits=4).collect()
+    assert 0 < len(got) <= 3
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in got)
