@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # 128 MiB input splits — matches parquet row-group targets at scale
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # bound output file size (wide tables like attestations at 100 TB);
+        # ~5M rows ≈ 100-500 MB snappy parquet for these schemas
+        .config("spark.sql.files.maxRecordsPerFile", "5000000")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from beacon_indexer_spark.config import ForkSchedule, schedule_from_specs
 from beacon_indexer_spark.functions.core import canonical_json, payload_hash
@@ -334,3 +335,67 @@ def bootstrap_schedule(api: BeaconAPI) -> tuple[ForkSchedule, dict, dict]:
             schedule.slots_per_epoch, schedule.epochs,
         )
     return schedule, genesis, specs
+
+
+def write_foundation(lake, api: BeaconAPI) -> ForkSchedule:
+    """Foundation bootstrap with persistence (reference C14,
+    ``src/loaders/genesis.py:24-107``, ``src/loaders/specs.py:24-91``,
+    ``migrations/001_time_helpers.sql``): fetch genesis + specs, write the
+    raw config tables verbatim and the derived ``time_helpers`` single-row
+    table, return the ForkSchedule. Idempotent — identical payloads collapse
+    on payload_hash at read time."""
+    schedule, genesis, specs = bootstrap_schedule(api)
+    now = datetime.now(timezone.utc)
+    for table, payload in (("raw_genesis", genesis), ("raw_specs", specs)):
+        df = lake.spark.createDataFrame(
+            [(canonical_json(payload), payload_hash(payload), now)],
+            "payload string, payload_hash string, retrieved_at timestamp",
+        )
+        lake.write(table, df)
+    helpers = lake.spark.createDataFrame(
+        [(schedule.network, schedule.genesis_time, schedule.seconds_per_slot,
+          schedule.slots_per_epoch, now)],
+        "network string, genesis_time long, seconds_per_slot int, "
+        "slots_per_epoch int, updated_at timestamp",
+    )
+    lake.write("time_helpers", helpers)
+    return schedule
+
+
+def fetch_slot_list_distributed(
+    spark: SparkSession,
+    cfg: FetchConfig,
+    loader: LoaderSpec,
+    slots: DataFrame,
+    schedule: ForkSchedule,
+    slots_per_task: int = 100,
+    api_factory: Callable[[], BeaconAPI] | None = None,
+) -> DataFrame:
+    """Distributed fetch of an explicit slot list (column ``slot``) — the
+    backfill path for daily-snapshot loaders (validators, pending queues),
+    fed by ``control.ledger.daily_slots``. Same fork gating and envelope as
+    :func:`fetch_slots_distributed`."""
+    if loader.fork_gate is not None:
+        gate = schedule.activation_slot(loader.fork_gate)
+        if gate is None:
+            return spark.createDataFrame([], raw_envelope())
+        slots = slots.filter(slots["slot"] >= gate)
+
+    n = slots.count()
+    if n == 0:
+        return spark.createDataFrame([], raw_envelope())
+    n_parts = max(1, min(n // max(1, slots_per_task) + 1, 2048))
+    part = slots.select(F.col("slot").cast("long").alias("slot")).repartition(n_parts)
+
+    fetch, sched = loader.fetch, schedule
+    make_api = api_factory or cfg.build
+
+    def run(parts: Iterator) -> Iterator[tuple]:
+        api = make_api()
+        spec = LoaderSpec(loader.name, fetch, loader.fork_gate, loader.daily)
+        for row in parts:
+            for out in fetch_slots_local(api, spec, [row["slot"]], sched):
+                yield (out["slot"], out["payload"], out["payload_hash"],
+                       out["retrieved_at"])
+
+    return spark.createDataFrame(part.rdd.mapPartitions(run), raw_envelope())

@@ -333,3 +333,55 @@ def test_stream_transform_incremental(spark, tmp_path):
     blocks = lake.read("blocks")
     assert blocks.count() == 10  # no reprocessing duplicates
     assert lake.read_latest("attestations").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# foundation persistence + daily-slot distributed fetch
+# ---------------------------------------------------------------------------
+
+def test_write_foundation(spark, tmp_path):
+    from beacon_indexer_spark.sources.storage import ParquetLake
+
+    lake = ParquetLake(spark, str(tmp_path / "lake"), GNOSIS)
+    t = FakeTransport(
+        {"/genesis": _ok({"data": {"genesis_time": "1638993340"}}),
+         "/config/spec": _ok(_specs())}
+    )
+    sched = B.write_foundation(lake, _api(t))
+    assert sched.network == "gnosis"
+    assert lake.read("raw_genesis").count() == 1
+    assert lake.read("raw_specs").count() == 1
+    th = lake.read("time_helpers").collect()[0]
+    assert th["genesis_time"] == 1_638_993_340
+    assert th["seconds_per_slot"] == 5 and th["slots_per_epoch"] == 16
+    # idempotent: rerun collapses on payload_hash at FINAL read
+    B.write_foundation(lake, _api(FakeTransport(
+        {"/genesis": _ok({"data": {"genesis_time": "1638993340"}}),
+         "/config/spec": _ok(_specs())}
+    )))
+    assert lake.read("raw_genesis").count() == 2
+    assert lake.read_latest("raw_genesis").count() == 1
+
+
+def test_fetch_slot_list_distributed(spark):
+    from beacon_indexer_spark.control.ledger import daily_slots
+
+    cfg = B.FetchConfig(base_url="http://fake")
+    day = 86400 // GNOSIS.seconds_per_slot
+    slots = daily_slots(spark, 0, 3 * day, GNOSIS.genesis_time, GNOSIS.seconds_per_slot)
+
+    def fake_api():
+        import json as _json
+
+        from beacon_indexer_spark.sources.beacon_api import BeaconAPI
+
+        def transport(url, params, timeout):
+            return 200, _json.dumps({"data": []})
+
+        return BeaconAPI("http://fake", transport=transport, sleep=lambda s: None)
+
+    df = B.fetch_slot_list_distributed(
+        spark, cfg, B.LOADERS["validators"], slots, GNOSIS, api_factory=fake_api
+    )
+    assert df.count() == 3  # one snapshot per day boundary
+    assert all(len(r["payload_hash"]) == 16 for r in df.collect())
