@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--statuses", default="claimed,failed")
     fx = mt.add_parser("fix")
     fx.add_argument("--raw-table", default="raw_blocks")
+    cp = mt.add_parser("compact")
+    cp.add_argument("--tables", required=True,
+                    help="comma-separated lake tables to rewrite latest-wins")
     return p
 
 
@@ -163,6 +166,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             pipe.repair_range(args.raw_table, r["start_slot"], r["end_slot"])
             fixed.append((r["start_slot"], r["end_slot"]))
         out["fixed_ranges"] = fixed
+
+    elif (args.command, args.subcommand) == ("maintain", "compact"):
+        # ReplacingMergeTree background-merge analogue, run explicitly
+        compacted = {}
+        for t in (x.strip() for x in args.tables.split(",") if x.strip()):
+            before = lake.read(t).count()
+            lake.compact(t)
+            compacted[t] = {"before": before, "after": lake.read(t).count()}
+        out["compacted"] = compacted
 
     print(json.dumps(out, default=str))
     return 0

@@ -833,6 +833,60 @@ WHERE {dotp} / ({norm.format(e='a')} * {norm.format(e='b')}) >= 0.35
 # registry
 # ===========================================================================
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min starts a new session): lag + running-sum
+    windows — the stateful-stream pattern as a batch window, per-user
+    session stats. Beyond-reference window coverage (SURVEY §2.6 notes the
+    reference uses no lag/frames; a training-data pipeline needs them)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_sess.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.max("n").cast("long").alias("longest_session_events"),
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags),
+per_sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n FROM sess GROUP BY 1, 2)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST(MAX(n) AS BIGINT) AS longest_session_events
+FROM per_sess GROUP BY user_id
+"""
+
+
 def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: deterministic images synthesized from
     document bytes (mapInPandas encode) → Arrow-batched decode → metadata
@@ -904,6 +958,7 @@ QUERIES: dict[str, QueryFn] = {
     "daily_last_slot": q_daily_last_slot,
     "events_json_extract": q_events_json_extract,
     "user_running_value": q_user_running_value,
+    "events_sessionize": q_events_sessionize,
     "doc_fingerprints": q_doc_fingerprints,
     "doc_text_stats": q_doc_text_stats,
     "doc_langid": q_doc_langid,
@@ -938,6 +993,7 @@ def oracles() -> dict[str, str]:
         "daily_last_slot": ORACLE_DAILY_LAST_SLOT,
         "events_json_extract": ORACLE_EVENTS_JSON_EXTRACT,
         "user_running_value": ORACLE_USER_RUNNING_VALUE,
+        "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
         "doc_text_stats": ORACLE_DOC_TEXT_STATS,
         "doc_langid": ORACLE_DOC_LANGID,

@@ -118,3 +118,24 @@ def test_write_clickhouse_requires_driver(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(RuntimeError, match="JDBC driver not on the Spark classpath"):
         CH.write_clickhouse(df, "blocks", "ch:8123")
+
+
+def test_cli_maintain_compact(spark, capsys, seeded_lake):
+    import datetime as dt
+
+    # duplicate re-fetch of one slot → compact collapses it
+    seeded_lake.write(
+        "raw_blocks",
+        spark.createDataFrame(
+            [FX.raw_row(SLOT0, FX.block_payload(SLOT0),
+                        retrieved_at=FX.T0 + dt.timedelta(hours=1))],
+            schema=raw_envelope(),
+        ),
+    )
+    out = _run(
+        capsys,
+        ["--lake-dir", seeded_lake.base_dir, "maintain", "compact",
+         "--tables", "raw_blocks"],
+        spark,
+    )
+    assert out["compacted"]["raw_blocks"] == {"before": 11, "after": 10}
