@@ -277,37 +277,40 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.transform(tk, lambda t: F.substring(F.md5(t), 1, 16)).alias("__h"),
     )
 
-    def packed_counts(pos: int) -> Column:
-        """long packing set-bit counts of digit `pos`: lanes (hi→lo)
-        bit8|bit4|bit2|bit1."""
-
-        def merge(acc: Column, h: Column) -> Column:
-            v = F.conv(F.substring(h, pos, 1), 16, 10).cast("long")
-            term = (
-                (F.floor(v / 8) % 2) * LANE**3
-                + (F.floor(v / 4) % 2) * LANE**2
-                + (F.floor(v / 2) % 2) * LANE
-                + v % 2
-            )
-            return acc + term
-
-        return F.aggregate(F.col("__h"), F.lit(0).cast("long"), merge)
-
-    n = F.size(F.col("__h"))
-    digits = []
-    for pos in range(1, 17):  # hex digit positions in the md5 prefix
-        c = packed_counts(pos)
+    # digits are generated as SQL text and parsed once per position —
+    # building the same tree through the Column API costs thousands of
+    # py4j round-trips of driver time (measured ~3s of plan construction)
+    def digit_sql(pos: int) -> tuple[str, str]:
+        sv = f"CAST(conv(substring(h, {pos}, 1), 16, 10) AS BIGINT)"
+        packed = (
+            f"aggregate(__h, CAST(0 AS BIGINT), (acc, h) -> acc"
+            f" + ({sv} div 8 % 2) * {LANE**3}"
+            f" + ({sv} div 4 % 2) * {LANE**2}"
+            f" + ({sv} div 2 % 2) * {LANE}"
+            f" + {sv} % 2)"
+        )
         lanes = [
-            F.floor(c / LANE**3) % LANE,
-            F.floor(c / LANE**2) % LANE,
-            F.floor(c / LANE) % LANE,
-            c % LANE,
+            f"(__c{pos} div {LANE**3}) % {LANE}",
+            f"(__c{pos} div {LANE**2}) % {LANE}",
+            f"(__c{pos} div {LANE}) % {LANE}",
+            f"__c{pos} % {LANE}",
         ]
         # vote > 0 ⟺ 2*set_count > n_tokens
-        bits = [F.when(lane * 2 > n, F.lit(1)).otherwise(F.lit(0)) for lane in lanes]
-        digit_val = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
-        digits.append(F.lower(F.conv(digit_val.cast("string"), 10, 16)))
-    return staged.select(F.col(id_col), F.concat(*digits).alias("simhash"))
+        bits = [f"(CASE WHEN ({lane}) * 2 > size(__h) THEN 1 ELSE 0 END)"
+                for lane in lanes]
+        digit_val = f"({bits[0]} * 8 + {bits[1]} * 4 + {bits[2]} * 2 + {bits[3]})"
+        return packed, f"lower(conv(CAST({digit_val} AS STRING), 10, 16))"
+
+    packed_cols, digit_exprs = [], []
+    for pos in range(1, 17):  # hex digit positions in the md5 prefix
+        packed, digit = digit_sql(pos)
+        packed_cols.append(F.expr(packed).alias(f"__c{pos}"))
+        digit_exprs.append(digit)
+    counted = staged.select(F.col(id_col), F.col("__h"), *packed_cols)
+    return counted.select(
+        F.col(id_col),
+        F.expr("concat(" + ", ".join(digit_exprs) + ")").alias("simhash"),
+    )
 
 
 def simhash_candidates(
