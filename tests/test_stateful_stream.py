@@ -1,0 +1,67 @@
+"""Stateful streaming sessionization: state carries across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from beacon_indexer_spark.streaming.stateful import sessionize_stream
+
+T0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_stream(spark, src, ckpt, out_dir):
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_s=1800)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    ).parquet(out_dir)
+
+
+def test_sessionize_stream_across_batches(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions")
+
+    # batch 1: user 1 has two sessions separated by a >30min gap, the second
+    # still open; user 2 has one open session
+    _write_events(spark, src, [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=5)),
+        (1, T0 + dt.timedelta(minutes=90)),   # gap > 30min → new session
+        (2, T0),
+    ])
+    b1_rows = [r.asDict() for r in _run_stream(spark, src, ckpt, out).collect()]
+    rows = {(r["user_id"], r["n_events"]) for r in b1_rows}
+    # only the CLOSED session is emitted; open ones stay in state
+    assert rows == {(1, 2)}
+
+    # batch 2: a post-gap event for each user closes their open sessions
+    _write_events(spark, src, [
+        (1, T0 + dt.timedelta(minutes=200)),
+        (2, T0 + dt.timedelta(minutes=200)),
+    ])
+    all_rows = [r.asDict() for r in _run_stream(spark, src, ckpt, out).collect()]
+    b1_set = {repr(sorted(r.items())) for r in b1_rows}
+    new_rows = [r for r in all_rows if repr(sorted(r.items())) not in b1_set]
+    closed = sorted((r["user_id"], r["n_events"]) for r in new_rows)
+    # user 1's open session (1 event at +90min) and user 2's (1 event at T0)
+    assert closed == [(1, 1), (2, 1)]
+    start = [r for r in new_rows if r["user_id"] == 2][0]
+    assert start["session_start"].replace(tzinfo=None) == T0
+    assert os.path.isdir(ckpt)
