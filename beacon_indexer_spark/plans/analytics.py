@@ -180,6 +180,23 @@ def sync_participation_daily(sync_aggregates: DataFrame) -> DataFrame:
     )
 
 
+def attestation_inclusion_delay(attestations: DataFrame) -> DataFrame:
+    """Average/max inclusion delay (slots between attestation slot and the
+    including block) per day — standard validator-performance analytic over
+    the attestations table (README.md's analytics direction)."""
+    delay = F.col("slot") - F.col("attestation_slot")
+    return (
+        attestations.filter(F.col("attestation_slot") > 0)
+        .groupBy(F.to_date("slot_timestamp").alias("date"))
+        .agg(
+            F.avg(delay).alias("avg_delay"),
+            F.max(delay).alias("max_delay"),
+            F.count(F.lit(1)).alias("n_attestations"),
+        )
+        .orderBy("date")
+    )
+
+
 def queue_snapshot_diff(queue: DataFrame, key: str,
                         prev_slot: int, cur_slot: int) -> DataFrame:
     """Entries present in the previous queue snapshot but absent from the

@@ -481,14 +481,19 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F5/F6/F8: content fingerprint (md5 of canonical text), sorted-token
     fingerprint, hex popcount, hex-prefix→int64."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    fp = X.fingerprint("text")
-    return docs.select(
+    # stage fp as a column so the md5+normalize tree evaluates once, not 3×
+    staged = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        fp.alias("fp"),
+        X.fingerprint("text").alias("fp"),
         X.sorted_token_fingerprint("text").alias("token_fp"),
-        popcount_hex(fp).cast("long").alias("fp_popcount"),
+    )
+    return staged.select(
+        "doc_id",
+        "fp",
+        "token_fp",
+        popcount_hex(F.col("fp")).cast("long").alias("fp_popcount"),
         # bare hex (no 0x prefix) → parse base-16 directly
-        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp_prefix_int"),
+        F.conv(F.substring("fp", 1, 15), 16, 10).cast("long").alias("fp_prefix_int"),
     )
 
 

@@ -145,3 +145,10 @@ def test_queue_snapshot_diff(spark):
     # entries 1 and 3 left the queue between snapshots = applied
     assert sorted(r["source_index"] for r in applied) == [1, 3]
     assert all(r["applied_by_slot"] == 200 for r in applied)
+
+
+def test_attestation_inclusion_delay(tables):
+    got = A.attestation_inclusion_delay(tables["attestations"]).collect()
+    # fixture attestations always reference slot-1 → delay 1 everywhere
+    assert all(r["avg_delay"] == 1.0 and r["max_delay"] == 1 for r in got)
+    assert sum(r["n_attestations"] for r in got) == 26

@@ -139,3 +139,25 @@ def test_cli_maintain_compact(spark, capsys, seeded_lake):
         spark,
     )
     assert out["compacted"]["raw_blocks"] == {"before": 11, "after": 10}
+
+
+def test_cli_maintain_fix(spark, capsys, seeded_lake, tmp_path):
+    """Failed transform range → maintain fix re-transforms with overwrite."""
+    from beacon_indexer_spark.control import ledger as L
+    from beacon_indexer_spark.plans.pipeline import BeaconPipeline
+
+    prog = L.ProgressManifest(
+        spark, f"{seeded_lake.base_dir}/_control/transformer_progress"
+    )
+    # transform succeeded once, then the range is marked failed (as a crash
+    # mid-overwrite would leave it)
+    pipe = BeaconPipeline(seeded_lake, progress=prog, tables={"raw_blocks": ["blocks"]})
+    pipe.transform_range("raw_blocks", SLOT0, SLOT0 + 9)
+    prog.record("raw_blocks", SLOT0, SLOT0 + 9, L.FAILED, error_message="crash")
+    assert prog.current().collect()[0]["status"] == "failed"
+
+    out = _run(capsys, ["--lake-dir", seeded_lake.base_dir, "maintain", "fix"], spark)
+    assert out["fixed_ranges"] == [[SLOT0, SLOT0 + 9]]
+    # range is completed again and blocks are intact (overwrite, not dup)
+    assert prog.current().collect()[0]["status"] == "completed"
+    assert seeded_lake.read_latest("blocks").count() == 10
