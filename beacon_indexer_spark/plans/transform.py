@@ -83,10 +83,14 @@ def dedup_raw(raw: DataFrame) -> DataFrame:
 _B = "body"  # alias root for the parsed block body
 
 
-def _parse_blocks(raw: DataFrame, schedule: ForkSchedule) -> DataFrame:
-    """Dedup + single-pass superset parse + fork column."""
+def _parse_blocks(
+    raw: DataFrame, schedule: ForkSchedule, tables: set[str] | None = None
+) -> DataFrame:
+    """Dedup + single-pass superset parse + fork column. The parse schema is
+    pruned to the requested tables' fields (schemas/payloads.py) so a narrow
+    allow-list never tokenizes the unrequested JSON subtrees."""
     deduped = dedup_raw(raw)
-    p = F.from_json("payload", P.BLOCK_PAYLOAD)
+    p = F.from_json("payload", P.block_payload_schema(tables))
     return (
         deduped.select(
             F.col("slot").cast("long").alias("slot"),
@@ -119,21 +123,24 @@ def transform_blocks(
     ``tables`` is the loader allow-list (reference P8); None = all.
     """
     iv = insert_version if insert_version is not None else time.time_ns()
-    parsed = _parse_blocks(raw, schedule)
+    want = set(tables) if tables is not None else None
+    parsed = _parse_blocks(raw, schedule, want)
     if cache:
         parsed = parsed.cache()
 
-    want = set(tables) if tables is not None else None
     out: dict[str, DataFrame] = {}
 
+    def wanted(name: str) -> bool:
+        return want is None or name in want
+
     def add(name: str, df: DataFrame) -> None:
-        if want is None or name in want:
-            out[name] = _stamp(df, schedule, iv)
+        out[name] = _stamp(df, schedule, iv)
 
     body = F.col(_B)
     cnt = lambda c: F.coalesce(F.size(c), F.lit(0)).cast("int")  # noqa: E731
 
-    add(
+    if wanted("blocks"):
+        add(
         "blocks",
         parsed.filter(F.col("msg").isNotNull()).select(
             "slot",
@@ -166,12 +173,11 @@ def transform_blocks(
         ),
     )
 
-    att = parsed.select(
-        "slot", F.posexplode(body["attestations"]).alias("attestation_index", "a")
-    )
-    add(
-        "attestations",
-        att.select(
+    def _build_attestations() -> DataFrame:
+        att = parsed.select(
+            "slot", F.posexplode(body["attestations"]).alias("attestation_index", "a")
+        )
+        return att.select(
             "slot",
             F.col("attestation_index").cast("int"),
             safe_int_col("a.data.index").alias("committee_index"),
@@ -184,13 +190,13 @@ def transform_blocks(
             F.col("a.data.source.root").alias("source_root"),
             safe_int_col("a.data.target.epoch").alias("target_epoch"),
             F.col("a.data.target.root").alias("target_root"),
-        ),
-    )
+        )
 
-    dep = parsed.select("slot", F.posexplode(body["deposits"]).alias("deposit_index", "d"))
-    add(
-        "deposits",
-        dep.select(
+    def _build_deposits() -> DataFrame:
+        dep = parsed.select(
+            "slot", F.posexplode(body["deposits"]).alias("deposit_index", "d")
+        )
+        return dep.select(
             "slot",
             F.col("deposit_index").cast("int"),
             F.col("d.data.pubkey").alias("pubkey"),
@@ -198,84 +204,78 @@ def transform_blocks(
             safe_int_col("d.data.amount").alias("amount"),
             F.col("d.data.signature").alias("signature"),
             F.col("d.proof").alias("proof"),
-        ),
-    )
+        )
 
-    vex = parsed.select(
-        "slot", F.posexplode(body["voluntary_exits"]).alias("exit_index", "v")
-    )
-    add(
-        "voluntary_exits",
-        vex.select(
+    def _build_voluntary_exits() -> DataFrame:
+        vex = parsed.select(
+            "slot", F.posexplode(body["voluntary_exits"]).alias("exit_index", "v")
+        )
+        return vex.select(
             "slot",
             F.col("exit_index").cast("int"),
             safe_int_col("v.message.epoch").alias("epoch"),
             safe_int_col("v.message.validator_index").alias("validator_index"),
             F.col("v.signature").alias("signature"),
-        ),
-    )
-
-    psl = parsed.select(
-        "slot", F.posexplode(body["proposer_slashings"]).alias("slashing_index", "s")
-    )
-
-    def _header(side: int) -> list[Column]:
-        h = F.col(f"s.signed_header_{side}")
-        return [
-            safe_int_col(h["message"]["slot"]).alias(f"header_{side}_slot"),
-            safe_int_col(h["message"]["proposer_index"]).alias(
-                f"header_{side}_proposer_index"
-            ),
-            h["message"]["parent_root"].alias(f"header_{side}_parent_root"),
-            h["message"]["state_root"].alias(f"header_{side}_state_root"),
-            h["message"]["body_root"].alias(f"header_{side}_body_root"),
-            h["signature"].alias(f"header_{side}_signature"),
-        ]
-
-    add(
-        "proposer_slashings",
-        psl.select("slot", F.col("slashing_index").cast("int"), *_header(1), *_header(2)),
-    )
-
-    asl = parsed.select(
-        "slot", F.posexplode(body["attester_slashings"]).alias("slashing_index", "s")
-    )
-
-    def _att_side(side: int) -> list[Column]:
-        a = F.col(f"s.attestation_{side}")
-        idxs = F.transform(a["attesting_indices"], lambda x: safe_int_col(x))
-        return [
-            idxs.alias(f"att_{side}_attesting_indices"),
-            safe_int_col(a["data"]["slot"]).alias(f"att_{side}_slot"),
-            safe_int_col(a["data"]["index"]).alias(f"att_{side}_index"),
-            a["data"]["beacon_block_root"].alias(f"att_{side}_beacon_block_root"),
-            safe_int_col(a["data"]["source"]["epoch"]).alias(f"att_{side}_source_epoch"),
-            safe_int_col(a["data"]["target"]["epoch"]).alias(f"att_{side}_target_epoch"),
-            a["signature"].alias(f"att_{side}_signature"),
-        ]
-
-    slashed = F.array_sort(
-        F.array_intersect(
-            F.transform(F.col("s.attestation_1.attesting_indices"), lambda x: safe_int_col(x)),
-            F.transform(F.col("s.attestation_2.attesting_indices"), lambda x: safe_int_col(x)),
         )
-    )
-    add(
-        "attester_slashings",
-        asl.select(
+
+    def _build_proposer_slashings() -> DataFrame:
+        psl = parsed.select(
+            "slot", F.posexplode(body["proposer_slashings"]).alias("slashing_index", "s")
+        )
+
+        def _header(side: int) -> list[Column]:
+            h = F.col(f"s.signed_header_{side}")
+            return [
+                safe_int_col(h["message"]["slot"]).alias(f"header_{side}_slot"),
+                safe_int_col(h["message"]["proposer_index"]).alias(
+                    f"header_{side}_proposer_index"
+                ),
+                h["message"]["parent_root"].alias(f"header_{side}_parent_root"),
+                h["message"]["state_root"].alias(f"header_{side}_state_root"),
+                h["message"]["body_root"].alias(f"header_{side}_body_root"),
+                h["signature"].alias(f"header_{side}_signature"),
+            ]
+
+        return psl.select(
+            "slot", F.col("slashing_index").cast("int"), *_header(1), *_header(2)
+        )
+
+    def _build_attester_slashings() -> DataFrame:
+        asl = parsed.select(
+            "slot", F.posexplode(body["attester_slashings"]).alias("slashing_index", "s")
+        )
+
+        def _att_side(side: int) -> list[Column]:
+            a = F.col(f"s.attestation_{side}")
+            idxs = F.transform(a["attesting_indices"], lambda x: safe_int_col(x))
+            return [
+                idxs.alias(f"att_{side}_attesting_indices"),
+                safe_int_col(a["data"]["slot"]).alias(f"att_{side}_slot"),
+                safe_int_col(a["data"]["index"]).alias(f"att_{side}_index"),
+                a["data"]["beacon_block_root"].alias(f"att_{side}_beacon_block_root"),
+                safe_int_col(a["data"]["source"]["epoch"]).alias(f"att_{side}_source_epoch"),
+                safe_int_col(a["data"]["target"]["epoch"]).alias(f"att_{side}_target_epoch"),
+                a["signature"].alias(f"att_{side}_signature"),
+            ]
+
+        slashed = F.array_sort(
+            F.array_intersect(
+                F.transform(F.col("s.attestation_1.attesting_indices"), lambda x: safe_int_col(x)),
+                F.transform(F.col("s.attestation_2.attesting_indices"), lambda x: safe_int_col(x)),
+            )
+        )
+        return asl.select(
             "slot",
             F.col("slashing_index").cast("int"),
             *_att_side(1),
             *_att_side(2),
             slashed.alias("slashed_validators"),
             F.size(slashed).cast("int").alias("slashed_count"),
-        ),
-    )
+        )
 
-    sagg = parsed.filter(body["sync_aggregate"]["sync_committee_bits"].isNotNull())
-    add(
-        "sync_aggregates",
-        sagg.select(
+    def _build_sync_aggregates() -> DataFrame:
+        sagg = parsed.filter(body["sync_aggregate"]["sync_committee_bits"].isNotNull())
+        return sagg.select(
             "slot",
             body["sync_aggregate"]["sync_committee_bits"].alias("sync_committee_bits"),
             body["sync_aggregate"]["sync_committee_signature"].alias(
@@ -284,14 +284,13 @@ def transform_blocks(
             popcount_hex(body["sync_aggregate"]["sync_committee_bits"])
             .cast("int")
             .alias("participation_count"),
-        ),
-    )
+        )
 
     ep = F.col(f"{_B}.execution_payload")
-    epl = parsed.filter(ep["block_hash"].isNotNull())
-    add(
-        "execution_payloads",
-        epl.select(
+
+    def _build_execution_payloads() -> DataFrame:
+        epl = parsed.filter(ep["block_hash"].isNotNull())
+        return epl.select(
             "slot",
             safe_int_col(ep["block_number"]).alias("block_number"),
             ep["parent_hash"].alias("parent_hash"),
@@ -315,18 +314,16 @@ def transform_blocks(
             ),
             safe_int_col(ep["blob_gas_used"]).alias("blob_gas_used"),  # Deneb+
             safe_int_col(ep["excess_blob_gas"]).alias("excess_blob_gas"),
-        ),
-    )
+        )
 
-    txs = parsed.select(
-        "slot",
-        safe_int_col(ep["block_number"]).alias("block_number"),
-        ep["block_hash"].alias("block_hash"),
-        F.posexplode(ep["transactions"]).alias("transaction_index", "tx"),
-    )
-    add(
-        "transactions",
-        txs.select(
+    def _build_transactions() -> DataFrame:
+        txs = parsed.select(
+            "slot",
+            safe_int_col(ep["block_number"]).alias("block_number"),
+            ep["block_hash"].alias("block_hash"),
+            F.posexplode(ep["transactions"]).alias("transaction_index", "tx"),
+        )
+        return txs.select(
             "slot",
             "block_number",
             "block_hash",
@@ -339,56 +336,50 @@ def transform_blocks(
             ),
             F.col("tx").alias("tx_data"),
             hex_byte_length(F.col("tx")).alias("tx_bytes"),
-        ),
-    )
+        )
 
-    wd = parsed.select(
-        "slot", F.posexplode(ep["withdrawals"]).alias("withdrawal_index", "w")
-    )
-    add(
-        "withdrawals",
-        wd.select(
+    def _build_withdrawals() -> DataFrame:
+        wd = parsed.select(
+            "slot", F.posexplode(ep["withdrawals"]).alias("withdrawal_index", "w")
+        )
+        return wd.select(
             "slot",
             F.col("withdrawal_index").cast("int"),
             safe_int_col("w.index").alias("index"),
             safe_int_col("w.validator_index").alias("validator_index"),
             F.col("w.address").alias("address"),
             safe_int_col("w.amount").alias("amount"),
-        ),
-    )
+        )
 
-    bls = parsed.select(
-        "slot", F.posexplode(body["bls_to_execution_changes"]).alias("change_index", "c")
-    )
-    add(
-        "bls_changes",
-        bls.select(
+    def _build_bls_changes() -> DataFrame:
+        bls = parsed.select(
+            "slot", F.posexplode(body["bls_to_execution_changes"]).alias("change_index", "c")
+        )
+        return bls.select(
             "slot",
             F.col("change_index").cast("int"),
             safe_int_col("c.message.validator_index").alias("validator_index"),
             F.col("c.message.from_bls_pubkey").alias("from_bls_pubkey"),
             F.col("c.message.to_execution_address").alias("to_execution_address"),
             F.col("c.signature").alias("signature"),
-        ),
-    )
+        )
 
-    bc = parsed.select(
-        "slot", F.posexplode(body["blob_kzg_commitments"]).alias("commitment_index", "k")
-    )
-    add(
-        "blob_commitments",
-        bc.select("slot", F.col("commitment_index").cast("int"), F.col("k").alias("commitment")),
-    )
+    def _build_blob_commitments() -> DataFrame:
+        bc = parsed.select(
+            "slot", F.posexplode(body["blob_kzg_commitments"]).alias("commitment_index", "k")
+        )
+        return bc.select(
+            "slot", F.col("commitment_index").cast("int"), F.col("k").alias("commitment")
+        )
 
-    er = F.col(f"{_B}.execution_requests")
-    reqs = parsed.filter(
-        (F.coalesce(F.size(er["deposits"]), F.lit(0)) > 0)
-        | (F.coalesce(F.size(er["withdrawals"]), F.lit(0)) > 0)
-        | (F.coalesce(F.size(er["consolidations"]), F.lit(0)) > 0)
-    )
-    add(
-        "execution_requests",
-        reqs.select(
+    def _build_execution_requests() -> DataFrame:
+        er = F.col(f"{_B}.execution_requests")
+        reqs = parsed.filter(
+            (F.coalesce(F.size(er["deposits"]), F.lit(0)) > 0)
+            | (F.coalesce(F.size(er["withdrawals"]), F.lit(0)) > 0)
+            | (F.coalesce(F.size(er["consolidations"]), F.lit(0)) > 0)
+        )
+        return reqs.select(
             "slot",
             F.to_json(er).alias("payload"),
             F.coalesce(F.size(er["deposits"]), F.lit(0)).cast("int").alias("deposits_count"),
@@ -398,8 +389,25 @@ def transform_blocks(
             F.coalesce(F.size(er["consolidations"]), F.lit(0)).cast("int").alias(
                 "consolidations_count"
             ),
-        ),
-    )
+        )
+
+    builders = {
+        "attestations": _build_attestations,
+        "deposits": _build_deposits,
+        "voluntary_exits": _build_voluntary_exits,
+        "proposer_slashings": _build_proposer_slashings,
+        "attester_slashings": _build_attester_slashings,
+        "sync_aggregates": _build_sync_aggregates,
+        "execution_payloads": _build_execution_payloads,
+        "transactions": _build_transactions,
+        "withdrawals": _build_withdrawals,
+        "bls_changes": _build_bls_changes,
+        "blob_commitments": _build_blob_commitments,
+        "execution_requests": _build_execution_requests,
+    }
+    for name, build in builders.items():
+        if wanted(name):
+            add(name, build())
 
     return out
 

@@ -181,6 +181,56 @@ BLOCK_PAYLOAD = T.StructType(
     ]
 )
 
+# body fields each structured table's projection reads (schema pruning):
+# parsing a narrow allow-list batch skips the unrequested JSON subtrees
+# entirely — at scale the transactions/attestations arrays dominate payload
+# bytes, so a deposits-only re-transform shouldn't tokenize them into rows.
+_BODY_DEPS: dict[str, list[str]] = {
+    "attestations": ["attestations"],
+    "deposits": ["deposits"],
+    "voluntary_exits": ["voluntary_exits"],
+    "proposer_slashings": ["proposer_slashings"],
+    "attester_slashings": ["attester_slashings"],
+    "sync_aggregates": ["sync_aggregate"],
+    "execution_payloads": ["execution_payload"],
+    "transactions": ["execution_payload"],
+    "withdrawals": ["execution_payload"],
+    "bls_changes": ["bls_to_execution_changes"],
+    "blob_commitments": ["blob_kzg_commitments"],
+    "execution_requests": ["execution_requests"],
+}
+
+
+def block_payload_schema(tables: set[str] | None = None) -> T.StructType:
+    """Fork-superset block schema pruned to the body fields the requested
+    tables project. ``None`` or a list containing ``blocks`` (which reads
+    every count) returns the full superset."""
+    if tables is None or "blocks" in tables:
+        return BLOCK_PAYLOAD
+    needed: set[str] = set()
+    for t in tables:
+        needed.update(_BODY_DEPS.get(t, []))
+    body = T.StructType([f for f in BLOCK_BODY.fields if f.name in needed])
+    message = T.StructType(
+        [
+            _s("slot"),
+            _s("proposer_index"),
+            _s("parent_root"),
+            _s("state_root"),
+            T.StructField("body", body),
+        ]
+    )
+    return T.StructType(
+        [
+            _s("version"),
+            T.StructField(
+                "data",
+                T.StructType([T.StructField("message", message), _s("signature")]),
+            ),
+        ]
+    )
+
+
 # /eth/v1/beacon/states/{id}/validators
 VALIDATOR_ENTRY = T.StructType(
     [

@@ -260,3 +260,32 @@ def test_blob_sidecars(spark):
     assert r["blob_size"] == 10
     assert r["blob_hash"].startswith("0x") and len(r["blob_hash"]) == 18
     assert r["proposer_index"] == 7
+
+
+def test_allowlist_prunes_parse_schema(spark):
+    """A narrow allow-list parses only the needed JSON subtrees (P8 +
+    predicate/schema pruning) and produces identical rows to the full
+    superset parse."""
+    from beacon_indexer_spark.schemas.payloads import block_payload_schema
+
+    pruned = block_payload_schema({"attestations"})
+    body_fields = {
+        f.name
+        for f in pruned["data"].dataType["message"].dataType["body"].dataType.fields
+    }
+    assert body_fields == {"attestations"}
+    full_fields = {
+        f.name
+        for f in block_payload_schema(None)["data"].dataType["message"]
+        .dataType["body"].dataType.fields
+    }
+    assert "execution_payload" in full_fields and "deposits" in full_fields
+
+    rows = [FX.raw_row(27_000_000, FX.block_payload(27_000_000, n_attestations=3))]
+    raw = _raw_df(spark, rows)
+    narrow = T.transform_blocks(raw, GNOSIS, tables=["attestations"], insert_version=1)
+    assert set(narrow) == {"attestations"}
+    full = T.transform_blocks(raw, GNOSIS, insert_version=1)
+    a = sorted(repr(sorted(r.asDict().items())) for r in narrow["attestations"].collect())
+    b = sorted(repr(sorted(r.asDict().items())) for r in full["attestations"].collect())
+    assert a == b and len(a) == 3
