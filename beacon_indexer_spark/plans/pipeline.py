@@ -72,8 +72,14 @@ class BeaconPipeline:
                 insert_version=time.time_ns(),
             )
             for name, df in outs.items():
-                self.lake.write(name, df, mode=mode)
-                counts[name] = df.count()
+                # cache around write+count: otherwise the progress count
+                # re-executes the whole parse for every table
+                df = df.cache()
+                try:
+                    self.lake.write(name, df, mode=mode)
+                    counts[name] = df.count()
+                finally:
+                    df.unpersist()
             if self.progress:
                 self.progress.record(
                     raw_table, start_slot, end_slot, COMPLETED,
