@@ -114,8 +114,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 lake.schedule, slots_per_task=cfg.chunk_size,
             )
             lake.write(spec.raw_table, df)
+            # mark ONLY this run's range completed — stale pending chunks
+            # from an interrupted earlier backfill must stay pending
             ledger.mark(
-                ledger.with_status(L.PENDING).filter(F.col("loader_name") == name),
+                ledger.with_status(L.PENDING).filter(
+                    (F.col("loader_name") == name)
+                    & (F.col("start_slot") >= (args.start_slot // cfg.chunk_size)
+                       * cfg.chunk_size)
+                    & (F.col("end_slot") <= args.end_slot)
+                ),
                 L.COMPLETED,
             )
             out[name] = lake.table_stats(spec.raw_table)

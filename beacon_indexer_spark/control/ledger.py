@@ -267,13 +267,18 @@ class ProgressManifest:
 def untransformed_chunks(
     loaded: DataFrame, progress: DataFrame, raw_table: str, limit: int | None = 50
 ) -> DataFrame:
-    """Completed load chunks not yet transformed — the J1 anti-join
-    (``src/services/transformer.py:240-262``), ordered by start_slot."""
+    """Completed load chunks FOR THE LOADER THAT FEEDS ``raw_table`` not yet
+    transformed — the J1 anti-join (``src/services/transformer.py:240-262``),
+    ordered by start_slot. Chunks of other loaders must not match: a range
+    loaded only by e.g. the validators loader is not raw_blocks work."""
+    loader_name = raw_table.removeprefix("raw_")
     done = progress.filter(
         (F.col("raw_table_name") == raw_table) & (F.col("status") == COMPLETED)
     ).select("start_slot", "end_slot")
     todo = (
-        loaded.filter(F.col("status") == COMPLETED)
+        loaded.filter(
+            (F.col("status") == COMPLETED) & (F.col("loader_name") == loader_name)
+        )
         .select("start_slot", "end_slot", "loader_name")
         .join(F.broadcast(done), ["start_slot", "end_slot"], "left_anti")
         .orderBy("start_slot")

@@ -62,6 +62,7 @@ class BeaconPipeline:
         feeds. Returns {table: rows_written}. Any failure marks the whole
         range failed (reference semantics, transformer.py:299-302)."""
         counts: dict[str, int] = {}
+        outs = None
         try:
             raw = self.lake.read_latest(raw_table, (start_slot, end_slot)).drop("date")
             outs = transform_tables(
@@ -92,6 +93,10 @@ class BeaconPipeline:
                     raw_table, start_slot, end_slot, FAILED, error_message=str(e)[:500]
                 )
             raise
+        finally:
+            # release the shared cached parse frame (transform_blocks)
+            if outs is not None and hasattr(outs, "unpersist"):
+                outs.unpersist()
 
     def transform_pending(self, ledger_current: DataFrame, raw_table: str, limit: int = 50):
         """Discovery + execution: the reference's transform-batch loop body."""

@@ -76,6 +76,19 @@ def dedup_raw(raw: DataFrame) -> DataFrame:
     return latest(raw, ["slot"], "retrieved_at")
 
 
+class TransformResult(dict):
+    """{table: DataFrame} plus a handle on the shared cached parse frame so
+    batch drivers can release it after the fan-out writes (otherwise every
+    transformed chunk leaks one cached DataFrame for the session lifetime)."""
+
+    parsed: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.parsed is not None:
+            self.parsed.unpersist()
+            self.parsed = None
+
+
 # ---------------------------------------------------------------------------
 # blocks family (raw_blocks → 13 tables)
 # ---------------------------------------------------------------------------
@@ -125,10 +138,10 @@ def transform_blocks(
     iv = insert_version if insert_version is not None else time.time_ns()
     want = set(tables) if tables is not None else None
     parsed = _parse_blocks(raw, schedule, want)
+    out = TransformResult()
     if cache:
         parsed = parsed.cache()
-
-    out: dict[str, DataFrame] = {}
+        out.parsed = parsed
 
     def wanted(name: str) -> bool:
         return want is None or name in want

@@ -85,10 +85,6 @@ class ParquetLake:
 
     def write(self, table: str, df: DataFrame, mode: str = "append") -> None:
         df = self._prepare(df)
-        if df.isEmpty():
-            # a partitioned write of 0 rows leaves a schema-less directory
-            # (only _SUCCESS) that breaks subsequent reads — skip it
-            return
         writer = df.write.mode(mode)
         if "date" in df.columns and table not in _UNPARTITIONED:
             # sortWithinPartitions(slot): row-group stats → slot-range pruning
@@ -98,6 +94,20 @@ class ParquetLake:
                 writer = df.write.mode(mode)
             writer = writer.partitionBy("date")
         writer.parquet(self.path(table))
+        # a partitioned write of 0 rows leaves a schema-less directory (only
+        # _SUCCESS) that breaks subsequent reads. Checked AFTER the write —
+        # a pre-write isEmpty() would execute part of the input job (e.g.
+        # the HTTP fetch stage) twice.
+        target = self.path(table)
+        has_data = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(target)
+            for f in files
+        )
+        if not has_data:
+            import shutil
+
+            shutil.rmtree(target, ignore_errors=True)
 
     def overwrite_date_partitions(self, table: str, df: DataFrame) -> None:
         """Repair path: replace exactly the daily partitions present in
@@ -127,12 +137,24 @@ class ParquetLake:
     def compact(self, table: str) -> None:
         """Rewrite the table keeping only the latest version per key — the
         ReplacingMergeTree background-merge analogue, run explicitly.
-        Overwrites all partitions it touches (which, reading the whole
-        table, is all of them)."""
-        deduped = self.read_latest(table).drop("date").cache()
-        deduped.count()  # materialize before overwriting the source files
-        self.write(table, deduped, mode="overwrite")
-        deduped.unpersist()
+
+        Writes to a temp sibling directory and swaps it in: overwriting the
+        path being read relies on cache retention, and a mid-write cache
+        eviction or executor loss would recompute lineage from files the
+        overwrite is concurrently deleting — destroying the table."""
+        import shutil
+
+        tmp = ParquetLake(self.spark, self.base_dir + "__compact_tmp", self.schedule)
+        if os.path.isdir(tmp.path(table)):
+            shutil.rmtree(tmp.path(table))
+        deduped = self.read_latest(table).drop("date", "inserted_at")
+        tmp.write(table, deduped, mode="overwrite")
+        old = self.path(table) + "__pre_compact"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(self.path(table), old)
+        os.rename(tmp.path(table), self.path(table))
+        shutil.rmtree(old)
 
     def table_stats(self, table: str) -> dict:
         """count / min(slot) / max(slot) health check (reference A1,

@@ -46,15 +46,35 @@ class RealtimeLoop:
     loaders: tuple[str, ...] | None = None
     sleep: Callable[[float], None] = _time.sleep
     start_slot: int | None = None  # where to start if the lake is empty
+    _cursor: int | None = field(default=None, init=False)  # next window start
 
     def _next_window_start(self) -> int:
-        """Resume point: max raw slot + 1, chunk-floor-aligned
-        (reference ``src/services/loader.py:66-79,349-374``)."""
+        """Resume point, in preference order: the in-loop cursor (advances
+        even when a window's tail slots are empty — a max-raw-slot-only
+        resume would floor back and livelock on an empty final slot), the
+        progress manifest's max completed range, then max raw slot + 1,
+        chunk-floor-aligned (reference ``src/services/loader.py:66-79``)."""
         cs = self.config.chunk_size
+        if self._cursor is not None:
+            return self._cursor
+        candidates: list[int] = []
+        if self.pipeline.progress is not None:
+            from pyspark.sql import functions as F
+
+            row = (
+                self.pipeline.progress.current()
+                .filter(F.col("status") == "completed")
+                .agg(F.max("end_slot").alias("mx"))
+                .collect()
+            )
+            if row and row[0]["mx"] is not None:
+                candidates.append(((row[0]["mx"] + 1) // cs) * cs)
         if self.lake.exists("raw_blocks"):
             mx = self.lake.table_stats("raw_blocks")["max_slot"]
             if mx is not None:
-                return ((mx + 1) // cs) * cs
+                candidates.append(((mx + 1) // cs) * cs)
+        if candidates:
+            return max(candidates)
         base = self.start_slot if self.start_slot is not None else 0
         return (base // cs) * cs
 
@@ -116,6 +136,7 @@ class RealtimeLoop:
                     self.sleep(self.config.poll_interval_s)
                     continue
                 self.process_window(ws, we)
+                self._cursor = we + 1  # advance even if tail slots were empty
                 processed += 1
             except BeaconAPIError:
                 self.sleep(self.config.error_sleep_s)

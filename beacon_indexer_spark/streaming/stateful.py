@@ -41,9 +41,16 @@ def sessionize_stream(
     gap_s: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    idle_timeout: bool = False,
 ) -> DataFrame:
     """Streaming DataFrame(user, ts, …) → closed sessions
-    (user_id, session_start, session_end, n_events)."""
+    (user_id, session_start, session_end, n_events).
+
+    ``idle_timeout=True`` arms a processing-time state timeout of ``gap_s``
+    so a key whose events stop arriving still flushes its open session
+    (requires a processing-time trigger — availableNow/one-shot runs never
+    fire timeouts, which is why the default leaves it off and open sessions
+    close only on a later post-gap event)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -76,6 +83,8 @@ def sessionize_stream(
             state.remove()
         else:
             state.update((start, last, n))
+            if idle_timeout:
+                state.setTimeoutDuration(gap_s * 1000)
 
         yield pd.DataFrame(
             [
@@ -93,6 +102,8 @@ def sessionize_stream(
             SESSION_OUTPUT_SCHEMA,
             SESSION_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout
+            else GroupStateTimeout.NoTimeout,
         )
     )

@@ -52,8 +52,12 @@ def stream_transform(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         outs = transform_tables(batch_df, raw_table, lake.schedule, tables=tables)
-        for name, df in outs.items():
-            lake.write(name, df)
+        try:
+            for name, df in outs.items():
+                lake.write(name, df)
+        finally:
+            if hasattr(outs, "unpersist"):
+                outs.unpersist()
 
     writer = raw_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

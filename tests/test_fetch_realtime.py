@@ -385,3 +385,80 @@ def test_fetch_slot_list_distributed(spark):
     )
     assert df.count() == 3  # one snapshot per day boundary
     assert all(len(r["payload_hash"]) == 16 for r in df.collect())
+
+
+def test_realtime_advances_past_empty_tail_slot(spark, tmp_path):
+    """An empty slot at the END of a window must not livelock the loop
+    (max-raw-slot-only resume would floor back to the same window)."""
+    lake = ParquetLake(spark, str(tmp_path / "lake"), GNOSIS)
+    prog = ProgressManifest(spark, str(tmp_path / "prog"))
+    pipe = BeaconPipeline(lake, progress=prog, tables={"raw_blocks": ["blocks"]})
+    cfg = EngineConfig(chunk_size=10, realtime_slot_delay=2)
+
+    def transport(url, params, timeout):
+        if "/headers/head" in url:
+            return 200, json.dumps(
+                {"data": {"header": {"message": {"slot": str(SLOT0 + 25)}}}}
+            )
+        if "/eth/v2/beacon/blocks/" in url:
+            slot = int(url.rsplit("/", 1)[1])
+            if slot % 10 == 9:  # last slot of every window is EMPTY
+                return 404, "empty"
+            return 200, json.dumps(FX.block_payload(slot))
+        return 404, "nf"
+
+    api = B.BeaconAPI("http://fake", transport=transport, sleep=lambda s: None)
+    loop = RealtimeLoop(api=api, lake=lake, pipeline=pipe, config=cfg,
+                        loaders=("blocks",), sleep=lambda s: None, start_slot=SLOT0)
+    n = loop.run(max_iterations=4)
+    assert n == 2  # both complete windows processed exactly once
+    raw_slots = sorted(r["slot"] for r in lake.read("raw_blocks").collect())
+    assert len(raw_slots) == 18  # 2 empty tail slots skipped
+    assert loop._next_window_start() == SLOT0 + 20
+
+
+def test_realtime_resumes_from_progress_after_restart(spark, tmp_path):
+    """A fresh loop (no in-memory cursor) resumes from the progress
+    manifest, not just max raw slot — surviving empty-tail windows."""
+    lake = ParquetLake(spark, str(tmp_path / "lake"), GNOSIS)
+    prog = ProgressManifest(spark, str(tmp_path / "prog"))
+    pipe = BeaconPipeline(lake, progress=prog, tables={"raw_blocks": ["blocks"]})
+    prog.record("raw_blocks", SLOT0, SLOT0 + 9, "completed", processed_count=9)
+    loop = RealtimeLoop(api=B.BeaconAPI("http://fake"), lake=lake, pipeline=pipe,
+                        config=EngineConfig(chunk_size=10), start_slot=SLOT0)
+    assert loop._next_window_start() == SLOT0 + 10
+
+
+def test_untransformed_chunks_filters_by_loader(spark, tmp_path):
+    """Chunks completed by OTHER loaders are not raw_blocks work."""
+    from beacon_indexer_spark.control import ledger as L
+
+    led = L.ChunkLedger(spark, str(tmp_path / "ledger"))
+    prog = ProgressManifest(spark, str(tmp_path / "prog"))
+    led.append(L.generate_chunks(spark, 0, 999, 1000, "blocks"))
+    led.append(L.generate_chunks(spark, 0, 1999, 1000, "validators"))
+    led.mark(led.current(), L.COMPLETED)
+    todo = L.untransformed_chunks(led.current(), prog.current(), "raw_blocks",
+                                  limit=None).collect()
+    # only the blocks-loader chunk, exactly once (no validators ranges, no
+    # duplicate for the doubly-loaded [0,999] range)
+    assert [(r["start_slot"], r["loader_name"]) for r in todo] == [(0, "blocks")]
+
+
+def test_empty_distributed_fetch_leaves_no_broken_table(spark, tmp_path):
+    """Writing a 0-row frame must not leave a schema-less directory."""
+    lake = ParquetLake(spark, str(tmp_path / "lake"), GNOSIS)
+    empty = spark.createDataFrame([], "slot long, payload string, "
+                                  "payload_hash string, retrieved_at timestamp")
+    lake.write("raw_blocks", empty)
+    assert not lake.exists("raw_blocks")
+    # and a later real write works + reads fine
+    from beacon_indexer_spark.schemas.raw import raw_envelope
+
+    lake.write(
+        "raw_blocks",
+        spark.createDataFrame(
+            [FX.raw_row(SLOT0, FX.block_payload(SLOT0))], schema=raw_envelope()
+        ),
+    )
+    assert lake.read("raw_blocks").count() == 1
