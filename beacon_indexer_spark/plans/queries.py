@@ -902,7 +902,10 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from beacon_indexer_spark.operators import multimodal as M
 
-    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    # modest parallelism on purpose: two chained Python stages over tiny
+    # per-partition batches pay more in Arrow round-trips than they gain
+    # from extra cores at this row count
+    docs = _t(spark, sf_dir, "documents").repartition(8).select("doc_id", "text")
 
     def gen(batches):
         for pdf in batches:

@@ -28,8 +28,18 @@ def main() -> None:
 
     spark = get_spark(app_name="bis-bench", master=f"local[{cpus}]")
 
-    # warm the JVM + parquet footers once (not timed)
+    # warm the JVM + parquet footers + Python/Arrow workers once (not timed)
     QUERIES["table_counts"](spark, sf_dir).collect()
+    import pandas as pd
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(0, n_workers * 8, numPartitions=n_workers).mapInPandas(
+        _noop, "id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
