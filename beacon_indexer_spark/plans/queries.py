@@ -895,9 +895,10 @@ FROM per_sess GROUP BY user_id
 def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: deterministic images synthesized from
     document bytes (mapInPandas encode) → Arrow-batched decode → metadata
-    aggregate. No SQL oracle (mapInPandas isn't SQL-expressible) — the
-    driver records the weaker rows-only check; full value assertions live
-    in tests/test_multimodal.py."""
+    aggregate. The IMG1 synthesis is pure arithmetic over the utf-8 bytes
+    of `text`, so the whole pipeline IS oracle-expressible: DuckDB mirrors
+    it byte-for-byte via hex(encode(text)) (ORACLE_MULTIMODAL_IMAGE_STATS).
+    Full per-image value assertions live in tests/test_multimodal.py."""
     import pandas as pd
 
     from beacon_indexer_spark.operators import multimodal as M
@@ -931,12 +932,41 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_MULTIMODAL_IMAGE_STATS = """
+WITH base AS (
+  SELECT doc_id,
+         2 + (doc_id % 3) AS w,
+         hex(encode(COALESCE(text, ''))) AS hx
+  FROM documents),
+px AS (
+  SELECT doc_id, w,
+         -- byte i of utf-8(text), right-padded with 0x20 to n = 2*w pixels
+         -- (hex-pair parse via nibble lookup: byte-exact even for non-ASCII)
+         list_transform(generate_series(1, 2 * w), i ->
+           CASE WHEN 2 * i <= length(hx)
+                THEN 16 * (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1)
+                     + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1)
+                ELSE 32 END) AS bytes
+  FROM base)
+SELECT CAST(w AS INT) AS width,
+       CAST(2 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       COUNT(*) AS n_images,
+       round(AVG(CAST(list_sum(bytes) AS DOUBLE) / (2 * w)), 6) AS avg_intensity,
+       CAST(SUM(9 + 2 * w) AS BIGINT) AS total_bytes
+FROM px
+GROUP BY w
+ORDER BY w
+"""
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k over the embeddings corpus (queries = id<5,
-    deterministic md5-sampled centroids). No SQL oracle (centroid literals
-    + multi-probe argmin are impractical in one portable SQL statement) —
-    rows-only driver check; recall vs brute force is asserted in
-    tests/test_similarity_ivf.py."""
+    deterministic md5-sampled centroids). Oracle: the centroid sample,
+    `-2·v·c + ||c||²` assignment ranking, nprobe dedup, and sequential-
+    accumulation cosine are all mirrored in DuckDB SQL
+    (_oracle_similarity_ivf_sql); recall vs brute force is additionally
+    asserted in tests/test_similarity_ivf.py."""
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     cents = S.ivf_centroids(emb, k=8)
     queries = emb.filter(F.col("vec_id") < 5)
@@ -947,6 +977,65 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.round("cos_sim", 6).alias("cos_sim"),
     )
+
+
+def _oracle_similarity_ivf_sql(k: int = 8, nprobe: int = 2, topk: int = 5) -> str:
+    """DuckDB mirror of q_similarity_ivf: md5-sampled centroids, the
+    `-2·v·c + ||c||²` nearest-centroid ranking of ivf_assign, nprobe-probed
+    query lists, multi-probe dedup, and the same sequential left-to-right
+    double accumulation for every dot product / norm (bit-reproducible
+    across engines)."""
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
+    dot_vc = fold.format(
+        arr="list_transform(generate_series(1, len(v.embedding)),"
+        " i -> CAST(v.embedding[i] AS DOUBLE) * c.cv[i])"
+    )
+    sq_c = fold.format(arr="list_transform(c.cv, x -> x * x)")
+    dot_qv = fold.format(
+        arr="list_transform(generate_series(1, len(qe.embedding)),"
+        " i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ve.embedding[i] AS DOUBLE))"
+    )
+    norm = (
+        "sqrt("
+        + fold.format(
+            arr="list_transform({e}.embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        + ")"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}),
+assigned AS (
+  SELECT v.vec_id, c.cid, -({dot_vc}) * 2 + ({sq_c}) AS d2
+  FROM embeddings v CROSS JOIN cents c),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+  FROM assigned),
+vlist AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE rk = 1),
+qlist AS (SELECT vec_id AS query_id, cid FROM ranked
+          WHERE rk <= {nprobe} AND vec_id < 5),
+pairs AS (
+  SELECT DISTINCT q.query_id, vl.neighbor_id
+  FROM qlist q JOIN vlist vl ON q.cid = vl.cid
+  WHERE vl.neighbor_id <> q.query_id),
+cos AS (
+  SELECT p.query_id, p.neighbor_id,
+         ({dot_qv}) / (({norm.format(e='qe')}) * ({norm.format(e='ve')})) AS cos_sim
+  FROM pairs p
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ve ON ve.vec_id = p.neighbor_id),
+tk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM cos)
+SELECT CAST(query_id AS BIGINT) query_id, CAST(neighbor_id AS BIGINT) neighbor_id,
+       CAST(rank AS BIGINT) rank, round(cos_sim, 6) AS cos_sim
+FROM tk WHERE rank <= {topk}
+"""
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -977,7 +1066,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_bruteforce": q_similarity_bruteforce,
     "embedding_near_dupes": q_embedding_near_dupes,
-    # rows-only entries (non-SQL-expressible; see docstrings)
     "multimodal_image_stats": q_multimodal_image_stats,
     "similarity_ivf": q_similarity_ivf,
 }
@@ -1012,4 +1100,6 @@ def oracles() -> dict[str, str]:
         "dedup_simhash": _oracle_simhash_sql(),
         "similarity_bruteforce": ORACLE_SIMILARITY_BRUTEFORCE,
         "embedding_near_dupes": _oracle_embedding_near_dupes_sql(),
+        "multimodal_image_stats": ORACLE_MULTIMODAL_IMAGE_STATS,
+        "similarity_ivf": _oracle_similarity_ivf_sql(),
     }
