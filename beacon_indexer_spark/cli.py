@@ -32,7 +32,8 @@ from beacon_indexer_spark.sources.beacon_api import (
     bootstrap_schedule,
     fetch_slots_distributed,
 )
-from beacon_indexer_spark.sources.storage import ParquetLake
+from beacon_indexer_spark.sources.beacon_api import FetchMetrics
+from beacon_indexer_spark.sources.storage import ParquetLake, make_sink
 from beacon_indexer_spark.streaming.realtime import RealtimeLoop
 
 
@@ -44,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bootstrap", action="store_true",
                    help="derive the fork schedule from the node's /config/spec "
                         "instead of the built-in network defaults")
+    p.add_argument("--sink", default="parquet", choices=["parquet", "clickhouse"],
+                   help="structured-table backend (reference storage_factory)")
+    p.add_argument("--clickhouse-url", default=None,
+                   help="ClickHouse host:port or jdbc: url (with --sink clickhouse)")
+    p.add_argument("--metrics-port", type=int, default=None,
+                   help="serve /metrics and /health on this port")
     sub = p.add_subparsers(dest="command", required=True)
 
     load = sub.add_parser("load").add_subparsers(dest="subcommand", required=True)
@@ -60,7 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--limit", type=int, default=50)
 
     mt = sub.add_parser("maintain").add_subparsers(dest="subcommand", required=True)
-    mt.add_parser("status")
+    st = mt.add_parser("status")
+    st.add_argument("--verbose", action="store_true",
+                    help="add raw-vs-FINAL debug counts, stale claimed "
+                         "chunks, recent failures/activity (reference "
+                         "scripts/chunks.py + transformer_status.py)")
+    st.add_argument("--stale-minutes", type=int, default=30)
     gp = mt.add_parser("gaps")
     gp.add_argument("--raw-table", default="raw_blocks")
     gp.add_argument("--start-slot", type=int, required=True)
@@ -85,16 +97,27 @@ def _services(args, spark: SparkSession):
     lake = ParquetLake(spark, args.lake_dir, schedule)
     ledger = L.ChunkLedger(spark, f"{args.lake_dir}/_control/load_state_chunks")
     progress = L.ProgressManifest(spark, f"{args.lake_dir}/_control/transformer_progress")
-    pipe = BeaconPipeline(lake, progress=progress)
+    sink = make_sink(args.sink, lake, clickhouse_url=args.clickhouse_url)
+    pipe = BeaconPipeline(lake, progress=progress, sink=sink)
     return lake, ledger, progress, pipe
 
 
-def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+def main(
+    argv: list[str] | None = None,
+    spark: SparkSession | None = None,
+    api_factory=None,
+) -> int:
+    """``api_factory`` is the injectable (picklable) HTTP-client builder the
+    distributed fetch stages use — tests drive backfill/fix with a fake."""
     args = build_parser().parse_args(argv)
     if spark is None:
         from beacon_indexer_spark.session import get_spark
 
         spark = get_spark(app_name="beacon-indexer-spark-cli")
+    if args.metrics_port is not None:
+        from beacon_indexer_spark.observability import start_metrics_server
+
+        start_metrics_server(args.metrics_port)
     lake, ledger, progress, pipe = _services(args, spark)
     cfg = default_config()
     out: dict = {"command": f"{args.command} {args.subcommand}"}
@@ -109,11 +132,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 completed=ledger.with_status(L.COMPLETED),
             )
             ledger.append(chunks)
+            fm = FetchMetrics(spark, name)
             df = fetch_slots_distributed(
                 spark, fetch_cfg, spec, args.start_slot, args.end_slot,
                 lake.schedule, slots_per_task=cfg.chunk_size,
+                api_factory=api_factory, metrics=fm,
             )
             lake.write(spec.raw_table, df)
+            fm.fold()
             # mark ONLY this run's range completed — stale pending chunks
             # from an interrupted earlier backfill must stay pending
             ledger.mark(
@@ -149,6 +175,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             for t in ["raw_blocks", *RAW_TO_STRUCTURED.get("raw_blocks", [])]
             if lake.exists(t)
         ]
+        if args.verbose:
+            from datetime import timedelta
+
+            stale_to = timedelta(minutes=args.stale_minutes)
+            out["debug_counts"] = ledger.debug_counts()
+            out["stale_claimed"] = [
+                r.asDict() for r in ledger.stale_claimed(stale_to).collect()
+            ]
+            out["recent_failures"] = [
+                r.asDict() for r in progress.failed_ranges().collect()
+            ]
+            out["recent_activity"] = [
+                r.asDict() for r in progress.recent().collect()
+            ]
 
     elif (args.command, args.subcommand) == ("maintain", "gaps"):
         raw = lake.read(args.raw_table)
@@ -162,8 +202,32 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         out["reset"] = ledger.reset(statuses=statuses)
 
     elif (args.command, args.subcommand) == ("maintain", "fix"):
-        # reference maintain fix (C9): failed ranges → re-transform with
-        # partition overwrite; ledger rows reset to completed on success
+        # reference maintain fix full chain (src/services/maintenance.py:
+        # 77-138): identify → reset → RELOAD failed load chunks → re-
+        # transform failed ranges with partition overwrite → catch up
+        # anything loaded-but-untransformed. One command, zero gaps after.
+        loader_name = args.raw_table.removeprefix("raw_")
+        spec = LOADERS[loader_name]
+        failed_loads = ledger.with_status(L.FAILED).filter(
+            F.col("loader_name") == loader_name
+        )
+        load_ranges = [
+            (r["start_slot"], r["end_slot"])
+            for r in failed_loads.select("start_slot", "end_slot").collect()
+        ]
+        if load_ranges:
+            fetch_cfg = FetchConfig(base_url=args.beacon_url)
+            from beacon_indexer_spark.plans.pipeline import _coalesce_ranges
+
+            for run in _coalesce_ranges(load_ranges):
+                s, e = run[0][0], run[-1][1]
+                df = fetch_slots_distributed(
+                    spark, fetch_cfg, spec, s, e, lake.schedule,
+                    slots_per_task=cfg.chunk_size, api_factory=api_factory,
+                )
+                lake.write(spec.raw_table, df)
+            ledger.mark(failed_loads, L.COMPLETED)
+        out["reloaded_ranges"] = load_ranges
         failed = progress.current().filter(
             (F.col("raw_table_name") == args.raw_table)
             & (F.col("status") == L.FAILED)
@@ -173,11 +237,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             pipe.repair_range(args.raw_table, r["start_slot"], r["end_slot"])
             fixed.append((r["start_slot"], r["end_slot"]))
         out["fixed_ranges"] = fixed
+        # reloaded chunks (and any other completed-but-untransformed work)
+        # flow through the standard discovery anti-join
+        caught_up = pipe.transform_pending(ledger.current(), args.raw_table, limit=None)
+        out["transformed_ranges"] = [[s, e] for s, e, _ in caught_up]
 
     elif (args.command, args.subcommand) == ("maintain", "compact"):
-        # ReplacingMergeTree background-merge analogue, run explicitly
+        # ReplacingMergeTree background-merge analogue, run explicitly.
+        # 'control' compacts the ledger + progress manifests (small-file
+        # hygiene for the append-per-transition model).
         compacted = {}
         for t in (x.strip() for x in args.tables.split(",") if x.strip()):
+            if t == "control":
+                ledger.compact()
+                progress.compact()
+                compacted[t] = "ok"
+                continue
             before = lake.read(t).count()
             lake.compact(t)
             compacted[t] = {"before": before, "after": lake.read(t).count()}

@@ -167,6 +167,33 @@ class ChunkLedger:
             )
         )
 
+    def debug_counts(self) -> dict:
+        """Raw (append-only) vs FINAL (latest-wins) row counts — the
+        reference's duplicate-awareness check (``scripts/chunks.py:99-136``:
+        counting without FINAL overstates; the delta is the un-compacted
+        version history, normal for the append model)."""
+        raw = _read_or_empty(self.spark, self.path, LOAD_STATE_CHUNKS).count()
+        return {"raw_rows": raw, "final_rows": self.current().count()}
+
+    def stale_claimed(self, timeout: timedelta = timedelta(minutes=30)) -> DataFrame:
+        """Chunks claimed longer than ``timeout`` ago with no newer status —
+        the stuck-worker inspection (reference ``scripts/chunks.py`` +
+        maintenance stale handling). Read through current() so a completed
+        re-claim doesn't false-positive (the FINAL trap)."""
+        cutoff = _now() - timeout
+        return self.current().filter(
+            (F.col("status") == CLAIMED) & (F.col("updated_at") < F.lit(cutoff))
+        )
+
+    def compact(self) -> None:
+        """Collapse the append-only ledger to current state — the control-
+        plane small-file hygiene pass (run alongside table compaction)."""
+        from beacon_indexer_spark.sources.storage import compact_manifest
+
+        compact_manifest(
+            self.spark, self.path, ["chunk_id"], "updated_at", LOAD_STATE_CHUNKS
+        )
+
     def reset(
         self,
         statuses: tuple[str, ...] = (CLAIMED, FAILED),
@@ -207,13 +234,24 @@ class ProgressManifest:
         failed_count: int = 0,
         error_message: str | None = None,
     ) -> None:
-        row = [
-            (raw_table, start_slot, end_slot, status, processed_count, failed_count,
-             error_message, _now())
-        ]
-        self.spark.createDataFrame(row, TRANSFORMER_PROGRESS).write.mode("append").parquet(
-            self.path
+        self.record_many(
+            [(raw_table, start_slot, end_slot, status, processed_count,
+              failed_count, error_message)]
         )
+
+    def record_many(
+        self, rows: list[tuple[str, int, int, str, int, int, str | None]]
+    ) -> None:
+        """Batch progress append: N status rows in ONE parquet file —
+        the small-file guard for batched transforms and stale resets
+        (one file per row would accumulate thousands of tiny manifests)."""
+        if not rows:
+            return
+        now = _now()
+        stamped = [(*r, now) for r in rows]
+        self.spark.createDataFrame(
+            stamped, TRANSFORMER_PROGRESS
+        ).coalesce(1).write.mode("append").parquet(self.path)
 
     def current(self) -> DataFrame:
         raw = _read_or_empty(self.spark, self.path, TRANSFORMER_PROGRESS)
@@ -235,12 +273,38 @@ class ProgressManifest:
             (F.col("status") == PROCESSING) & (F.col("processed_at") < F.lit(cutoff))
         )
         rows = stale.collect()
-        for r in rows:
-            self.record(
-                r["raw_table_name"], r["start_slot"], r["end_slot"], FAILED,
-                error_message="stale processing reset",
-            )
+        self.record_many(
+            [
+                (r["raw_table_name"], r["start_slot"], r["end_slot"], FAILED,
+                 0, 0, "stale processing reset")
+                for r in rows
+            ]
+        )
         return len(rows)
+
+    def failed_ranges(self, limit: int = 5) -> DataFrame:
+        """Most recent failed transform ranges with error messages
+        (reference ``scripts/transformer_status.py:40-55``)."""
+        return (
+            self.current()
+            .filter(F.col("status") == FAILED)
+            .orderBy(F.desc("processed_at"))
+            .limit(limit)
+        )
+
+    def recent(self, limit: int = 10) -> DataFrame:
+        """Most recent progress activity, FINAL-read (reference
+        ``scripts/transformer_status.py:57-80``)."""
+        return self.current().orderBy(F.desc("processed_at")).limit(limit)
+
+    def compact(self) -> None:
+        """Collapse the append-only progress manifest to current state."""
+        from beacon_indexer_spark.sources.storage import compact_manifest
+
+        compact_manifest(
+            self.spark, self.path, ["raw_table_name", "start_slot", "end_slot"],
+            "processed_at", TRANSFORMER_PROGRESS,
+        )
 
     def stats(self) -> DataFrame:
         """Transform progress rollup (reference A4/A6,

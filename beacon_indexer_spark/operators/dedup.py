@@ -136,23 +136,47 @@ def _bucket_pairs(ids: Column) -> Column:
     )
 
 
-def _pairs_from_buckets(keyed: DataFrame, id_col: str, *bucket_cols: str) -> DataFrame:
+def _pairs_from_buckets(
+    keyed: DataFrame, id_col: str, *bucket_cols: str, max_bucket: int | None = None
+) -> DataFrame:
     """(bucket → ids) groupBy, then expand pairs inside each bucket.
 
     One shuffle carrying (bucket_key, id) only — the upstream signature
     computation runs ONCE (a self-join would execute the whole branch
-    twice). Bucket skew (a band key shared by a huge dup cluster) produces
-    the same quadratic pair count either way; AQE skew-split handles the
-    shuffle side.
+    twice).
+
+    ``max_bucket`` is the 100-TB OOM guard: a bucket whose member set
+    exceeds it is NOT expanded in-row (one aggregation row holding the
+    whole bucket plus its quadratic pair array would blow an executor).
+    Oversized buckets instead re-explode to (bucket, id) rows and pair via
+    a distributed equi-join on the bucket key — identical pairs, but the
+    quadratic output is spread across shuffle partitions instead of one
+    row (AQE skew-split then subdivides it further). Semantics-preserving:
+    the cap changes the physical plan only, never the result.
     """
-    return (
+    grouped = (
         keyed.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") > 1)
-        .select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
     )
+    in_row = grouped if max_bucket is None else grouped.filter(
+        F.size("__ids") <= max_bucket
+    )
+    pairs = (
+        in_row.select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    )
+    if max_bucket is not None:
+        big = grouped.filter(F.size("__ids") > max_bucket)
+        ex = big.select(*bucket_cols, F.explode("__ids").alias("__id"))
+        big_pairs = (
+            ex.select(*bucket_cols, F.col("__id").alias("id_a"))
+            .join(ex.select(*bucket_cols, F.col("__id").alias("id_b")), list(bucket_cols))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = pairs.unionByName(big_pairs)
+    return pairs.distinct()
 
 
 def minhash_lsh_candidates(
@@ -162,13 +186,16 @@ def minhash_lsh_candidates(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = 65536,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
     k signatures split into `bands` bands of k/bands rows; docs sharing any
     band key are candidates. Implemented as band-bucket groupBy + in-bucket
     pair expansion: signatures are computed once and the only shuffle
-    carries (band, key, id) triples.
+    carries (band, key, id) triples. ``max_bucket`` routes pathologically
+    large buckets (a near-identical boilerplate cluster) through the
+    distributed overflow join in `_pairs_from_buckets`.
     """
     assert k % bands == 0, "k must divide evenly into bands"
     rows_per_band = k // bands
@@ -182,7 +209,7 @@ def minhash_lsh_candidates(
     keyed = sigs.select(
         id_col, F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    return _pairs_from_buckets(keyed, id_col, "band", "key")
+    return _pairs_from_buckets(keyed, id_col, "band", "key", max_bucket=max_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +226,22 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) 
     )
 
 
+def frequent_shingles(
+    df: DataFrame, id_col: str, text_col: str,
+    df_cap: int = 10_000, shingle_n: int = 3,
+) -> DataFrame:
+    """Audit companion to `ngram_jaccard_pairs(df_cap=...)`: the shingles a
+    given cap would drop from blocking, with their document frequency.
+    Run (or `.count()`) this alongside a capped dedup job to log exactly
+    what the cap discarded."""
+    return (
+        shingle_sets(df, id_col, text_col, shingle_n)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") > df_cap)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -206,11 +249,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    df_cap: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard similarity over n-gram shingle sets for pairs above
     `threshold`. Without `candidates`, pairs are generated by joining on
     shared shingles (blocking on content, never a cross join); with
     `candidates` (e.g. LSH output), only those pairs are scored.
+
+    ``df_cap`` is the quadratic-blow-up guard for real corpora: a stopword
+    shingle shared by 10^6 documents would expand ~10^12 pairs from one
+    blocking bucket. Shingles whose document frequency exceeds the cap are
+    dropped from BLOCKING only (standard MinHash-verify practice) — their
+    docs still pair through every rarer shared shingle, but a pair whose
+    overlap is exclusively cap-exceeding shingles is missed, and
+    `n_common` undercounts by the dropped shingles, so `df_cap` trades
+    exactness for boundedness. Audit the trade with `frequent_shingles`
+    (the dropped set is tiny — near-universal boilerplate). Set
+    ``df_cap=None`` for exact semantics at small scale.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -223,11 +278,15 @@ def ngram_jaccard_pairs(
         F.col(id_col).cast("long").alias(id_col),
         F.size(F.array_distinct(word_shingles(text_col, shingle_n))).alias("n"),
     )
-    inter = (
+    blocked = (
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") > 1)
-        .select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
+    )
+    if df_cap is not None:
+        blocked = blocked.filter(F.size("__ids") <= df_cap)
+    inter = (
+        blocked.select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -314,7 +373,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, bands: int = 4
+    df: DataFrame, id_col: str, text_col: str, bands: int = 4,
+    max_bucket: int | None = 65536,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any of `bands` contiguous simhash
     segments (Hamming-ball blocking). Same join shape as minhash LSH."""
@@ -330,4 +390,4 @@ def simhash_candidates(
     keyed = sh.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    return _pairs_from_buckets(keyed, id_col, "band", "key")
+    return _pairs_from_buckets(keyed, id_col, "band", "key", max_bucket=max_bucket)

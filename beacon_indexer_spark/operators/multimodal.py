@@ -124,11 +124,15 @@ def decode_images(df: DataFrame, id_col: str = "doc_id",
     """binary images → typed metadata + mean pixel intensity."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = []
             for did, buf in zip(pdf[id_col], pdf[content_col]):
                 w, h, c, px = decode_image_bytes(bytes(buf))
-                mean = (sum(px) / len(px)) if px else 0.0
+                # vectorized over the pixel buffer: integer sums are exact in
+                # float64, so this equals the per-byte Python sum bit-for-bit
+                mean = float(np.frombuffer(px, np.uint8).mean()) if px else 0.0
                 out.append((did, w, h, c, len(buf), mean))
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
 
@@ -150,19 +154,20 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
     """Nearest-neighbor resize inside the engine container format."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = []
             for did, buf in zip(pdf[id_col], pdf[content_col]):
                 w, h, c, px = decode_image_bytes(bytes(buf))
-                resized = bytearray()
-                for y in range(target_h):
-                    sy = min(h - 1, y * h // target_h)
-                    for x in range(target_w):
-                        sx = min(w - 1, x * w // target_w)
-                        base = (sy * w + sx) * c
-                        resized += px[base : base + c]
+                # nearest-neighbor as one fancy-index gather instead of a
+                # per-pixel double loop
+                arr = np.frombuffer(px, np.uint8).reshape(h, w, c)
+                sy = np.minimum(h - 1, np.arange(target_h) * h // target_h)
+                sx = np.minimum(w - 1, np.arange(target_w) * w // target_w)
+                resized = arr[sy[:, None], sx[None, :], :].tobytes()
                 out.append(
-                    (did, encode_image(target_w, target_h, c, bytes(resized)),
+                    (did, encode_image(target_w, target_h, c, resized),
                      target_w, target_h)
                 )
             yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
@@ -189,13 +194,20 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
+        import numpy as np
+
         for pdf in batches:
             out = []
             for did, buf in zip(pdf[id_col], pdf[content_col]):
-                rate, samples = decode_audio_bytes(bytes(buf))
-                n = len(samples)
-                rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
-                peak = max((abs(s) for s in samples), default=0)
+                raw = bytes(buf)
+                if raw[:4] != AUD_MAGIC:
+                    raise _external_decode_error("audio")
+                rate, n = struct.unpack(">II", raw[4:12])
+                # big-endian i16 samples straight off the buffer; s*s sums
+                # are integer-exact in float64, matching the Python loop
+                s = np.frombuffer(raw[12 : 12 + 2 * n], ">i2").astype(np.float64)
+                rms = math.sqrt(float((s * s).sum()) / n) if n else 0.0
+                peak = int(np.abs(s).max()) if n else 0
                 out.append((did, rate, n, n / rate if rate else 0.0, rms, peak))
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
 

@@ -99,15 +99,25 @@ def _hyperplane(dim: int, bit: int) -> list[float]:
     return comps
 
 
-def lsh_bucket(vec: Column, dim: int, n_bits: int = 8) -> Column:
-    """Sign-bit bucket key: n_bits-char string of 0/1 by hyperplane side."""
-    bits = []
-    for b in range(n_bits):
-        # one array literal per plane (a per-component F.lit costs dim
-        # py4j round-trips of driver-side plan construction)
-        plane = F.lit(_hyperplane(dim, b))
-        bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def _sign_bit_sql(vec_sql: str, dim: int, bit: int) -> str:
+    """SQL text for one hyperplane sign bit — semantically identical to
+    ``dot(vec, lit(plane)) >= 0`` but parsed once instead of built through
+    thousands of py4j Column-API round trips (measured ~3.8 s of driver
+    time for 16 planes; SQL-text construction is ~0.1 s)."""
+    plane = "array(" + ", ".join(f"{x}D" for x in _hyperplane(dim, bit)) + ")"
+    d = (
+        f"aggregate(zip_with(transform({vec_sql}, x -> CAST(x AS DOUBLE)), {plane},"
+        f" (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END"
+
+
+def lsh_bucket(vec_sql: str, dim: int, n_bits: int = 8) -> Column:
+    """Sign-bit bucket key: n_bits-char string of 0/1 by hyperplane side.
+    ``vec_sql`` is the vector column's SQL identifier (see _sign_bit_sql
+    for why this is text, not a Column)."""
+    bits = [_sign_bit_sql(vec_sql, dim, b) for b in range(n_bits)]
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 def lsh_topk(
@@ -118,33 +128,58 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 10,
     n_bits: int = 8,
+    bands: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching sign-buckets.
 
     At 100 TB this replaces the corpus-wide scan with an equi-join on the
-    bucket key (2^n_bits buckets); recall is tuned by lowering n_bits or
-    probing multi-bucket (not implemented round 1).
+    bucket key (2^n_bits buckets). ``bands`` (dividing n_bits) enables
+    multi-band probing: a candidate matches if it shares ANY contiguous
+    band of n_bits/bands sign bits — recall rises steeply (1-(1-p^r)^b)
+    while the join stays an equi-join on (band, key); candidates hit by
+    several bands dedup through the score aggregation.
     """
-    vb = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__vvec"),
-        lsh_bucket(F.col(vec_col), dim, n_bits).alias("__bucket"),
-    )
-    qb = F.broadcast(
-        queries.select(
+    if bands is None or bands <= 1:
+        vkey = lsh_bucket(vec_col, dim, n_bits)
+        vb = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__vvec"),
+            F.lit(0).alias("__band"),
+            vkey.alias("__key"),
+        )
+        qb_plain = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            lsh_bucket(F.col(vec_col), dim, n_bits).alias("__bucket"),
+            F.lit(0).alias("__band"),
+            lsh_bucket(vec_col, dim, n_bits).alias("__key"),
         )
-    )
+        qb = F.broadcast(qb_plain)
+    else:
+        bk = F.explode(lsh_band_keys(vec_col, dim, n_bits, bands)).alias("bk")
+        vb = vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vvec"), bk
+        ).select(
+            "neighbor_id", "__vvec",
+            F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"),
+        )
+        qb = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"), bk
+            ).select(
+                "query_id", "__qvec",
+                F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"),
+            )
+        )
     scored = (
-        vb.join(qb, "__bucket")
+        vb.join(qb, ["__band", "__key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             cosine(F.col("__qvec"), F.col("__vvec")).alias("cos_sim"),
         )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))  # dedup multi-band hits
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -241,49 +276,70 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_band_keys(vec_sql: str, dim: int, n_bits: int, bands: int) -> Column:
+    """array<struct<band:int, key:string>>: the n_bits sign bits split into
+    `bands` contiguous segments — near-dup candidates share ANY band key
+    (higher recall than one exact n_bits match, at the same per-vector
+    hyperplane cost). SQL-text construction, see _sign_bit_sql."""
+    assert n_bits % bands == 0, "n_bits must divide evenly into bands"
+    per = n_bits // bands
+    bits = [_sign_bit_sql(vec_sql, dim, b) for b in range(n_bits)]
+    structs = [
+        f"named_struct('band', {b}, 'key', concat("
+        + ", ".join(bits[b * per : (b + 1) * per])
+        + "))"
+        for b in range(bands)
+    ]
+    return F.expr("array(" + ", ".join(structs) + ")")
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     threshold: float = 0.95,
-    n_bits: int = 6,
+    n_bits: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold, LSH-blocked: only pairs
-    sharing a sign-bucket are scored (high-cosine pairs almost always share
-    all sign bits). Output (id_a, id_b, cos_sim), id_a < id_b."""
-    # per-vector norm computed ONCE here — per-pair work is then a single
-    # dot product (norms recomputed per pair would triple the hot loop)
-    vb = vectors.select(
+    """Near-duplicate pairs by cosine ≥ threshold, banded-LSH blocked:
+    pairs sharing any of `bands` sign-bit band keys are scored (high-cosine
+    pairs almost always agree on a full band of sign bits). Output
+    (id_a, id_b, cos_sim), id_a < id_b.
+
+    100-TB shape: candidate generation carries ONLY (band, key, id) through
+    the bucket shuffle — never vectors — and `max_bucket` routes oversized
+    buckets (a dense near-identical cluster collapsing onto one key)
+    through the distributed overflow join instead of a single unbounded
+    aggregation row. Vectors + norms attach to the surviving candidate
+    pairs via two id equi-joins (norm computed once per side, not per
+    pair)."""
+    from beacon_indexer_spark.operators.dedup import _pairs_from_buckets
+
+    keyed = vectors.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
-        lsh_bucket(F.col(vec_col), dim, n_bits).alias("bucket"),
+        F.explode(lsh_band_keys(vec_col, dim, n_bits, bands)).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    pairs = _pairs_from_buckets(keyed, "id", "band", "key", max_bucket=max_bucket)
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
     )
-    # bucket-groupBy + in-bucket pair expansion: the n_bits dot-product
-    # bucket signature is computed ONCE per vector (a self-join would
-    # execute that branch twice) and the shuffle carries (bucket, id, vec)
-    # exactly once. Struct sort is by id (first field, unique).
-    items = F.col("__items")
-    pairs = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + 2, F.size(items)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
     )
-    denom = F.col("p.a.nrm") * F.col("p.b.nrm")
+    denom = F.col("__na") * F.col("__nb")
     return (
-        vb.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "vec", "nrm"))).alias("__items"))
-        .filter(F.size("__items") > 1)
-        .select(F.explode(pairs).alias("p"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.when(denom > 0, dot(F.col("p.a.vec"), F.col("p.b.vec")) / denom)
+            "id_a",
+            "id_b",
+            F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom)
             .otherwise(F.lit(0.0))
             .alias("cos_sim"),
         )

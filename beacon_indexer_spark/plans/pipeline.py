@@ -23,7 +23,21 @@ from beacon_indexer_spark.control.ledger import (
 )
 from beacon_indexer_spark.plans.transform import TRANSFORMS, transform_blocks
 from beacon_indexer_spark.schemas.structured import RAW_TO_STRUCTURED
-from beacon_indexer_spark.sources.storage import ParquetLake
+from beacon_indexer_spark.sources.storage import ParquetLake, ParquetSink
+
+
+def _coalesce_ranges(
+    ranges: list[tuple[int, int]]
+) -> list[list[tuple[int, int]]]:
+    """Group sorted chunk ranges into runs of contiguous ranges
+    (end + 1 == next start). Each run becomes one merged transform job."""
+    runs: list[list[tuple[int, int]]] = []
+    for r in sorted(ranges):
+        if runs and runs[-1][-1][1] + 1 == r[0]:
+            runs[-1].append(r)
+        else:
+            runs.append([r])
+    return runs
 
 
 def transform_tables(
@@ -49,20 +63,40 @@ class BeaconPipeline:
         lake: ParquetLake,
         progress: ProgressManifest | None = None,
         tables: dict[str, list[str]] | None = None,
+        sink=None,
     ):
         self.lake = lake
         self.schedule = lake.schedule
         self.progress = progress
         self.allow = tables or {}  # raw_table → allowed structured tables (P8)
+        # storage-backend selection (reference storage_factory.py:4-13):
+        # raw always lives in the lake; structured output goes to the sink
+        self.sink = sink if sink is not None else ParquetSink(lake)
 
     def transform_range(
-        self, raw_table: str, start_slot: int, end_slot: int, mode: str = "append"
+        self,
+        raw_table: str,
+        start_slot: int,
+        end_slot: int,
+        mode: str = "append",
+        record_ranges: list[tuple[int, int]] | None = None,
     ) -> dict[str, int]:
         """Transform one chunk range and write every structured table it
         feeds. Returns {table: rows_written}. Any failure marks the whole
-        range failed (reference semantics, transformer.py:299-302)."""
+        range failed (reference semantics, transformer.py:299-302).
+
+        ``record_ranges`` records progress per constituent chunk while the
+        transform itself runs as ONE Spark job over the merged range — the
+        batched-discovery path (at 100× chunk counts, per-chunk job launch
+        overhead dominates; the merged job keeps discovery granularity
+        intact because completion rows still match chunk boundaries).
+        """
+        from beacon_indexer_spark import observability as O
+
         counts: dict[str, int] = {}
         outs = None
+        ranges = record_ranges or [(start_slot, end_slot)]
+        t0 = time.monotonic()
         try:
             raw = self.lake.read_latest(raw_table, (start_slot, end_slot)).drop("date")
             outs = transform_tables(
@@ -77,21 +111,36 @@ class BeaconPipeline:
                 # re-executes the whole parse for every table
                 df = df.cache()
                 try:
-                    self.lake.write(name, df, mode=mode)
+                    self.sink.write(name, df, mode=mode)
                     counts[name] = df.count()
+                    O.METRICS.inc("beacon_indexer_rows_written_total",
+                                  {"table": name}, counts[name])
                 finally:
                     df.unpersist()
             if self.progress:
-                self.progress.record(
-                    raw_table, start_slot, end_slot, COMPLETED,
-                    processed_count=sum(counts.values()),
+                total = sum(counts.values())
+                # merged runs attribute the row total to the first chunk so
+                # stats() sums stay exact without a per-chunk recount
+                self.progress.record_many(
+                    [
+                        (raw_table, s, e, COMPLETED, total if i == 0 else 0, 0, None)
+                        for i, (s, e) in enumerate(ranges)
+                    ]
                 )
+            O.METRICS.inc("beacon_indexer_chunks_total",
+                          {"loader": raw_table, "status": COMPLETED}, len(ranges))
+            O.METRICS.observe("beacon_indexer_chunk_duration_seconds",
+                              time.monotonic() - t0,
+                              {"loader": raw_table, "operation": "transform"},
+                              buckets=O.CHUNK_DURATION_BUCKETS)
             return counts
         except Exception as e:  # noqa: BLE001 — record then re-raise
             if self.progress:
-                self.progress.record(
-                    raw_table, start_slot, end_slot, FAILED, error_message=str(e)[:500]
+                self.progress.record_many(
+                    [(raw_table, s, e, FAILED, 0, 0, str(e)[:500]) for s, e in ranges]
                 )
+            O.METRICS.inc("beacon_indexer_transform_failures_total",
+                          {"loader": raw_table})
             raise
         finally:
             # release the shared cached parse frame (transform_blocks)
@@ -99,18 +148,24 @@ class BeaconPipeline:
                 outs.unpersist()
 
     def transform_pending(self, ledger_current: DataFrame, raw_table: str, limit: int = 50):
-        """Discovery + execution: the reference's transform-batch loop body."""
+        """Discovery + execution: the reference's transform-batch loop body.
+
+        Contiguous pending chunks coalesce into one merged `transform_range`
+        job per run (progress still recorded per chunk) — N adjacent chunks
+        cost one Spark job + one write per table instead of N.
+        """
         if self.progress is None:
             raise ValueError("transform_pending requires a ProgressManifest")
         todo = untransformed_chunks(
             ledger_current, self.progress.current(), raw_table, limit=limit
         ).collect()
         results = []
-        for row in todo:
-            results.append(
-                (row["start_slot"], row["end_slot"],
-                 self.transform_range(raw_table, row["start_slot"], row["end_slot"]))
+        for run_ranges in _coalesce_ranges([(r["start_slot"], r["end_slot"]) for r in todo]):
+            s, e = run_ranges[0][0], run_ranges[-1][1]
+            counts = self.transform_range(
+                raw_table, s, e, record_ranges=run_ranges
             )
+            results.append((s, e, counts))
         return results
 
     def repair_range(self, raw_table: str, start_slot: int, end_slot: int) -> dict[str, int]:

@@ -795,9 +795,12 @@ FROM ranked WHERE rank <= 5
 
 
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH sign-bucket blocked."""
+    """Embedding-cosine near-dup pairs, banded LSH sign-bucket blocked
+    (16 sign bits in 4 bands; candidates share any band)."""
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    out = S.embedding_near_duplicates(emb, dim=64, threshold=0.35, n_bits=4)
+    out = S.embedding_near_duplicates(
+        emb, dim=64, threshold=0.35, n_bits=16, bands=4
+    )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -805,18 +808,25 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_embedding_near_dupes_sql() -> str:
-    # inline the deterministic hyperplanes used by lsh_bucket (dim=64, 4 bits)
-    planes = [S._hyperplane(64, b) for b in range(4)]
-    plane_sql = []
-    for b, plane in enumerate(planes):
-        arr = "list_value(" + ", ".join(str(x) for x in plane) + ")"
-        dot = (
+def _oracle_embedding_near_dupes_sql(n_bits: int = 16, bands: int = 4) -> str:
+    # inline the deterministic hyperplanes used by lsh_band_keys (dim=64):
+    # band b's key = the sign bits of its contiguous hyperplane segment;
+    # candidate pairs share ANY band key (OR-join mirror of the banded
+    # bucket groupBy)
+    per = n_bits // bands
+    bit_sql = []
+    for b in range(n_bits):
+        arr = "list_value(" + ", ".join(str(x) for x in S._hyperplane(64, b)) + ")"
+        dotb = (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 64),"
             f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), (a,b) -> a + b)"
         )
-        plane_sql.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
-    bucket = " || ".join(plane_sql)
+        bit_sql.append(f"CASE WHEN {dotb} >= 0 THEN '1' ELSE '0' END")
+    band_cols = ", ".join(
+        "(" + " || ".join(bit_sql[b * per : (b + 1) * per]) + f") AS band{b}"
+        for b in range(bands)
+    )
+    any_band = " OR ".join(f"a.band{b} = b.band{b}" for b in range(bands))
     dotp = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 64),"
         " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y)"
@@ -826,10 +836,10 @@ def _oracle_embedding_near_dupes_sql() -> str:
         " i -> CAST({e}.embedding[i] AS DOUBLE) * CAST({e}.embedding[i] AS DOUBLE))), (x,y) -> x + y))"
     )
     return f"""
-WITH kb AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
+WITH kb AS (SELECT vec_id, embedding, {band_cols} FROM embeddings)
 SELECT CAST(a.vec_id AS BIGINT) id_a, CAST(b.vec_id AS BIGINT) id_b,
        round({dotp} / ({norm.format(e='a')} * {norm.format(e='b')}), 6) AS cos_sim
-FROM kb a JOIN kb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM kb a JOIN kb b ON a.vec_id < b.vec_id AND ({any_band})
 WHERE {dotp} / ({norm.format(e='a')} * {norm.format(e='b')}) >= 0.35
 """
 

@@ -67,20 +67,33 @@ class BeaconAPI:
         params: dict | None = None,
         allow_empty_404: bool = True,
     ) -> dict | None:
+        from beacon_indexer_spark import observability as O
+
         url = f"{self.base_url.rstrip('/')}{endpoint}"
+        route = O.normalize_api_endpoint(endpoint)
         query = dict(params or {})
         if self.api_key:
             query[self.api_key_param] = self.api_key
         last_err: str = ""
         for attempt in range(self.max_retries):
+            if attempt:
+                O.METRICS.inc("beacon_indexer_api_retries_total",
+                              {"endpoint": route})
+            t0 = time.monotonic()
             try:
                 status, body = self.transport(url, query or None, self.timeout)
             except Exception as e:  # noqa: BLE001 — network errors retry
+                O.METRICS.inc("beacon_indexer_api_requests_total",
+                              {"endpoint": route, "status": "error"})
                 last_err = str(e)
                 if attempt < self.max_retries - 1:
                     self.sleep(self.retry_delay * (attempt + 1))
                     continue
                 raise BeaconAPIError(f"Error requesting {endpoint}: {e}") from e
+            O.METRICS.inc("beacon_indexer_api_requests_total",
+                          {"endpoint": route, "status": str(status)})
+            O.METRICS.observe("beacon_indexer_api_request_duration_seconds",
+                              time.monotonic() - t0, {"endpoint": route})
             if status == 404:
                 if allow_empty_404:
                     return None  # empty slot — normal
@@ -238,6 +251,31 @@ def fetch_slots_local(
     return rows
 
 
+class FetchMetrics:
+    """Executor→driver metric transport for the distributed fetch stage.
+
+    A process-local registry can't see executor work; Spark's answer is the
+    accumulator. The fetch closure adds slots-attempted / rows-fetched on
+    the executors; ``fold()`` — called after the job's action has run —
+    publishes the totals into the driver's ``observability.METRICS``
+    (counters ``beacon_indexer_fetch_slots_total`` /
+    ``beacon_indexer_fetch_rows_total`` by loader), mirroring the
+    reference's chunk counters (observability.py:59-77)."""
+
+    def __init__(self, spark: SparkSession, loader_name: str):
+        self.loader = loader_name
+        self.slots = spark.sparkContext.accumulator(0)
+        self.rows = spark.sparkContext.accumulator(0)
+
+    def fold(self) -> None:
+        from beacon_indexer_spark import observability as O
+
+        O.METRICS.inc("beacon_indexer_fetch_slots_total",
+                      {"loader": self.loader}, self.slots.value)
+        O.METRICS.inc("beacon_indexer_fetch_rows_total",
+                      {"loader": self.loader}, self.rows.value)
+
+
 @dataclass(frozen=True)
 class FetchConfig:
     """Picklable fetch-stage config shipped to executors."""
@@ -269,6 +307,7 @@ def fetch_slots_distributed(
     schedule: ForkSchedule,
     slots_per_task: int = 100,
     api_factory: Callable[[], BeaconAPI] | None = None,
+    metrics: FetchMetrics | None = None,
 ) -> DataFrame:
     """The distributed load stage (reference §3.1 backfill): a slot range
     partitioned into ~CHUNK_SIZE tasks, each task fetching its slots over
@@ -277,7 +316,9 @@ def fetch_slots_distributed(
     Fork gating prunes the range *before* any task is scheduled (a filter
     on the range DataFrame — no wasted tasks, reference S9). One HTTP
     client per task, reused across its slots. ``api_factory`` overrides the
-    client construction for tests (must be picklable).
+    client construction for tests (must be picklable). ``metrics``
+    accumulates executor-side fetch counts; call ``metrics.fold()`` after
+    the job's action.
     """
     if loader.fork_gate is not None:
         gate = schedule.activation_slot(loader.fork_gate)
@@ -293,12 +334,18 @@ def fetch_slots_distributed(
 
     fetch, sched = loader.fetch, schedule
     make_api = api_factory or cfg.build
+    slots_acc = metrics.slots if metrics else None
+    rows_acc = metrics.rows if metrics else None
 
     def run(parts: Iterator) -> Iterator[tuple]:
         api = make_api()
         spec = LoaderSpec(loader.name, fetch, loader.fork_gate, loader.daily)
         for row in parts:
+            if slots_acc is not None:
+                slots_acc.add(1)
             for out in fetch_slots_local(api, spec, [row["id"]], sched):
+                if rows_acc is not None:
+                    rows_acc.add(1)
                 yield (out["slot"], out["payload"], out["payload_hash"],
                        out["retrieved_at"])
 

@@ -42,6 +42,71 @@ from beacon_indexer_spark.schemas.structured import STRUCTURED_TABLES
 _UNPARTITIONED = {"genesis", "specs", "raw_genesis", "raw_specs", "time_helpers"}
 
 
+def compact_manifest(spark: SparkSession, path: str, keys: list[str],
+                     version: str, schema) -> None:
+    """Latest-wins rewrite for a control manifest (ledger / progress): the
+    append-per-status-change model accumulates one tiny file per transition
+    — this collapses the directory to current state in one file. Same
+    tmp-swap discipline as :meth:`ParquetLake.compact` (never overwrite a
+    path while reading it)."""
+    import shutil
+
+    from beacon_indexer_spark.functions.core import latest
+
+    if not os.path.isdir(path):
+        return
+    df = spark.read.schema(schema).parquet(path)
+    deduped = latest(df, keys, version, method="window")
+    tmp = path + "__compact_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    deduped.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = path + "__pre_compact"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+class ParquetSink:
+    """Structured-table writer into the Parquet lake (default backend)."""
+
+    def __init__(self, lake: "ParquetLake"):
+        self.lake = lake
+
+    def write(self, table: str, df: DataFrame, mode: str = "append") -> None:
+        self.lake.write(table, df, mode=mode)
+
+
+class ClickHouseSink:
+    """Structured-table writer into ClickHouse via JDBC. Always appends —
+    ClickHouse's ReplacingMergeTree is the upsert (repair overwrites become
+    version-winning inserts, reference SURVEY §1.3), so ``mode`` is
+    accepted for interface parity and ignored."""
+
+    def __init__(self, url: str, **kw):
+        self.url = url
+        self.kw = kw
+
+    def write(self, table: str, df: DataFrame, mode: str = "append") -> None:
+        from beacon_indexer_spark.sources.clickhouse import write_clickhouse
+
+        write_clickhouse(df, table, self.url, **self.kw)
+
+
+def make_sink(kind: str, lake: "ParquetLake", clickhouse_url: str | None = None, **kw):
+    """Storage-backend selection (reference
+    ``src/services/storage_factory.py:4-13``): 'parquet' | 'clickhouse'."""
+    if kind == "parquet":
+        return ParquetSink(lake)
+    if kind == "clickhouse":
+        if not clickhouse_url:
+            raise ValueError("clickhouse sink requires --clickhouse-url")
+        return ClickHouseSink(clickhouse_url, **kw)
+    raise ValueError(f"unknown sink {kind!r} (expected parquet|clickhouse)")
+
+
 def table_key_version(table: str) -> tuple[list[str], str]:
     """Dedup key + latest-wins version column for any table in the lake."""
     if table in STRUCTURED_TABLES:

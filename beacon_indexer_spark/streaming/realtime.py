@@ -89,6 +89,8 @@ class RealtimeLoop:
         """Fetch + load + transform one closed window. Returns rows-written
         per raw table. A loader failure records FAILED progress and
         re-raises (chunk fails loudly, reference base.py:99-100)."""
+        from beacon_indexer_spark import observability as O
+
         sched = self.lake.schedule
         counts: dict[str, int] = {}
         names = self.loaders or self.config.enabled_loaders
@@ -99,11 +101,19 @@ class RealtimeLoop:
                     self.api, spec, self._loader_slots(spec, ws, we), sched
                 )
             except BeaconAPIError:
+                O.METRICS.inc("beacon_indexer_chunks_total",
+                              {"loader": name, "status": "failed"})
                 if self.pipeline.progress:
                     self.pipeline.progress.record(
                         spec.raw_table, ws, we, FAILED, error_message="fetch failed"
                     )
                 raise
+            O.METRICS.inc("beacon_indexer_chunks_total",
+                          {"loader": name, "status": "completed"})
+            O.METRICS.inc("beacon_indexer_fetch_rows_total",
+                          {"loader": name}, len(rows))
+            O.METRICS.set_gauge("beacon_indexer_highest_raw_slot", we,
+                                {"loader": name})
             if rows:
                 df = self.lake.spark.createDataFrame(
                     [(r["slot"], r["payload"], r["payload_hash"], r["retrieved_at"])
@@ -129,6 +139,9 @@ class RealtimeLoop:
                 if head is None:
                     self.sleep(self.config.poll_interval_s)
                     continue
+                from beacon_indexer_spark import observability as O
+
+                O.METRICS.set_gauge("beacon_indexer_chain_head_slot", head)
                 target = head - self.config.realtime_slot_delay
                 ws = self._next_window_start()
                 we = ws + cs - 1

@@ -231,8 +231,13 @@ def test_pipeline_discovery_loop(spark, tmp_path, lake):
     led.mark(led.current(), L.COMPLETED)
 
     results = pipe.transform_pending(led.current(), "raw_blocks")
-    assert len(results) == 2
-    assert all(c == {"blocks": 10} for _, _, c in results)
+    # two contiguous chunks coalesce into ONE merged transform job
+    assert results == [(SLOT0, SLOT0 + 19, {"blocks": 20})]
+    # ...but progress granularity stays per-chunk (discovery contract)
+    done = prog.completed_ranges("raw_blocks").collect()
+    assert sorted((r["start_slot"], r["end_slot"]) for r in done) == [
+        (SLOT0, SLOT0 + 9), (SLOT0 + 10, SLOT0 + 19)
+    ]
     # idempotent: second pass discovers nothing
     assert pipe.transform_pending(led.current(), "raw_blocks") == []
 

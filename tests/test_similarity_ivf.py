@@ -85,3 +85,28 @@ def test_lsh_topk_shapes(vectors):
     got = S.lsh_topk(vectors, queries, dim=16, k=3, n_bits=4).collect()
     assert 0 < len(got) <= 3
     assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in got)
+
+
+def test_lsh_topk_multiband_recall_dominates_single_bucket(vectors):
+    """Banded probing (share ANY 4-bit band of 16) must recall at least as
+    many true neighbors as one exact 16-bit bucket — and with clustered
+    data it should be near-exact."""
+    queries = vectors.filter(F.col("vec_id") < 4)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(vectors, queries, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(vectors, queries, dim=16, k=5, n_bits=16).collect()
+    }
+    banded = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(
+            vectors, queries, dim=16, k=5, n_bits=16, bands=4
+        ).collect()
+    }
+    recall_single = len(exact & single) / len(exact)
+    recall_banded = len(exact & banded) / len(exact)
+    assert recall_banded >= recall_single
+    assert recall_banded >= 0.8
