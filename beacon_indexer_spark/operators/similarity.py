@@ -99,25 +99,38 @@ def _hyperplane(dim: int, bit: int) -> list[float]:
     return comps
 
 
-def _sign_bit_sql(vec_sql: str, dim: int, bit: int) -> str:
-    """SQL text for one hyperplane sign bit — semantically identical to
-    ``dot(vec, lit(plane)) >= 0`` but parsed once instead of built through
-    thousands of py4j Column-API round trips (measured ~3.8 s of driver
-    time for 16 planes; SQL-text construction is ~0.1 s)."""
-    plane = "array(" + ", ".join(f"{x}D" for x in _hyperplane(dim, bit)) + ")"
-    d = (
-        f"aggregate(zip_with(transform({vec_sql}, x -> CAST(x AS DOUBLE)), {plane},"
-        f" (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+def _bits_sql(vec_sql: str, dim: int, n_bits: int) -> str:
+    """SQL text for the full n_bits hyperplane sign-bit string, computed as
+    ONE ``transform`` over a 2-D plane-literal array.
+
+    Why text + a single HOF instead of n_bits Column-API aggregates: per-
+    plane Column trees cost thousands of py4j round trips to build AND
+    n_bits independent aggregate expressions to analyze (measured ~3.8 s of
+    driver time for 16 planes at dim 64); one transform over
+    ``array(plane_0, …, plane_{n-1})`` parses and analyzes a tree 1/n_bits
+    the size. Bit b of the result equals ``dot(vec, plane_b) >= 0`` with
+    identical sequential-accumulation arithmetic (the DuckDB oracle mirrors
+    it plane by plane)."""
+    planes = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x}D" for x in _hyperplane(dim, b)) + ")"
+        for b in range(n_bits)
+    ) + ")"
+    dots = (
+        f"transform({planes}, p -> aggregate(zip_with("
+        f"transform({vec_sql}, x -> CAST(x AS DOUBLE)), p, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
     )
-    return f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END"
+    return (
+        f"array_join(transform({dots}, d -> "
+        f"CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
+    )
 
 
 def lsh_bucket(vec_sql: str, dim: int, n_bits: int = 8) -> Column:
     """Sign-bit bucket key: n_bits-char string of 0/1 by hyperplane side.
-    ``vec_sql`` is the vector column's SQL identifier (see _sign_bit_sql
-    for why this is text, not a Column)."""
-    bits = [_sign_bit_sql(vec_sql, dim, b) for b in range(n_bits)]
-    return F.expr("concat(" + ", ".join(bits) + ")")
+    ``vec_sql`` is the vector column's SQL identifier (see _bits_sql for
+    why this is text, not a Column)."""
+    return F.expr(_bits_sql(vec_sql, dim, n_bits))
 
 
 def lsh_topk(
@@ -283,14 +296,14 @@ def lsh_band_keys(vec_sql: str, dim: int, n_bits: int, bands: int) -> Column:
     hyperplane cost). SQL-text construction, see _sign_bit_sql."""
     assert n_bits % bands == 0, "n_bits must divide evenly into bands"
     per = n_bits // bands
-    bits = [_sign_bit_sql(vec_sql, dim, b) for b in range(n_bits)]
-    structs = [
-        f"named_struct('band', {b}, 'key', concat("
-        + ", ".join(bits[b * per : (b + 1) * per])
-        + "))"
-        for b in range(bands)
-    ]
-    return F.expr("array(" + ", ".join(structs) + ")")
+    # one copy of the bit-string expression, sliced per band inside a
+    # transform over the band indices (subexpression elimination then
+    # evaluates the bit string once per row)
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'band', CAST(b AS INT), "
+        f"'key', substring({_bits_sql(vec_sql, dim, n_bits)}, b * {per} + 1, {per})))"
+    )
 
 
 def embedding_near_duplicates(
