@@ -309,6 +309,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment from candidate pairs: (node, cluster_id)
+    where cluster_id = the minimum id reachable through the pair graph —
+    the standard label step after LSH (keep cluster_id, drop the rest).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels; converges in O(diameter) rounds, and
+    dup clusters are near-cliques (diameter ≈ 2), so 3-4 rounds typical.
+    Each round is one broadcast-free equi-join + map-side-combined min agg
+    over (edge, label) — O(|E|) shuffle per round, nothing driver-side but
+    the convergence counter.
+
+    Every round's result is ``localCheckpoint``ed: an iterative plan that
+    references the previous round twice (label union + convergence join)
+    otherwise nests its logical plan EXPONENTIALLY — by ~iteration 10 the
+    driver OOMs just stringifying it. Checkpointing truncates lineage to
+    the materialized result (on a durable cluster job, swap in
+    ``checkpoint()`` with a checkpoint dir for executor-loss resilience).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        merged = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            merged.join(labels.withColumnRenamed("label", "__old"), "node")
+            .filter(F.col("label") < F.col("__old"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

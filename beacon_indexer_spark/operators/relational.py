@@ -110,6 +110,111 @@ def untransformed_ranges(
     return loaded.join(transformed, list(on), "left_anti")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str | None = None,
+    tolerance: int | None = None,
+    matched_ts_col: str = "asof_ts",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the single most
+    recent right row with ``right_ts <= left_ts`` per key (ties on
+    right_ts broken by max ``tiebreak``). Left rows with no match keep
+    nulls. ``tolerance`` (same units as the ts columns) nulls out matches
+    older than ``left_ts - tolerance``.
+
+    Spark-first plan — union + sort + last-non-null window, NOT a range
+    self-join: ONE shuffle on the key and an in-partition sort, the same
+    cost as any per-key ordering. A join-then-filter formulation would
+    expand every (left, right) in-range pair before picking one; this
+    never materializes more than left+right rows. Both ts columns must be
+    the same orderable type (use epoch longs for cross-type joins).
+    """
+    keys = list(keys)
+    lpay = [c for c in left.columns if c not in keys]
+    rpay = [c for c in right.columns if c not in keys and c != right_ts]
+    clash = set(rpay) & set(lpay)
+    if clash:
+        raise ValueError(f"right payload columns clash with left: {sorted(clash)}")
+    rts_type = right.schema[right_ts].dataType
+    l2 = left.select(
+        *keys,
+        *lpay,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__src"),
+        F.lit(None).cast(rts_type).alias("__rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rpay],
+    )
+    r2 = right.select(
+        *keys,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+        F.col(right_ts).alias("__rts"),
+        *rpay,
+    )
+    u = l2.unionByName(r2)
+    order = [F.asc("__ts"), F.asc("__src")]
+    if tiebreak:
+        order.append(F.asc_nulls_first(tiebreak))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u
+    for c in [*rpay, "__rts"]:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = filled.filter(F.col("__src") == 1)
+    if tolerance is not None:
+        in_tol = F.col("__rts") >= F.col("__ts") - tolerance
+        for c in [*rpay, "__rts"]:
+            out = out.withColumn(c, F.when(in_tol, F.col(c)))
+    return out.select(
+        *keys, *lpay, *rpay, F.col("__rts").alias(matched_ts_col)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    bucket: int | None = None,
+) -> DataFrame:
+    """Interval join: all (left, right) pairs per key with
+    ``right_ts - left_ts`` in [lower, upper].
+
+    Spark-first plan — bucketed equi-join, NOT an inequality join (which
+    Catalyst can only plan as a broadcast-nested-loop): both sides bucket
+    their timestamp by ``bucket`` width (default = the window span), the
+    left side explodes to the few buckets its window overlaps, and the
+    exact range predicate filters after an ordinary shuffled equi-join on
+    (keys…, bucket). Explosion factor is span/bucket + 1 ≈ 2 at the
+    default width.
+    """
+    keys = list(keys)
+    width = bucket or max(upper - lower, 1)
+    lb = F.floor((F.col(left_ts) + F.lit(lower)) / width).cast("long")
+    ub = F.floor((F.col(left_ts) + F.lit(upper)) / width).cast("long")
+    l2 = left.withColumn("__b", F.explode(F.sequence(lb, ub)))
+    r2 = right.withColumn("__b", F.floor(F.col(right_ts) / width).cast("long"))
+    delta = F.col(right_ts) - F.col(left_ts)
+    return (
+        l2.join(r2, [*keys, "__b"])
+        .filter((delta >= lower) & (delta <= upper))
+        .drop("__b")
+    )
+
+
 def grouped_concat(
     df: DataFrame, group_by: Sequence[str], value_col: str, sep: str = ","
 ) -> DataFrame:

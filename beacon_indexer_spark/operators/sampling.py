@@ -1,0 +1,54 @@
+"""Deterministic sampling for training-data curation.
+
+`df.sample()` is seed-dependent AND partitioning-dependent — rerunning a
+curation pipeline after a repartition silently changes the sample. These
+operators hash the row KEY instead: the same row is in or out of the
+sample forever, across runs, partitionings, and engines (md5 arithmetic —
+the DuckDB oracle reproduces the exact row set). The hash-uniform value is
+also a stable priority, so samples are *nested*: the 10% sample is a
+subset of the 20% sample — the property curriculum/ablation pipelines
+need. Reference P6's modulo sampling filter (SURVEY §2.3) is the same
+idea; this generalizes it to fractional rates and strata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beacon_indexer_spark.operators.dedup import _md5_long
+
+# million-bucket resolution: rates are exact multiples of 1e-6
+_RES = 1_000_000
+
+
+def sample_bucket(key: Column, salt: int = 1) -> Column:
+    """Deterministic uniform bucket in [0, 1e6) from the row key."""
+    return F.pmod(_md5_long(key.cast("string"), salt), F.lit(_RES))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: int = 1
+) -> DataFrame:
+    """Keep ~rate of rows, chosen by key hash — deterministic, nested
+    across rates, engine-portable. A narrow filter: no shuffle, no seed."""
+    return df.filter(sample_bucket(F.col(key_col), salt) < int(rate * _RES))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: int = 1,
+) -> DataFrame:
+    """Per-stratum rates (e.g. language rebalancing: keep 10% of English,
+    100% of low-resource languages). Same nested-sample guarantee per
+    stratum; strata not in ``rates`` get ``default_rate``."""
+    threshold: Column = F.lit(int(default_rate * _RES))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _RES))
+        ).otherwise(threshold)
+    return df.filter(sample_bucket(F.col(key_col), salt) < threshold)

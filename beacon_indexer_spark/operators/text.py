@@ -40,6 +40,49 @@ def bpe_ish_token_count(text: ColumnOrName) -> Column:
     return F.size(bpe_ish_tokens(text))
 
 
+def tfidf_top_terms(
+    docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+):
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1 — the sklearn smoothing), ties broken by
+    term ascending. Returns (id, term, tf, score, rank).
+
+    Scale shape: one explode + two map-side-combined aggregations (term
+    frequency per doc, document frequency per term); the tf⋈df join is an
+    equi-join on term (df side is vocabulary-sized — broadcastable at any
+    corpus size); the corpus count N attaches via a broadcast one-row
+    crossJoin, NOT a driver action, so the whole thing stays one lazy plan.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(docs, DataFrame)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "score", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ from beacon_indexer_spark.functions.core import (
 )
 from beacon_indexer_spark.operators import dedup as D
 from beacon_indexer_spark.operators import relational as R
+from beacon_indexer_spark.operators import sampling as SP
 from beacon_indexer_spark.operators import similarity as S
 from beacon_indexer_spark.operators import text as X
 
@@ -989,6 +990,185 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Custom join operators (as-of, range) + curation ops
+# ===========================================================================
+
+def q_orders_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each order picks the customer's most recent
+    event at or before the order timestamp (ties → max event_id). The
+    operator Spark lacks natively, via union+sort+last-non-null window —
+    one key shuffle, never a range self-join (operators/relational.py)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.unix_timestamp("o_orderdate").alias("ots"),
+    )
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("ckey"),
+        F.unix_timestamp("ts").alias("ets"),
+        F.col("event_id").cast("long").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+    out = R.asof_join(
+        o, e, ["ckey"], "ots", "ets",
+        tiebreak="last_event_id", matched_ts_col="asof_ts",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("ckey").alias("o_custkey"),
+        "last_event_id",
+        "last_event_type",
+        F.col("asof_ts").cast("long").alias("asof_ts"),
+    )
+
+
+ORACLE_ORDERS_ASOF_EVENT = """
+WITH o AS (SELECT o_orderkey, o_custkey AS ckey,
+                  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ots FROM orders),
+e AS (SELECT user_id AS ckey, CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+             event_id, event_type FROM events)
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.ckey AS BIGINT) AS o_custkey,
+       CAST(e.event_id AS BIGINT) AS last_event_id,
+       e.event_type AS last_event_type,
+       CAST(e.ets AS BIGINT) AS asof_ts
+FROM o LEFT JOIN e ON e.ckey = o.ckey AND e.ets <= o.ots
+QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+                           ORDER BY e.ets DESC NULLS LAST,
+                                    e.event_id DESC NULLS LAST) = 1
+"""
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: follow-up event pairs of the same user 1 s –
+    6 h apart (on floored epoch seconds, identical in both engines) —
+    bucketed equi-join, never a broadcast-nested-loop inequality join
+    (operators/relational.py range_join)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id").cast("long").alias("ckey"),
+        F.unix_timestamp("ts").alias("ats"),
+        F.col("event_id").cast("long").alias("event_id_a"),
+    )
+    b = ev.select(
+        F.col("user_id").cast("long").alias("ckey"),
+        F.unix_timestamp("ts").alias("bts"),
+        F.col("event_id").cast("long").alias("event_id_b"),
+    )
+    out = R.range_join(a, b, ["ckey"], "ats", "bts", lower=1, upper=21600)
+    return out.select(
+        "event_id_a",
+        "event_id_b",
+        (F.col("bts") - F.col("ats")).cast("long").alias("gap_s"),
+    )
+
+
+ORACLE_EVENTS_RANGE_JOIN = """
+WITH e AS (SELECT user_id AS ckey, CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+                  event_id FROM events)
+SELECT CAST(a.event_id AS BIGINT) AS event_id_a,
+       CAST(b.event_id AS BIGINT) AS event_id_b,
+       CAST(b.ets - a.ets AS BIGINT) AS gap_s
+FROM e a JOIN e b ON a.ckey = b.ckey
+                 AND b.ets - a.ets >= 1 AND b.ets - a.ets <= 21600
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: LSH candidate pairs → connected components
+    (min-label propagation, O(diameter) rounds). The oracle computes the
+    identical transitive closure with a recursive CTE."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    out = D.connected_components(pairs)
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _oracle_dedup_clusters_sql() -> str:
+    pairs = _oracle_minhash_lsh_sql().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT s, t FROM edges
+          UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+                 WHERE e.t <> r.s)
+SELECT CAST(s AS BIGINT) AS doc_id,
+       CAST(least(s, MIN(t)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY s
+"""
+
+
+_STRATA_RATES = {"en": 0.5, "es": 0.25, "fr": 1.0}
+_DEFAULT_RATE = 0.1
+
+
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by md5 key hash: 50% of en, 25%
+    of es, all of fr, 10% of everything else — identical row sets across
+    runs, partitionings, and engines; nested across rates
+    (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.stratified_hash_sample(
+        docs, "doc_id", "lang", _STRATA_RATES, default_rate=_DEFAULT_RATE
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def _oracle_doc_sample_stratified_sql() -> str:
+    salted_key = "concat('1:', CAST(doc_id AS VARCHAR))"
+    bucket = f"({_dd_md5_long(salted_key)} % 1000000)"
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * 1_000_000)}"
+        for k, v in sorted(_STRATA_RATES.items())
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+WHERE {bucket} < CASE lang {cases} ELSE {int(_DEFAULT_RATE * 1_000_000)} END
+"""
+
+
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/text.py tfidf_top_terms) — corpus stats via two map-side
+    aggregations and a broadcast count, no driver action."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = X.tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+ORACLE_DOC_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DD_TOKENS.format(c='text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (d.df + 1)) + 1.0) AS score
+  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+       round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _oracle_similarity_ivf_sql(k: int = 8, nprobe: int = 2, topk: int = 5) -> str:
     """DuckDB mirror of q_similarity_ivf: md5-sampled centroids, the
     `-2·v·c + ||c||²` nearest-centroid ranking of ivf_assign, nprobe-probed
@@ -1078,6 +1258,11 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dupes": q_embedding_near_dupes,
     "multimodal_image_stats": q_multimodal_image_stats,
     "similarity_ivf": q_similarity_ivf,
+    "orders_asof_event": q_orders_asof_event,
+    "events_range_join": q_events_range_join,
+    "dedup_clusters": q_dedup_clusters,
+    "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
 }
 
 
@@ -1112,4 +1297,9 @@ def oracles() -> dict[str, str]:
         "embedding_near_dupes": _oracle_embedding_near_dupes_sql(),
         "multimodal_image_stats": ORACLE_MULTIMODAL_IMAGE_STATS,
         "similarity_ivf": _oracle_similarity_ivf_sql(),
+        "orders_asof_event": ORACLE_ORDERS_ASOF_EVENT,
+        "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
+        "dedup_clusters": _oracle_dedup_clusters_sql(),
+        "doc_sample_stratified": _oracle_doc_sample_stratified_sql(),
+        "doc_tfidf_top_terms": ORACLE_DOC_TFIDF_TOP_TERMS,
     }

@@ -1,0 +1,173 @@
+"""Unit tests for the custom join operators (as-of, range) and the
+curation operators (connected components, hash sampling, TF-IDF)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from beacon_indexer_spark.operators import dedup as D
+from beacon_indexer_spark.operators import relational as R
+from beacon_indexer_spark.operators import sampling as SP
+from beacon_indexer_spark.operators import text as X
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 100, "c"), (3, 100, "d")],
+        "k long, lts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 10.0, 7), (1, 100, 20.0, 8), (1, 100, 30.0, 9), (1, 200, 40.0, 1),
+         (2, 150, 50.0, 2)],
+        "k long, rts long, val double, rid long",
+    )
+    return left, right
+
+
+def test_asof_join_backward_with_ties(spark):
+    left, right = _asof_fixture(spark)
+    out = {
+        (r["k"], r["lts"]): (r["val"], r["rid"], r["asof_ts"])
+        for r in R.asof_join(left, right, ["k"], "lts", "rts", tiebreak="rid").collect()
+    }
+    # ties at rts=100 → max rid (9) wins; rts == lts matches (<=)
+    assert out[(1, 100)] == (30.0, 9, 100)
+    assert out[(1, 205)] == (40.0, 1, 200)
+    # right row strictly after left ts does not match
+    assert out[(2, 100)] == (None, None, None)
+    # key with no right rows at all
+    assert out[(3, 100)] == (None, None, None)
+
+
+def test_asof_join_tolerance(spark):
+    left, right = _asof_fixture(spark)
+    out = {
+        (r["k"], r["lts"]): r["rid"]
+        for r in R.asof_join(
+            left, right, ["k"], "lts", "rts", tiebreak="rid", tolerance=4
+        ).collect()
+    }
+    assert out[(1, 100)] == 9       # same-ts match inside tolerance
+    assert out[(1, 205)] is None    # 205-200=5 > 4 → nulled
+    assert out[(2, 100)] is None
+
+
+def test_asof_join_rejects_column_clash(spark):
+    left, right = _asof_fixture(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="clash"):
+        R.asof_join(left, right.withColumnRenamed("val", "tag"),
+                    ["k"], "lts", "rts")
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+def test_range_join_matches_inequality_join(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows_l = [(i % 5, rnd.randrange(0, 1000), i) for i in range(200)]
+    rows_r = [(i % 5, rnd.randrange(0, 1000), 1000 + i) for i in range(200)]
+    left = spark.createDataFrame(rows_l, "k long, lts long, lid long")
+    right = spark.createDataFrame(rows_r, "k long, rts long, rid long")
+    lo, hi = -50, 120
+    expected = sorted(
+        (lk, lid, rid)
+        for (lk, lts, lid) in rows_l
+        for (rk, rts, rid) in rows_r
+        if lk == rk and lo <= rts - lts <= hi
+    )
+    for bucket in (None, 37, 500):
+        got = sorted(
+            (r["k"], r["lid"], r["rid"])
+            for r in R.range_join(
+                left, right, ["k"], "lts", "rts", lo, hi, bucket=bucket
+            ).collect()
+        )
+        assert got == expected, f"bucket={bucket}"
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3) + clique {10,11,12} + isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12  # diameter > typical dup-cluster case; exercises the iteration
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+# ---------------------------------------------------------------------------
+# hash sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    s10 = {r["k"] for r in SP.hash_sample(df, "k", 0.10).collect()}
+    s20 = {r["k"] for r in SP.hash_sample(df, "k", 0.20).collect()}
+    assert s10 == {r["k"] for r in SP.hash_sample(df, "k", 0.10).collect()}
+    assert s10 <= s20  # nested: smaller rate is a subset of larger
+    assert 0.05 < len(s10) / 2000 < 0.15
+    assert 0.15 < len(s20) / 2000 < 0.25
+    # different salt → different (independent) sample
+    assert s10 != {r["k"] for r in SP.hash_sample(df, "k", 0.10, salt=2).collect()}
+
+
+def test_stratified_hash_sample_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zz") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    got = SP.stratified_hash_sample(
+        df, "k", "lang", {"en": 1.0}, default_rate=0.0
+    ).collect()
+    assert len(got) == 1000
+    assert all(r["lang"] == "en" for r in got)
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms_rare_term_wins(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common boring words"),
+            (3, "common boring stuff"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    top1 = {d: sorted(rs, key=lambda r: r["rank"])[0] for d, rs in by_doc.items()}
+    # doc 1: at equal tf, "rare" (df=1) outranks "common" (df=3)
+    assert top1[1]["term"] == "rare"
+    expected = 1 * (math.log((3 + 1) / (1 + 1)) + 1.0)
+    assert math.isclose(top1[1]["score"], expected, rel_tol=1e-12)
+    assert all(len(rs) == 2 for rs in by_doc.values())
