@@ -96,6 +96,28 @@ def test_range_join_matches_inequality_join(spark):
         assert got == expected, f"bucket={bucket}"
 
 
+def test_asof_join_matches_naive(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows_l = [(i % 7, rnd.randrange(0, 500), i) for i in range(300)]
+    rows_r = [(i % 7, rnd.randrange(0, 500), 1000 + i) for i in range(300)]
+    left = spark.createDataFrame(rows_l, "k long, lts long, lid long")
+    right = spark.createDataFrame(rows_r, "k long, rts long, rid long")
+
+    def naive(lk, lts):
+        cands = [(rts, rid) for (rk, rts, rid) in rows_r if rk == lk and rts <= lts]
+        return max(cands) if cands else (None, None)
+
+    got = {
+        r["lid"]: (r["asof_ts"], r["rid"])
+        for r in R.asof_join(left, right, ["k"], "lts", "rts", tiebreak="rid").collect()
+    }
+    assert len(got) == len(rows_l)
+    for lk, lts, lid in rows_l:
+        assert got[lid] == naive(lk, lts), (lk, lts, lid)
+
+
 # ---------------------------------------------------------------------------
 # connected components
 # ---------------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""Physical-plan audit across the whole declared query surface.
+
+Guards the 100-TB properties the queries were designed around: no
+accidental cartesian/nested-loop joins (the brute-force ANN baseline is
+the single documented exception), scans prune to the referenced columns,
+and no query plan collects to the driver.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from beacon_indexer_spark.plans.queries import QUERIES
+
+# brute-force cosine is the *documented* exact-baseline cross join
+# (the broadcast query side makes it a map-side scan, not a shuffle);
+# tfidf attaches the corpus count N by cross-joining a broadcast ONE-ROW
+# aggregate — a constant attach, not a pair expansion
+_ALLOWED_CROSS = {"similarity_bruteforce", "doc_tfidf_top_terms"}
+
+# iterative operator: executes during plan construction; its final plan is
+# a checkpoint scan, so there is nothing to audit statically
+_ITERATIVE = {"dedup_clusters"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in QUERIES.items():
+        if name in _ITERATIVE:
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_unintended_nested_loop_joins(plans):
+    bad = {}
+    for name, plan in plans.items():
+        if name in _ALLOWED_CROSS:
+            continue
+        hits = re.findall(r"CartesianProduct|BroadcastNestedLoopJoin", plan)
+        if hits:
+            bad[name] = hits
+    assert not bad, f"nested-loop joins crept into: {bad}"
+
+
+def test_brute_force_cross_join_broadcasts_query_side(plans):
+    plan = plans["similarity_bruteforce"]
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    assert "BroadcastExchange" in plan  # the small query side ships once
+
+
+def test_scans_prune_columns(plans):
+    # pruned_scan_topk projects 5 lineitem columns; the parquet scan's
+    # output column list must not include the unreferenced wide columns
+    plan = plans["pruned_scan_topk"]
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, "no FileScan in plan"
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert len(cols) <= 6, f"scan reads too many columns: {cols}"
+    # the slot/date range predicate reached the parquet reader
+    assert "PushedFilters: [I" in plan or "PushedFilters: [G" in plan
+
+
+def test_no_driver_collect_in_query_plans():
+    # queries must return lazy DataFrames; the only driver-side collect in
+    # the surface is the IVF centroid sample (k rows, documented) and the
+    # iterative clustering loop. Grep the source for stray .collect()
+    # calls outside those.
+    import inspect
+
+    from beacon_indexer_spark.plans import queries as Q
+
+    src = inspect.getsource(Q)
+    hits = [
+        line.strip()
+        for line in src.splitlines()
+        if ".collect()" in line and "#" not in line.split(".collect()")[0]
+    ]
+    assert hits == [], f"driver collect in query surface: {hits}"
