@@ -188,11 +188,20 @@ def get_health() -> dict:
 
 def start_metrics_server(port: int = 9090, registry: MetricsRegistry | None = None):
     """``/metrics`` (Prometheus text) + ``/health`` (JSON) on a daemon
-    thread — reference observability.py:158-198, stdlib-only."""
+    thread — reference observability.py:158-198, stdlib-only. Threaded so
+    one stalled scraper connection cannot block /health. Idempotent for
+    the same port; a second call with a DIFFERENT port is an error (the
+    silent-return alternative leaves the caller believing the new port is
+    served)."""
     global _metrics_server
     if _metrics_server is not None:
+        if _metrics_server.server_address[1] != port:
+            raise RuntimeError(
+                f"metrics server already running on port "
+                f"{_metrics_server.server_address[1]}, refusing {port}"
+            )
         return _metrics_server
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     reg = registry or METRICS
 
@@ -218,7 +227,7 @@ def start_metrics_server(port: int = 9090, registry: MetricsRegistry | None = No
         def log_message(self, fmt, *args):  # silence access log
             pass
 
-    server = HTTPServer(("0.0.0.0", port), Handler)
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     _metrics_server = server
     return server

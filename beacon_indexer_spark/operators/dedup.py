@@ -159,6 +159,14 @@ def _pairs_from_buckets(
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
+    if max_bucket is not None:
+        # the capped plan references `grouped` from three branches (in-row,
+        # big-filter, and both sides of the overflow self-join) and Spark
+        # does NOT reuse the exchange across them (verified: 0
+        # ReusedExchange, 3 upstream scans). A lazy localCheckpoint
+        # materializes the aggregation once on first use; every branch
+        # then reads the persisted result.
+        grouped = grouped.localCheckpoint(eager=False)
     in_row = grouped if max_bucket is None else grouped.filter(
         F.size("__ids") <= max_bucket
     )
@@ -319,12 +327,14 @@ def connected_components(
     where cluster_id = the minimum id reachable through the pair graph —
     the standard label step after LSH (keep cluster_id, drop the rest).
 
-    Min-label propagation: each round every node takes the min of its own
-    label and its neighbors' labels; converges in O(diameter) rounds, and
-    dup clusters are near-cliques (diameter ≈ 2), so 3-4 rounds typical.
-    Each round is one broadcast-free equi-join + map-side-combined min agg
-    over (edge, label) — O(|E|) shuffle per round, nothing driver-side but
-    the convergence counter.
+    Min-label propagation with pointer jumping: each round every node takes
+    the min of its own label, its neighbors' labels, AND its label's label
+    (path halving) — convergence in O(log diameter) rounds, so max_iter=25
+    covers any component a dedup job can produce (2^25-hop chains). Raises
+    if the cap is still hit: silently returning partially-converged labels
+    would split one duplicate cluster into several. Each round is two
+    equi-joins + a map-side-combined min agg — O(|E|) shuffle per round,
+    nothing driver-side but the convergence counter.
 
     Every round's result is ``localCheckpoint``ed: an iterative plan that
     references the previous round twice (label union + convergence join)
@@ -349,8 +359,22 @@ def connected_components(
         neighbor = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "label")
+        # pointer jump (path halving): node's label → that label's label —
+        # doubles propagation distance per round, turning long chains from
+        # O(diameter) into O(log diameter)
+        jumped = (
+            labels.select(F.col("node"), F.col("label").alias("__via"))
+            .join(
+                labels.select(
+                    F.col("node").alias("__via"), F.col("label").alias("label")
+                ),
+                "__via",
+            )
+            .select("node", "label")
+        )
         merged = (
             labels.unionByName(neighbor)
+            .unionByName(jumped)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
@@ -363,6 +387,11 @@ def connected_components(
         labels = merged
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds 2^max_iter hops (raise max_iter)"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

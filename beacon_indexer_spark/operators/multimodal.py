@@ -203,6 +203,13 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
                 if raw[:4] != AUD_MAGIC:
                     raise _external_decode_error("audio")
                 rate, n = struct.unpack(">II", raw[4:12])
+                if len(raw) < 12 + 2 * n:
+                    # fail as loudly as struct.unpack would: a truncated
+                    # payload must not yield silently-wrong rms/duration
+                    raise ValueError(
+                        f"truncated AUD1 payload: header declares {n} samples,"
+                        f" buffer holds {(len(raw) - 12) // 2}"
+                    )
                 # big-endian i16 samples straight off the buffer; s*s sums
                 # are integer-exact in float64, matching the Python loop
                 s = np.frombuffer(raw[12 : 12 + 2 * n], ">i2").astype(np.float64)

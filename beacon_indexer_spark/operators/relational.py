@@ -133,50 +133,61 @@ def asof_join(
     never materializes more than left+right rows. Both ts columns must be
     the same orderable type (use epoch longs for cross-type joins).
     """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
     keys = list(keys)
     lpay = [c for c in left.columns if c not in keys]
     rpay = [c for c in right.columns if c not in keys and c != right_ts]
     clash = set(rpay) & set(lpay)
     if clash:
         raise ValueError(f"right payload columns clash with left: {sorted(clash)}")
-    rts_type = right.schema[right_ts].dataType
+    # the matched right row travels as ONE struct, filled atomically — a
+    # per-column last(ignorenulls) would stitch a legitimately-NULL column
+    # of the matched row together with an older row's value, fabricating a
+    # composite row that never existed
+    pack_type = T.StructType(
+        [T.StructField("__rts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in rpay]
+    )
     l2 = left.select(
         *keys,
         *lpay,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__src"),
-        F.lit(None).cast(rts_type).alias("__rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rpay],
+        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(pack_type).alias("__rpack"),
     )
     r2 = right.select(
         *keys,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__src"),
-        F.col(right_ts).alias("__rts"),
-        *rpay,
+        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0)).alias("__tb"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in rpay]
+        ).alias("__rpack"),
     )
     u = l2.unionByName(r2)
-    order = [F.asc("__ts"), F.asc("__src")]
-    if tiebreak:
-        order.append(F.asc_nulls_first(tiebreak))
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy(*keys)
-        .orderBy(*order)
+        .orderBy(F.asc("__ts"), F.asc("__src"), F.asc_nulls_last("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u
-    for c in [*rpay, "__rts"]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = filled.filter(F.col("__src") == 1)
+    out = (
+        u.withColumn("__m", F.last("__rpack", ignorenulls=True).over(w))
+        .filter(F.col("__src") == 1)
+    )
     if tolerance is not None:
-        in_tol = F.col("__rts") >= F.col("__ts") - tolerance
-        for c in [*rpay, "__rts"]:
-            out = out.withColumn(c, F.when(in_tol, F.col(c)))
+        out = out.withColumn(
+            "__m",
+            F.when(F.col("__m.__rts") >= F.col("__ts") - tolerance, F.col("__m")),
+        )
     return out.select(
-        *keys, *lpay, *rpay, F.col("__rts").alias(matched_ts_col)
+        *keys,
+        *lpay,
+        *[F.col(f"__m.{c}").alias(c) for c in rpay],
+        F.col("__m.__rts").alias(matched_ts_col),
     )
 
 

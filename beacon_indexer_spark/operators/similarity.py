@@ -168,17 +168,21 @@ def lsh_topk(
         )
         qb = F.broadcast(qb_plain)
     else:
-        bk = F.explode(lsh_band_keys(vec_col, dim, n_bits, bands)).alias("bk")
+        bk = F.explode(lsh_band_keys("__bits", n_bits, bands)).alias("bk")
         vb = vectors.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vvec"), bk
-        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__vvec"),
+            lsh_bucket(vec_col, dim, n_bits).alias("__bits"),
+        ).select("neighbor_id", "__vvec", bk).select(
             "neighbor_id", "__vvec",
             F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"),
         )
         qb = F.broadcast(
             queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"), bk
-            ).select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qvec"),
+                lsh_bucket(vec_col, dim, n_bits).alias("__bits"),
+            ).select("query_id", "__qvec", bk).select(
                 "query_id", "__qvec",
                 F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"),
             )
@@ -289,20 +293,23 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def lsh_band_keys(vec_sql: str, dim: int, n_bits: int, bands: int) -> Column:
-    """array<struct<band:int, key:string>>: the n_bits sign bits split into
-    `bands` contiguous segments — near-dup candidates share ANY band key
-    (higher recall than one exact n_bits match, at the same per-vector
-    hyperplane cost). SQL-text construction, see _sign_bit_sql."""
+def lsh_band_keys(bits_col: str, n_bits: int, bands: int) -> Column:
+    """array<struct<band:int, key:string>>: an ALREADY-COMPUTED sign-bit
+    string column (from `lsh_bucket`) split into `bands` contiguous
+    segments — near-dup candidates share ANY band key (higher recall than
+    one exact n_bits match, at the same per-vector hyperplane cost).
+
+    Takes the bits COLUMN, not the vector: HOF lambdas are interpreted
+    per element with no subexpression elimination, so inlining the
+    hyperplane expression here would re-execute all n_bits dot products
+    once per band. Callers stage `lsh_bucket(...)` in a prior select and
+    slice it."""
     assert n_bits % bands == 0, "n_bits must divide evenly into bands"
     per = n_bits // bands
-    # one copy of the bit-string expression, sliced per band inside a
-    # transform over the band indices (subexpression elimination then
-    # evaluates the bit string once per row)
     return F.expr(
         f"transform(sequence(0, {bands - 1}), b -> named_struct("
         f"'band', CAST(b AS INT), "
-        f"'key', substring({_bits_sql(vec_sql, dim, n_bits)}, b * {per} + 1, {per})))"
+        f"'key', substring({bits_col}, b * {per} + 1, {per})))"
     )
 
 
@@ -330,10 +337,14 @@ def embedding_near_duplicates(
     pair)."""
     from beacon_indexer_spark.operators.dedup import _pairs_from_buckets
 
-    keyed = vectors.select(
-        F.col(id_col).alias("id"),
-        F.explode(lsh_band_keys(vec_col, dim, n_bits, bands)).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    keyed = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            lsh_bucket(vec_col, dim, n_bits).alias("__bits"),
+        )
+        .select("id", F.explode(lsh_band_keys("__bits", n_bits, bands)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
     pairs = _pairs_from_buckets(keyed, "id", "band", "key", max_bucket=max_bucket)
     va = vectors.select(
         F.col(id_col).alias("id_a"),

@@ -40,6 +40,64 @@ def bpe_ish_token_count(text: ColumnOrName) -> Column:
     return F.size(bpe_ish_tokens(text))
 
 
+def pack_documents(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 512,
+    range_size: int = 1000,
+):
+    """Greedy sequential packing of documents into fixed-capacity token
+    windows (pretraining context packing): docs in id order fill window 0
+    until `capacity` tokens accumulate, then window 1, … Documents may
+    straddle a boundary (truncation-style packing); `pack_id` is the
+    window the document STARTS in. Returns (id, n_tokens, pack_id).
+
+    Scale shape — a distributed prefix sum, NOT one global window (a
+    single ORDER BY window funnels 100 TB through one partition): ids
+    bucket into contiguous ranges of `range_size`; per-bucket token sums
+    (tiny — one row per bucket) get an exclusive running total in a
+    bucket-count-sized window, broadcast back; the per-document prefix is
+    bucket offset + within-bucket exclusive cumsum, each window parallel
+    over buckets. Identical arithmetic to the global-order cumsum the
+    oracle computes.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(docs, DataFrame)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("__bucket", (F.col("id") / range_size).cast("long"))
+    bucket_sums = toks.groupBy("__bucket").agg(F.sum("n_tokens").alias("__bn"))
+    offsets = bucket_sums.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__bn").over(
+                Window.orderBy("__bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__bucket", "__off")
+    win = Window.partitionBy("__bucket").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        toks.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "__prefix",
+            F.col("__off") + F.coalesce(F.sum("n_tokens").over(win), F.lit(0)),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.expr(f"CAST(__prefix DIV {capacity} AS BIGINT)").alias("pack_id"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ):

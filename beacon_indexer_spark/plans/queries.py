@@ -1169,6 +1169,73 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (pretraining data prep): docs in id order
+    greedily fill 512-token windows — a distributed prefix sum (bucketed
+    two-phase cumsum, no global single-partition window;
+    operators/text.py pack_documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = X.pack_documents(docs, "doc_id", "text", capacity=512, range_size=100)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "pack_id",
+    )
+
+
+ORACLE_DOC_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_DD_TOKENS.format(c='text')}) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(prefix // 512 AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (curation stats): discrete
+    percentiles via the portable rank definition (smallest value whose
+    cumulative rank fraction reaches p) — identical in both engines with
+    no interpolation arithmetic to disagree on."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    ranked = docs.select(
+        "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).withColumn("rn", F.row_number().over(w))
+    counts = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(F.broadcast(counts), "lang")
+    aggs = []
+    for p in (25, 50, 75, 95):
+        aggs.append(
+            F.min(
+                F.when(F.col("rn") * 100 >= F.col("n") * p, F.col("n_chars"))
+            ).alias(f"p{p}")
+        )
+    return j.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+
+
+ORACLE_DOC_LENGTH_QUANTILES = """
+WITH ranked AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       MIN(CASE WHEN rn * 100 >= n * 25 THEN n_chars END) AS p25,
+       MIN(CASE WHEN rn * 100 >= n * 50 THEN n_chars END) AS p50,
+       MIN(CASE WHEN rn * 100 >= n * 75 THEN n_chars END) AS p75,
+       MIN(CASE WHEN rn * 100 >= n * 95 THEN n_chars END) AS p95
+FROM ranked GROUP BY lang
+"""
+
+
 def _oracle_similarity_ivf_sql(k: int = 8, nprobe: int = 2, topk: int = 5) -> str:
     """DuckDB mirror of q_similarity_ivf: md5-sampled centroids, the
     `-2·v·c + ||c||²` nearest-centroid ranking of ivf_assign, nprobe-probed
@@ -1263,6 +1330,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": q_dedup_clusters,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+    "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_length_quantiles": q_doc_length_quantiles,
 }
 
 
@@ -1302,4 +1371,6 @@ def oracles() -> dict[str, str]:
         "dedup_clusters": _oracle_dedup_clusters_sql(),
         "doc_sample_stratified": _oracle_doc_sample_stratified_sql(),
         "doc_tfidf_top_terms": ORACLE_DOC_TFIDF_TOP_TERMS,
+        "doc_pack_sequences": ORACLE_DOC_PACK_SEQUENCES,
+        "doc_length_quantiles": ORACLE_DOC_LENGTH_QUANTILES,
     }

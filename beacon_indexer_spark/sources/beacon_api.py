@@ -260,7 +260,14 @@ class FetchMetrics:
     publishes the totals into the driver's ``observability.METRICS``
     (counters ``beacon_indexer_fetch_slots_total`` /
     ``beacon_indexer_fetch_rows_total`` by loader), mirroring the
-    reference's chunk counters (observability.py:59-77)."""
+    reference's chunk counters (observability.py:59-77).
+
+    Accuracy caveat (Spark semantics): accumulator updates inside a
+    *transformation* are at-least-once — a retried or speculative task
+    re-adds its partial progress. These are throughput telemetry, not
+    exact accounting; the exact numbers are the ledger/progress manifests
+    (which the idempotent latest-wins writes keep correct under retries).
+    """
 
     def __init__(self, spark: SparkSession, loader_name: str):
         self.loader = loader_name

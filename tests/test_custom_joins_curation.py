@@ -58,6 +58,18 @@ def test_asof_join_tolerance(spark):
     assert out[(2, 100)] is None
 
 
+def test_asof_join_null_payload_not_stitched(spark):
+    # the matched right row travels atomically: a NULL column in the
+    # matched row must stay NULL, not backfill from an older right row
+    left = spark.createDataFrame([(1, 20)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 5, 3.0, "x"), (1, 10, 5.0, None)],
+        "k long, rts long, val double, typ string",
+    )
+    r = R.asof_join(left, right, ["k"], "lts", "rts").collect()[0]
+    assert (r["val"], r["typ"], r["asof_ts"]) == (5.0, None, 10)
+
+
 def test_asof_join_rejects_column_clash(spark):
     left, right = _asof_fixture(spark)
     import pytest
@@ -136,12 +148,27 @@ def test_connected_components_chain_and_clique(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    n = 12  # diameter > typical dup-cluster case; exercises the iteration
+    # diameter 40 ≫ typical dup clusters: without pointer jumping this
+    # needs 40 rounds; with path halving it converges well under max_iter
+    n = 40
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    got = {r["node"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components(pairs, max_iter=10).collect()
+    }
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=2)
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +195,26 @@ def test_stratified_hash_sample_rates(spark):
     ).collect()
     assert len(got) == 1000
     assert all(r["lang"] == "en" for r in got)
+
+
+def test_pack_documents_matches_naive_cumsum(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, " ".join("w" for _ in range(rnd.randrange(1, 40)))) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for range_size in (1, 7, 50, 1000):
+        got = {
+            r["id"]: r["pack_id"]
+            for r in X.pack_documents(
+                docs, "doc_id", "text", capacity=100, range_size=range_size
+            ).collect()
+        }
+        prefix, expected = 0, {}
+        for i, text in rows:  # already in id order
+            expected[i] = prefix // 100
+            prefix += len(text.split())
+        assert got == expected, f"range_size={range_size}"
 
 
 # ---------------------------------------------------------------------------

@@ -99,9 +99,14 @@ def test_embedding_near_dupes_cap_is_semantics_preserving(spark):
 
 def test_embedding_near_dupes_no_unbounded_rows(spark):
     # the candidate plan must never aggregate vectors into a bucket row:
-    # collect_set in the plan carries ids only
+    # collect_set in the plan carries ids only (max_bucket=None keeps the
+    # aggregation visible — the capped path hides it behind the checkpoint
+    # boundary but builds the identical aggregation)
     vecs = _vectors(spark)
-    plan = S.embedding_near_duplicates(vecs, dim=16, n_bits=8, bands=4)._jdf.queryExecution().optimizedPlan().toString()
+    plan = (
+        S.embedding_near_duplicates(vecs, dim=16, n_bits=8, bands=4, max_bucket=None)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
     assert "collect_set" in plan
     assert "collect_set(embedding" not in plan
     assert "collect_list" not in plan

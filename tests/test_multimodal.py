@@ -25,6 +25,15 @@ def test_external_format_raises_not_implemented():
         M.decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
 
 
+def test_truncated_audio_fails_loudly(spark):
+    # header declares 5 samples but the payload was cut: the feature
+    # extractor must raise, never emit silently-scaled rms/duration
+    good = M.encode_audio(16000, [100, 200, 300, 400, 500])
+    df = spark.createDataFrame([(1, good[:-4])], "doc_id long, content binary")
+    with pytest.raises(Exception, match="truncated AUD1"):
+        M.extract_audio_features(df).collect()
+
+
 def test_decode_images(spark):
     rows = [
         (1, M.encode_image(2, 2, 1, bytes([10, 20, 30, 40]))),
