@@ -174,6 +174,7 @@ METRICS = MetricsRegistry()
 _health_state: dict = {"status": "starting", "operation": ""}
 _health_lock = threading.Lock()
 _metrics_server = None
+_metrics_registry: MetricsRegistry | None = None
 
 
 def update_health(**kwargs) -> None:
@@ -193,17 +194,20 @@ def start_metrics_server(port: int = 9090, registry: MetricsRegistry | None = No
     the same port; a second call with a DIFFERENT port is an error (the
     silent-return alternative leaves the caller believing the new port is
     served)."""
-    global _metrics_server
+    global _metrics_server, _metrics_registry
+    reg = registry or METRICS
     if _metrics_server is not None:
         if _metrics_server.server_address[1] != port:
             raise RuntimeError(
                 f"metrics server already running on port "
                 f"{_metrics_server.server_address[1]}, refusing {port}"
             )
+        if _metrics_registry is not reg:
+            raise RuntimeError(
+                "metrics server already serving a different registry"
+            )
         return _metrics_server
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-    reg = registry or METRICS
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 — http.server API
@@ -230,4 +234,5 @@ def start_metrics_server(port: int = 9090, registry: MetricsRegistry | None = No
     server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     _metrics_server = server
+    _metrics_registry = reg
     return server

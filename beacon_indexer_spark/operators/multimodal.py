@@ -55,6 +55,13 @@ def decode_image_bytes(buf: bytes) -> tuple[int, int, int, bytes]:
     if buf[:4] != IMG_MAGIC:
         raise _external_decode_error("image")
     w, h, c = struct.unpack(">HHB", buf[4:9])
+    if len(buf) < 9 + w * h * c:
+        # fail loudly: a truncated payload must not yield a short pixel
+        # buffer and silently-wrong downstream stats
+        raise ValueError(
+            f"truncated IMG1 payload: header declares {w * h * c} pixel "
+            f"bytes, buffer holds {len(buf) - 9}"
+        )
     return w, h, c, buf[9 : 9 + w * h * c]
 
 
@@ -87,6 +94,11 @@ def decode_video_bytes(buf: bytes) -> tuple[int, int, int, list[bytes]]:
         raise _external_decode_error("video")
     n, w, h, c = struct.unpack(">HHHB", buf[4:11])
     fsz = w * h * c
+    if len(buf) < 11 + n * fsz:
+        raise ValueError(
+            f"truncated VID1 payload: header declares {n} frames of {fsz} "
+            f"bytes, buffer holds {len(buf) - 11}"
+        )
     frames = [buf[11 + i * fsz : 11 + (i + 1) * fsz] for i in range(n)]
     return w, h, c, frames
 

@@ -150,12 +150,13 @@ def asof_join(
         [T.StructField("__rts", right.schema[right_ts].dataType)]
         + [T.StructField(c, right.schema[c].dataType) for c in rpay]
     )
+    tb_type = right.schema[tiebreak].dataType if tiebreak else T.IntegerType()
     l2 = left.select(
         *keys,
         *lpay,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__src"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.lit(None).cast(pack_type).alias("__rpack"),
     )
     r2 = right.select(
@@ -163,7 +164,9 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__src"),
-        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0)).alias("__tb"),
+        # native type, never a numeric cast: casting would crash string
+        # tiebreaks under ANSI and truncate decimals into spurious ties
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
         F.struct(
             F.col(right_ts).alias("__rts"), *[F.col(c) for c in rpay]
         ).alias("__rpack"),
@@ -171,7 +174,11 @@ def asof_join(
     u = l2.unionByName(r2)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.asc("__ts"), F.asc("__src"), F.asc_nulls_last("__tb"))
+        # nulls FIRST: with ascending order the LAST row wins, so a
+        # NULL-tiebreak right row must sort earliest and lose to any
+        # non-null one (mirrors the oracle's `tiebreak DESC NULLS LAST`
+        # pick-first formulation)
+        .orderBy(F.asc("__ts"), F.asc("__src"), F.asc_nulls_first("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (

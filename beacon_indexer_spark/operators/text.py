@@ -69,6 +69,10 @@ def pack_documents(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     ).withColumn("__bucket", (F.col("id") / range_size).cast("long"))
+    # both the bucket-sum branch and the final join consume toks; without
+    # this the corpus is regex-tokenized twice (lazy checkpoint → the tiny
+    # (id, n_tokens, bucket) projection materializes once on first use)
+    toks = toks.localCheckpoint(eager=False)
     bucket_sums = toks.groupBy("__bucket").agg(F.sum("n_tokens").alias("__bn"))
     offsets = bucket_sums.withColumn(
         "__off",

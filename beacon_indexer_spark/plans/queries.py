@@ -1205,10 +1205,13 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative rank fraction reaches p) — identical in both engines with
     no interpolation arithmetic to disagree on."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars")
+    # nulls_last matches DuckDB's ORDER BY default so ranks agree if
+    # n_chars is ever NULL; rn cast long before *100 (row_number is int —
+    # a >21.4M-row language would overflow 32 bits)
+    w = Window.partitionBy("lang").orderBy(F.asc_nulls_last("n_chars"))
     ranked = docs.select(
         "lang", F.col("n_chars").cast("long").alias("n_chars")
-    ).withColumn("rn", F.row_number().over(w))
+    ).withColumn("rn", F.row_number().over(w).cast("long"))
     counts = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     j = ranked.join(F.broadcast(counts), "lang")
     aggs = []

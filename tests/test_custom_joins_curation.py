@@ -70,6 +70,28 @@ def test_asof_join_null_payload_not_stitched(spark):
     assert (r["val"], r["typ"], r["asof_ts"]) == (5.0, None, 10)
 
 
+def test_asof_join_null_tiebreak_loses(spark):
+    # a NULL-tiebreak right row at a tied timestamp must lose to any
+    # non-null tiebreak (matches the oracle's DESC NULLS LAST pick)
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 100, 5, "real"), (1, 100, None, "null-tb")],
+        "k long, rts long, rid long, tag string",
+    )
+    r = R.asof_join(left, right, ["k"], "lts", "rts", tiebreak="rid").collect()[0]
+    assert (r["rid"], r["tag"]) == (5, "real")
+
+
+def test_asof_join_string_tiebreak(spark):
+    # non-numeric tiebreaks order natively (no numeric cast)
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 100, "b")], "k long, rts long, rid string"
+    )
+    r = R.asof_join(left, right, ["k"], "lts", "rts", tiebreak="rid").collect()[0]
+    assert r["rid"] == "b"
+
+
 def test_asof_join_rejects_column_clash(spark):
     left, right = _asof_fixture(spark)
     import pytest

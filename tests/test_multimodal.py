@@ -25,6 +25,15 @@ def test_external_format_raises_not_implemented():
         M.decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
 
 
+def test_truncated_image_and_video_fail_loudly():
+    img = M.encode_image(2, 2, 3, bytes(range(12)))
+    with pytest.raises(ValueError, match="truncated IMG1"):
+        M.decode_image_bytes(img[:-3])
+    vid = M.encode_video(2, 2, 1, [bytes([i] * 4) for i in range(3)])
+    with pytest.raises(ValueError, match="truncated VID1"):
+        M.decode_video_bytes(vid[:-2])
+
+
 def test_truncated_audio_fails_loudly(spark):
     # header declares 5 samples but the payload was cut: the feature
     # extractor must raise, never emit silently-scaled rms/duration
