@@ -36,6 +36,28 @@ SESSION_OUTPUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "start long, last long, n long"
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming dedup: emit the first arrival of each key and
+    drop re-deliveries (re-fetches, at-least-once sources) arriving within
+    the watermark horizon. State is bounded by the watermark — Spark
+    expires a key's dedup state once event time passes `ts + watermark`,
+    so a key seen again AFTER the horizon re-emits (by design: for
+    re-org-scale lateness the lake's latest-wins read is the backstop,
+    SURVEY §2.12 late-dup handling).
+
+    This is the Spark-native `dropDuplicatesWithinWatermark` — bounded
+    state, exactly-once effect per horizon — versus the batch path's
+    structural dedup (append everything, collapse at read time). Use this
+    in front of an append sink that is NOT read through `latest()`.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_s: int = 1800,

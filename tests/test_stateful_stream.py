@@ -5,7 +5,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-from beacon_indexer_spark.streaming.stateful import sessionize_stream
+from beacon_indexer_spark.streaming.stateful import dedup_stream, sessionize_stream
 
 T0 = dt.datetime(2024, 6, 1, 12, 0, 0)
 
@@ -31,6 +31,42 @@ def _run_stream(spark, src, ckpt, out_dir):
     return spark.read.schema(
         "user_id long, session_start timestamp, session_end timestamp, n_events long"
     ).parquet(out_dir)
+
+
+def test_dedup_stream_drops_redeliveries_across_batches(spark, tmp_path):
+    src = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "dckpt")
+    out = str(tmp_path / "deduped")
+
+    def run():
+        stream = spark.readStream.schema("slot long, ts timestamp").parquet(src)
+        q = (
+            dedup_stream(stream, ["slot"], "ts", watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.schema("slot long, ts timestamp").parquet(out)
+
+    def write(rows):
+        spark.createDataFrame(rows, "slot long, ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: slot 10 delivered twice in-batch, slot 11 once
+    write([(10, T0), (10, T0 + dt.timedelta(seconds=5)), (11, T0)])
+    got1 = sorted(r["slot"] for r in run().collect())
+    assert got1 == [10, 11]
+
+    # batch 2: slot 10 re-delivered within the watermark (dropped via
+    # checkpointed state), slot 12 new
+    write([(10, T0 + dt.timedelta(minutes=5)), (12, T0 + dt.timedelta(minutes=5))])
+    got2 = sorted(r["slot"] for r in run().collect())
+    assert got2 == [10, 11, 12]
 
 
 def test_sessionize_stream_across_batches(spark, tmp_path):
