@@ -1239,6 +1239,65 @@ FROM ranked GROUP BY lang
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding corpus + reconstruction
+    error (training-data shipping / ANN shortlist compression;
+    operators/similarity.py quantize_embedding). Narrow map, no shuffle."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    scale, q = S.quantize_embedding(F.col("embedding"), bits=8)
+    staged = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").alias("__v"),
+        scale.alias("__scale"),
+        q.alias("__q"),
+    )
+    deq = S.dequantize_embedding(F.col("__q"), F.col("__scale"))
+    err = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("__v"), lambda x: x.cast("double")),
+            deq,
+            lambda a, b: F.abs(a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return staged.select(
+        "vec_id",
+        F.round("__scale", 6).alias("scale"),
+        F.aggregate(
+            F.col("__q"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (a, b) -> greatest(a, b)) / 127.0 AS scale,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings),
+q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(dv, x -> CAST(floor(x / scale + 0.5) AS INT))
+              ELSE list_transform(dv, x -> 0) END AS qv,
+         dv
+  FROM s)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(scale, 6) AS scale,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(qv, x -> CAST(abs(x) AS BIGINT))), (a, b) -> a + b) AS q_l1,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(generate_series(1, len(dv)),
+           i -> abs(dv[i] - CAST(qv[i] AS DOUBLE) * scale))),
+         (a, b) -> greatest(a, b)), 6) AS max_abs_err
+FROM q
+"""
+
+
 def _oracle_similarity_ivf_sql(k: int = 8, nprobe: int = 2, topk: int = 5) -> str:
     """DuckDB mirror of q_similarity_ivf: md5-sampled centroids, the
     `-2·v·c + ||c||²` nearest-centroid ranking of ivf_assign, nprobe-probed
@@ -1335,6 +1394,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 
@@ -1376,4 +1436,5 @@ def oracles() -> dict[str, str]:
         "doc_tfidf_top_terms": ORACLE_DOC_TFIDF_TOP_TERMS,
         "doc_pack_sequences": ORACLE_DOC_PACK_SEQUENCES,
         "doc_length_quantiles": ORACLE_DOC_LENGTH_QUANTILES,
+        "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     }

@@ -87,6 +87,26 @@ def test_lsh_topk_shapes(vectors):
     assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in got)
 
 
+def test_quantize_roundtrip_error_bound(spark, vectors):
+    from pyspark.sql import functions as F
+
+    scale, q = S.quantize_embedding(F.col("embedding"), bits=8)
+    staged = vectors.select("vec_id", "embedding", scale.alias("s"), q.alias("q"))
+    rows = staged.withColumn(
+        "deq", S.dequantize_embedding(F.col("q"), F.col("s"))
+    ).collect()
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r["q"])
+        # reconstruction error bounded by half a quantization step
+        for orig, back in zip(r["embedding"], r["deq"]):
+            assert abs(orig - back) <= r["s"] / 2 + 1e-12
+    # zero vector: scale 0, all-zero codes
+    z = spark.createDataFrame([(0, [0.0] * 4)], "vec_id long, embedding array<double>")
+    zs, zq = S.quantize_embedding(F.col("embedding"), bits=8)
+    zr = z.select(zs.alias("s"), zq.alias("q")).collect()[0]
+    assert zr["s"] == 0.0 and zr["q"] == [0, 0, 0, 0]
+
+
 def test_lsh_topk_multiband_recall_dominates_single_bucket(vectors):
     """Banded probing (share ANY 4-bit band of 16) must recall at least as
     many true neighbors as one exact 16-bit bucket — and with clustered
