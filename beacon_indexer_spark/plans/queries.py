@@ -1244,12 +1244,19 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     error (training-data shipping / ANN shortlist compression;
     operators/similarity.py quantize_embedding). Narrow map, no shuffle."""
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    scale, q = S.quantize_embedding(F.col("embedding"), bits=8)
-    staged = emb.select(
+    # two-step: scale staged as a column FIRST, codes reference it (the
+    # O(d) scale aggregate inlined in the per-element lambda would be
+    # O(d^2) per row — no subexpression elimination inside HOF lambdas)
+    with_scale = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding").alias("__v"),
-        scale.alias("__scale"),
-        q.alias("__q"),
+        S.quantize_scale(F.col("embedding"), bits=8).alias("__scale"),
+    )
+    staged = with_scale.select(
+        "vec_id",
+        "__v",
+        "__scale",
+        S.quantize_codes(F.col("__v"), F.col("__scale")).alias("__q"),
     )
     deq = S.dequantize_embedding(F.col("__q"), F.col("__scale"))
     err = F.aggregate(

@@ -90,8 +90,9 @@ def test_lsh_topk_shapes(vectors):
 def test_quantize_roundtrip_error_bound(spark, vectors):
     from pyspark.sql import functions as F
 
-    scale, q = S.quantize_embedding(F.col("embedding"), bits=8)
-    staged = vectors.select("vec_id", "embedding", scale.alias("s"), q.alias("q"))
+    staged = vectors.select(
+        "vec_id", "embedding", S.quantize_scale(F.col("embedding"), bits=8).alias("s")
+    ).withColumn("q", S.quantize_codes(F.col("embedding"), F.col("s")))
     rows = staged.withColumn(
         "deq", S.dequantize_embedding(F.col("q"), F.col("s"))
     ).collect()
@@ -102,8 +103,11 @@ def test_quantize_roundtrip_error_bound(spark, vectors):
             assert abs(orig - back) <= r["s"] / 2 + 1e-12
     # zero vector: scale 0, all-zero codes
     z = spark.createDataFrame([(0, [0.0] * 4)], "vec_id long, embedding array<double>")
-    zs, zq = S.quantize_embedding(F.col("embedding"), bits=8)
-    zr = z.select(zs.alias("s"), zq.alias("q")).collect()[0]
+    zr = (
+        z.select("embedding", S.quantize_scale(F.col("embedding"), bits=8).alias("s"))
+        .select("s", S.quantize_codes(F.col("embedding"), F.col("s")).alias("q"))
+        .collect()[0]
+    )
     assert zr["s"] == 0.0 and zr["q"] == [0, 0, 0, 0]
 
 
