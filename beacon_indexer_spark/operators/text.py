@@ -40,6 +40,54 @@ def bpe_ish_token_count(text: ColumnOrName) -> Column:
     return F.size(bpe_ish_tokens(text))
 
 
+def _exclusive_prefix(
+    sums, key: str, val: str, out: str, fan: int = 65536, _level: int = 0
+):
+    """Distributed exclusive prefix sum over integer-keyed rows:
+    ``out = sum(val) over all rows with key' < key``.
+
+    EVERY window is partitioned (bounded fan-in — no unpartitioned window
+    anywhere, at any input size): keys group into super-keys of ``fan``
+    (integer DIV — trunc-toward-zero, monotone, so grouping preserves key
+    order), the within-super exclusive cumsum windows over ≤ 2·fan rows
+    per partition, and the super totals recurse. Depth is static from key
+    bit-width: ceil(64 / log2(fan)) levels (4 at the default fan=65536),
+    after which ANY 64-bit key has collapsed to exactly 0 — the terminal
+    level is one group whose exclusive prefix is identically zero, no
+    window needed. Each level is a tiny map-side-combined groupBy + a
+    broadcast join back.
+    """
+    import math
+
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(sums, DataFrame)
+    assert fan >= 2, "fan must be >= 2"
+    if _level >= math.ceil(64 / math.log2(fan)):
+        # keys here are x DIV fan^depth with fan^depth >= 2^64: every
+        # 64-bit long collapses to 0, so there is exactly one group and
+        # nothing precedes it
+        return sums.withColumn(out, F.lit(0).cast("long"))
+    sup = f"__sup{_level}"
+    lv = sums.withColumn(sup, F.expr(f"CAST({key} DIV {fan} AS BIGINT)"))
+    w = (
+        Window.partitionBy(sup)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = lv.withColumn("__within", F.coalesce(F.sum(val).over(w), F.lit(0)))
+    supoff = f"__supoff{_level}"
+    sup_sums = lv.groupBy(sup).agg(F.sum(val).alias("__supsum"))
+    sup_off = _exclusive_prefix(
+        sup_sums, sup, "__supsum", supoff, fan, _level + 1
+    ).select(sup, supoff)
+    return (
+        within.join(F.broadcast(sup_off), sup)
+        .withColumn(out, F.col(supoff) + F.col("__within"))
+        .drop(sup, "__within", supoff)
+    )
+
+
 def pack_documents(
     docs,
     id_col: str = "doc_id",
@@ -56,11 +104,12 @@ def pack_documents(
     Scale shape — a distributed prefix sum, NOT one global window (a
     single ORDER BY window funnels 100 TB through one partition): ids
     bucket into contiguous ranges of `range_size`; per-bucket token sums
-    (tiny — one row per bucket) get an exclusive running total in a
-    bucket-count-sized window, broadcast back; the per-document prefix is
-    bucket offset + within-bucket exclusive cumsum, each window parallel
-    over buckets. Identical arithmetic to the global-order cumsum the
-    oracle computes.
+    (tiny — one row per bucket) get an exclusive running total via the
+    recursive bounded-fan-in `_exclusive_prefix` (every level's window is
+    partitioned, ≤ 65536 rows per partition, static depth from the 64-bit
+    key width), broadcast back; the per-document prefix is bucket offset +
+    within-bucket exclusive cumsum, each window parallel over buckets.
+    Identical arithmetic to the global-order cumsum the oracle computes.
     """
     from pyspark.sql import DataFrame, Window
 
@@ -74,17 +123,9 @@ def pack_documents(
     # (id, n_tokens, bucket) projection materializes once on first use)
     toks = toks.localCheckpoint(eager=False)
     bucket_sums = toks.groupBy("__bucket").agg(F.sum("n_tokens").alias("__bn"))
-    offsets = bucket_sums.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__bn").over(
-                Window.orderBy("__bucket").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("__bucket", "__off")
+    offsets = _exclusive_prefix(bucket_sums, "__bucket", "__bn", "__off").select(
+        "__bucket", "__off"
+    )
     win = Window.partitionBy("__bucket").orderBy("id").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -1203,25 +1203,42 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length quantiles (curation stats): discrete
     percentiles via the portable rank definition (smallest value whose
     cumulative rank fraction reaches p) — identical in both engines with
-    no interpolation arithmetic to disagree on."""
+    no interpolation arithmetic to disagree on.
+
+    Scale shape — a VALUE HISTOGRAM, never a per-row rank: ranking every
+    document inside one per-language window funnels that language's whole
+    corpus through a single task (English at ~half a 100 TB corpus = one
+    ~50 TB partition). Exact quantiles don't need per-row ranks: the
+    map-side-combined groupBy(lang, n_chars) histogram is bounded by
+    DISTINCT lengths (thousands of rows per language, not billions), the
+    cumulative window runs over those histogram rows, and the max rank of
+    a value v is exactly its inclusive cumulative count — so "smallest
+    value whose rank reaches p" is unchanged. The only per-row shuffle is
+    the partial-aggregated histogram groupBy."""
     docs = _t(spark, sf_dir, "documents")
-    # nulls_last matches DuckDB's ORDER BY default so ranks agree if
-    # n_chars is ever NULL; rn cast long before *100 (row_number is int —
-    # a >21.4M-row language would overflow 32 bits)
-    w = Window.partitionBy("lang").orderBy(F.asc_nulls_last("n_chars"))
-    ranked = docs.select(
-        "lang", F.col("n_chars").cast("long").alias("n_chars")
-    ).withColumn("rn", F.row_number().over(w).cast("long"))
-    counts = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    j = ranked.join(F.broadcast(counts), "lang")
+    hist = (
+        docs.select("lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .groupBy("lang", "n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # nulls_last matches DuckDB's ORDER BY default so cumulative ranks
+    # agree if n_chars is ever NULL
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.asc_nulls_last("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("crank", F.sum("cnt").over(w))
+    totals = hist.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    j = cum.join(F.broadcast(totals), "lang")
     aggs = []
     for p in (25, 50, 75, 95):
         aggs.append(
             F.min(
-                F.when(F.col("rn") * 100 >= F.col("n") * p, F.col("n_chars"))
+                F.when(F.col("crank") * 100 >= F.col("n") * p, F.col("n_chars"))
             ).alias(f"p{p}")
         )
-    return j.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+    return j.groupBy("lang").agg(F.sum("cnt").alias("n_docs"), *aggs)
 
 
 ORACLE_DOC_LENGTH_QUANTILES = """

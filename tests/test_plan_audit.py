@@ -65,6 +65,37 @@ def test_scans_prune_columns(plans):
     assert "PushedFilters: [I" in plan or "PushedFilters: [G" in plan
 
 
+def test_no_unpartitioned_windows(plans):
+    # A window with no PARTITION BY funnels the whole input through one
+    # task — the textbook 100-TB scale-killer. In the executed-plan text an
+    # unpartitioned window's windowspecdefinition starts directly with an
+    # ordering expression ("col#1L ASC NULLS ..."), while a partitioned one
+    # starts with the partition columns. None are allowed anywhere in the
+    # declared surface (doc_pack_sequences uses the bounded-fan-in
+    # recursive prefix sum; doc_length_quantiles windows over a value
+    # histogram — both fully partitioned).
+    unpart = re.compile(
+        r"windowspecdefinition\([^,()]+ (?:ASC|DESC) NULLS"
+    )
+    bad = {n: unpart.findall(p) for n, p in plans.items() if unpart.search(p)}
+    assert not bad, f"unpartitioned windows in: {bad}"
+
+
+def test_quantiles_window_runs_over_histogram(plans):
+    # doc_length_quantiles must rank a per-language VALUE HISTOGRAM, not
+    # per-document rows: the Window's input subtree must aggregate before
+    # the scan (groupBy(lang, n_chars)) so the window row count is bounded
+    # by distinct lengths, never corpus size.
+    plan = plans["doc_length_quantiles"]
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if re.search(r"\bWindow\b", l)]
+    assert win_idx, "no Window in quantiles plan"
+    below = "\n".join(lines[win_idx[0]:])
+    assert "HashAggregate" in below, (
+        "quantiles window does not sit above the histogram aggregate"
+    )
+
+
 def test_no_driver_collect_in_query_plans():
     # queries must return lazy DataFrames; the only driver-side collect in
     # the surface is the IVF centroid sample (k rows, documented) and the
