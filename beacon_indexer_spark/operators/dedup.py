@@ -153,6 +153,17 @@ def _pairs_from_buckets(
     quadratic output is spread across shuffle partitions instead of one
     row (AQE skew-split then subdivides it further). Semantics-preserving:
     the cap changes the physical plan only, never the result.
+
+    Cost gating: with a cap set, the bucket aggregation is materialized
+    ONCE (lazy localCheckpoint — the overflow plan would otherwise
+    recompute the whole upstream per branch; verified 0 ReusedExchange),
+    then a cheap probe on the materialized buckets decides whether any
+    bucket actually overflows. The common clean case (no bucket > cap —
+    every non-pathological corpus) pays only the probe and skips the
+    overflow branches and their union entirely, so the plan matches the
+    uncapped one reading from the checkpoint. The probe is an eager
+    action at plan-construction time — deliberate: it is how the physical
+    plan is chosen, exactly like AQE's runtime re-planning.
     """
     grouped = (
         keyed.groupBy(*bucket_cols)
@@ -160,21 +171,20 @@ def _pairs_from_buckets(
         .filter(F.size("__ids") > 1)
     )
     if max_bucket is not None:
-        # the capped plan references `grouped` from three branches (in-row,
-        # big-filter, and both sides of the overflow self-join) and Spark
-        # does NOT reuse the exchange across them (verified: 0
-        # ReusedExchange, 3 upstream scans). A lazy localCheckpoint
-        # materializes the aggregation once on first use; every branch
-        # then reads the persisted result.
         grouped = grouped.localCheckpoint(eager=False)
-    in_row = grouped if max_bucket is None else grouped.filter(
+        has_overflow = not grouped.filter(
+            F.size("__ids") > max_bucket
+        ).isEmpty()
+    else:
+        has_overflow = False
+    in_row = grouped if not has_overflow else grouped.filter(
         F.size("__ids") <= max_bucket
     )
     pairs = (
         in_row.select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
     )
-    if max_bucket is not None:
+    if has_overflow:
         big = grouped.filter(F.size("__ids") > max_bucket)
         ex = big.select(*bucket_cols, F.explode("__ids").alias("__id"))
         big_pairs = (
@@ -317,6 +327,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_corpus_overlap(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_common: int = 2,
+) -> DataFrame:
+    """Training-data decontamination: (train_id, eval_id, n_common) for
+    every train document sharing at least ``min_common`` distinct n-gram
+    shingles with an eval/benchmark document.
+
+    Scale shape: the eval side is a BENCHMARK SET — thousands of docs
+    against a 100 TB corpus — so its exploded (shingle, eval_id) set is
+    broadcast and the corpus side never shuffles for the join; the only
+    corpus-wide shuffle is the (train_id, eval_id) hit count, whose
+    cardinality is bounded by actual contamination. Standard 13-gram
+    decontamination is this exact plan with ``shingle_n=13``.
+    """
+    tr = shingle_sets(train, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    ev = shingle_sets(evalset, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -334,7 +377,12 @@ def connected_components(
     if the cap is still hit: silently returning partially-converged labels
     would split one duplicate cluster into several. Each round is two
     equi-joins + a map-side-combined min agg — O(|E|) shuffle per round,
-    nothing driver-side but the convergence counter.
+    nothing driver-side but the convergence counter. Convergence is
+    detected in the SAME job that materializes the round (ONE job per
+    round): each node's previous label rides through the union as
+    ``__old`` (max-folded in the same aggregate), and an ``observe``
+    metric counts improved labels while the checkpoint executes — no
+    separate join+count job.
 
     Every round's result is ``localCheckpoint``ed: an iterative plan that
     references the previous round twice (label union + convergence join)
@@ -343,6 +391,8 @@ def connected_components(
     the materialized result (on a durable cluster job, swap in
     ``checkpoint()`` with a checkpoint dir for executor-loss resilience).
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -355,10 +405,11 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    null_l = F.lit(None).cast(pairs.schema[id_a].dataType)
+    for i in range(max_iter):
         neighbor = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "label")
+        ).select(F.col("dst").alias("node"), "label", null_l.alias("__old"))
         # pointer jump (path halving): node's label → that label's label —
         # doubles propagation distance per round, turning long chains from
         # O(diameter) into O(log diameter)
@@ -370,22 +421,27 @@ def connected_components(
                 ),
                 "__via",
             )
-            .select("node", "label")
+            .select("node", "label", null_l.alias("__old"))
         )
+        # every node has exactly ONE row from the labels branch, so
+        # max(__old) recovers its previous label inside the same aggregate
+        own = labels.select("node", "label", F.col("label").alias("__old"))
+        obs = Observation(f"cc_round_{i}")
         merged = (
-            labels.unionByName(neighbor)
+            own.unionByName(neighbor)
             .unionByName(jumped)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("__old").alias("__old"))
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") < F.col("__old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            merged.join(labels.withColumnRenamed("label", "__old"), "node")
-            .filter(F.col("label") < F.col("__old"))
-            .count()
-        )
-        labels = merged
-        if changed == 0:
+        labels = merged.select("node", "label")
+        if obs.get["changed"] == 0:
             break
     else:
         raise RuntimeError(

@@ -132,6 +132,19 @@ def asof_join(
     expand every (left, right) in-range pair before picking one; this
     never materializes more than left+right rows. Both ts columns must be
     the same orderable type (use epoch longs for cross-type joins).
+
+    Skew: the per-key window sends ALL rows of one key through one task.
+    For natural keys (per-customer, per-slot) that is the right bound, but
+    a HOT key — a null/default sentinel id holding a large fraction of
+    rows — straggles or OOMs that task. Mitigations, in preference order:
+    (1) pre-filter sentinel keys (they rarely want an as-of match at all;
+    re-attach with null match columns afterwards — see
+    tests/test_custom_joins_curation.py's skew test); (2) if the hot key
+    is legitimate, salt it: split its LEFT rows into S salt groups, copy
+    the key's right rows into every group (right side is usually the
+    small one), run the as-of per (key, salt), and union — the window
+    arithmetic is unchanged within each salt group because every left row
+    still sees the full right history of its key.
     """
     from pyspark.sql import Window
     from pyspark.sql import types as T

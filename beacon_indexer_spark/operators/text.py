@@ -143,6 +143,56 @@ def pack_documents(
     )
 
 
+def repetition_stats(
+    docs, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+):
+    """Within-document repetition profile (Gopher-style repetition filter):
+    per document, the total and distinct n-gram shingle counts, the
+    duplicate-shingle fraction, and the highest single-shingle frequency.
+    Returns (id, n_shingles, n_distinct, dup_ratio, top_freq).
+
+    Scale shape: explode + two map-side-combined aggregations — the
+    shuffle carries (id, shingle) pairs exactly like the dedup blocking
+    paths, never an in-row O(distinct x total) HOF scan (quadratic for a
+    highly repetitive long document, the very thing this op exists to
+    catch). Documents too short to produce a shingle keep a row with
+    zeros via the left join back to the id spine.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(docs, DataFrame)
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    per = (
+        sh.groupBy("id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_freq"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("id"))
+    return (
+        spine.join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                1.0 - F.col("n_distinct") / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+            F.coalesce("top_freq", F.lit(0)).alias("top_freq"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ):
@@ -305,9 +355,23 @@ def sorted_token_fingerprint(text: ColumnOrName) -> Column:
 
 
 def word_shingles(text: ColumnOrName, n: int = 3) -> Column:
-    """n-gram word shingles as array<string> (space-joined windows)."""
+    """n-gram word shingles as array<string> (space-joined windows).
+
+    Built by zipping the token array with its own shifted copies — every
+    lambda uses ONLY its arguments, so the regexp tokenizer evaluates once
+    per row (an index-based ``transform(idx, i -> slice(tk, i, n))`` puts
+    ``tk`` inside the lambda body, where HOF evaluation re-runs it per
+    element with no subexpression elimination — O(len²) tokenize work).
+    ``zip_with`` pads the shorter side with null and ``concat`` nulls
+    propagate, so the padded tail filters out; documents shorter than one
+    shingle yield an EMPTY array, never an error (the old sequence-based
+    bound produced the DESCENDING sequence [1, 0] for them, and
+    slice(tk, 0, n) raises under ANSI)."""
     tk = tokens(F.lower(_col(text)))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(tk, i, n), " ")
+    cur = tk
+    for k in range(1, n):
+        shifted = F.slice(tk, k + 1, F.greatest(F.size(tk) - k, F.lit(0)))
+        cur = F.zip_with(cur, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.coalesce(
+        F.filter(cur, lambda s: s.isNotNull()), F.array().cast("array<string>")
     )

@@ -916,8 +916,13 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # modest parallelism on purpose: two chained Python stages over tiny
     # per-partition batches pay more in Arrow round-trips than they gain
-    # from extra cores at this row count
-    docs = _t(spark, sf_dir, "documents").repartition(8).select("doc_id", "text")
+    # from extra cores at this row count. Scales with the cluster (a
+    # quarter of the available slots — bigger Arrow batches per worker)
+    # with a floor of 8 so small drivers still parallelize the decode.
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    docs = (
+        _t(spark, sf_dir, "documents").repartition(n_parts).select("doc_id", "text")
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -1381,6 +1386,186 @@ FROM tk WHERE rank <= {topk}
 """
 
 
+# ===========================================================================
+# Curation round 3: repetition, decontamination, quality gates, churn
+# ===========================================================================
+
+def q_doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition profile: duplicate 3-gram
+    shingle fraction + hottest shingle frequency per document
+    (operators/text.py repetition_stats — explode + two map-side-combined
+    aggs, never an in-row quadratic scan)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = X.repetition_stats(docs, "doc_id", "text", shingle_n=3)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("dup_ratio", 6).alias("dup_ratio"),
+        F.col("top_freq").cast("long").alias("top_freq"),
+    )
+
+
+def _dd_shingles_all(n: int = 3) -> str:
+    """DuckDB expression for ALL (non-distinct) n-gram word shingles."""
+    toks = _DD_TOKENS.format(c="text")
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)),"
+        f" i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+
+
+ORACLE_DOC_REPETITION_RATIO = f"""
+WITH s AS (SELECT doc_id, {_dd_shingles_all(3)} AS sh FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN len(sh) > 0
+             THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+             ELSE 0.0 END, 6) AS dup_ratio,
+       CAST(CASE WHEN len(sh) = 0 THEN 0 ELSE
+         list_max(list_transform(list_distinct(sh),
+                                 d -> len(list_filter(sh, x -> x = d))))
+       END AS BIGINT) AS top_freq
+FROM s
+"""
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train documents sharing >= 2 distinct
+    3-gram shingles with any eval-set document (eval = doc_id % 50 == 0 —
+    a stand-in benchmark sample; production uses 13-gram shingles, same
+    plan). The eval shingle set broadcasts; the corpus never shuffles for
+    the join (operators/dedup.py cross_corpus_overlap)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    out = D.cross_corpus_overlap(tr, ev, "doc_id", "text", shingle_n=3, min_common=2)
+    return out.select(
+        F.col("train_id").cast("long").alias("train_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        F.col("n_common").cast("long").alias("n_common"),
+    )
+
+
+ORACLE_DOC_DECONTAMINATE = f"""
+WITH s AS (SELECT doc_id, unnest({_dd_shingles()}) AS shingle FROM documents),
+ev AS (SELECT doc_id AS eval_id, shingle FROM s WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id AS train_id, shingle FROM s WHERE doc_id % 50 <> 0)
+SELECT CAST(train_id AS BIGINT) AS train_id,
+       CAST(eval_id AS BIGINT) AS eval_id,
+       COUNT(*) AS n_common
+FROM tr JOIN ev USING (shingle)
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation quality gate pass-rates per language: quality_score >= 0.5
+    AND token count in [10, 1000] (Gopher-ish length bounds). Per-doc
+    quality is rounded to 6dp and summed as DECIMAL so the cross-engine
+    aggregate is exact regardless of partition order."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "lang",
+        F.round(X.quality_score("text"), 6).cast("decimal(10,6)").alias("q6"),
+        X.token_count("text").alias("nt"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("q6") >= 0.5) & F.col("nt").between(10, 1000), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_pass"),
+            F.sum("q6").cast("double").alias("sum_quality"),
+        )
+        .withColumn(
+            "pass_rate", F.round(F.col("n_pass") / F.col("n_docs"), 6)
+        )
+    )
+
+
+# quality formula mirror: see ORACLE_DOC_TEXT_STATS
+ORACLE_DOC_QUALITY_FILTER = r"""
+WITH t AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct
+  FROM documents),
+m AS (
+  SELECT lang, len(toks) AS nt, n_chars, n_punct,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl
+  FROM t),
+q AS (
+  SELECT lang, nt,
+         CAST(round((least(n_chars / 500.0, 1.0) * 0.4
+           + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
+           + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
+           * (CASE WHEN nt > 0 THEN 1.0 ELSE 0.0 END), 6) AS DECIMAL(10,6)) AS q6
+  FROM m)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q6 >= 0.5 AND nt BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(q6) AS DOUBLE) AS sum_quality,
+       round(CAST(SUM(CASE WHEN q6 >= 0.5 AND nt BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pass_rate
+FROM q GROUP BY lang
+"""
+
+
+def q_events_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff analytics (the reference's pending-queue day-over-day
+    diff pattern, SURVEY §2.6/§1.4, applied to user activity): per day the
+    active user count, first-ever-seen users, and users also active the
+    previous day. Distinct (user, day) pairs diff against themselves
+    shifted one day — two equi-joins, no window over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.to_date("ts").alias("d"),
+    ).distinct()
+    first = du.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    prev = du.select(
+        "user_id", F.date_add("d", 1).alias("d"), F.lit(1).alias("__prev")
+    )
+    j = du.join(prev, ["user_id", "d"], "left").join(first, "user_id")
+    return (
+        j.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("first_d") == F.col("d"), 1).otherwise(0))
+            .cast("long").alias("n_new"),
+            F.sum(F.when(F.col("__prev") == 1, 1).otherwise(0))
+            .cast("long").alias("n_returning"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_active", "n_new", "n_returning",
+        )
+    )
+
+
+ORACLE_EVENTS_USER_CHURN = """
+WITH du AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, CAST(ts AS DATE) AS d
+  FROM events),
+f AS (SELECT user_id, MIN(d) AS first_d FROM du GROUP BY 1)
+SELECT strftime(du.d, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_active,
+       CAST(SUM(CASE WHEN f.first_d = du.d THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+FROM du
+JOIN f USING (user_id)
+LEFT JOIN du p ON p.user_id = du.user_id AND p.d = du.d - 1
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -1419,6 +1604,10 @@ QUERIES: dict[str, QueryFn] = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_length_quantiles": q_doc_length_quantiles,
     "embedding_quantize": q_embedding_quantize,
+    "doc_repetition_ratio": q_doc_repetition_ratio,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_quality_filter": q_doc_quality_filter,
+    "events_user_churn": q_events_user_churn,
 }
 
 
@@ -1461,4 +1650,8 @@ def oracles() -> dict[str, str]:
         "doc_pack_sequences": ORACLE_DOC_PACK_SEQUENCES,
         "doc_length_quantiles": ORACLE_DOC_LENGTH_QUANTILES,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+        "doc_repetition_ratio": ORACLE_DOC_REPETITION_RATIO,
+        "doc_decontaminate": ORACLE_DOC_DECONTAMINATE,
+        "doc_quality_filter": ORACLE_DOC_QUALITY_FILTER,
+        "events_user_churn": ORACLE_EVENTS_USER_CHURN,
     }

@@ -103,23 +103,40 @@ def read_clickhouse(
     return reader.load()
 
 
-def write_clickhouse(df: DataFrame, table: str, url: str, **kw) -> None:
-    """Append ``df`` into a ClickHouse table. Normalizes types, bounds
-    write parallelism to the reference's 4 concurrent inserts."""
+def _require_driver(spark) -> None:
     try:
-        df.sparkSession._jvm.java.lang.Class.forName(JDBC_DRIVER)  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(JDBC_DRIVER)  # noqa: SLF001
     except Exception as e:  # noqa: BLE001
         raise RuntimeError(
             "ClickHouse JDBC driver not on the Spark classpath — add "
             "com.clickhouse:clickhouse-jdbc via spark.jars.packages to use "
             "the ClickHouse sink (Parquet lake is the primary store)"
         ) from e
+
+
+def plan_clickhouse_write(df: DataFrame, table: str, url: str, **kw):
+    """Build the EXACT DataFrameWriter the sink will ``.save()`` —
+    normalization, coalesce bound, format, full option dict, and mode —
+    without executing it. This is the jar-less contract-test seam: the
+    container ships no ClickHouse JDBC jar, so tests intercept the
+    returned writer's ``save`` and assert the option dict instead of
+    round-tripping through a server (tests/test_cli_sink.py). Everything
+    up to the JDBC handshake is covered; the handshake itself (driver
+    class, server DDL) is the documented untested boundary (README)."""
     opts = clickhouse_jdbc_options(url, table, **kw)
-    (
+    writer = (
         normalize_for_clickhouse(df)
         .coalesce(MAX_CONCURRENT_WRITES)
         .write.format("jdbc")
         .options(**opts)
         .mode("append")
-        .save()
     )
+    return writer, opts
+
+
+def write_clickhouse(df: DataFrame, table: str, url: str, **kw) -> None:
+    """Append ``df`` into a ClickHouse table. Normalizes types, bounds
+    write parallelism to the reference's 4 concurrent inserts."""
+    _require_driver(df.sparkSession)
+    writer, _ = plan_clickhouse_write(df, table, url, **kw)
+    writer.save()

@@ -47,14 +47,18 @@ def main() -> None:
     # plan through the no-op sink)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    # every rep's raw time is reported alongside the min, so round-over-
+    # round deltas can separate methodology (rep count, run-to-run noise)
+    # from real plan change
+    rep_times: dict[str, list[float]] = {}
     for name, fn in QUERIES.items():
-        best = float("inf")
+        rep_times[name] = []
         for _ in range(max(1, reps)):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            rep_times[name].append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(rep_times[name])
 
     total = round(sum(timings.values()), 4)
     print(
@@ -65,6 +69,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_reps": max(1, reps),
+                "reps": rep_times,
             }
         )
     )

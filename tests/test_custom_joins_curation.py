@@ -152,6 +152,63 @@ def test_asof_join_matches_naive(spark):
         assert got[lid] == naive(lk, lts), (lk, lts, lid)
 
 
+def test_asof_join_hot_key_correct_and_sentinel_prefilter(spark):
+    # one key (the null-ish sentinel 0) holds 50% of all rows — the shape
+    # that straggles the per-key window at scale. Correctness must hold
+    # regardless, and the documented mitigation (pre-filter the sentinel,
+    # as-of the rest, re-attach with null matches) must be equivalent for
+    # the non-sentinel keys.
+    import random
+
+    rnd = random.Random(7)
+    n = 400
+    rows_l = [
+        (0 if i < n // 2 else 1 + i % 5, rnd.randrange(0, 300), i)
+        for i in range(n)
+    ]
+    rows_r = [
+        (0 if i < n // 2 else 1 + i % 5, rnd.randrange(0, 300), 1000 + i)
+        for i in range(n)
+    ]
+    left = spark.createDataFrame(rows_l, "k long, lts long, lid long")
+    right = spark.createDataFrame(rows_r, "k long, rts long, rid long")
+
+    def naive(lk, lts):
+        cands = [(rts, rid) for (rk, rts, rid) in rows_r if rk == lk and rts <= lts]
+        return max(cands) if cands else (None, None)
+
+    full = {
+        r["lid"]: (r["asof_ts"], r["rid"])
+        for r in R.asof_join(left, right, ["k"], "lts", "rts", tiebreak="rid").collect()
+    }
+    assert len(full) == n
+    for lk, lts, lid in rows_l:
+        assert full[lid] == naive(lk, lts), (lk, lts, lid)
+
+    # mitigation (1): sentinel rows skip the window entirely and re-attach
+    # with null match columns — identical output for every other key
+    mitigated = R.asof_join(
+        left.filter(F.col("k") != 0),
+        right.filter(F.col("k") != 0),
+        ["k"], "lts", "rts", tiebreak="rid",
+    ).unionByName(
+        left.filter(F.col("k") == 0)
+        .withColumn("rts", F.lit(None).cast("long"))
+        .select(
+            "k", "lts", "lid",
+            F.lit(None).cast("long").alias("rid"),
+            F.lit(None).cast("long").alias("asof_ts"),
+        ).drop("rts")
+    )
+    got = {r["lid"]: (r["asof_ts"], r["rid"]) for r in mitigated.collect()}
+    assert len(got) == n
+    for lk, lts, lid in rows_l:
+        if lk == 0:
+            assert got[lid] == (None, None)
+        else:
+            assert got[lid] == naive(lk, lts)
+
+
 # ---------------------------------------------------------------------------
 # connected components
 # ---------------------------------------------------------------------------
@@ -242,6 +299,48 @@ def test_pack_documents_matches_naive_cumsum(spark):
 # ---------------------------------------------------------------------------
 # tf-idf
 # ---------------------------------------------------------------------------
+
+def test_repetition_stats_matches_naive(spark):
+    rows = [
+        # 9 tokens -> 7 shingles cycling "a b c"/"b c a"/"c a b": 3 distinct
+        (1, "a b c a b c a b c"),
+        (2, "x y z w v u"),            # all distinct
+        (3, "q r"),                    # too short for a 3-gram: zeros
+        (4, None),                     # null text: zeros
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_shingles"], r["n_distinct"], round(r["dup_ratio"], 6), r["top_freq"])
+        for r in X.repetition_stats(docs, "doc_id", "text").collect()
+    }
+    assert got[1] == (7, 3, round(1 - 3 / 7, 6), 3)
+    assert got[2] == (4, 4, 0.0, 1)
+    assert got[3] == (0, 0, 0.0, 0)
+    assert got[4] == (0, 0, 0.0, 0)
+
+
+def test_cross_corpus_overlap_planted(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here nothing shared at all"),
+            (3, "the quick brown cat sleeps"),  # shares only 2 shingles w/ eval
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "the quick brown fox runs")], "doc_id long, text string"
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_common"]
+        for r in D.cross_corpus_overlap(
+            train, evalset, "doc_id", "text", shingle_n=3, min_common=2
+        ).collect()
+    }
+    # doc 1 shares "the quick brown" + "quick brown fox"; doc 3 shares
+    # "the quick brown" only (below min_common); doc 2 shares nothing
+    assert got == {(1, 100): 2}
+
 
 def test_tfidf_top_terms_rare_term_wins(spark):
     docs = spark.createDataFrame(
