@@ -155,15 +155,16 @@ def _pairs_from_buckets(
     the cap changes the physical plan only, never the result.
 
     Cost gating: with a cap set, the bucket aggregation is materialized
-    ONCE (lazy localCheckpoint — the overflow plan would otherwise
-    recompute the whole upstream per branch; verified 0 ReusedExchange),
-    then a cheap probe on the materialized buckets decides whether any
-    bucket actually overflows. The common clean case (no bucket > cap —
-    every non-pathological corpus) pays only the probe and skips the
-    overflow branches and their union entirely, so the plan matches the
-    uncapped one reading from the checkpoint. The probe is an eager
-    action at plan-construction time — deliberate: it is how the physical
-    plan is chosen, exactly like AQE's runtime re-planning.
+    ONCE (localCheckpoint — the overflow plan would otherwise recompute
+    the whole upstream per branch; verified 0 ReusedExchange), and an
+    ``observe`` metric measures the max bucket size IN the checkpoint
+    job, deciding whether any bucket actually overflows — no separate
+    probe job. The common clean case (no bucket > cap — every
+    non-pathological corpus) skips the overflow branches and their union
+    entirely, so the plan matches the uncapped one reading from the
+    checkpoint. The probe is an eager action at plan-construction time —
+    deliberate: it is how the physical plan is chosen, exactly like AQE's
+    runtime re-planning.
     """
     grouped = (
         keyed.groupBy(*bucket_cols)
@@ -171,10 +172,13 @@ def _pairs_from_buckets(
         .filter(F.size("__ids") > 1)
     )
     if max_bucket is not None:
-        grouped = grouped.localCheckpoint(eager=False)
-        has_overflow = not grouped.filter(
-            F.size("__ids") > max_bucket
-        ).isEmpty()
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        grouped = grouped.observe(
+            obs, F.max(F.size("__ids")).alias("max_sz")
+        ).localCheckpoint()
+        has_overflow = (obs.get["max_sz"] or 0) > max_bucket
     else:
         has_overflow = False
     in_row = grouped if not has_overflow else grouped.filter(
