@@ -338,6 +338,7 @@ def cross_corpus_overlap(
     text_col: str,
     shingle_n: int = 3,
     min_common: int = 2,
+    max_broadcast_shingles: int | None = 5_000_000,
 ) -> DataFrame:
     """Training-data decontamination: (train_id, eval_id, n_common) for
     every train document sharing at least ``min_common`` distinct n-gram
@@ -349,6 +350,15 @@ def cross_corpus_overlap(
     corpus-wide shuffle is the (train_id, eval_id) hit count, whose
     cardinality is bounded by actual contamination. Standard 13-gram
     decontamination is this exact plan with ``shingle_n=13``.
+
+    Broadcast guard: an eval suite of ~10k docs × ~1k 13-gram shingles is
+    ~10M (shingle, eval_id) rows ≈ low hundreds of MB — near the practical
+    broadcast ceiling. ``max_broadcast_shingles`` probes the eval shingle
+    count in the same job that materializes the eval side (an ``observe``
+    metric on a localCheckpoint, the `_pairs_from_buckets` pattern) and
+    falls back to a plain shuffle join above it; the eval side is
+    checkpointed either way, so the probe is not an extra pass. Set
+    ``None`` to broadcast unconditionally (caller asserts the bound).
     """
     tr = shingle_sets(train, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("train_id"), "shingle"
@@ -356,8 +366,17 @@ def cross_corpus_overlap(
     ev = shingle_sets(evalset, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("eval_id"), "shingle"
     )
+    if max_broadcast_shingles is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ev = ev.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        if (obs.get["n"] or 0) <= max_broadcast_shingles:
+            ev = F.broadcast(ev)
+    else:
+        ev = F.broadcast(ev)
     return (
-        tr.join(F.broadcast(ev), "shingle")
+        tr.join(ev, "shingle")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
@@ -445,7 +464,9 @@ def connected_components(
             .localCheckpoint()
         )
         labels = merged.select("node", "label")
-        if obs.get["changed"] == 0:
+        # empty graph ⇒ sum over zero rows is NULL, which must read as
+        # converged (0 changes), not "never converges"
+        if (obs.get["changed"] or 0) == 0:
             break
     else:
         raise RuntimeError(

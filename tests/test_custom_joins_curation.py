@@ -240,6 +240,14 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_connected_components_empty_graph(spark):
+    # no duplicate pairs (clean corpus) must converge to an empty result in
+    # one round, not spin max_iter rounds and raise: F.sum over zero rows is
+    # NULL, which the convergence check must read as 0 changes
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(pairs, max_iter=3).collect() == []
+
+
 def test_connected_components_raises_on_nonconvergence(spark):
     import pytest
 
@@ -339,6 +347,28 @@ def test_cross_corpus_overlap_planted(spark):
     }
     # doc 1 shares "the quick brown" + "quick brown fox"; doc 3 shares
     # "the quick brown" only (below min_common); doc 2 shares nothing
+    assert got == {(1, 100): 2}
+
+
+def test_cross_corpus_overlap_shuffle_fallback_same_result(spark):
+    # max_broadcast_shingles=0 forces the shuffle-join branch; results must
+    # be identical to the broadcast path
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "the quick brown fox runs")], "doc_id long, text string"
+    )
+    fallback = D.cross_corpus_overlap(
+        train, evalset, "doc_id", "text", shingle_n=3, min_common=2,
+        max_broadcast_shingles=0,
+    )
+    assert "BroadcastHashJoin" not in fallback._jdf.queryExecution().executedPlan().toString()
+    got = {(r["train_id"], r["eval_id"]): r["n_common"] for r in fallback.collect()}
     assert got == {(1, 100): 2}
 
 
