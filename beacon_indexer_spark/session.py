@@ -60,6 +60,16 @@ def get_spark(
         .config("spark.sql.files.maxRecordsPerFile", "5000000")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        # the 1g pyspark default driver heap is sized for toys: plan/codegen
+        # caches across a long session (41 analytic plans, some with
+        # unrolled fixed-dim vector arithmetic) overflow it. 8g matches the
+        # driver sizing of a production cluster submit; only effective when
+        # the JVM is launched by this builder (local mode) — a cluster's
+        # spark-submit conf wins otherwise.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

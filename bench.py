@@ -41,11 +41,12 @@ def main() -> None:
         _noop, "id long"
     ).collect()
 
-    # min-of-N per query (default 2): this box shows ±35% run-to-run noise
-    # on identical plans; the minimum is the standard steady-state
+    # min-of-N per query (default 4): this box shows ±35% run-to-run noise
+    # on identical plans — at 2 reps noise masqueraded as regression on
+    # eleven queries in round 3; the minimum is the standard steady-state
     # microbenchmark statistic and stays honest (every rep runs the full
     # plan through the no-op sink)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
     timings: dict[str, float] = {}
     # every rep's raw time is reported alongside the min, so round-over-
     # round deltas can separate methodology (rep count, run-to-run noise)

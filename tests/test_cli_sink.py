@@ -71,6 +71,78 @@ def test_cli_transform_then_status_and_integrity(spark, capsys, seeded_lake, tmp
     assert ig["report"] == {"failed_chunks": 0, "untransformed_chunks": 0}
 
 
+def test_cli_status_verbose_and_gaps_golden_contract(
+    spark, capsys, seeded_lake
+):
+    """Frozen JSON output contract (verdict r3 #7): downstream tooling
+    parses `maintain status --verbose` and `maintain gaps` — any key
+    added, removed, or renamed must show up as a deliberate change here."""
+    from datetime import timedelta
+
+    from beacon_indexer_spark.control import ledger as L
+
+    ledger = L.ChunkLedger(
+        spark, f"{seeded_lake.base_dir}/_control/load_state_chunks"
+    )
+    ledger.append(L.generate_chunks(spark, SLOT0, SLOT0 + 9, 5, "blocks"))
+    # one claimed-stale chunk + one completed, plus a failed transform range
+    two = ledger.current().limit(1)
+    ledger.mark(two, L.CLAIMED)
+    from beacon_indexer_spark.control.ledger import ProgressManifest
+
+    prog = ProgressManifest(
+        spark, f"{seeded_lake.base_dir}/_control/transformer_progress"
+    )
+    prog.record("raw_blocks", SLOT0, SLOT0 + 4, "completed", processed_count=5)
+    prog.record("raw_blocks", SLOT0 + 5, SLOT0 + 9, "failed",
+                error_message="boom")
+
+    st = _run(
+        capsys,
+        ["--lake-dir", seeded_lake.base_dir, "maintain", "status",
+         "--verbose", "--stale-minutes", "0"],
+        spark,
+    )
+    assert set(st) == {
+        "command", "chunks", "transform", "tables", "debug_counts",
+        "stale_claimed", "recent_failures", "recent_activity",
+    }
+    assert {c["loader_name"] for c in st["chunks"]} == {"blocks"}
+    assert set(st["chunks"][0]) == {
+        "loader_name", "total", "pending", "claimed", "completed", "failed",
+    }
+    assert set(st["transform"][0]) == {
+        "raw_table_name", "completed", "failed", "max_completed_slot",
+        "total_processed", "total_failed_rows",
+    }
+    assert set(st["tables"][0]) == {"table", "rows", "min_slot", "max_slot"}
+    assert set(st["debug_counts"]) == {"raw_rows", "final_rows"}
+    chunk_cols = {
+        "chunk_id", "loader_name", "start_slot", "end_slot", "status",
+        "worker_id", "created_at", "updated_at",
+    }
+    assert st["stale_claimed"] and set(st["stale_claimed"][0]) == chunk_cols
+    prog_cols = {
+        "raw_table_name", "start_slot", "end_slot", "status",
+        "processed_count", "failed_count", "error_message", "processed_at",
+    }
+    assert st["recent_failures"] and set(st["recent_failures"][0]) == prog_cols
+    assert st["recent_activity"] and set(st["recent_activity"][0]) == prog_cols
+
+    gp = _run(
+        capsys,
+        ["--lake-dir", seeded_lake.base_dir, "maintain", "gaps",
+         "--start-slot", str(SLOT0), "--end-slot", str(SLOT0 + 14)],
+        spark,
+    )
+    assert set(gp) == {"command", "report"}
+    assert set(gp["report"]) == {
+        "expected", "actual", "missing", "missing_pct", "sample_missing",
+    }
+    assert gp["report"]["missing_pct"] == round(100.0 * 5 / 15, 4)
+    assert gp["report"]["sample_missing"] == [SLOT0 + 10 + i for i in range(5)]
+
+
 def test_cli_maintain_reset(spark, capsys, seeded_lake):
     from beacon_indexer_spark.control import ledger as L
 

@@ -304,6 +304,43 @@ def test_pack_documents_matches_naive_cumsum(spark):
         assert got == expected, f"range_size={range_size}"
 
 
+def test_exclusive_prefix_data_aware_depth(spark):
+    # with fan=4 and keys 0..20 the data-aware bound needs 3 levels
+    # (20 -> 5 -> 1 -> 0); values are distinct powers so any dropped or
+    # double-counted key is detectable. Also exercised: sparse keys.
+    keys = [0, 1, 2, 3, 5, 8, 13, 20]
+    rows = [(k, 1 << i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for max_key in (20, None):
+        got = {
+            r["k"]: r["out"]
+            for r in X._exclusive_prefix(
+                df, "k", "v", "out", fan=4, max_key=max_key
+            ).collect()
+        }
+        prefix, expected = 0, {}
+        for k, v in rows:
+            expected[k] = prefix
+            prefix += v
+        assert got == expected, f"max_key={max_key}"
+
+
+def test_pack_documents_negative_ids_fall_back_to_static_depth(spark):
+    # negative ids disqualify the data-aware bound (keys >= 0 assumption);
+    # the static-depth path must still produce the global-order cumsum
+    rows = [(i, " ".join("w" for _ in range(3))) for i in range(-10, 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r["pack_id"]
+        for r in X.pack_documents(docs, "doc_id", "text", capacity=7, range_size=5).collect()
+    }
+    prefix, expected = 0, {}
+    for i, text in rows:
+        expected[i] = prefix // 7
+        prefix += 3
+    assert got == expected
+
+
 # ---------------------------------------------------------------------------
 # tf-idf
 # ---------------------------------------------------------------------------

@@ -90,6 +90,32 @@ def test_embedding_near_dup_recall_vs_ground_truth(spark):
     assert recall >= 0.9, f"recall {recall:.3f} < 0.9 (expected ~{expected:.3f})"
 
 
+def test_embedding_near_dup_recall_wide_bands(spark):
+    # the production/query parameterization (n_bits=32, bands=4 → 8-bit
+    # band keys): 256 buckets per band keeps per-bucket pair counts
+    # bounded at scale, and the band bound 1-(1-p^8)^4 ≈ 0.97 at the
+    # planted cosine still clears the recall floor
+    vecs = _planted(seed=11)
+    truth = _true_pairs(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_duplicates(
+            df, dim=DIM, threshold=THRESHOLD, n_bits=32, bands=4
+        ).collect()
+    }
+    assert found <= truth, f"false positives: {sorted(found - truth)[:5]}"
+    recall = len(found & truth) / len(truth)
+    theta = math.acos(0.98)
+    p_bit = 1 - theta / math.pi
+    expected = 1 - (1 - p_bit**8) ** 4
+    assert expected > 0.9
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9 (expected ~{expected:.3f})"
+
+
 def test_band_split_preserves_bits(spark):
     # the banded keys must tile the exact sign-bit string: concatenating a
     # vector's band keys in band order reconstructs its full lsh_bucket
