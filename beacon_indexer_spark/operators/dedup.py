@@ -539,6 +539,78 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def hamming_hex(a: str, b: str, n_digits: int = 16) -> Column:
+    """Exact Hamming distance between two equal-length hex-string columns
+    (SQL identifiers), digit-wise: per position, map each hex digit to
+    0-15 via an ``instr`` lookup (no 64-bit parse — sign-safe at any
+    width, the `hex_popcount` approach) and popcount the XOR. Pure
+    expressions; DuckDB mirrors it with instr/xor/bit_count for oracle
+    parity."""
+    digit = "(instr('0123456789abcdef', substring({c}, i, 1)) - 1)"
+    return F.expr(
+        f"aggregate(sequence(1, {n_digits}), 0, (acc, i) -> "
+        f"acc + bit_count({digit.format(c=a)} ^ {digit.format(c=b)}))"
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 12,
+    bands: int = 4,
+    max_bucket: int | None = 65536,
+) -> DataFrame:
+    """SimHash near-dup pairs with EXACT Hamming verification: banded
+    blocking proposes candidates (`simhash_candidates` — docs agreeing on
+    any contiguous simhash segment), then the true 64-bit Hamming
+    distance filters them to ``<= max_dist``. The candidate shuffle
+    carries (band, key, id) only; simhash values re-attach to the
+    surviving pairs via two id equi-joins (computed once per side, never
+    per pair) — the verify stage's cost is O(candidates), not O(n²).
+    Output: (id_a, id_b, hamming), id_a < id_b.
+
+    The corpus simhash is staged ONCE (lazy localCheckpoint): the banded
+    candidate branch and the two verify-side re-attach joins all read the
+    same materialized (id, simhash) projection — without it the 16-digit
+    packed-lane vote aggregate runs over the corpus twice (measured 6.9 s
+    → 3.4 s at sf0.1)."""
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=False)
+    seg = 16 // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * seg + 1, seg).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    keyed = sh.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    pairs = _pairs_from_buckets(keyed, id_col, "band", "key", max_bucket=max_bucket)
+    # hex → digit-value array ONCE PER DOC (narrow, over the checkpointed
+    # frame), so the per-pair verify is a single zip_with over 16 ints —
+    # not 16 substring+instr lookups per pair (candidate counts are
+    # quadratic in bucket density; per-pair cost is the scale lever)
+    digits = F.expr(
+        "transform(sequence(1, 16), i -> "
+        "instr('0123456789abcdef', substring(simhash, i, 1)) - 1)"
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), digits.alias("__da"))
+    sb = sh.select(F.col(id_col).alias("id_b"), digits.alias("__db"))
+    ham = F.aggregate(
+        F.zip_with(F.col("__da"), F.col("__db"), lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
 def simhash_candidates(
     df: DataFrame, id_col: str, text_col: str, bands: int = 4,
     max_bucket: int | None = 65536,

@@ -191,6 +191,35 @@ def pack_documents(
     )
 
 
+def pack_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 512,
+    range_size: int = 1000,
+):
+    """Packing-efficiency rollup over `pack_documents`: per pack window,
+    how many documents START in it and how many of their tokens it
+    absorbs (straddling docs count toward their start pack —
+    truncation-style accounting, matching pack_id's definition), plus
+    utilization = tokens/capacity (can exceed 1 when a straddler starts
+    near the boundary). The batch-shape health check run before shipping
+    a packed pretraining corpus. Returns (pack_id, n_docs, n_tokens,
+    utilization); one extra map-side-combined groupBy over the packing
+    output — the prefix-sum plan is unchanged."""
+    packed = pack_documents(docs, id_col, text_col, capacity, range_size)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn(
+            "utilization", F.round(F.col("n_tokens") / F.lit(capacity), 6)
+        )
+    )
+
+
 def repetition_stats(
     docs, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
 ):

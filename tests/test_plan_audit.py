@@ -16,9 +16,12 @@ from beacon_indexer_spark.plans.queries import QUERIES
 
 # brute-force cosine is the *documented* exact-baseline cross join
 # (the broadcast query side makes it a map-side scan, not a shuffle);
+# its int8-quantized variant shares the same documented plan shape;
 # tfidf attaches the corpus count N by cross-joining a broadcast ONE-ROW
 # aggregate — a constant attach, not a pair expansion
-_ALLOWED_CROSS = {"similarity_bruteforce", "doc_tfidf_top_terms"}
+_ALLOWED_CROSS = {
+    "similarity_bruteforce", "similarity_quantized", "doc_tfidf_top_terms",
+}
 
 # iterative operator: executes during plan construction; its final plan is
 # a checkpoint scan, so there is nothing to audit statically

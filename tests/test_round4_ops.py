@@ -1,0 +1,160 @@
+"""Round-4 operator tests: exact-Hamming verify, quantized ANN, pack stats,
+corpus/source rollups."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from beacon_indexer_spark.operators import dedup as D
+from beacon_indexer_spark.operators import similarity as S
+from beacon_indexer_spark.operators import text as X
+
+
+# ---------------------------------------------------------------------------
+# hamming_hex
+# ---------------------------------------------------------------------------
+
+def test_hamming_hex_matches_python_popcount(spark):
+    rnd = random.Random(4)
+    rows = [
+        (i, f"{rnd.getrandbits(64):016x}", f"{rnd.getrandbits(64):016x}")
+        for i in range(50)
+    ]
+    rows.append((50, "0" * 16, "f" * 16))  # max distance 64
+    rows.append((51, "deadbeefdeadbeef", "deadbeefdeadbeef"))  # distance 0
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", D.hamming_hex("a", "b").alias("h")).collect()
+    }
+    for i, a, b in rows:
+        assert got[i] == bin(int(a, 16) ^ int(b, 16)).count("1"), (a, b)
+
+
+def test_simhash_hamming_pairs_contract(spark):
+    # the operator's contract: output == banded candidates, scored by the
+    # TRUE 64-bit Hamming distance, filtered to <= max_dist. Cross-checked
+    # in python from the collected simhashes/candidates; identical docs
+    # must appear at distance 0.
+    rnd = random.Random(12)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = [(i, " ".join(rnd.sample(vocab, 25))) for i in range(1, 30)]
+    rows.append((30, rows[0][1]))  # exact duplicate of doc 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = {r["doc_id"]: r["simhash"]
+          for r in D.simhash(docs, "doc_id", "text").collect()}
+    cands = {(r["id_a"], r["id_b"])
+             for r in D.simhash_candidates(docs, "doc_id", "text").collect()}
+    max_dist = 20
+    expected = {}
+    for a, b in cands:
+        h = bin(int(sh[a], 16) ^ int(sh[b], 16)).count("1")
+        if h <= max_dist:
+            expected[(a, b)] = h
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_hamming_pairs(
+            docs, "doc_id", "text", max_dist=max_dist
+        ).collect()
+    }
+    assert got == expected
+    assert got[(1, 30)] == 0  # exact duplicate blocked + scored at 0
+
+
+# ---------------------------------------------------------------------------
+# quantized_topk
+# ---------------------------------------------------------------------------
+
+def test_quantized_topk_matches_numpy_reference(spark):
+    rnd = random.Random(9)
+    dim, n, k = 8, 20, 3
+    vecs = {i: [rnd.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = S.quantized_topk(df, df.filter(F.col("vec_id") < 2), k=k)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["q_sim"], 9))
+        for r in out.collect()
+    }
+
+    def codes(v):
+        scale = max(abs(x) for x in v) / 127.0
+        if scale <= 0:
+            return [0] * dim, 0
+        q = [int(math.floor(x / scale + 0.5)) for x in v]
+        return q, sum(x * x for x in q)
+
+    for qid in (0, 1):
+        qq, qn = codes(vecs[qid])
+        scored = []
+        for nid, v in vecs.items():
+            if nid == qid:
+                continue
+            vq, vn = codes(v)
+            s = (
+                sum(a * b for a, b in zip(vq, qq)) / math.sqrt(vn * qn)
+                if vn * qn > 0
+                else 0.0
+            )
+            scored.append((-s, nid))
+        scored.sort()
+        for rank, (negs, nid) in enumerate(scored[:k], start=1):
+            assert got[(qid, rank)] == (nid, round(-negs, 9)), (qid, rank)
+
+
+def test_quantized_topk_tracks_exact_on_planted_clusters(spark):
+    # int8 quantization error is far below planted cluster separation, so
+    # the quantized top-1 must be a same-cluster member
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = []
+    for c in range(10):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + 0.01 * rng.standard_normal(32)
+            vecs.append(v / np.linalg.norm(v))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.quantized_topk(df, df.filter(F.col("vec_id") < 6), k=1)
+    for r in out.collect():
+        assert r["neighbor_id"] // 3 == r["query_id"] // 3
+        assert r["q_sim"] > 0.95
+
+
+# ---------------------------------------------------------------------------
+# pack_stats
+# ---------------------------------------------------------------------------
+
+def test_pack_stats_matches_naive(spark):
+    rnd = random.Random(6)
+    rows = [
+        (i, " ".join("w" for _ in range(rnd.randrange(1, 30))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["pack_id"]: (r["n_docs"], r["n_tokens"], r["utilization"])
+        for r in X.pack_stats(docs, "doc_id", "text", capacity=64).collect()
+    }
+    prefix = 0
+    expected: dict[int, list[int]] = {}
+    for i, text in rows:
+        nt = len(text.split())
+        pid = prefix // 64
+        d = expected.setdefault(pid, [0, 0])
+        d[0] += 1
+        d[1] += nt
+        prefix += nt
+    assert set(got) == set(expected)
+    for pid, (nd, nt) in expected.items():
+        assert got[pid] == (nd, nt, round(nt / 64, 6)), pid
