@@ -422,10 +422,20 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # init label = min(self, neighbors) — one aggregation over the
+    # checkpointed edges (bidirectional, so groupBy(src) covers every
+    # node) instead of the identity. A one-hop head start: clique-shaped
+    # dup clusters (the common LSH output) converge in ONE round — the
+    # confirmation pass — instead of two; chains still halve per round.
+    # Correctness is invariant to init as long as each label is the min
+    # of a reachable set containing the node itself.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__mn")).alias("label"),
+        )
         .localCheckpoint()
     )
     null_l = F.lit(None).cast(pairs.schema[id_a].dataType)

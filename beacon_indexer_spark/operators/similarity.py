@@ -210,18 +210,32 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest coarse centroids
     (IVF inverted lists). Centroids ship as literals (they're small by
-    construction); assignment is a narrow map — no shuffle."""
-    scored = F.array(
-        *[
-            F.struct(
-                (-dot(F.col(vec_col), F.lit(c)) * 2 + F.lit(_sq(c))).alias("d2"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in centroids
-        ]
-    )
-    # ||v - c||^2 = ||v||^2 - 2 v·c + ||c||^2; ||v||^2 constant per row →
-    # ranking by (-2 v·c + ||c||^2) is exact nearest-centroid order
+    construction); assignment is a narrow map — no shuffle.
+
+    The scored array is generated as SQL TEXT and parsed once — the
+    `_bits_sql` move: building k centroid structs each holding a
+    64-component literal dot product through the Column API costs
+    thousands of py4j round trips (measured ~1.6 s of driver time per
+    ivf_topk plan at k=8/dim=64); one ``expr`` parses the same tree in
+    milliseconds. Float semantics are unchanged: the dot is the identical
+    zip_with/aggregate sequential accumulation, centroid components are
+    shortest-repr literals (exact double round-trip), so the DuckDB
+    oracle mirror stays bit-equal."""
+    structs = []
+    for cid, c in centroids:
+        arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+        dot_sql = (
+            f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
+            f"{arr}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        # ||v - c||^2 = ||v||^2 - 2 v·c + ||c||^2; ||v||^2 constant per
+        # row → ranking by (-2 v·c + ||c||^2) is exact nearest-centroid
+        # order
+        structs.append(
+            f"named_struct('d2', (-{dot_sql}) * 2 + CAST({_sq(c)!r} AS DOUBLE), "
+            f"'cid', {int(cid)})"
+        )
+    scored = F.expr("array(" + ", ".join(structs) + ")")
     ranked = F.slice(F.array_sort(scored), 1, nprobe)
     return vectors.withColumn(
         "__lists", F.transform(ranked, lambda s: s["cid"])
