@@ -291,10 +291,37 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    # shingle-blocked pair generation WITHOUT a self-join: group each
-    # shingle's (sorted, distinct) doc list, expand in-block pairs, count
-    # pair occurrences = |intersection|. The tokenize+shingle tree runs
-    # once for the intersection and once (narrow, no shuffle) for sizes.
+    counted = _shingle_pair_counts(
+        df, id_col, text_col, shingle_n, candidates, df_cap
+    )
+    return (
+        counted.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    candidates: DataFrame | None,
+    df_cap: int | None,
+) -> DataFrame:
+    """(id_a, id_b, n_common, n_a, n_b) for pairs sharing >= 1 blocking
+    shingle — the shared engine under Jaccard and containment scoring.
+
+    Shingle-blocked pair generation WITHOUT a self-join: group each
+    shingle's (sorted, distinct) doc list, expand in-block pairs, count
+    pair occurrences = |intersection|. The tokenize+shingle tree runs
+    once for the intersection and once (narrow, no shuffle) for sizes."""
     sh = shingle_sets(df, id_col, text_col, shingle_n)
     sizes = df.select(
         F.col(id_col).cast("long").alias(id_col),
@@ -316,18 +343,36 @@ def ngram_jaccard_pairs(
         inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+    df_cap: int | None = 10_000,
+) -> DataFrame:
+    """One-sided near-duplication: containment C = |A∩B| / min(|A|,|B|) —
+    the metric that catches a document EMBEDDED in another (quoted posts,
+    boilerplate-wrapped copies, article + comments), which symmetric
+    Jaccard dilutes toward 0 as the host document grows. Same blocked
+    plan, ``df_cap`` caveats, and output shape as `ngram_jaccard_pairs`:
+    (id_a, id_b, containment), id_a < id_b, containment >= threshold."""
+    counted = _shingle_pair_counts(
+        df, id_col, text_col, shingle_n, candidates, df_cap
+    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        counted.select(
             "id_a",
             "id_b",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
+            (F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))).alias(
+                "containment"
+            ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -220,6 +220,58 @@ def pack_stats(
     )
 
 
+def chunk_windows(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+):
+    """Split each document into fixed-size token windows with overlap
+    (window − stride) — the chunking step before embedding for RAG or
+    packing long documents into bounded training rows. Chunk starts are
+    0, stride, 2·stride, …; n_chunks = 1 for docs within one window, else
+    ⌈(n − window)/stride⌉ + 1 (the last chunk may be short, never empty);
+    zero-token docs produce no chunks.
+
+    Scale shape: stage the token array once per doc (narrow), then
+    posexplode a `sequence` of chunk indices and `slice` the staged
+    array — per-row cost O(n_tokens), no shuffle anywhere; the fan-out
+    factor is n/stride, exactly the output size. Returns
+    (id, chunk_idx, chunk_tokens, chunk_text).
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(docs, DataFrame)
+    assert window >= 1 and 1 <= stride <= window
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t")
+    ).withColumn("__n", F.size("__t"))
+    n_chunks = F.when(F.col("__n") <= 0, F.lit(0)).when(
+        F.col("__n") <= window, F.lit(1)
+    ).otherwise(
+        ((F.col("__n") - window + stride - 1) / stride).cast("long") + 1
+    )
+    chunked = (
+        toks.withColumn("__k", n_chunks)
+        .filter(F.col("__k") > 0)
+        .select(
+            "id",
+            "__t",
+            F.explode(F.sequence(F.lit(0), (F.col("__k") - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+    )
+    piece = F.slice(F.col("__t"), F.col("chunk_idx") * stride + 1, window)
+    return chunked.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).alias("chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def repetition_stats(
     docs, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
 ):

@@ -1805,6 +1805,77 @@ LIMIT 20
 """
 
 
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (operators/text.py
+    chunk_windows): the pre-embedding / long-doc split step. Output keeps
+    a chunk fingerprint instead of full text so the result stays
+    compare-sized; the chunk text itself feeds downstream embedding."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = X.chunk_windows(docs, "doc_id", "text", window=32, stride=24)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "chunk_idx",
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        F.substring(F.md5("chunk_text"), 1, 16).alias("chunk_hash"),
+    )
+
+
+ORACLE_DOC_CHUNK_WINDOWS = rf"""
+WITH t AS (
+  SELECT doc_id, {_DD_TOKENS.format(c='text')} AS toks,
+         len({_DD_TOKENS.format(c='text')}) AS n
+  FROM documents),
+k AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= 32 THEN 1
+              ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+  FROM t),
+c AS (
+  SELECT doc_id, toks, i AS chunk_idx
+  FROM k, unnest(generate_series(0, CAST(n_chunks - 1 AS INT))) AS u(i)
+  WHERE n_chunks > 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS BIGINT) AS chunk_tokens,
+       substr(md5(array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')), 1, 16) AS chunk_hash
+FROM c
+"""
+
+
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided near-duplication (operators/dedup.py
+    ngram_containment_pairs): |A∩B| / min(|A|,|B|) — catches a document
+    EMBEDDED in another, which symmetric Jaccard dilutes toward zero as
+    the host grows. Same shingle-blocked plan as the Jaccard query."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = D.ngram_containment_pairs(
+        docs, "doc_id", "text", threshold=0.8, shingle_n=3
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+ORACLE_DEDUP_NGRAM_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_dd_shingles(3)}) AS shingle FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -1852,6 +1923,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_pack_stats": q_doc_pack_stats,
     "doc_source_quality": q_doc_source_quality,
     "corpus_token_topk": q_corpus_token_topk,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "dedup_ngram_containment": q_dedup_ngram_containment,
 }
 
 
@@ -1903,4 +1976,6 @@ def oracles() -> dict[str, str]:
         "doc_pack_stats": ORACLE_DOC_PACK_STATS,
         "doc_source_quality": ORACLE_DOC_SOURCE_QUALITY,
         "corpus_token_topk": ORACLE_CORPUS_TOKEN_TOPK,
+        "doc_chunk_windows": ORACLE_DOC_CHUNK_WINDOWS,
+        "dedup_ngram_containment": ORACLE_DEDUP_NGRAM_CONTAINMENT,
     }

@@ -132,6 +132,79 @@ def test_quantized_topk_tracks_exact_on_planted_clusters(spark):
 
 
 # ---------------------------------------------------------------------------
+# chunk_windows
+# ---------------------------------------------------------------------------
+
+def test_chunk_windows_matches_naive(spark):
+    rnd = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(rnd.choice([0, 1, 5, 10, 11, 25, 40]))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    W, S_ = 10, 6
+    got = {
+        (r["id"], r["chunk_idx"]): (r["chunk_tokens"], r["chunk_text"])
+        for r in X.chunk_windows(docs, "doc_id", "text", window=W, stride=S_).collect()
+    }
+    expected = {}
+    for i, text in rows:
+        toks = text.split()
+        n = len(toks)
+        if n == 0:
+            continue
+        k = 1 if n <= W else -((n - W) // -S_) + 1
+        for c in range(k):
+            piece = toks[c * S_ : c * S_ + W]
+            expected[(i, c)] = (len(piece), " ".join(piece))
+    assert got == expected
+    # overlap property: consecutive chunks share window-stride tokens
+    full = [(i, t) for i, t in rows if len(t.split()) > W][0]
+    toks = full[1].split()
+    assert got[(full[0], 0)][1].split()[S_:] == got[(full[0], 1)][1].split()[: W - S_]
+
+
+def test_chunk_windows_null_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one two")],
+        "doc_id long, text string",
+    )
+    got = X.chunk_windows(docs, "doc_id", "text", window=4, stride=4).collect()
+    assert {r["id"] for r in got} == {4}
+    assert got[0]["chunk_text"] == "one two"
+
+
+# ---------------------------------------------------------------------------
+# ngram containment
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    host = short + " " + " ".join(f"fill{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, host), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in D.ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    # every shingle of the short doc appears in the host -> containment 1.0
+    assert cont[(1, 2)] == 1.0
+    # symmetric jaccard on the same pair is tiny (host has ~60 extra
+    # shingles) and misses it at any near-dup threshold
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.1
+
+
+# ---------------------------------------------------------------------------
 # pack_stats
 # ---------------------------------------------------------------------------
 
