@@ -1876,6 +1876,100 @@ WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.8
 """
 
 
+def q_doc_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION: canonical-document selection. LSH candidates →
+    connected components → keep the minimum id of each duplicate cluster
+    plus every unclustered document — the filter actually applied to a
+    corpus after dedup analysis. cluster_id coalesces to the doc's own id
+    (singleton semantics) so the output is a total keep/drop verdict per
+    document."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    spine = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    joined = spine.join(F.broadcast(clusters), "doc_id", "left")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        cid.cast("long").alias("cluster_id"),
+        (cid == F.col("doc_id")).cast("int").alias("keep"),
+    )
+
+
+def _oracle_doc_keep_list_sql() -> str:
+    clusters = _oracle_dedup_clusters_sql().strip().rstrip(";")
+    # re-wrap the recursive-CTE closure: WITH RECURSIVE must stay the
+    # outermost WITH, so splice the documents spine join around its final
+    # SELECT instead of nesting it
+    body = clusters.replace("WITH RECURSIVE", "", 1).strip()
+    return f"""
+WITH RECURSIVE {body.replace("SELECT CAST(s AS BIGINT) AS doc_id,",
+                             ", cl AS (SELECT CAST(s AS BIGINT) AS doc_id,", 1)}
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN COALESCE(cl.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+"""
+
+
+_MIXTURE_BUDGET = 100_000  # target tokens
+
+
+def q_doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction planning (Pile/Dolma-style): given a total
+    token budget split uniformly across sources, compute each source's
+    token inventory, the sampling rate that hits its target (capped at
+    1.0 — can't upsample by filtering), and the tokens the plan yields.
+    Pure aggregation + deterministic double arithmetic; feeds
+    `stratified_hash_sample(source → rate)` to execute the plan."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    per_source = (
+        docs.select("source", X.token_count("text").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    # attach the source count as a broadcast ONE-ROW aggregate (the tfidf
+    # pattern) — never an unpartitioned window
+    ns = per_source.agg(F.count(F.lit(1)).alias("__ns"))
+    w = per_source.crossJoin(F.broadcast(ns))
+    target = F.lit(float(_MIXTURE_BUDGET)) / F.col("__ns")
+    rate = F.when(
+        F.col("n_tokens") > 0, F.least(F.lit(1.0), target / F.col("n_tokens"))
+    ).otherwise(F.lit(1.0))
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(rate, 6).alias("rate"),
+        F.floor(rate * F.col("n_tokens")).cast("long").alias("planned_tokens"),
+    )
+
+
+ORACLE_DOC_MIXTURE_PLAN = rf"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_DD_TOKENS.format(c='text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+w AS (SELECT *, COUNT(*) OVER () AS ns FROM per),
+r AS (
+  SELECT source, n_docs, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN least(1.0, ({_MIXTURE_BUDGET}.0 / ns) / n_tokens)
+              ELSE 1.0 END AS rate_raw
+  FROM w)
+SELECT source, n_docs, n_tokens, round(rate_raw, 6) AS rate,
+       CAST(floor(rate_raw * n_tokens) AS BIGINT) AS planned_tokens
+FROM r
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -1925,6 +2019,8 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_token_topk": q_corpus_token_topk,
     "doc_chunk_windows": q_doc_chunk_windows,
     "dedup_ngram_containment": q_dedup_ngram_containment,
+    "doc_keep_list": q_doc_keep_list,
+    "doc_mixture_plan": q_doc_mixture_plan,
 }
 
 
@@ -1978,4 +2074,6 @@ def oracles() -> dict[str, str]:
         "corpus_token_topk": ORACLE_CORPUS_TOKEN_TOPK,
         "doc_chunk_windows": ORACLE_DOC_CHUNK_WINDOWS,
         "dedup_ngram_containment": ORACLE_DEDUP_NGRAM_CONTAINMENT,
+        "doc_keep_list": _oracle_doc_keep_list_sql(),
+        "doc_mixture_plan": ORACLE_DOC_MIXTURE_PLAN,
     }

@@ -21,11 +21,12 @@ from beacon_indexer_spark.plans.queries import QUERIES
 # aggregate — a constant attach, not a pair expansion
 _ALLOWED_CROSS = {
     "similarity_bruteforce", "similarity_quantized", "doc_tfidf_top_terms",
+    "doc_mixture_plan",  # broadcast ONE-ROW source-count attach
 }
 
 # iterative operator: executes during plan construction; its final plan is
 # a checkpoint scan, so there is nothing to audit statically
-_ITERATIVE = {"dedup_clusters"}
+_ITERATIVE = {"dedup_clusters", "doc_keep_list"}
 
 
 @pytest.fixture(scope="module")
