@@ -486,3 +486,89 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label mean embedding, exploded to (label, pos, n_vecs, centroid)
+    — the per-cluster statistic under embedding-based curation (SemDeDup
+    cluster centers, per-class drift monitors, IVF re-training input).
+
+    100-TB shape: posexplode is a narrow map; the single groupBy(label, pos)
+    is map-side-combined and its shuffle carries at most n_labels x dim
+    rows regardless of corpus size. Rounding to `round_to` decimals makes
+    the mean reproducible across engines/partitionings (the unrounded sum
+    varies ~1e-13 with accumulation order).
+    """
+    ex = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "__v"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("__v"), round_to).alias("centroid"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "centroid",
+        )
+    )
+
+
+def label_outliers(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k vectors FARTHEST (L2) from their own label's centroid — the
+    embedding-outlier screen (mislabeled / off-distribution examples to
+    drop or review before training). Returns (label, vec_id, l2_dist,
+    rank), rank 1 = farthest, ties broken by vec_id ascending.
+
+    100-TB shape: centroids reduce to n_labels x dim rows (see
+    `label_centroids`) and roll up to one array per label — a frame small
+    enough to BROADCAST at any corpus size, so the distance pass is a
+    narrow map over the vectors with no shuffle; the only corpus-sized
+    shuffle is the per-label top-k window, which TakeOrdered-style ranks
+    on (label) partitions. Distances accumulate left-to-right over the
+    rounded centroid, so the oracle's list_reduce reproduces them bit-for-
+    bit; ranking uses the ROUNDED distance so order is engine-stable.
+    """
+    cents = label_centroids(vectors, vec_col, label_col, round_to)
+    carr = cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("__cv")
+    )
+    diff = F.zip_with(
+        _as_double(F.col(vec_col)), F.col("__cv"), lambda x, c: (x - c) * (x - c)
+    )
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    vecs = vectors.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias(vec_col),
+    )
+    scored = vecs.join(F.broadcast(carr), "label").select(
+        "label",
+        "vec_id",
+        F.round(dist, round_to).alias("l2_dist"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("l2_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("label", "vec_id", "l2_dist", F.col("rank").cast("long").alias("rank"))
+    )

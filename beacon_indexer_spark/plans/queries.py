@@ -1970,6 +1970,303 @@ FROM r
 """
 
 
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (operators/similarity.py label_centroids):
+    the cluster-center statistic under SemDeDup-style curation and drift
+    monitoring. posexplode + one map-side-combined groupBy(label, pos) —
+    the shuffle is bounded by n_labels x dim, never corpus size."""
+    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    return S.label_centroids(vecs, "embedding", "label")
+
+
+ORACLE_EMBEDDING_LABEL_CENTROIDS = """
+WITH x AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(avg(v), 6) AS centroid
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 vectors farthest (L2) from their own label centroid
+    (operators/similarity.py label_outliers) — the mislabeled/off-
+    distribution screen run before training. Centroids broadcast (n_labels
+    x dim rows at any corpus size); the distance pass is a narrow map."""
+    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    out = S.label_outliers(vecs, "vec_id", "embedding", "label", k=3)
+    return out.select(
+        "label", F.col("vec_id").cast("long").alias("vec_id"), "l2_dist", "rank"
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = """
+WITH x AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+c AS (SELECT label, pos, round(avg(v), 6) AS cv FROM x GROUP BY 1, 2),
+ca AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM c GROUP BY 1),
+d AS (
+  SELECT e.label, e.vec_id,
+         round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, len(e.embedding)),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - cvec[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - cvec[i]))),
+           (a, b) -> a + b)), 6) AS l2_dist
+  FROM embeddings e JOIN ca USING (label))
+SELECT label, CAST(vec_id AS BIGINT) AS vec_id, l2_dist, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY l2_dist DESC, vec_id) AS rank
+      FROM d)
+WHERE rank <= 3
+"""
+
+
+def q_token_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token bigrams by pointwise mutual information
+    (min count 5) — the collocation/boilerplate detector (high-PMI pairs
+    are multiword units; a sudden PMI head shift flags template spam).
+
+    Scale shape: bigram and unigram counts are map-side-combined groupBys
+    whose shuffles are vocabulary-bounded; the two count attachments are
+    equi-joins on token (vocabulary-sized sides); corpus totals attach via
+    broadcast one-row crossJoins so the whole plan stays lazy. Final
+    ordering is a 20-row TakeOrdered on the ROUNDED score (engine-stable,
+    ties broken lexically)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    uni = (
+        docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    bc = (
+        docs.select(F.explode(X.word_shingles("text", 2)).alias("bg"))
+        .select(
+            F.substring_index("bg", " ", 1).alias("a"),
+            F.substring_index("bg", " ", -1).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    tot = uni.agg(F.sum("c").alias("__T"))
+    btot = bc.agg(F.sum("c_ab").cast("double").alias("__B"))
+    ca = uni.select(F.col("t").alias("a"), F.col("c").alias("__ca"))
+    cb = uni.select(F.col("t").alias("b"), F.col("c").alias("__cb"))
+    scored = (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("__T") * F.col("__T"))
+                    / (F.col("__B") * F.col("__ca") * F.col("__cb"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(20)
+        .select("a", "b", F.col("c_ab").cast("long").alias("c_ab"), "pmi")
+    )
+
+
+ORACLE_TOKEN_PMI_TOP = rf"""
+WITH tk AS (SELECT {_DD_TOKENS.format(c='text')} AS toks FROM documents),
+uc AS (
+  SELECT t, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY 1),
+bc AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b, COUNT(*) AS c_ab
+  FROM tk, unnest(generate_series(1, CAST(len(toks) - 1 AS INT))) AS u(i)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2),
+tot AS (SELECT (SELECT SUM(c) FROM uc) AS t_uni,
+               (SELECT CAST(SUM(c_ab) AS DOUBLE) FROM bc) AS t_bg)
+SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+       round(ln((c_ab * t_uni * t_uni) / (t_bg * ca.c * cb.c)), 6) AS pmi
+FROM bc, tot
+JOIN uc ca ON ca.t = a
+JOIN uc cb ON cb.t = b
+WHERE c_ab >= 5
+ORDER BY pmi DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+
+def q_corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: doc/token counts, distinct-term
+    count, type-token ratio — the lexical-diversity dashboard (template-
+    generated sources show collapsed TTR). Two map-side-combined
+    aggregations joined on source; the distinct-term count shuffles
+    (source, term) pairs — vocabulary-bounded, never corpus-row-bounded."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tk = (
+        docs.select(
+            "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("t")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("t").alias("n_terms"),
+        )
+    )
+    return (
+        base.join(tk, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(F.col("n_terms") / F.col("n_tokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ttr"),
+        )
+    )
+
+
+ORACLE_CORPUS_VOCAB_STATS = rf"""
+WITH tk AS (
+  SELECT source, {_DD_TOKENS.format(c='text')} AS toks FROM documents),
+ex AS (SELECT source, unnest(toks) AS t FROM tk),
+agg AS (
+  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_terms
+  FROM ex GROUP BY 1),
+base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+SELECT base.source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_terms, 0) AS BIGINT) AS n_terms,
+       CASE WHEN COALESCE(n_tokens, 0) > 0
+            THEN round(CAST(n_terms AS DOUBLE) / n_tokens, 6)
+            ELSE 0.0 END AS ttr
+FROM base LEFT JOIN agg ON base.source = agg.source
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users whose
+    first click FOLLOWS their first view, and whose first purchase follows
+    that click. The staged-join formulation (filter+agg per stage, equi-
+    join on user) keeps per-user state out of memory — no per-user event
+    array is ever materialized, so a bot user with 10^8 events costs
+    nothing beyond its aggregates. Each stage's scan pushes the
+    event_type filter into parquet."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("__t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("__t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t3"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("stage"), F.lit("view").alias("event_type"), "n_users")
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage"), F.lit("click").alias("event_type"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage"),
+                F.lit("purchase").alias("event_type"),
+                "n_users",
+            )
+        )
+    )
+    first = v.agg(F.count(F.lit(1)).cast("double").alias("__n1"))
+    return (
+        stages.crossJoin(F.broadcast(first))
+        .select(
+            F.col("stage").cast("long").alias("stage"),
+            "event_type",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(F.col("n_users") / F.col("__n1"), 6).alias("conv_rate"),
+        )
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+n AS (
+  SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p)
+SELECT CAST(stage AS BIGINT) AS stage, event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(CAST(n_users AS DOUBLE)
+             / (SELECT n_users FROM n WHERE stage = 1), 6) AS conv_rate
+FROM n
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active day, counted at
+    each day offset they return. distinct (user, day) first — the shuffle
+    carries one row per user-day, not per event; cohort attaches by a
+    user-keyed equi-join of per-user minima."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("__day")).distinct()
+    f = d.groupBy("user_id").agg(F.min("__day").alias("__cohort"))
+    return (
+        d.join(f, "user_id")
+        .groupBy(
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("__day", "__cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+       CAST(day - cohort AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM d JOIN f ON d.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -2021,6 +2318,12 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_containment": q_dedup_ngram_containment,
     "doc_keep_list": q_doc_keep_list,
     "doc_mixture_plan": q_doc_mixture_plan,
+    "embedding_label_centroids": q_embedding_label_centroids,
+    "embedding_outliers": q_embedding_outliers,
+    "token_pmi_top": q_token_pmi_top,
+    "corpus_vocab_stats": q_corpus_vocab_stats,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
 }
 
 
@@ -2076,4 +2379,10 @@ def oracles() -> dict[str, str]:
         "dedup_ngram_containment": ORACLE_DEDUP_NGRAM_CONTAINMENT,
         "doc_keep_list": _oracle_doc_keep_list_sql(),
         "doc_mixture_plan": ORACLE_DOC_MIXTURE_PLAN,
+        "embedding_label_centroids": ORACLE_EMBEDDING_LABEL_CENTROIDS,
+        "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
+        "token_pmi_top": ORACLE_TOKEN_PMI_TOP,
+        "corpus_vocab_stats": ORACLE_CORPUS_VOCAB_STATS,
+        "events_funnel": ORACLE_EVENTS_FUNNEL,
+        "events_retention": ORACLE_EVENTS_RETENTION,
     }

@@ -62,17 +62,28 @@ def main() -> None:
         timings[name] = min(rep_times[name])
 
     total = round(sum(timings.values()), 4)
+    # The headline MUST be the last stdout line and stay short enough for a
+    # tail-buffer capture to parse (round 3's line carried the full per-rep
+    # arrays inline and was truncated past parseability). Per-rep raw times
+    # go to a side file + an earlier stdout line; the final line carries
+    # 3-decimal mins only.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_reps.json"),
+        "w",
+    ) as f:
+        json.dump({"sf": sf, "n_reps": max(1, reps), "reps": rep_times}, f)
+    print(json.dumps({"reps": rep_times}))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": sf,
                 "n_reps": max(1, reps),
-                "reps": rep_times,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

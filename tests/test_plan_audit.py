@@ -22,6 +22,8 @@ from beacon_indexer_spark.plans.queries import QUERIES
 _ALLOWED_CROSS = {
     "similarity_bruteforce", "similarity_quantized", "doc_tfidf_top_terms",
     "doc_mixture_plan",  # broadcast ONE-ROW source-count attach
+    "token_pmi_top",  # broadcast ONE-ROW unigram/bigram totals attach
+    "events_funnel",  # broadcast ONE-ROW stage-1 count attach
 }
 
 # iterative operator: executes during plan construction; its final plan is

@@ -231,3 +231,80 @@ def test_pack_stats_matches_naive(spark):
     assert set(got) == set(expected)
     for pid, (nd, nt) in expected.items():
         assert got[pid] == (nd, nt, round(nt / 64, 6)), pid
+
+
+# ---------------------------------------------------------------------------
+# label centroids / outliers
+# ---------------------------------------------------------------------------
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    rnd = random.Random(7)
+    rows = [
+        (i, f"l{i % 3}", [rnd.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    got = S.label_centroids(df, "embedding", "label").collect()
+    by_label = {}
+    for _, lab, v in rows:
+        by_label.setdefault(lab, []).append(v)
+    for r in got:
+        exp = np.mean(np.array(by_label[r["label"]]), axis=0)[r["pos"]]
+        assert math.isclose(r["centroid"], round(exp, 6), abs_tol=2e-6)
+        assert r["n_vecs"] == len(by_label[r["label"]])
+
+
+def test_label_outliers_finds_planted_outlier(spark):
+    # cluster tight around +1; one planted vector at -1 must rank 1
+    rnd = random.Random(9)
+    rows = [
+        (i, "a", [1.0 + rnd.uniform(-0.01, 0.01) for _ in range(8)])
+        for i in range(20)
+    ]
+    rows.append((99, "a", [-1.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    got = S.label_outliers(df, "vec_id", "embedding", "label", k=2).collect()
+    top = [r for r in got if r["rank"] == 1]
+    assert len(top) == 1 and top[0]["vec_id"] == 99
+    # distance sanity: planted outlier ~ sqrt(8 * 4) = ~5.6 from centroid
+    assert top[0]["l2_dist"] > 5.0
+
+
+# ---------------------------------------------------------------------------
+# funnel ordering semantics
+# ---------------------------------------------------------------------------
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m, tzinfo=timezone.utc)
+
+    rows = [
+        # u1 converts fully in order
+        (1, ts(1), 1, "view", 1.0, "{}"),
+        (2, ts(2), 1, "click", 1.0, "{}"),
+        (3, ts(3), 1, "purchase", 1.0, "{}"),
+        # u2 clicks BEFORE viewing: click/purchase must not count
+        (4, ts(2), 2, "click", 1.0, "{}"),
+        (5, ts(3), 2, "view", 1.0, "{}"),
+        # u3 views then purchases without click: stops at stage 1
+        (6, ts(1), 3, "view", 1.0, "{}"),
+        (7, ts(2), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    from beacon_indexer_spark.plans.queries import QUERIES
+
+    got = {r["event_type"]: r for r in QUERIES["events_funnel"](spark, sf).collect()}
+    assert got["view"]["n_users"] == 3
+    assert got["click"]["n_users"] == 1
+    assert got["purchase"]["n_users"] == 1
+    assert got["click"]["conv_rate"] == round(1 / 3, 6)
