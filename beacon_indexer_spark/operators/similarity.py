@@ -572,3 +572,81 @@ def label_outliers(
         .filter(F.col("rank") <= k)
         .select("label", "vec_id", "l2_dist", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def semantic_dedup_keep(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    threshold: float = 0.95,
+    max_bucket: int | None = 65536,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication ACTION: coarse-cluster the
+    embedding space (nearest of k deterministic centroids), score every
+    within-cluster pair by exact cosine, connect pairs >= `threshold`
+    into semantic-duplicate groups, and keep the minimum id of each
+    group. Returns a total verdict per vector: (vec_id, group_id, keep)
+    — group_id falls back to the vector's own id for singletons.
+
+    100-TB shape: candidate generation shuffles (cluster, id) only —
+    vectors never ride the bucket shuffle — and within-cluster pair
+    expansion goes through `_pairs_from_buckets`' capped/overflow path,
+    so a collapsed cluster cannot OOM one aggregation row. Vectors and
+    norms attach to surviving candidates via id equi-joins (computed
+    once per side). Grouping reuses `connected_components`
+    (O(log diameter) rounds); the group frame is bounded by the
+    DUPLICATED subset of the corpus — broadcastable in any real corpus
+    where near-dups are a few percent (same contract as doc_keep_list).
+    """
+    from beacon_indexer_spark.operators.dedup import (
+        _pairs_from_buckets,
+        connected_components,
+    )
+
+    cents = ivf_centroids(vectors, id_col, vec_col, k=k_clusters)
+    assigned = ivf_assign(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")),
+        cents,
+        "__v",
+        nprobe=1,
+    )
+    keyed = assigned.select("id", F.col("ivf_list").alias("cluster"))
+    pairs = _pairs_from_buckets(keyed, "id", "cluster", max_bucket=max_bucket)
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    dup = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    groups = (
+        connected_components(dup)
+        .withColumnRenamed("node", "vec_id")
+        .withColumnRenamed("cluster_id", "group_id")
+    )
+    spine = vectors.select(F.col(id_col).cast("long").alias("vec_id"))
+    joined = spine.join(F.broadcast(groups), "vec_id", "left")
+    gid = F.coalesce(F.col("group_id"), F.col("vec_id"))
+    return joined.select(
+        "vec_id",
+        gid.cast("long").alias("group_id"),
+        (gid == F.col("vec_id")).cast("int").alias("keep"),
+    )

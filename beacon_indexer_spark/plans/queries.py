@@ -2267,6 +2267,77 @@ GROUP BY 1, 2
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup keep-list (operators/similarity.py
+    semantic_dedup_keep): coarse k=8 clustering, exact within-cluster
+    cosine >= 0.95, connected components, keep the min id per group —
+    embedding-space near-dup REMOVAL as a total per-vector verdict."""
+    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    return S.semantic_dedup_keep(
+        vecs, "vec_id", "embedding", k_clusters=8, threshold=0.95
+    )
+
+
+def _oracle_semantic_dedup_sql(k: int = 8, threshold: float = 0.95) -> str:
+    """DuckDB mirror of q_semantic_dedup: identical md5-sampled centroids
+    and `-2·v·c + ||c||²` assignment as the IVF oracle, exact sequential
+    cosine within clusters, recursive-CTE closure for the groups."""
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
+    dot_vc = fold.format(
+        arr="list_transform(generate_series(1, len(v.embedding)),"
+        " i -> CAST(v.embedding[i] AS DOUBLE) * c.cv[i])"
+    )
+    sq_c = fold.format(arr="list_transform(c.cv, x -> x * x)")
+    dot_ab = fold.format(
+        arr="list_transform(generate_series(1, len(ea.embedding)),"
+        " i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))"
+    )
+    nrm = (
+        "sqrt("
+        + fold.format(
+            arr="list_transform({e}.embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        + ")"
+    )
+    return f"""
+WITH RECURSIVE cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}),
+assigned AS (
+  SELECT v.vec_id, c.cid, -({dot_vc}) * 2 + ({sq_c}) AS d2
+  FROM embeddings v CROSS JOIN cents c),
+vlist AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+    FROM assigned) WHERE rk = 1),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vlist a JOIN vlist b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b
+  WHERE CASE WHEN ({nrm.format(e='ea')}) * ({nrm.format(e='eb')}) > 0
+             THEN ({dot_ab}) / (({nrm.format(e='ea')}) * ({nrm.format(e='eb')}))
+             ELSE 0.0 END >= {threshold}),
+edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT s, t FROM edges
+          UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+                 WHERE e.t <> r.s),
+grp AS (SELECT s AS vec_id, least(s, MIN(t)) AS gid FROM reach GROUP BY s)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(COALESCE(g.gid, e.vec_id) AS BIGINT) AS group_id,
+       CAST(CASE WHEN COALESCE(g.gid, e.vec_id) = e.vec_id
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM embeddings e LEFT JOIN grp g ON g.vec_id = e.vec_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -2324,6 +2395,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_vocab_stats": q_corpus_vocab_stats,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -2385,4 +2457,5 @@ def oracles() -> dict[str, str]:
         "corpus_vocab_stats": ORACLE_CORPUS_VOCAB_STATS,
         "events_funnel": ORACLE_EVENTS_FUNNEL,
         "events_retention": ORACLE_EVENTS_RETENTION,
+        "semantic_dedup": _oracle_semantic_dedup_sql(),
     }

@@ -28,7 +28,7 @@ _ALLOWED_CROSS = {
 
 # iterative operator: executes during plan construction; its final plan is
 # a checkpoint scan, so there is nothing to audit statically
-_ITERATIVE = {"dedup_clusters", "doc_keep_list"}
+_ITERATIVE = {"dedup_clusters", "doc_keep_list", "semantic_dedup"}
 
 
 @pytest.fixture(scope="module")

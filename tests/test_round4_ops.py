@@ -308,3 +308,33 @@ def test_funnel_requires_stage_order(spark, tmp_path):
     assert got["click"]["n_users"] == 1
     assert got["purchase"]["n_users"] == 1
     assert got["click"]["conv_rate"] == round(1 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_groups_planted_near_identical(spark):
+    rnd = random.Random(21)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    far = [-x for x in base]
+    rows = []
+    # 3 near-identical copies of `base` (ids 1,2,3) + 2 copies of `far`
+    # (ids 10,11) + noise vectors
+    for i in (1, 2, 3):
+        rows.append((i, [x + rnd.uniform(-1e-4, 1e-4) for x in base]))
+    for i in (10, 11):
+        rows.append((i, [x + rnd.uniform(-1e-4, 1e-4) for x in far]))
+    for i in range(100, 110):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in S.semantic_dedup_keep(
+        df, "vec_id", "embedding", k_clusters=4, threshold=0.99
+    ).collect()}
+    assert len(out) == len(rows)  # total verdict: every vector appears
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 0 and out[3]["keep"] == 0
+    assert out[2]["group_id"] == 1 and out[3]["group_id"] == 1
+    assert out[10]["keep"] == 1 and out[11]["group_id"] == 10
+    # singletons keep themselves
+    assert all(out[i]["keep"] == 1 and out[i]["group_id"] == i
+               for i in range(100, 110))
