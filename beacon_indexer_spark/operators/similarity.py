@@ -650,3 +650,136 @@ def semantic_dedup_keep(
         gid.cast("long").alias("group_id"),
         (gid == F.col("vec_id")).cast("int").alias("keep"),
     )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the k corpus vectors
+    whose md5(id) is smallest (the `ivf_centroids` sample), each split
+    into m contiguous subvectors — ``codebooks[s][j]`` is subspace s of
+    sample j. Real PQ k-means-trains each subspace; at 100 TB that
+    training runs on a driver-sized sample anyway, and the deterministic
+    sample keeps results engine-reproducible for the oracle."""
+    cents = ivf_centroids(vectors, id_col, vec_col, k=k)
+    dim = len(cents[0][1])
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    sub = dim // m
+    return [
+        [cents[j][1][s * sub:(s + 1) * sub] for j in range(k)]
+        for s in range(m)
+    ]
+
+
+def _pq_cb_sql(codebooks: list[list[list[float]]]) -> str:
+    """SQL literal for the m x k x subdim codebook tensor (shortest-repr
+    doubles — exact round-trip)."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cw) + ")"
+                for cw in sub_cb
+            )
+            + ")"
+            for sub_cb in codebooks
+        )
+        + ")"
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode each vector: per subspace, the index of the nearest
+    codeword (L2, ties to the smaller index). Returns (id, pq_code
+    array<int>) — m small ints replace the full vector (the 100-TB IO
+    story: an 8-byte code column scans ~32x less than 64 floats).
+
+    Narrow map, no shuffle. Generated as ONE SQL expression (the
+    `ivf_assign` move — the codebook tensor appears once as a literal;
+    subspace and codeword indices are lambda variables, so plan size is
+    O(m·k·subdim) literals, not O(rows)); per-subspace distances
+    accumulate sequentially left-to-right for cross-engine parity."""
+    sub = len(codebooks[0][0])
+    m, k = len(codebooks), len(codebooks[0])
+    cb = _pq_cb_sql(codebooks)
+    code = (
+        f"transform(sequence(0, {m - 1}), s -> array_min("
+        f"transform(sequence(0, {k - 1}), j -> named_struct("
+        f"'d2', aggregate(zip_with("
+        f"slice(transform({vec_col}, x -> CAST(x AS DOUBLE)), s * {sub} + 1, {sub}), "
+        f"{cb}[s][j], (x, c) -> (x - c) * (x - c)), "  # [] is 0-based in Spark SQL
+        f"CAST(0.0 AS DOUBLE), (a, d) -> a + d), "
+        f"'j', j))).j)"
+    )
+    return vectors.select(
+        F.col(id_col), F.expr(code).cast("array<int>").alias("pq_code")
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC): the corpus is
+    scanned as PQ CODES only; per (query, code) the distance is the sum
+    over subspaces of ||q_s − codeword[s][code_s]||². Output
+    (query_id, neighbor_id, rank, adc_dist), rank 1 = nearest, ranking
+    on the ROUNDED distance with neighbor-id tie-break (engine-stable).
+
+    100-TB shape: encoding is a narrow map over the corpus; the scan
+    side carries only (id, m-byte code); the (small) query side is
+    broadcast — the documented nested-loop exception, exactly the
+    brute-force/quantized scan pattern but over 32x less data. Compose
+    with `ivf_assign` list pruning for the full IVF-PQ layout."""
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    cb = _pq_cb_sql(codebooks)
+    enc = pq_encode(vectors, codebooks, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__qvd"),
+    )
+    dist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), (acc, s) -> acc + "
+        f"aggregate(zip_with(slice(__qvd, s * {sub} + 1, {sub}), "
+        f"{cb}[s][pq_code[s]], (x, c) -> (x - c) * (x - c)), "  # 0-based []
+        f"CAST(0.0 AS DOUBLE), (a, d) -> a + d))"
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dist, 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "adc_dist",
+        )
+    )

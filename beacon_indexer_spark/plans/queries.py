@@ -2338,6 +2338,71 @@ FROM embeddings e LEFT JOIN grp g ON g.vec_id = e.vec_id
 """
 
 
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_encode /
+    pq_topk): m=8 subspaces x k=16 deterministic codewords; the corpus is
+    scanned as 8-int codes and scored by asymmetric distance (ADC) against
+    the 5 probe queries — the FAISS-style compressed-domain scan path."""
+    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    cbs = S.pq_codebooks(vecs, "vec_id", "embedding", m=8, k=16)
+    qs = vecs.filter(F.col("vec_id") < 5)
+    out = S.pq_topk(vecs, qs, cbs, "vec_id", "embedding", k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+        "adc_dist",
+    )
+
+
+def _oracle_similarity_pq_sql(
+    m: int = 8, k: int = 16, sub: int = 8, topk: int = 5
+) -> str:
+    """DuckDB mirror of q_similarity_pq: identical md5-sampled codebook
+    vectors, per-subspace argmin with (d2, j) tie-break, and ADC sums
+    folded left-to-right over an ORDERED subspace list so every double
+    matches Spark's sequential accumulation bit-for-bit."""
+    sq_term = (
+        f"(CAST(e.embedding[subs.s * {sub} + t] AS DOUBLE)"
+        f" - cb.cv[subs.s * {sub} + t])"
+    )
+    return f"""
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+d AS (
+  SELECT e.vec_id, subs.s, cb.j,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, {sub}), t ->
+             {sq_term} * {sq_term})),
+           (a, b) -> a + b) AS d2
+  FROM embeddings e, subs, cb),
+enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, j ASC) AS rk
+    FROM d) WHERE rk = 1),
+adc AS (
+  SELECT dq.vec_id AS query_id, en.vec_id AS neighbor_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(dq.d2 ORDER BY dq.s)), (a, b) -> a + b), 6) AS adc_dist
+  FROM enc en JOIN d dq ON dq.s = en.s AND dq.j = en.code
+  WHERE dq.vec_id < 5 AND en.vec_id <> dq.vec_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, adc_dist
+FROM ranked WHERE rank <= {topk}
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -2396,6 +2461,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "semantic_dedup": q_semantic_dedup,
+    "similarity_pq": q_similarity_pq,
 }
 
 
@@ -2458,4 +2524,5 @@ def oracles() -> dict[str, str]:
         "events_funnel": ORACLE_EVENTS_FUNNEL,
         "events_retention": ORACLE_EVENTS_RETENTION,
         "semantic_dedup": _oracle_semantic_dedup_sql(),
+        "similarity_pq": _oracle_similarity_pq_sql(),
     }

@@ -24,6 +24,7 @@ _ALLOWED_CROSS = {
     "doc_mixture_plan",  # broadcast ONE-ROW source-count attach
     "token_pmi_top",  # broadcast ONE-ROW unigram/bigram totals attach
     "events_funnel",  # broadcast ONE-ROW stage-1 count attach
+    "similarity_pq",  # ADC scan: broadcast query side, corpus as codes
 }
 
 # iterative operator: executes during plan construction; its final plan is

@@ -338,3 +338,43 @@ def test_semantic_dedup_groups_planted_near_identical(spark):
     # singletons keep themselves
     assert all(out[i]["keep"] == 1 and out[i]["group_id"] == i
                for i in range(100, 110))
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    import numpy as np
+
+    rnd = random.Random(31)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = S.pq_codebooks(df, "vec_id", "embedding", m=4, k=8)
+    got = {r["vec_id"]: r["pq_code"]
+           for r in S.pq_encode(df, cbs, "vec_id", "embedding").collect()}
+    cb = np.array(cbs)  # (m, k, sub)
+    for vid, v in rows:
+        vv = np.array(v).reshape(4, 4)
+        for s in range(4):
+            d2 = ((cb[s] - vv[s]) ** 2).sum(axis=1)
+            assert got[vid][s] == int(d2.argmin()), (vid, s)
+
+
+def test_pq_topk_approximates_exact_neighbors(spark):
+    # PQ ADC top-k must rank a planted near-identical vector first:
+    # quantization error is bounded by codeword spacing, and identical
+    # vectors share codes so their ADC distance is minimal.
+    rnd = random.Random(33)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    rows.append((99, [x + 1e-6 for x in rows[0][1]]))  # near-copy of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = S.pq_codebooks(df, "vec_id", "embedding", m=4, k=8)
+    qs = df.filter("vec_id = 0")
+    out = S.pq_topk(df, qs, cbs, "vec_id", "embedding", k=3).collect()
+    top1 = [r for r in out if r["rank"] == 1][0]
+    assert top1["neighbor_id"] == 99
+    # ADC distance to a same-code vector is the QUERY's own quantization
+    # residual d(q, recon(q)) — strictly positive, but still the minimum
+    # over the corpus (every other vector's reconstruction is farther)
+    assert 0.0 < top1["adc_dist"] <= min(r["adc_dist"] for r in out)
