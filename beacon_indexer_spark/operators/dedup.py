@@ -428,6 +428,48 @@ def cross_corpus_overlap(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    df_cap: int | None = 10_000,
+) -> DataFrame:
+    """Local-overlap candidate pairs via winnowing fingerprints
+    (`operators/text.py winnow_fingerprints`): (id_a, id_b, n_shared) for
+    document pairs sharing at least ``min_shared`` distinct selected
+    shingle-window minima — the MOSS-style detector for a COPIED PASSAGE
+    inside otherwise-different documents, which whole-document minhash
+    dilutes below threshold.
+
+    Scale shape: identical to the shingle-blocked engine — fingerprints
+    are a narrow map (no shuffle), blocking groups (fingerprint → sorted
+    id set) in ONE shuffle carrying (fingerprint, id) only, in-bucket
+    pair expansion, then a pair-count aggregation bounded by actual
+    overlap. ``df_cap`` drops fingerprints shared by more documents than
+    the cap from blocking (boilerplate minima — same trade and audit
+    story as `ngram_jaccard_pairs`).
+    """
+    from beacon_indexer_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, id_col, text_col, n=n, w=w)
+    blocked = (
+        fps.groupBy("fingerprint")
+        .agg(F.array_sort(F.collect_set("id")).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    if df_cap is not None:
+        blocked = blocked.filter(F.size("__ids") <= df_cap)
+    return (
+        blocked.select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -211,6 +211,105 @@ def asof_join(
     )
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str | None = None,
+    matched_ts_col: str = "nearest_ts",
+) -> DataFrame:
+    """Nearest-in-time join (pandas ``merge_asof(direction='nearest')``):
+    for each left row, attach the single right row per key whose timestamp
+    is CLOSEST in absolute distance — before or after. Ties on equal
+    |distance| go to the earlier right row (the backward match); right
+    rows sharing one timestamp collapse to the max-``tiebreak`` row first,
+    so the pick is total. Left rows with no right rows keep nulls.
+
+    Spark-first plan — the `asof_join` union+sort trick run through BOTH
+    window directions in one pass: ``last(ignorenulls)`` over the
+    preceding frame finds the latest right row at-or-before, and
+    ``first(ignorenulls)`` over the following frame finds the earliest
+    right row after; both window functions share ONE partition sort, so
+    the whole operator costs a single key shuffle plus the right side's
+    per-(key, ts) collapse — never a range/abs-distance self-join (which
+    Catalyst could only plan as a broadcast-nested-loop). The same hot-key
+    caveats and mitigations as `asof_join` apply.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    keys = list(keys)
+    lpay = [c for c in left.columns if c not in keys]
+    rpay = [c for c in right.columns if c not in keys and c != right_ts]
+    clash = set(rpay) & set(lpay)
+    if clash:
+        raise ValueError(f"right payload columns clash with left: {sorted(clash)}")
+    # collapse rights to one row per (key, ts) — max tiebreak wins — so
+    # backward (max-tb via sort order) and forward (first-in-frame) agree
+    # on which row represents a timestamp
+    if tiebreak is not None:
+        r1 = right.groupBy(*keys, right_ts).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in rpay]), F.col(tiebreak)
+            ).alias("__rp")
+        ).select(*keys, right_ts, *[F.col(f"__rp.{c}").alias(c) for c in rpay])
+    else:
+        r1 = right.dropDuplicates([*keys, right_ts])
+    pack_type = T.StructType(
+        [T.StructField("__rts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in rpay]
+    )
+    l2 = left.select(
+        *keys,
+        *lpay,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__src"),
+        F.lit(None).cast(pack_type).alias("__rpack"),
+    )
+    r2 = r1.select(
+        *keys,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in rpay]
+        ).alias("__rpack"),
+    )
+    u = l2.unionByName(r2)
+    # rights at equal __ts sort before lefts (src 0 < 1): an exact-ts right
+    # lands in the BACKWARD frame with distance 0 and wins every tie
+    order = [F.asc("__ts"), F.asc("__src")]
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back = F.last("__rpack", ignorenulls=True).over(wb)
+    fwd = F.first("__rpack", ignorenulls=True).over(wf)
+    dist = lambda m: F.abs(m["__rts"] - F.col("__ts"))  # noqa: E731
+    pick = (
+        F.when(back.isNull(), fwd)
+        .when(fwd.isNull(), back)
+        # tie → backward (the earlier right row)
+        .when(dist(back) <= dist(fwd), back)
+        .otherwise(fwd)
+    )
+    out = u.withColumn("__m", pick).filter(F.col("__src") == 1)
+    return out.select(
+        *keys,
+        *lpay,
+        *[F.col(f"__m.{c}").alias(c) for c in rpay],
+        F.col("__m.__rts").alias(matched_ts_col),
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -504,3 +504,76 @@ def word_shingles(text: ColumnOrName, n: int = 3) -> Column:
     return F.coalesce(
         F.filter(cur, lambda s: s.isNotNull()), F.array().cast("array<string>")
     )
+
+
+def winnow_fingerprints(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    w: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    local fingerprinting scheme) at word-shingle granularity: hash every
+    n-word shingle, slide a window of ``w`` consecutive hashes, keep the
+    minimum hash of each window — the selected set is guaranteed to share
+    a fingerprint with any copy that overlaps by at least w+n-1 WORDS, at
+    an expected density of 2/(w+1) of the shingle count. Complements
+    minhash (whole-document similarity) with LOCAL match detection: a
+    plagiarized passage inside an otherwise-different document still
+    collides. Word shingles (not MOSS's char k-grams) keep the hash count
+    at O(tokens) per document — at corpus scale the char-gram variant
+    costs ~6× the md5 work for the same detection granularity in words.
+
+    Scale shape: pure array expressions, narrow map, no shuffle, no UDF —
+    one md5 per shingle, O(tokens·w) window mins per row. The hash array
+    is bound as a HOF LAMBDA VARIABLE via `_once` (transform over a
+    one-element array): staging it as a projected column is NOT enough —
+    CollapseProject inlines a staged column into every consumer,
+    including lambda bodies, where HOF evaluation re-runs it per element
+    (measured: a `transform(sequence, j -> array_min(slice(h, j, w)))`
+    form cost O(len²) hash work per row — minutes for 500 docs; the
+    lambda-bound cascade runs the identical semantics in ~1 s).
+    Documents shorter than one window keep a single whole-array window;
+    documents shorter than one shingle yield no rows. Engine-portable
+    hashing (md5 → 60-bit fold, salt 'w:'), mirrored by the DuckDB
+    oracle.
+
+    Returns (id, fingerprint) distinct rows.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(docs, DataFrame)
+    assert n >= 1 and w >= 1
+
+    def _once(col: Column, fn) -> Column:
+        """Evaluate `col` exactly once and pass it to `fn` as a lambda
+        variable — a binding barrier no optimizer rule can duplicate
+        (lambda-variable lookups are O(1) attribute reads)."""
+        return F.element_at(F.transform(F.array(col), fn), 1)
+
+    def _min_cascade(h: Column) -> Column:
+        # sliding-window min by zipping the hash array with shifted copies
+        # (w-1 least steps); least() ignores the null padding, and the
+        # final slice keeps only the full windows (or the single short-doc
+        # window)
+        cur = h
+        for s in range(1, w):
+            shifted = F.slice(h, s + 1, F.greatest(F.size(h) - s, F.lit(0)))
+            cur = F.zip_with(cur, shifted, lambda a, b: F.least(a, b))
+        return F.slice(cur, 1, F.greatest(F.size(h) - (w - 1), F.lit(1)))
+
+    fps = _once(
+        F.transform(
+            word_shingles(F.col("__txt"), n),
+            lambda g: F.conv(
+                F.substring(F.md5(F.concat(F.lit("w:"), g)), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+        lambda h: F.array_distinct(_min_cascade(h)),
+    )
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("__txt"),
+    ).select("id", fps.alias("__fps"))
+    return staged.select("id", F.explode("__fps").alias("fingerprint"))

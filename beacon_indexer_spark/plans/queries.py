@@ -2403,6 +2403,382 @@ FROM ranked WHERE rank <= {topk}
 """
 
 
+def q_events_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join (operators/relational.py nearest_join): each
+    order attaches the customer's event CLOSEST in absolute time — before
+    or after — via the union+one-sort/two-window plan (backward last +
+    forward first over the same partition sort; one key shuffle, never an
+    abs-distance self-join). Ties on distance go to the earlier event;
+    same-timestamp events collapse to max event_id."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.unix_timestamp("o_orderdate").alias("ots"),
+    )
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("ckey"),
+        F.unix_timestamp("ts").alias("ets"),
+        F.col("event_id").cast("long").alias("nearest_event_id"),
+        F.col("event_type").alias("nearest_event_type"),
+    )
+    out = R.nearest_join(
+        o, e, ["ckey"], "ots", "ets",
+        tiebreak="nearest_event_id", matched_ts_col="nts",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("ckey").alias("o_custkey"),
+        "nearest_event_id",
+        "nearest_event_type",
+        F.col("nts").cast("long").alias("nearest_ts"),
+        F.abs(F.col("nts") - F.col("ots")).cast("long").alias("gap_s"),
+    )
+
+
+ORACLE_EVENTS_NEAREST_EVENT = """
+WITH o AS (SELECT o_orderkey, o_custkey AS ckey,
+                  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ots FROM orders),
+e0 AS (SELECT user_id AS ckey, CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+              event_id, event_type FROM events),
+e AS (
+  SELECT ckey, ets, event_id, event_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY ckey, ets
+                                 ORDER BY event_id DESC) AS rk
+    FROM e0) WHERE rk = 1)
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.ckey AS BIGINT) AS o_custkey,
+       CAST(e.event_id AS BIGINT) AS nearest_event_id,
+       e.event_type AS nearest_event_type,
+       CAST(e.ets AS BIGINT) AS nearest_ts,
+       CAST(abs(e.ets - o.ots) AS BIGINT) AS gap_s
+FROM o LEFT JOIN e ON e.ckey = o.ckey
+QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+                           ORDER BY abs(e.ets - o.ots) ASC, e.ets ASC) = 1
+"""
+
+
+def q_events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly screen: events whose value sits >= 2.5
+    sample standard deviations from the user's own mean (users with >= 5
+    events). ONE partitioned window (all four aggregates share the
+    partition spec — a single WindowExec, one key shuffle); never a
+    global pass."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    scored = e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").alias("value"),
+        F.avg("value").over(w).alias("__mu"),
+        F.stddev_samp("value").over(w).alias("__sd"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    return (
+        scored.filter((F.col("__n") >= 5) & (F.col("__sd") > 0))
+        .withColumn(
+            "z", F.round((F.col("value") - F.col("__mu")) / F.col("__sd"), 6)
+        )
+        .filter(F.abs(F.col("z")) >= 2.5)
+        .select("event_id", "user_id", "value", "z")
+    )
+
+
+ORACLE_EVENTS_ZSCORE_ANOMALY = """
+WITH s AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       value,
+       round((value - mu) / sd, 6) AS z
+FROM s
+WHERE n >= 5 AND sd > 0 AND abs(round((value - mu) / sd, 6)) >= 2.5
+"""
+
+
+def q_orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (segment filter -> 3-way equi-join -> grouped
+    revenue -> top-10): the classic shuffled-join + TakeOrdered plan.
+    Customer dim filters BEFORE the join (predicate pushdown), revenue is
+    decimal-exact, the final top-k is a TakeOrderedAndProject — no global
+    sort. (The driver's orders table carries o_orderpriority, not
+    o_shippriority — same query shape.)"""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-09-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-09-01")
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_ORDERS_SHIPPING_PRIORITY = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-09-01'
+  AND l_shipdate > DATE '1995-09-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM surprisal score (the CCNet/KenLM quality-proxy shape):
+    fit a unigram LM over the corpus itself, score each document by mean
+    token negative-log-likelihood — low-NLL docs are templated/repetitive,
+    high-NLL docs are off-distribution noise. Plan: one vocabulary-bounded
+    count aggregation, token->count equi-join (vocabulary-sized build
+    side), corpus total attached via broadcast one-row crossJoin, then a
+    map-side-combined per-doc mean. No driver action, no UDF."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__T"))
+    return (
+        tok.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("__T")) - F.log(F.col("__c"))), 6).alias(
+                "mean_nll"
+            ),
+        )
+    )
+
+
+ORACLE_DOC_UNIGRAM_LOGPROB = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DD_TOKENS.format(c='text')}) AS t FROM documents),
+vocab AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_total FROM vocab)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(AVG(ln(n_total) - ln(c)), 6) AS mean_nll
+FROM tok JOIN vocab USING (t), tot
+GROUP BY doc_id
+"""
+
+
+def q_doc_passage_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication profile (the exact-substring-dedup
+    statistic of Lee et al.'s 'Deduplicating Training Data' pipeline,
+    approximated at passage granularity): split each document into
+    non-overlapping 16-token passages (operators/text.py chunk_windows),
+    hash each, and measure per document how many of its passages also
+    appear in ANOTHER document. Plan: narrow chunking, one
+    (hash -> distinct-doc count) aggregation, hash equi-join back, per-doc
+    rollup — every shuffle carries (hash, id)-sized rows."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ch = X.chunk_windows(docs, "doc_id", "text", window=16, stride=16).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.md5("chunk_text").alias("__h"),
+    )
+    freq = ch.groupBy("__h").agg(
+        F.countDistinct("doc_id").alias("__nd")
+    )
+    return (
+        ch.join(freq, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_rate",
+            F.round(F.col("n_shared") / F.col("n_passages"), 6),
+        )
+    )
+
+
+ORACLE_DOC_PASSAGE_DUP_RATE = rf"""
+WITH tk AS (
+  SELECT doc_id, {_DD_TOKENS.format(c='text')} AS toks FROM documents),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 0 THEN 0
+              WHEN len(toks) <= 16 THEN 1
+              ELSE CAST(floor((len(toks) - 1) / 16.0) AS BIGINT) + 1
+         END AS k
+  FROM tk),
+ch AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, i * 16 + 1, i * 16 + 16), ' ')) AS h
+  FROM sized, unnest(generate_series(0, CAST(k - 1 AS INT))) AS u(i)
+  WHERE k > 0),
+freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+SELECT CAST(ch.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS shared_rate
+FROM ch JOIN freq USING (h)
+GROUP BY ch.doc_id
+"""
+
+
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local-overlap candidates (operators/dedup.py
+    winnow_pairs over operators/text.py winnow_fingerprints): document
+    pairs sharing >= 3 distinct winnowed k-gram minima — catches a copied
+    PASSAGE inside otherwise-different documents, which whole-document
+    minhash dilutes. Fingerprinting is a narrow map (one md5 per 3-word
+    shingle, window-of-4 minima — O(tokens) hashes, ~6x cheaper than
+    MOSS's char grams for the same word-level detection granularity);
+    blocking and pair counting reuse the shingle-blocked engine. df_cap
+    drops corpus-common minima from blocking (this corpus's small
+    vocabulary makes low-hash shingles recur — measured: the surviving
+    pairs are the planted duplicates, stable across scale factors)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = D.winnow_pairs(
+        docs, "doc_id", "text", n=3, w=4, min_shared=4, df_cap=12
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+_DD_WINNOW_HASH = (
+    "list_reduce(list_transform(string_split(substr(md5(concat('w:', g)), 1, 15), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),"
+    " (a, b) -> a * 16 + b)"
+)
+
+ORACLE_DOC_WINNOW_PAIRS = rf"""
+WITH tk AS (
+  SELECT doc_id, {_DD_TOKENS.format(c='text')} AS toks FROM documents),
+hashed AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(generate_series(1, CAST(len(toks) - 2 AS INT)),
+                          i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+           g -> {_DD_WINNOW_HASH}) AS h
+  FROM tk WHERE len(toks) >= 3),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, CAST(greatest(len(h) - 3, 1) AS INT)),
+             j -> list_min(list_slice(h, j, j + 3)))) AS fp
+    FROM hashed)),
+capped AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) > 1 AND COUNT(*) <= 12)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+JOIN capped cp ON cp.fp = a.fp
+GROUP BY 1, 2
+HAVING COUNT(*) >= 4
+"""
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (operators/clustering.py): k=4 Lloyd clustering
+    of the embedding corpus, 2 update rounds from md5-deterministic seeds.
+    Per iteration the executors do one narrow assignment pass (centroids
+    as literals) and one k x dim-bounded mean aggregation; the driver only
+    ever holds the centroid table. Output is the final (vec_id, cluster)
+    assignment — pure integers, stable across engines."""
+    from beacon_indexer_spark.operators.clustering import kmeans_assign
+
+    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    out = kmeans_assign(vecs, "vec_id", "embedding", k=4, iters=2)
+    return out.select(F.col("id").alias("vec_id"), "cluster")
+
+
+def _oracle_embedding_kmeans_sql(k: int = 4, iters: int = 2) -> str:
+    """DuckDB mirror of q_embedding_kmeans: identical seed order
+    (md5(CAST(id AS VARCHAR))), identical distance ranking
+    ((-dot)*2 + ||c||^2 with (d2, cid) tie-break), identical
+    left-to-right double accumulation, centroid means rounded to 6
+    decimals between iterations on both engines."""
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(generate_series(1, CAST(len(e.embedding) AS INT)),"
+        " t -> CAST(e.embedding[t] AS DOUBLE) * c.cv[t])), (a, b) -> a + b)"
+    )
+    normsq = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(c.cv, x -> x * x)), (a, b) -> a + b)"
+    )
+    assign = (
+        "SELECT vec_id, j AS cluster FROM (\n"
+        "    SELECT e.vec_id, c.j,\n"
+        f"           row_number() OVER (PARTITION BY e.vec_id ORDER BY\n"
+        f"             ((-({dot})) * 2 + {normsq}) ASC, c.j ASC) AS rk\n"
+        "    FROM embeddings e, {cents} c) WHERE rk = 1"
+    )
+    parts = [
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})"""
+    ]
+    for it in range(iters):
+        parts.append(f"a{it} AS (\n  " + assign.format(cents=f"c{it}") + ")")
+        parts.append(
+            f"""u{it} AS (
+  SELECT a.cluster AS j, x.pos, round(avg(x.v), 6) AS m
+  FROM a{it} a JOIN (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings) x USING (vec_id)
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""c{it + 1} AS (
+  SELECT p.j, coalesce(n.cv, p.cv) AS cv
+  FROM c{it} p LEFT JOIN (
+    SELECT j, list(m ORDER BY pos) AS cv FROM u{it} GROUP BY 1) n USING (j))"""
+        )
+    final = assign.format(cents=f"c{iters}")
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+fin AS (
+  {final})
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster
+FROM fin
+"""
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -2462,6 +2838,13 @@ QUERIES: dict[str, QueryFn] = {
     "events_retention": q_events_retention,
     "semantic_dedup": q_semantic_dedup,
     "similarity_pq": q_similarity_pq,
+    "events_nearest_event": q_events_nearest_event,
+    "events_zscore_anomaly": q_events_zscore_anomaly,
+    "orders_shipping_priority": q_orders_shipping_priority,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_passage_dup_rate": q_doc_passage_dup_rate,
+    "doc_winnow_pairs": q_doc_winnow_pairs,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 
@@ -2525,4 +2908,11 @@ def oracles() -> dict[str, str]:
         "events_retention": ORACLE_EVENTS_RETENTION,
         "semantic_dedup": _oracle_semantic_dedup_sql(),
         "similarity_pq": _oracle_similarity_pq_sql(),
+        "events_nearest_event": ORACLE_EVENTS_NEAREST_EVENT,
+        "events_zscore_anomaly": ORACLE_EVENTS_ZSCORE_ANOMALY,
+        "orders_shipping_priority": ORACLE_ORDERS_SHIPPING_PRIORITY,
+        "doc_unigram_logprob": ORACLE_DOC_UNIGRAM_LOGPROB,
+        "doc_passage_dup_rate": ORACLE_DOC_PASSAGE_DUP_RATE,
+        "doc_winnow_pairs": ORACLE_DOC_WINNOW_PAIRS,
+        "embedding_kmeans": _oracle_embedding_kmeans_sql(),
     }

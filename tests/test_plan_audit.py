@@ -25,6 +25,7 @@ _ALLOWED_CROSS = {
     "token_pmi_top",  # broadcast ONE-ROW unigram/bigram totals attach
     "events_funnel",  # broadcast ONE-ROW stage-1 count attach
     "similarity_pq",  # ADC scan: broadcast query side, corpus as codes
+    "doc_unigram_logprob",  # broadcast ONE-ROW corpus-total attach
 }
 
 # iterative operator: executes during plan construction; its final plan is
