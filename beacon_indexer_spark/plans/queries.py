@@ -2779,6 +2779,375 @@ FROM fin
     )
 
 
+def q_orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP: order counts and decimal-exact revenue by
+    (o_orderpriority, o_orderstatus) with subtotals per priority and a
+    grand total — Spark's `rollup` plans one Expand + ONE map-side-
+    combined hash aggregate (each input row fans to its 3 grouping sets
+    before the shuffle; the shuffle still carries only aggregated
+    partials). grouping_id() disambiguates subtotal rows from real NULL
+    groups."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("o_orderstatus"),
+            "n_orders",
+            "revenue",
+            "gid",
+        )
+    )
+
+
+ORACLE_ORDERS_PRIORITY_ROLLUP = """
+SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+       coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_lineitem_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per ship-year quantity sums spread across l_returnflag
+    columns — the wide-report reshape. Spark's pivot with an EXPLICIT
+    value list compiles to conditional aggregates inside one map-side-
+    combined hash aggregate (no second pass to discover pivot values —
+    at 100 TB the implicit-values form runs a full distinct scan first)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.withColumn("ship_year", F.year("l_shipdate").cast("long"))
+        .groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"))
+    )
+    return out.select(
+        "ship_year",
+        F.coalesce(F.col("A"), F.lit(0.0)).alias("qty_a"),
+        F.coalesce(F.col("N"), F.lit(0.0)).alias("qty_n"),
+        F.coalesce(F.col("R"), F.lit(0.0)).alias("qty_r"),
+    )
+
+
+ORACLE_LINEITEM_RETURNFLAG_PIVOT = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       coalesce(CAST(SUM(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_a,
+       coalesce(CAST(SUM(CASE WHEN l_returnflag = 'N'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_n,
+       coalesce(CAST(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_r
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q_events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 10-minute windows every 5
+    minutes via `F.window` — the Structured-Streaming window operator run
+    in batch (identical semantics; add a watermark and this plan streams
+    unchanged). The window generator is a narrow 2-row fan-out per event;
+    the aggregate is one map-side-combined groupBy on window start."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+ORACLE_EVENTS_HOPPING_WINDOWS = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ets, user_id FROM events),
+x AS (
+  SELECT ets, user_id,
+         CAST(floor(ets / 300) AS BIGINT) * 300 - h.off AS win_start
+  FROM e, (SELECT unnest([0, 300]) AS off) h
+  WHERE ets - (CAST(floor(ets / 300) AS BIGINT) * 300 - h.off) < 600)
+SELECT win_start, COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY 1
+"""
+
+
+def q_user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window frame: per-user 5-row moving average and running
+    max of event value, ordered by time — ONE partitioned WindowExec
+    (both frames share the (user_id, ts, event_id) sort). The frame is
+    ROWS-bounded so state per key is O(5) regardless of history length."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-4, 0)
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round(F.avg("value").over(frame), 6).alias("avg_5"),
+        F.round(F.max("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6)
+        .alias("run_max"),
+    )
+
+
+ORACLE_USER_MOVING_AVG = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg_5,
+       round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS run_max
+FROM events
+"""
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event_type — the
+    profiling primitive behind quality dashboards and skew detection.
+    Binning is a narrow integer map; the aggregate shuffle is bounded by
+    types x bins, never row count (the `doc_length_quantiles` histogram
+    move applied to profiling)."""
+    e = _t(spark, sf_dir, "events")
+    bin_w = 10.0
+    return (
+        e.withColumn(
+            "bin", F.floor(F.col("value") / bin_w).cast("long") * int(bin_w)
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(floor(value / 10.0) AS BIGINT) * 10 AS bin,
+       COUNT(*) AS n,
+       round(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the statistic that SIZES A WATERMARK:
+    per event, its lateness vs the maximum event-time already seen in its
+    user's arrival order (event_id order stands in for arrival order);
+    rolled up per event_type into count/max/p-ish mean of late seconds.
+    One partitioned WindowExec (running max) + one bounded aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = (
+        e.select(
+            "event_type",
+            F.unix_timestamp("ts").alias("ets"),
+            F.col("user_id"),
+            F.col("event_id"),
+        )
+        .withColumn("__hwm", F.max("ets").over(w))
+        .withColumn(
+            "late_s",
+            F.when(F.col("__hwm") > F.col("ets"), F.col("__hwm") - F.col("ets")),
+        )
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_s").isNotNull(), 1).otherwise(0)).alias("n_late"),
+        F.coalesce(F.max("late_s"), F.lit(0)).cast("long").alias("max_late_s"),
+        F.round(F.coalesce(F.avg("late_s"), F.lit(0.0)), 6).alias("avg_late_s"),
+    )
+
+
+ORACLE_EVENTS_LATENESS_PROFILE = """
+WITH e AS (
+  SELECT event_type, user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ets
+  FROM events),
+l AS (
+  SELECT event_type,
+         CASE WHEN hwm > ets THEN hwm - ets END AS late_s
+  FROM (SELECT *,
+               max(ets) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS hwm
+        FROM e))
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(coalesce(MAX(late_s), 0) AS BIGINT) AS max_late_s,
+       round(coalesce(AVG(late_s), 0.0), 6) AS avg_late_s
+FROM l GROUP BY 1
+"""
+
+
+def q_customers_orders_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: per-nation counts of customers without
+    orders, order rows whose customer id is unknown, and matched rows —
+    the integrity sweep between two tables that should cover each other.
+    The aggregate runs on each side BEFORE the join (two bounded
+    customer-key frames meet, never raw orders x customers)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_nationkey"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, "ck", "full_outer")
+    return (
+        j.groupBy(F.coalesce("c_nationkey", F.lit(-1)).cast("long").alias("nationkey"))
+        .agg(
+            F.sum(F.when(F.col("n_orders").isNull(), 1).otherwise(0)).alias(
+                "customers_no_orders"
+            ),
+            F.sum(F.when(F.col("c_nationkey").isNull(), 1).otherwise(0)).alias(
+                "orphan_order_custkeys"
+            ),
+            F.sum(
+                F.when(
+                    F.col("n_orders").isNotNull() & F.col("c_nationkey").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("matched"),
+        )
+    )
+
+
+ORACLE_CUSTOMERS_ORDERS_RECONCILE = """
+WITH o AS (SELECT o_custkey AS ck, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+c AS (SELECT c_custkey AS ck, c_nationkey FROM customer),
+j AS (SELECT c.c_nationkey, c.ck AS cck, o.n_orders
+      FROM c FULL OUTER JOIN o ON c.ck = o.ck)
+SELECT CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nationkey,
+       CAST(SUM(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS customers_no_orders,
+       CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphan_order_custkeys,
+       CAST(SUM(CASE WHEN n_orders IS NOT NULL AND c_nationkey IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS matched
+FROM j GROUP BY 1
+"""
+
+
+def q_users_retained_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (U2 family): users active in BOTH the first and the
+    last observed week (INTERSECT), minus purchasers (EXCEPT) — compiled
+    to left-semi/left-anti hash joins over distinct user frames, with the
+    bounds attached as broadcast one-row aggregates (no driver round
+    trip)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("ts").alias("ets"),
+        "event_type",
+    )
+    bounds = F.broadcast(
+        e.agg(
+            F.min("ets").alias("__t0"),
+            F.max("ets").alias("__t1"),
+        )
+    )
+    eb = e.crossJoin(bounds)
+    wk = 7 * 86400
+    first_week = eb.filter(F.col("ets") < F.col("__t0") + wk).select("user_id")
+    last_week = eb.filter(F.col("ets") >= F.col("__t1") - wk).select("user_id")
+    purchasers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        first_week.intersect(last_week)
+        .exceptAll(purchasers.distinct())
+        .select("user_id")
+    )
+
+
+ORACLE_USERS_RETAINED_INTERSECT = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ets, event_type
+           FROM events),
+b AS (SELECT MIN(ets) AS t0, MAX(ets) AS t1 FROM e)
+SELECT CAST(user_id AS BIGINT) AS user_id FROM e, b WHERE ets < t0 + 604800
+INTERSECT
+SELECT CAST(user_id AS BIGINT) FROM e, b WHERE ets >= t1 - 604800
+EXCEPT
+SELECT DISTINCT CAST(user_id AS BIGINT) FROM e WHERE event_type = 'purchase'
+"""
+
+
+def _interleave_sql(a: str, b: str, bits: int) -> str:
+    """Bit-interleave two non-negative ints (a gets the odd bit lanes) as
+    portable integer arithmetic — `((a div 2^i) % 2) * 2^(2i+1)` terms,
+    no engine-specific bit operators."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} DIV {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({b} DIV {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def q_doc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over (lang, length-bucket) — the multi-dim
+    data-clustering key used at write time so BOTH per-language and
+    per-length predicates prune row groups (interleaved bits keep
+    same-lang/same-size docs adjacent in the sort). Pure narrow integer
+    arithmetic (no engine bit ops, identical in the oracle); the rollup
+    shows how many docs land in each 64-wide key range — the file-
+    boundary preview a writer would use for `sortWithinPartitions`."""
+    docs = _t(spark, sf_dir, "documents")
+    lang_code = (
+        F.when(F.col("lang") == "en", 0)
+        .when(F.col("lang") == "de", 1)
+        .when(F.col("lang") == "fr", 2)
+        .when(F.col("lang") == "es", 3)
+        .otherwise(4)
+    )
+    len_bucket = F.least(F.floor(F.col("n_chars") / 64), F.lit(255)).cast("long")
+    keyed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        lang_code.cast("long").alias("__a"),
+        len_bucket.alias("__b"),
+    ).withColumn("zkey", F.expr(_interleave_sql("__a", "__b", 8)).cast("long"))
+    return keyed.groupBy((F.col("zkey") - F.col("zkey") % 64).alias("zrange")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("zkey").alias("min_zkey"),
+        F.max("zkey").alias("max_zkey"),
+    )
+
+
+def _oracle_doc_zorder_sql() -> str:
+    inter = _interleave_sql("a", "b", 8).replace(" DIV ", " // ")
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2
+              WHEN 'es' THEN 3 ELSE 4 END AS BIGINT) AS a,
+         CAST(least(CAST(floor(n_chars / 64.0) AS BIGINT), 255) AS BIGINT) AS b
+  FROM documents),
+z AS (SELECT doc_id, CAST({inter} AS BIGINT) AS zkey FROM k)
+SELECT CAST(zkey - zkey % 64 AS BIGINT) AS zrange,
+       COUNT(*) AS n_docs,
+       CAST(MIN(zkey) AS BIGINT) AS min_zkey,
+       CAST(MAX(zkey) AS BIGINT) AS max_zkey
+FROM z GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -2845,6 +3214,15 @@ QUERIES: dict[str, QueryFn] = {
     "doc_passage_dup_rate": q_doc_passage_dup_rate,
     "doc_winnow_pairs": q_doc_winnow_pairs,
     "embedding_kmeans": q_embedding_kmeans,
+    "events_lateness_profile": q_events_lateness_profile,
+    "customers_orders_reconcile": q_customers_orders_reconcile,
+    "users_retained_intersect": q_users_retained_intersect,
+    "doc_zorder_layout": q_doc_zorder_layout,
+    "orders_priority_rollup": q_orders_priority_rollup,
+    "lineitem_returnflag_pivot": q_lineitem_returnflag_pivot,
+    "events_hopping_windows": q_events_hopping_windows,
+    "user_moving_avg": q_user_moving_avg,
+    "events_value_histogram": q_events_value_histogram,
 }
 
 
@@ -2915,4 +3293,13 @@ def oracles() -> dict[str, str]:
         "doc_passage_dup_rate": ORACLE_DOC_PASSAGE_DUP_RATE,
         "doc_winnow_pairs": ORACLE_DOC_WINNOW_PAIRS,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
+        "events_lateness_profile": ORACLE_EVENTS_LATENESS_PROFILE,
+        "customers_orders_reconcile": ORACLE_CUSTOMERS_ORDERS_RECONCILE,
+        "users_retained_intersect": ORACLE_USERS_RETAINED_INTERSECT,
+        "doc_zorder_layout": _oracle_doc_zorder_sql(),
+        "orders_priority_rollup": ORACLE_ORDERS_PRIORITY_ROLLUP,
+        "lineitem_returnflag_pivot": ORACLE_LINEITEM_RETURNFLAG_PIVOT,
+        "events_hopping_windows": ORACLE_EVENTS_HOPPING_WINDOWS,
+        "user_moving_avg": ORACLE_USER_MOVING_AVG,
+        "events_value_histogram": ORACLE_EVENTS_VALUE_HISTOGRAM,
     }

@@ -26,6 +26,7 @@ _ALLOWED_CROSS = {
     "events_funnel",  # broadcast ONE-ROW stage-1 count attach
     "similarity_pq",  # ADC scan: broadcast query side, corpus as codes
     "doc_unigram_logprob",  # broadcast ONE-ROW corpus-total attach
+    "users_retained_intersect",  # broadcast ONE-ROW time-bounds attach
 }
 
 # iterative operator: executes during plan construction; its final plan is
