@@ -101,3 +101,46 @@ def test_sessionize_stream_across_batches(spark, tmp_path):
     start = [r for r in new_rows if r["user_id"] == 2][0]
     assert start["session_start"].replace(tzinfo=None) == T0
     assert os.path.isdir(ckpt)
+
+
+def test_hopping_window_stream_matches_batch(spark, tmp_path):
+    """The batch `events_hopping_windows` operator IS the Structured
+    Streaming window operator: the same F.window(10 min, 5 min) aggregate
+    run as a multi-micro-batch stream (maxFilesPerTrigger=1, complete
+    mode) must produce exactly the batch result over the same input."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "hraw")
+    rows1 = [(u, T0 + dt.timedelta(seconds=s)) for u in (1, 2) for s in (0, 240, 660)]
+    rows2 = [(u, T0 + dt.timedelta(seconds=s)) for u in (2, 3) for s in (300, 900)]
+    _write_events(spark, src, rows1)
+    _write_events(spark, src, rows2)
+
+    def agg(df):
+        return df.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
+            F.count(F.lit(1)).alias("n_events")
+        ).select(F.col("w.start").alias("ws"), "n_events")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        agg(stream)
+        .writeStream.format("memory")
+        .queryName("hopq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ws"], r["n_events"])
+        for r in spark.sql("SELECT * FROM hopq").collect()
+    }
+    want = {
+        (r["ws"], r["n_events"])
+        for r in agg(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(want) > 0
