@@ -24,24 +24,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from beacon_indexer_spark.operators.similarity import ivf_assign
+from beacon_indexer_spark.operators.similarity import ivf_assign, ivf_centroids
 
 
 def kmeans_seed_centroids(
     vectors: DataFrame, id_col: str, vec_col: str, k: int
 ) -> list[tuple[int, list[float]]]:
     """Deterministic seeds: embeddings of the k ids with smallest md5(id),
-    cluster ids 0..k-1 in that hash order."""
-    rows = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("__r", F.md5(F.col("id").cast("string")))
-        .orderBy("__r")
-        .limit(k)
-        .collect()
-    )
-    # seed components stay EXACT (float32 → double is exact; the oracle
-    # reads the identical values from parquet) — only update means round
-    return [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+    cluster ids 0..k-1 in that hash order — the SAME sampling contract as
+    IVF coarse centroids, delegated so the two can never drift. Seed
+    components stay EXACT (float32 → double is exact; the oracle reads
+    the identical values from parquet) — only update means round."""
+    return ivf_centroids(vectors, id_col=id_col, vec_col=vec_col, k=k)
 
 
 def kmeans_update(

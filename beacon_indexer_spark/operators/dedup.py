@@ -428,6 +428,67 @@ def cross_corpus_overlap(
     )
 
 
+def _counted_pairs_from_buckets(
+    keyed: DataFrame,
+    id_col: str,
+    *bucket_cols: str,
+    df_cap: int | None = None,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """(bucket → ids) groupBy, in-bucket pair expansion, then a pair
+    OCCURRENCE count — the counted sibling of `_pairs_from_buckets` for
+    engines that need |shared keys| per pair (winnowing, containment).
+
+    ``df_cap`` drops buckets above the cap ENTIRELY (a semantic choice —
+    boilerplate keys; audit like `frequent_shingles`). ``max_bucket`` is
+    the physical single-row guard below that: a bucket between the caps
+    is expanded through a distributed self-equi-join on the bucket key
+    (one row per shared key per pair — identical counts) instead of
+    building C(n,2) structs inside ONE aggregation row. Same observe-in-
+    checkpoint probe as `_pairs_from_buckets`: the clean path pays no
+    overflow machinery.
+    """
+    grouped = (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    if df_cap is not None:
+        grouped = grouped.filter(F.size("__ids") <= df_cap)
+    if max_bucket is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        grouped = grouped.observe(
+            obs, F.max(F.size("__ids")).alias("max_sz")
+        ).localCheckpoint()
+        has_overflow = (obs.get["max_sz"] or 0) > max_bucket
+    else:
+        has_overflow = False
+    in_row = grouped if not has_overflow else grouped.filter(
+        F.size("__ids") <= max_bucket
+    )
+    occurrences = in_row.select(
+        F.explode(_bucket_pairs(F.col("__ids"))).alias("p")
+    ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    if has_overflow:
+        big = grouped.filter(F.size("__ids") > max_bucket)
+        ex = big.select(*bucket_cols, F.explode("__ids").alias("__id"))
+        big_occ = (
+            ex.select(*bucket_cols, F.col("__id").alias("id_a"))
+            .join(
+                ex.select(*bucket_cols, F.col("__id").alias("id_b")),
+                list(bucket_cols),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        occurrences = occurrences.unionByName(big_occ)
+    return occurrences.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+
+
 def winnow_pairs(
     df: DataFrame,
     id_col: str,
@@ -436,6 +497,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 2,
     df_cap: int | None = 10_000,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Local-overlap candidate pairs via winnowing fingerprints
     (`operators/text.py winnow_fingerprints`): (id_a, id_b, n_shared) for
@@ -450,24 +512,17 @@ def winnow_pairs(
     pair expansion, then a pair-count aggregation bounded by actual
     overlap. ``df_cap`` drops fingerprints shared by more documents than
     the cap from blocking (boilerplate minima — same trade and audit
-    story as `ngram_jaccard_pairs`).
+    story as `ngram_jaccard_pairs`); ``max_bucket`` routes buckets below
+    that cap but above the single-row bound through the distributed
+    overflow join (`_counted_pairs_from_buckets`).
     """
     from beacon_indexer_spark.operators.text import winnow_fingerprints
 
     fps = winnow_fingerprints(df, id_col, text_col, n=n, w=w)
-    blocked = (
-        fps.groupBy("fingerprint")
-        .agg(F.array_sort(F.collect_set("id")).alias("__ids"))
-        .filter(F.size("__ids") > 1)
+    counted = _counted_pairs_from_buckets(
+        fps, "id", "fingerprint", df_cap=df_cap, max_bucket=max_bucket
     )
-    if df_cap is not None:
-        blocked = blocked.filter(F.size("__ids") <= df_cap)
-    return (
-        blocked.select(F.explode(_bucket_pairs(F.col("__ids"))).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+    return counted.filter(F.col("n_shared") >= min_shared)
 
 
 def connected_components(

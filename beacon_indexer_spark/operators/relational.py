@@ -147,44 +147,10 @@ def asof_join(
     still sees the full right history of its key.
     """
     from pyspark.sql import Window
-    from pyspark.sql import types as T
 
-    keys = list(keys)
-    lpay = [c for c in left.columns if c not in keys]
-    rpay = [c for c in right.columns if c not in keys and c != right_ts]
-    clash = set(rpay) & set(lpay)
-    if clash:
-        raise ValueError(f"right payload columns clash with left: {sorted(clash)}")
-    # the matched right row travels as ONE struct, filled atomically — a
-    # per-column last(ignorenulls) would stitch a legitimately-NULL column
-    # of the matched row together with an older row's value, fabricating a
-    # composite row that never existed
-    pack_type = T.StructType(
-        [T.StructField("__rts", right.schema[right_ts].dataType)]
-        + [T.StructField(c, right.schema[c].dataType) for c in rpay]
+    u, keys, lpay, rpay = _stage_asof_union(
+        left, right, keys, left_ts, right_ts, tiebreak
     )
-    tb_type = right.schema[tiebreak].dataType if tiebreak else T.IntegerType()
-    l2 = left.select(
-        *keys,
-        *lpay,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__src"),
-        F.lit(None).cast(tb_type).alias("__tb"),
-        F.lit(None).cast(pack_type).alias("__rpack"),
-    )
-    r2 = right.select(
-        *keys,
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__src"),
-        # native type, never a numeric cast: casting would crash string
-        # tiebreaks under ANSI and truncate decimals into spurious ties
-        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
-        F.struct(
-            F.col(right_ts).alias("__rts"), *[F.col(c) for c in rpay]
-        ).alias("__rpack"),
-    )
-    u = l2.unionByName(r2)
     w = (
         Window.partitionBy(*keys)
         # nulls FIRST: with ascending order the LAST row wins, so a
@@ -211,6 +177,65 @@ def asof_join(
     )
 
 
+def _stage_asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str | None,
+):
+    """Shared union staging for the as-of family (`asof_join`,
+    `nearest_join`): left and right stack into one frame ordered by a
+    common ``__ts``, with each right row's payload packed into an atomic
+    ``__rpack`` struct — a per-column last(ignorenulls) would stitch a
+    legitimately-NULL column of the matched row together with an older
+    row's value, fabricating a composite row that never existed.
+
+    Right rows with a NULL timestamp are DROPPED: they have no orderable
+    position, so they could otherwise surface as a "match" with a null
+    matched-ts (pandas merge_asof drops NaT keys the same way), and the
+    SQL-oracle formulations (``right_ts <= left_ts`` / ``abs(...)``)
+    never select them either.
+
+    Returns (unioned_df, keys, lpay, rpay).
+    """
+    from pyspark.sql import types as T
+
+    keys = list(keys)
+    lpay = [c for c in left.columns if c not in keys]
+    rpay = [c for c in right.columns if c not in keys and c != right_ts]
+    clash = set(rpay) & set(lpay)
+    if clash:
+        raise ValueError(f"right payload columns clash with left: {sorted(clash)}")
+    pack_type = T.StructType(
+        [T.StructField("__rts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in rpay]
+    )
+    tb_type = right.schema[tiebreak].dataType if tiebreak else T.IntegerType()
+    l2 = left.select(
+        *keys,
+        *lpay,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__src"),
+        F.lit(None).cast(tb_type).alias("__tb"),
+        F.lit(None).cast(pack_type).alias("__rpack"),
+    )
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
+        *keys,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+        # native type, never a numeric cast: casting would crash string
+        # tiebreaks under ANSI and truncate decimals into spurious ties
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in rpay]
+        ).alias("__rpack"),
+    )
+    return l2.unionByName(r2), keys, lpay, rpay
+
+
 def nearest_join(
     left: DataFrame,
     right: DataFrame,
@@ -234,50 +259,38 @@ def nearest_join(
     right row after; both window functions share ONE partition sort, so
     the whole operator costs a single key shuffle plus the right side's
     per-(key, ts) collapse — never a range/abs-distance self-join (which
-    Catalyst could only plan as a broadcast-nested-loop). The same hot-key
-    caveats and mitigations as `asof_join` apply.
+    Catalyst could only plan as a broadcast-nested-loop). Right rows with
+    a NULL timestamp are dropped (merge_asof NaT semantics — see
+    `_stage_asof_union`). The same hot-key caveats and mitigations as
+    `asof_join` apply.
     """
     from pyspark.sql import Window
-    from pyspark.sql import types as T
 
     keys = list(keys)
-    lpay = [c for c in left.columns if c not in keys]
     rpay = [c for c in right.columns if c not in keys and c != right_ts]
-    clash = set(rpay) & set(lpay)
-    if clash:
-        raise ValueError(f"right payload columns clash with left: {sorted(clash)}")
-    # collapse rights to one row per (key, ts) — max tiebreak wins — so
-    # backward (max-tb via sort order) and forward (first-in-frame) agree
-    # on which row represents a timestamp
+    # collapse rights to one row per (key, ts) BEFORE staging, so backward
+    # (last-in-frame) and forward (first-in-frame) agree on which row
+    # represents a timestamp. With a tiebreak, max-tiebreak wins; without
+    # one, the max payload STRUCT wins — still a deterministic total
+    # order, never dropDuplicates' partition-order-dependent pick.
     if tiebreak is not None:
-        r1 = right.groupBy(*keys, right_ts).agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in rpay]), F.col(tiebreak)
-            ).alias("__rp")
-        ).select(*keys, right_ts, *[F.col(f"__rp.{c}").alias(c) for c in rpay])
+        picked = F.max_by(
+            F.struct(*[F.col(c) for c in rpay]), F.col(tiebreak)
+        )
+    elif rpay:
+        picked = F.max(F.struct(*[F.col(c) for c in rpay]))
     else:
+        picked = None
+    if picked is not None:
+        r1 = right.groupBy(*keys, right_ts).agg(picked.alias("__rp")).select(
+            *keys, right_ts, *[F.col(f"__rp.{c}").alias(c) for c in rpay]
+        )
+    else:
+        # no payload columns: duplicate (key, ts) rows are identical
         r1 = right.dropDuplicates([*keys, right_ts])
-    pack_type = T.StructType(
-        [T.StructField("__rts", right.schema[right_ts].dataType)]
-        + [T.StructField(c, right.schema[c].dataType) for c in rpay]
+    u, keys, lpay, rpay = _stage_asof_union(
+        left, r1, keys, left_ts, right_ts, None
     )
-    l2 = left.select(
-        *keys,
-        *lpay,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__src"),
-        F.lit(None).cast(pack_type).alias("__rpack"),
-    )
-    r2 = r1.select(
-        *keys,
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__src"),
-        F.struct(
-            F.col(right_ts).alias("__rts"), *[F.col(c) for c in rpay]
-        ).alias("__rpack"),
-    )
-    u = l2.unionByName(r2)
     # rights at equal __ts sort before lefts (src 0 < 1): an exact-ts right
     # lands in the BACKWARD frame with distance 0 and wins every tie
     order = [F.asc("__ts"), F.asc("__src")]

@@ -1809,8 +1809,12 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking with overlap (operators/text.py
     chunk_windows): the pre-embedding / long-doc split step. Output keeps
     a chunk fingerprint instead of full text so the result stays
-    compare-sized; the chunk text itself feeds downstream embedding."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    compare-sized; the chunk text itself feeds downstream embedding.
+    Text is lowercased BEFORE chunking so the Spark hash and the oracle's
+    lower()-based tokenizer agree on mixed-case corpora too."""
+    docs = _spread(_t(spark, sf_dir, "documents")).withColumn(
+        "text", F.lower("text")
+    )
     out = X.chunk_windows(docs, "doc_id", "text", window=32, stride=24)
     return out.select(
         F.col("id").cast("long").alias("doc_id"),
@@ -2601,8 +2605,12 @@ def q_doc_passage_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash each, and measure per document how many of its passages also
     appear in ANOTHER document. Plan: narrow chunking, one
     (hash -> distinct-doc count) aggregation, hash equi-join back, per-doc
-    rollup — every shuffle carries (hash, id)-sized rows."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    rollup — every shuffle carries (hash, id)-sized rows. Text is
+    lowercased BEFORE chunking so the Spark hash and the oracle's
+    lower()-based tokenizer agree on mixed-case corpora too."""
+    docs = _spread(_t(spark, sf_dir, "documents")).withColumn(
+        "text", F.lower("text")
+    )
     ch = X.chunk_windows(docs, "doc_id", "text", window=16, stride=16).select(
         F.col("id").cast("long").alias("doc_id"),
         F.md5("chunk_text").alias("__h"),
@@ -2653,7 +2661,7 @@ GROUP BY ch.doc_id
 def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) local-overlap candidates (operators/dedup.py
     winnow_pairs over operators/text.py winnow_fingerprints): document
-    pairs sharing >= 3 distinct winnowed k-gram minima — catches a copied
+    pairs sharing >= 4 distinct winnowed shingle minima — catches a copied
     PASSAGE inside otherwise-different documents, which whole-document
     minhash dilutes. Fingerprinting is a narrow map (one md5 per 3-word
     shingle, window-of-4 minima — O(tokens) hashes, ~6x cheaper than

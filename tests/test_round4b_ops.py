@@ -203,3 +203,60 @@ def test_kmeans_matches_naive_lloyd(spark):
     want = _naive_kmeans(ids, vecs, k=4, iters=2)
     assert got == want
     assert len(set(got.values())) > 1  # actually clusters, not one blob
+
+
+def test_nearest_join_null_right_ts_dropped(spark):
+    left = spark.createDataFrame([(1, 100, "a")], "k long, lts long, tag string")
+    right = spark.createDataFrame(
+        [(1, None, 7), (1, 50, 8)], "k long, rts long, rid long"
+    )
+    out = R.nearest_join(left, right, ["k"], "lts", "rts", tiebreak="rid").collect()
+    # the null-ts right row must never surface as a match
+    assert [(r["rid"], r["nearest_ts"]) for r in out] == [(8, 50)]
+    only_null = spark.createDataFrame([(1, None, 7)], "k long, rts long, rid long")
+    out2 = R.nearest_join(left, only_null, ["k"], "lts", "rts", tiebreak="rid").collect()
+    assert [(r["rid"], r["nearest_ts"]) for r in out2] == [(None, None)]
+
+
+def test_nearest_join_no_tiebreak_is_deterministic(spark):
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 100, "x"), (1, 100, "y")], "k long, rts long, payload string"
+    )
+    # without a tiebreak the max payload STRUCT wins — repeatably
+    for _ in range(3):
+        out = R.nearest_join(left, right, ["k"], "lts", "rts").collect()
+        assert [r["payload"] for r in out] == ["y"]
+
+
+def test_asof_join_null_right_ts_dropped(spark):
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, None, 7)], "k long, rts long, rid long"
+    )
+    out = R.asof_join(left, right, ["k"], "lts", "rts", tiebreak="rid").collect()
+    assert [(r["rid"], r["asof_ts"]) for r in out] == [(None, None)]
+
+
+def test_counted_pairs_overflow_join_same_counts(spark):
+    rnd = random.Random(3)
+    rows = []
+    # one giant bucket (key 0, 40 members) + normal buckets
+    for i in range(40):
+        rows.append((i, 0))
+    for i in range(60):
+        rows.append((rnd.randrange(50), 1 + rnd.randrange(20)))
+    keyed = spark.createDataFrame(rows, "id long, fingerprint long").distinct()
+    base = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in D._counted_pairs_from_buckets(
+            keyed, "id", "fingerprint", max_bucket=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in D._counted_pairs_from_buckets(
+            keyed, "id", "fingerprint", max_bucket=8
+        ).collect()
+    }
+    assert base == capped and len(base) > 100
