@@ -985,6 +985,145 @@ ORDER BY w
 """
 
 
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-path multimodal plumbing end-to-end (the image query's
+    sibling): deterministic AUD1 clips synthesized from document bytes
+    (mapInPandas encode) → Arrow-batched `extract_audio_features`
+    (rate/duration/RMS/peak) → per-rate rollup. The synthesis is pure
+    integer arithmetic over utf-8 bytes, so the whole pipeline is
+    oracle-expressible; i16 sample squares sum integer-exactly in
+    float64 on both engines."""
+    import pandas as pd
+
+    from beacon_indexer_spark.operators import multimodal as M
+
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    docs = (
+        _t(spark, sf_dir, "documents").repartition(n_parts).select("doc_id", "text")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = 8000 * (1 + int(did) % 3)  # 8/16/24 kHz
+                n = 16
+                raw = (text or "").encode("utf-8")[:n]
+                raw = raw + b" " * (n - len(raw))
+                samples = [(b - 128) * 64 for b in raw]
+                out.append((did, M.encode_audio(rate, samples)))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(gen, "doc_id long, content binary")
+    feats = M.extract_audio_features(media)
+    return (
+        feats.groupBy(F.col("sample_rate").cast("long").alias("sample_rate"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.max("peak").cast("long").alias("max_peak"),
+            F.round(F.sum("duration_s"), 6).alias("total_duration_s"),
+        )
+    )
+
+
+ORACLE_MULTIMODAL_AUDIO_STATS = """
+WITH base AS (
+  SELECT doc_id,
+         8000 * (1 + doc_id % 3) AS rate,
+         hex(encode(COALESCE(text, ''))) AS hx
+  FROM documents),
+s AS (
+  SELECT doc_id, rate,
+         list_transform(generate_series(1, 16), i ->
+           CASE WHEN 2 * i <= length(hx)
+                THEN 16 * (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1)
+                     + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1)
+                ELSE 32 END) AS bytes
+  FROM base),
+f AS (
+  SELECT doc_id, rate,
+         sqrt(CAST(list_sum(list_transform(bytes,
+              b -> (b - 128) * (b - 128) * 4096)) AS DOUBLE) / 16) AS rms,
+         CAST(list_max(list_transform(bytes, b -> abs((b - 128) * 64))) AS BIGINT)
+           AS peak,
+         CAST(16 AS DOUBLE) / rate AS duration_s
+  FROM s)
+SELECT CAST(rate AS BIGINT) AS sample_rate,
+       COUNT(*) AS n_clips,
+       round(AVG(rms), 6) AS avg_rms,
+       MAX(peak) AS max_peak,
+       round(SUM(duration_s), 6) AS total_duration_s
+FROM f GROUP BY 1
+"""
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-path multimodal plumbing (frame sampling): deterministic VID1
+    clips (2-3 frames of 3x2x1 pixels from document bytes) → Arrow-batched
+    `sample_frames(every_nth=2)` re-emitting sampled frames as IMG1
+    images → JVM-side md5 over the hex of each frame blob. The oracle
+    reconstructs the exact IMG1 byte stream (header literal + hex pairs)
+    and hashes the same string — byte-exact, no media libs anywhere."""
+    import pandas as pd
+
+    from beacon_indexer_spark.operators import multimodal as M
+
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    docs = (
+        _t(spark, sf_dir, "documents").repartition(n_parts).select("doc_id", "text")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                nf = 2 + int(did) % 2
+                raw = (text or "").encode("utf-8")
+                frames = []
+                for f in range(nf):
+                    piece = raw[f * 6 : (f + 1) * 6]
+                    frames.append(piece + b" " * (6 - len(piece)))
+                out.append((did, M.encode_video(3, 2, 1, frames)))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(gen, "doc_id long, content binary")
+    frames = M.sample_frames(media, every_nth=2)
+    return frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.md5(F.hex("frame")).alias("frame_hash"),
+    )
+
+
+# IMG1 header for a 3x2x1 frame: magic + >HHB(w, h, c)
+_VID_FRAME_HEADER_HEX = "494D4731" + "0003" + "0002" + "01"
+
+ORACLE_MULTIMODAL_VIDEO_FRAMES = f"""
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 2 AS nf,
+         hex(encode(COALESCE(text, ''))) AS hx
+  FROM documents),
+fr AS (SELECT doc_id, nf, hx, unnest([0, 2]) AS fi FROM base),
+v AS (
+  SELECT doc_id, fi,
+         '{_VID_FRAME_HEADER_HEX}' || list_reduce(
+           list_transform(generate_series(1, 6), j ->
+             CASE WHEN 2 * (fi * 6 + j) <= length(hx)
+                  THEN substr(hx, 2 * (fi * 6 + j) - 1, 2)
+                  ELSE '20' END), (a, b) -> a || b) AS fh
+  FROM fr WHERE fi < nf)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(fi AS BIGINT) AS frame_index,
+       CAST(3 AS BIGINT) AS width,
+       CAST(2 AS BIGINT) AS height,
+       md5(fh) AS frame_hash
+FROM v
+"""
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k over the embeddings corpus (queries = id<5,
     deterministic md5-sampled centroids). Oracle: the centroid sample,
@@ -3222,6 +3361,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_passage_dup_rate": q_doc_passage_dup_rate,
     "doc_winnow_pairs": q_doc_winnow_pairs,
     "embedding_kmeans": q_embedding_kmeans,
+    "multimodal_audio_stats": q_multimodal_audio_stats,
+    "multimodal_video_frames": q_multimodal_video_frames,
     "events_lateness_profile": q_events_lateness_profile,
     "customers_orders_reconcile": q_customers_orders_reconcile,
     "users_retained_intersect": q_users_retained_intersect,
@@ -3301,6 +3442,8 @@ def oracles() -> dict[str, str]:
         "doc_passage_dup_rate": ORACLE_DOC_PASSAGE_DUP_RATE,
         "doc_winnow_pairs": ORACLE_DOC_WINNOW_PAIRS,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
+        "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
+        "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
         "events_lateness_profile": ORACLE_EVENTS_LATENESS_PROFILE,
         "customers_orders_reconcile": ORACLE_CUSTOMERS_ORDERS_RECONCILE,
         "users_retained_intersect": ORACLE_USERS_RETAINED_INTERSECT,
