@@ -105,6 +105,15 @@ def test_quantiles_window_runs_over_histogram(plans):
     )
 
 
+def test_nearest_join_single_window_pass(plans):
+    # nearest_join's design claim: backward last + forward first share ONE
+    # partition sort — the executed plan must contain exactly one Window
+    # node (two would mean a second sort/shuffle pass over the union)
+    plan = plans["events_nearest_event"]
+    n_windows = len(re.findall(r"\bWindow\b", plan))
+    assert n_windows == 1, f"nearest_join plan has {n_windows} Window nodes"
+
+
 def test_no_driver_collect_in_query_plans():
     # queries must return lazy DataFrames; the only driver-side collect in
     # the surface is the IVF centroid sample (k rows, documented) and the
