@@ -221,6 +221,55 @@ class ParquetLake:
         os.rename(tmp.path(table), self.path(table))
         shutil.rmtree(old)
 
+    def refresh_rollup(
+        self,
+        source_table: str,
+        rollup_table: str,
+        agg_fn,
+        dates: list | None = None,
+    ) -> dict:
+        """Incrementally maintain a derived daily aggregate: recompute ONLY
+        the date partitions whose source data changed since the rollup was
+        last built, and dynamically overwrite exactly those partitions —
+        the C9 partition-overwrite repair path applied to materialized
+        rollups, so a 10-year rollup over a 100 TB fact table refreshes in
+        O(changed days), never a full rebuild.
+
+        Change detection compares per-date ``max(inserted_at)`` watermarks
+        between the APPEND-ONLY source (new versions bump the watermark,
+        so re-orgs and re-transforms re-trigger their day) and the rollup.
+        The watermark frames are one row per day — the only driver
+        materialization, bounded like the control-plane manifests.
+
+        ``agg_fn``: callable mapping the latest-version rows of the
+        affected days to the rollup frame; its output MUST carry the
+        ``date`` column (the partition key being overwritten).
+        """
+        raw_src = self.read(source_table)
+        if dates is None:
+            src_w = raw_src.groupBy("date").agg(
+                F.max("inserted_at").alias("__sw")
+            )
+            if self.exists(rollup_table):
+                roll_w = self.read(rollup_table).groupBy("date").agg(
+                    F.max("inserted_at").alias("__rw")
+                )
+                changed = src_w.join(roll_w, "date", "left").filter(
+                    F.col("__rw").isNull() | (F.col("__sw") > F.col("__rw"))
+                )
+            else:
+                changed = src_w
+            dates = [r["date"] for r in changed.select("date").collect()]
+        if not dates:
+            return {"refreshed_dates": []}
+        keys, version = table_key_version(source_table)
+        affected = latest(raw_src.filter(F.col("date").isin(list(dates))), keys, version)
+        out = agg_fn(affected)
+        if "date" not in out.columns:
+            raise ValueError("rollup agg_fn output must keep the 'date' column")
+        self.overwrite_date_partitions(rollup_table, out)
+        return {"refreshed_dates": sorted(str(d) for d in dates)}
+
     def table_stats(self, table: str) -> dict:
         """count / min(slot) / max(slot) health check (reference A1,
         ``src/services/loader.py:349-374``)."""

@@ -251,3 +251,47 @@ def test_pipeline_failure_records_progress(spark, tmp_path, lake):
     cur = prog.current().collect()
     assert len(cur) == 1 and cur[0]["status"] == "failed"
     assert cur[0]["error_message"]
+
+
+def test_refresh_rollup_incremental(lake, spark):
+    """Materialized daily rollup maintenance: only CHANGED days recompute
+    (per-date inserted_at watermark), dynamic partition overwrite keeps
+    the rest untouched, and the result always equals a full recompute."""
+    DAY = 17280  # gnosis slots per day
+
+    def agg(df):
+        # distinct slots: raw latest() keys on (slot, payload_hash), so a
+        # re-org keeps both payload versions — the rollup counts BLOCKS
+        return df.groupBy("date").agg(
+            F.countDistinct("slot").alias("n_blocks")
+        )
+
+    rows = [FX.raw_row(SLOT0 + i, FX.block_payload(SLOT0 + i)) for i in range(3)]
+    lake.write("raw_blocks", _raw_df(spark, rows))
+    r1 = lake.refresh_rollup("raw_blocks", "rollup_daily_blocks", agg)
+    assert len(r1["refreshed_dates"]) == 1
+
+    # append: a new day + a re-org in the old day (new version, same slot)
+    later = FX.T0 + dt.timedelta(hours=1)
+    rows2 = [
+        FX.raw_row(SLOT0 + DAY, FX.block_payload(SLOT0 + DAY)),
+        FX.raw_row(SLOT0, FX.block_payload(SLOT0, proposer=999), retrieved_at=later),
+    ]
+    lake.write("raw_blocks", _raw_df(spark, rows2))
+    r2 = lake.refresh_rollup("raw_blocks", "rollup_daily_blocks", agg)
+    assert len(r2["refreshed_dates"]) == 2  # re-orged day + new day
+
+    roll = {
+        str(r["date"]): r["n_blocks"]
+        for r in lake.read("rollup_daily_blocks").collect()
+    }
+    full = {
+        str(r["date"]): r["n_blocks"]
+        for r in agg(lake.read_latest("raw_blocks")).collect()
+    }
+    assert roll == full
+    assert sorted(roll.values()) == [1, 3]  # re-org is not an extra block
+
+    # nothing changed since → no partitions touched
+    r3 = lake.refresh_rollup("raw_blocks", "rollup_daily_blocks", agg)
+    assert r3["refreshed_dates"] == []
