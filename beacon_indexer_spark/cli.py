@@ -4,7 +4,7 @@
     python -m beacon_indexer_spark load backfill --start-slot S --end-slot E
     python -m beacon_indexer_spark load realtime [--iterations N]
     python -m beacon_indexer_spark transform batch [--raw-table T]
-    python -m beacon_indexer_spark maintain status|gaps|integrity|reset|fix
+    python -m beacon_indexer_spark maintain status|gaps|integrity|reset|fix|compact|rollup
 
 Lifecycle parity (SURVEY §3): backfill = chunk plan → distributed fetch →
 raw lake → ledger; transform = discovery anti-join → parse fan-out →
@@ -86,7 +86,26 @@ def build_parser() -> argparse.ArgumentParser:
     cp = mt.add_parser("compact")
     cp.add_argument("--tables", required=True,
                     help="comma-separated lake tables to rewrite latest-wins")
+    ru = mt.add_parser("rollup")
+    ru.add_argument("--spec", default="daily_blocks",
+                    help=f"registered rollup spec ({', '.join(ROLLUP_SPECS)})")
     return p
+
+
+# Registered materialized rollups: spec -> (source table, rollup table,
+# aggregation over the latest-version rows of the affected days). Extend by
+# adding an entry; `maintain rollup` refreshes only the changed days.
+ROLLUP_SPECS: dict = {
+    "daily_blocks": (
+        "raw_blocks",
+        "rollup_daily_blocks",
+        lambda df: df.groupBy("date").agg(
+            F.countDistinct("slot").alias("n_blocks"),
+            F.min("slot").alias("min_slot"),
+            F.max("slot").alias("max_slot"),
+        ),
+    ),
+}
 
 
 def _services(args, spark: SparkSession):
@@ -257,6 +276,15 @@ def main(
             lake.compact(t)
             compacted[t] = {"before": before, "after": lake.read(t).count()}
         out["compacted"] = compacted
+
+    elif (args.command, args.subcommand) == ("maintain", "rollup"):
+        src, dst, agg = ROLLUP_SPECS[args.spec]
+        out["rollup"] = {
+            "spec": args.spec,
+            "source": src,
+            "table": dst,
+            **lake.refresh_rollup(src, dst, agg),
+        }
 
     print(json.dumps(out, default=str))
     return 0

@@ -319,3 +319,24 @@ def test_cli_maintain_fix(spark, capsys, seeded_lake, tmp_path):
     # range is completed again and blocks are intact (overwrite, not dup)
     assert prog.current().collect()[0]["status"] == "completed"
     assert seeded_lake.read_latest("blocks").count() == 10
+
+
+def test_cli_maintain_rollup(spark, capsys, seeded_lake):
+    out = _run(
+        capsys,
+        ["--lake-dir", seeded_lake.base_dir, "maintain", "rollup",
+         "--spec", "daily_blocks"],
+        spark,
+    )
+    assert out["rollup"]["spec"] == "daily_blocks"
+    assert len(out["rollup"]["refreshed_dates"]) == 1
+    roll = seeded_lake.read("rollup_daily_blocks").collect()
+    assert [r["n_blocks"] for r in roll] == [10]
+    assert roll[0]["min_slot"] == SLOT0 and roll[0]["max_slot"] == SLOT0 + 9
+    # second run with no new source data touches nothing
+    out2 = _run(
+        capsys,
+        ["--lake-dir", seeded_lake.base_dir, "maintain", "rollup"],
+        spark,
+    )
+    assert out2["rollup"]["refreshed_dates"] == []
