@@ -88,7 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated lake tables to rewrite latest-wins")
     ru = mt.add_parser("rollup")
     ru.add_argument("--spec", default="daily_blocks",
-                    help=f"registered rollup spec ({', '.join(ROLLUP_SPECS)})")
+                    choices=sorted(ROLLUP_SPECS),
+                    help="registered rollup spec")
     return p
 
 

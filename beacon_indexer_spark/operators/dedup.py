@@ -166,12 +166,38 @@ def _pairs_from_buckets(
     deliberate: it is how the physical plan is chosen, exactly like AQE's
     runtime re-planning.
     """
+    return _pair_occurrences(
+        keyed, id_col, *bucket_cols, max_bucket=max_bucket
+    ).distinct()
+
+
+def _pair_occurrences(
+    keyed: DataFrame,
+    id_col: str,
+    *bucket_cols: str,
+    df_cap: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Shared core of `_pairs_from_buckets` (distinct pairs) and
+    `_counted_pairs_from_buckets` (shared-key counts): one row per
+    (bucket, pair) occurrence, with the in-row/overflow split and the
+    observe-in-checkpoint probe maintained in exactly ONE place.
+
+    The probe is skipped entirely — no checkpoint, no extra job — when
+    ``df_cap`` already bounds every bucket at or below ``max_bucket``
+    (overflow is impossible by construction).
+    """
     grouped = (
         keyed.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
-    if max_bucket is not None:
+    if df_cap is not None:
+        grouped = grouped.filter(F.size("__ids") <= df_cap)
+    probe_needed = max_bucket is not None and not (
+        df_cap is not None and df_cap <= max_bucket
+    )
+    if probe_needed:
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -198,7 +224,7 @@ def _pairs_from_buckets(
             .select("id_a", "id_b")
         )
         pairs = pairs.unionByName(big_pairs)
-    return pairs.distinct()
+    return pairs
 
 
 def minhash_lsh_candidates(
@@ -444,49 +470,14 @@ def _counted_pairs_from_buckets(
     the physical single-row guard below that: a bucket between the caps
     is expanded through a distributed self-equi-join on the bucket key
     (one row per shared key per pair — identical counts) instead of
-    building C(n,2) structs inside ONE aggregation row. Same observe-in-
-    checkpoint probe as `_pairs_from_buckets`: the clean path pays no
-    overflow machinery.
+    building C(n,2) structs inside ONE aggregation row. Shares
+    `_pair_occurrences` with `_pairs_from_buckets` — ONE copy of the
+    probe/overflow machinery — and the probe is skipped outright when
+    df_cap <= max_bucket makes overflow impossible.
     """
-    grouped = (
-        keyed.groupBy(*bucket_cols)
-        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
-        .filter(F.size("__ids") > 1)
-    )
-    if df_cap is not None:
-        grouped = grouped.filter(F.size("__ids") <= df_cap)
-    if max_bucket is not None:
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        grouped = grouped.observe(
-            obs, F.max(F.size("__ids")).alias("max_sz")
-        ).localCheckpoint()
-        has_overflow = (obs.get["max_sz"] or 0) > max_bucket
-    else:
-        has_overflow = False
-    in_row = grouped if not has_overflow else grouped.filter(
-        F.size("__ids") <= max_bucket
-    )
-    occurrences = in_row.select(
-        F.explode(_bucket_pairs(F.col("__ids"))).alias("p")
-    ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-    if has_overflow:
-        big = grouped.filter(F.size("__ids") > max_bucket)
-        ex = big.select(*bucket_cols, F.explode("__ids").alias("__id"))
-        big_occ = (
-            ex.select(*bucket_cols, F.col("__id").alias("id_a"))
-            .join(
-                ex.select(*bucket_cols, F.col("__id").alias("id_b")),
-                list(bucket_cols),
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        occurrences = occurrences.unionByName(big_occ)
-    return occurrences.groupBy("id_a", "id_b").agg(
-        F.count(F.lit(1)).alias("n_shared")
-    )
+    return _pair_occurrences(
+        keyed, id_col, *bucket_cols, df_cap=df_cap, max_bucket=max_bucket
+    ).groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared"))
 
 
 def winnow_pairs(

@@ -278,7 +278,11 @@ def nearest_join(
             F.struct(*[F.col(c) for c in rpay]), F.col(tiebreak)
         )
     elif rpay:
-        picked = F.max(F.struct(*[F.col(c) for c in rpay]))
+        # no tiebreak: pick by md5 of the serialized payload — a
+        # deterministic total order that works for NON-ORDERABLE payload
+        # types (maps) too, and is independent of column order
+        pay = F.struct(*[F.col(c) for c in rpay])
+        picked = F.max_by(pay, F.md5(F.to_json(pay)))
     else:
         picked = None
     if picked is not None:

@@ -144,6 +144,12 @@ class ParquetLake:
             )
         if "slot_timestamp" in df.columns:
             df = df.withColumn("date", F.to_date("slot_timestamp"))
+        # stamp only when absent: a frame that CARRIES its stamp (compact
+        # rewrite, replayed batch) keeps it — restamping would make
+        # storage maintenance look like fresh data to watermark-based
+        # consumers (refresh_rollup) and force spurious full rebuilds
+        if "inserted_at" in df.columns:
+            return df
         return df.withColumn(
             "inserted_at", F.lit(datetime.now(timezone.utc)).cast("timestamp")
         )
@@ -212,7 +218,9 @@ class ParquetLake:
         tmp = ParquetLake(self.spark, self.base_dir + "__compact_tmp", self.schedule)
         if os.path.isdir(tmp.path(table)):
             shutil.rmtree(tmp.path(table))
-        deduped = self.read_latest(table).drop("date", "inserted_at")
+        # keep inserted_at: compaction is physical maintenance, not new
+        # data — preserving stamps keeps it invisible to watermark readers
+        deduped = self.read_latest(table).drop("date")
         tmp.write(table, deduped, mode="overwrite")
         old = self.path(table) + "__pre_compact"
         if os.path.isdir(old):
@@ -235,27 +243,36 @@ class ParquetLake:
         rollups, so a 10-year rollup over a 100 TB fact table refreshes in
         O(changed days), never a full rebuild.
 
-        Change detection compares per-date ``max(inserted_at)`` watermarks
-        between the APPEND-ONLY source (new versions bump the watermark,
-        so re-orgs and re-transforms re-trigger their day) and the rollup.
-        The watermark frames are one row per day — the only driver
-        materialization, bounded like the control-plane manifests.
+        Change detection compares the source's per-date
+        ``max(inserted_at)`` against the ``source_watermark`` column the
+        rollup itself carries (stamped from the SOURCE rows each refresh
+        — never from the rollup's own write time, which would silently
+        skip a source append that lands, or carries an earlier clock
+        stamp, while a refresh is mid-flight). New source versions bump
+        the watermark, so re-orgs and re-transforms re-trigger their
+        day. The watermark frames are one row per day — the only driver
+        materialization, bounded like the control-plane manifests; the
+        source-side watermark scan reads one timestamp column per
+        refresh (columnar scan, map-side combined — swap in a writer-
+        maintained manifest if even that is too hot).
 
         ``agg_fn``: callable mapping the latest-version rows of the
         affected days to the rollup frame; its output MUST carry the
-        ``date`` column (the partition key being overwritten).
+        ``date`` column (the partition key being overwritten). The
+        written rollup gains a ``source_watermark`` column.
         """
         raw_src = self.read(source_table)
+        src_w = raw_src.groupBy("date").agg(
+            F.max("inserted_at").alias("source_watermark")
+        )
         if dates is None:
-            src_w = raw_src.groupBy("date").agg(
-                F.max("inserted_at").alias("__sw")
-            )
             if self.exists(rollup_table):
                 roll_w = self.read(rollup_table).groupBy("date").agg(
-                    F.max("inserted_at").alias("__rw")
+                    F.max("source_watermark").alias("__rw")
                 )
                 changed = src_w.join(roll_w, "date", "left").filter(
-                    F.col("__rw").isNull() | (F.col("__sw") > F.col("__rw"))
+                    F.col("__rw").isNull()
+                    | (F.col("source_watermark") > F.col("__rw"))
                 )
             else:
                 changed = src_w
@@ -267,6 +284,7 @@ class ParquetLake:
         out = agg_fn(affected)
         if "date" not in out.columns:
             raise ValueError("rollup agg_fn output must keep the 'date' column")
+        out = out.join(F.broadcast(src_w), "date", "left")
         self.overwrite_date_partitions(rollup_table, out)
         return {"refreshed_dates": sorted(str(d) for d in dates)}
 

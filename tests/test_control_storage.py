@@ -295,3 +295,9 @@ def test_refresh_rollup_incremental(lake, spark):
     # nothing changed since → no partitions touched
     r3 = lake.refresh_rollup("raw_blocks", "rollup_daily_blocks", agg)
     assert r3["refreshed_dates"] == []
+
+    # physical maintenance is watermark-neutral: compacting the source
+    # preserves inserted_at stamps, so the next refresh is still a no-op
+    lake.compact("raw_blocks")
+    r4 = lake.refresh_rollup("raw_blocks", "rollup_daily_blocks", agg)
+    assert r4["refreshed_dates"] == []

@@ -223,10 +223,15 @@ def test_nearest_join_no_tiebreak_is_deterministic(spark):
     right = spark.createDataFrame(
         [(1, 100, "x"), (1, 100, "y")], "k long, rts long, payload string"
     )
-    # without a tiebreak the max payload STRUCT wins — repeatably
+    # without a tiebreak the max-md5(serialized payload) row wins — a
+    # deterministic total order that also covers non-orderable payloads
+    want = max(
+        ["x", "y"],
+        key=lambda v: hashlib.md5(f'{{"payload":"{v}"}}'.encode()).hexdigest(),
+    )
     for _ in range(3):
         out = R.nearest_join(left, right, ["k"], "lts", "rts").collect()
-        assert [r["payload"] for r in out] == ["y"]
+        assert [r["payload"] for r in out] == [want]
 
 
 def test_asof_join_null_right_ts_dropped(spark):
