@@ -3295,6 +3295,72 @@ FROM z GROUP BY 1
 """
 
 
+def q_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-graph audit: the degree HISTOGRAM of the LSH candidate-pair
+    graph — the health metric that catches boilerplate storms (a fat
+    right tail means some template links thousands of docs and the
+    clustering step is about to produce a mega-cluster) before running
+    connected components. Composes the candidate generator with two
+    bounded aggregations: the (node, degree) shuffle is bounded by docs
+    that HAVE a duplicate, the histogram by distinct degrees."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    nodes = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )
+
+
+def _oracle_dedup_graph_degrees_sql() -> str:
+    pairs = _oracle_minhash_lsh_sql().strip().rstrip(";")
+    return f"""
+WITH pairs AS ({pairs}),
+nodes AS (SELECT id_a AS node FROM pairs
+          UNION ALL SELECT id_b FROM pairs),
+deg AS (SELECT node, COUNT(*) AS degree FROM nodes GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree,
+       COUNT(*) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM deg GROUP BY 1
+"""
+
+
+def q_events_top_values_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-family semantics (vs the row_number used elsewhere): per
+    event_type, the top-3 values by RANK — ties KEPT (every row tied at
+    a kept rank appears) — plus dense_rank, in ONE partitioned
+    WindowExec."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"))
+    ranked = e.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("dense_rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= 3)
+
+
+ORACLE_EVENTS_TOP_VALUES_RANKED = """
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id, value,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS BIGINT)
+         AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC)
+            AS BIGINT) AS dense_rnk
+FROM events
+QUALIFY rnk <= 3
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -3363,6 +3429,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
+    "dedup_graph_degrees": q_dedup_graph_degrees,
+    "events_top_values_ranked": q_events_top_values_ranked,
     "events_lateness_profile": q_events_lateness_profile,
     "customers_orders_reconcile": q_customers_orders_reconcile,
     "users_retained_intersect": q_users_retained_intersect,
@@ -3444,6 +3512,8 @@ def oracles() -> dict[str, str]:
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
+        "dedup_graph_degrees": _oracle_dedup_graph_degrees_sql(),
+        "events_top_values_ranked": ORACLE_EVENTS_TOP_VALUES_RANKED,
         "events_lateness_profile": ORACLE_EVENTS_LATENESS_PROFILE,
         "customers_orders_reconcile": ORACLE_CUSTOMERS_ORDERS_RECONCILE,
         "users_retained_intersect": ORACLE_USERS_RETAINED_INTERSECT,
