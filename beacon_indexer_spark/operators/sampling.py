@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from beacon_indexer_spark.operators.dedup import _md5_long
 
@@ -52,3 +53,47 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(int(rate * _RES))
         ).otherwise(threshold)
     return df.filter(sample_bucket(F.col(key_col), salt) < threshold)
+
+
+def split_assign(
+    key: Column, fractions: list[tuple[str, float]], salt: int = 13
+) -> Column:
+    """Deterministic train/val/test split label from the row key.
+
+    `fractions` is an ORDERED list of (name, fraction) summing to 1.0;
+    the hash-bucket space is carved into consecutive ranges in that
+    order, so the assignment is stable across runs, partitionings, and
+    engines, and REFINABLE: shrinking 'train' from 0.9 to 0.8 only moves
+    rows out of the boundary range — no row ever swaps between val and
+    test. A narrow expression: no shuffle, no seed, no RNG state."""
+    b = sample_bucket(key, salt)
+    cum = 0.0
+    expr: Column | None = None
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cond = b < int(round(cum * _RES))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = fractions[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    cap: int,
+) -> DataFrame:
+    """Per-group document cap (RefinedWeb-style domain balancing): rank
+    rows within each group by `order_cols` (make the ordering total —
+    include a unique id as the last key) and keep the first `cap`.
+
+    Returns the input plus (rank, keep) — a total VERDICT per row, not a
+    filtered frame, so callers can audit what the cap rejected. One
+    partitioned window pass: the shuffle key is the group column; a
+    pathologically hot group (one domain = half the corpus) degrades to
+    one task sorting that group — mitigate upstream with a pre-filter
+    on a cheap proxy (e.g. hash_sample within the hot group) before
+    ranking, as with any top-k-per-key at scale."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    ranked = df.withColumn("rank", F.row_number().over(w))
+    return ranked.withColumn("keep", (F.col("rank") <= cap).cast("int"))

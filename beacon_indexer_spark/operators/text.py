@@ -577,3 +577,100 @@ def winnow_fingerprints(
         F.col(text_col).alias("__txt"),
     ).select("id", fps.alias("__fps"))
     return staged.select("id", F.explode("__fps").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) in REDACTION ORDER. Patterns use the common
+# Java-regex / RE2 subset (character classes, bounded repetition, \b) so the
+# DuckDB oracle evaluates the identical expressions. Order matters: emails
+# are consumed before IPs/phones so their digit runs can't double-match.
+# Reference scope note: the reference engine stores raw chain payloads and
+# has no PII pass; this is a training-data-pipeline operator (BASELINE
+# north star) in the C4/CCNet curation mold.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+]
+
+
+def pii_counts(text: ColumnOrName) -> dict[str, Column]:
+    """Per-category PII match counts on the ORIGINAL text. Narrow
+    regexp_extract_all expressions — JVM-side, codegen, no shuffle."""
+    t = _col(text)
+    return {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: ColumnOrName) -> Column:
+    """Mask every PII category in `PII_PATTERNS` order. A pure chain of
+    regexp_replace calls: at 100 TB this is a map-only pass that rides
+    whatever partitioning the scan produced — no shuffle, no UDF."""
+    out = _col(text)
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, F.lit(pat), F.lit(rep))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# inverted-index postings
+# ---------------------------------------------------------------------------
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 16,
+) -> DataFrame:
+    """Batch inverted-index builder: per lowercase whitespace term, the
+    document frequency (distinct docs), total term frequency, and a CAPPED
+    posting list (the `max_postings` smallest doc ids, comma-joined) with
+    a truncation flag.
+
+    100-TB shape: the shuffle carries (term, id) pairs only; the posting
+    list is capped BEFORE any collect_list via a partitioned row_number
+    window, so a stopword's million-document posting list costs one
+    window pass and materializes `max_postings` entries — the aggregate
+    state is bounded per term. df/tf come from the same exploded frame
+    (two map-side-combined aggs joined on term).
+    """
+    from pyspark.sql import Window
+
+    exploded = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tf_total"))
+    pairs = exploded.distinct()
+    df_counts = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    w = Window.partitionBy("term").orderBy("id")
+    head = (
+        pairs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return (
+        df_counts.join(tf, "term")
+        .join(head, "term")
+        .select(
+            "term",
+            F.col("df_docs").cast("long").alias("df_docs"),
+            F.col("tf_total").cast("long").alias("tf_total"),
+            "postings",
+            (F.col("df_docs") > max_postings).cast("int").alias("truncated"),
+        )
+    )

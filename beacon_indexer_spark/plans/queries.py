@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
@@ -30,9 +30,11 @@ from beacon_indexer_spark.functions.core import (
     popcount_hex,
 )
 from beacon_indexer_spark.operators import dedup as D
+from beacon_indexer_spark.operators import profile as PR
 from beacon_indexer_spark.operators import relational as R
 from beacon_indexer_spark.operators import sampling as SP
 from beacon_indexer_spark.operators import similarity as S
+from beacon_indexer_spark.operators import sketch as KV
 from beacon_indexer_spark.operators import text as X
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -3361,6 +3363,390 @@ QUALIFY rnk <= 3
 """
 
 
+# ===========================================================================
+# Curation round 4c: PII redaction, split assignment, KMV sketch, domain
+# caps, inverted postings, table profiling, TPC-H Q17 shape
+# ===========================================================================
+
+_PII_EVERY = 3
+
+
+def _inject_pii(text: Column, doc_id: Column) -> Column:
+    """Deterministic PII enrichment for the redaction demo: every third
+    doc gains an email, an IPv4, and a phone fragment derived from
+    doc_id. Both engines build the identical string (the synthetic-input
+    convention of the multimodal queries), so the redaction machinery is
+    exercised with real hits on a corpus that ships none."""
+    return F.when(
+        doc_id % _PII_EVERY == 0,
+        F.concat(
+            text,
+            F.lit(" contact user"),
+            doc_id.cast("string"),
+            F.lit("@example.com from 10."),
+            (doc_id % 200).cast("string"),
+            F.lit(".0."),
+            (doc_id % 250).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(text)
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction rollup per source (C4/CCNet curation
+    shape): inject deterministic PII into every third doc, count matches
+    per category on the original text, mask them (operators/text.py
+    `redact_pii`), and checksum the redacted output. Map-only narrow
+    expressions into one map-side-combined aggregate — no shuffle except
+    the per-source agg, no UDF."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "source",
+        _inject_pii(F.col("text"), F.col("doc_id")).alias("__t"),
+    )
+    cnt = X.pii_counts("__t")
+    red = base.select(
+        "source",
+        cnt["email"].alias("__e"),
+        cnt["ip"].alias("__i"),
+        cnt["phone"].alias("__p"),
+        (
+            F.conv(
+                F.substring(F.md5(X.redact_pii(F.col("__t"))), 1, 15), 16, 10
+            ).cast("long")
+            % 1000000007
+        ).alias("__ck"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(((F.col("__e") + F.col("__i") + F.col("__p")) > 0).cast("long"))
+        .cast("long")
+        .alias("pii_docs"),
+        F.sum("__e").cast("long").alias("emails"),
+        F.sum("__i").cast("long").alias("ips"),
+        F.sum("__p").cast("long").alias("phones"),
+        F.sum("__ck").cast("long").alias("redact_checksum"),
+    )
+
+
+def _oracle_doc_pii_redact_sql() -> str:
+    em, ip, ph = (p for _, p, _ in X.PII_PATTERNS)
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{em}', '<EMAIL>', 'g'),"
+        f" '{ip}', '<IP>', 'g'), '{ph}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH inj AS (
+  SELECT source,
+         CASE WHEN doc_id % {_PII_EVERY} = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS t
+  FROM documents),
+m AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{em}')) AS e,
+         len(regexp_extract_all(t, '{ip}')) AS i,
+         len(regexp_extract_all(t, '{ph}')) AS p,
+         {_dd_md5_long(red)} % 1000000007 AS ck
+  FROM inj)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+       CAST(SUM(e) AS BIGINT) AS emails,
+       CAST(SUM(i) AS BIGINT) AS ips,
+       CAST(SUM(p) AS BIGINT) AS phones,
+       CAST(SUM(ck) AS BIGINT) AS redact_checksum
+FROM m GROUP BY 1
+"""
+
+
+_SPLIT_FRACS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py
+    `split_assign`): md5-bucketed by doc_id, stable across runs,
+    partitionings, and engines. Per (split, lang): docs + token sums —
+    the table a mixture planner consumes. Narrow label expression + one
+    map-side-combined aggregate."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        SP.split_assign(F.col("doc_id"), _SPLIT_FRACS).alias("split"),
+        "lang",
+        X.token_count("text").alias("__nt"),
+    )
+    return base.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+    )
+
+
+def _oracle_doc_split_assign_sql() -> str:
+    bkt = _dd_md5_long("concat('13:', CAST(doc_id AS VARCHAR))")
+    toks = _DD_TOKENS.format(c="text")
+    return f"""
+WITH b AS (
+  SELECT lang, len({toks}) AS nt, ({bkt}) % 1000000 AS bkt
+  FROM documents),
+s AS (
+  SELECT lang, nt,
+         CASE WHEN bkt < 800000 THEN 'train'
+              WHEN bkt < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM s GROUP BY 1, 2
+"""
+
+
+_KMV_K = 64
+_KMV_DENOM = 16
+
+
+def q_corpus_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py) over 3-gram word
+    shingles per language, validated against the exact distinct count.
+    The estimator's shuffle is prefilter_denom× cheaper than the exact
+    side — at 100 TB you ship only the estimate; the exact branch here
+    exists to put the observed error in the result."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "lang", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    est = KV.kmv_distinct(sh, "sh", "lang", k=_KMV_K, prefilter_denom=_KMV_DENOM)
+    exact = sh.groupBy("lang").agg(
+        F.countDistinct("sh").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "n_kept",
+        "kth_hash",
+        "distinct_est",
+        "n_exact",
+        F.round(F.col("distinct_est") / F.col("n_exact"), 4).alias("est_ratio"),
+    )
+
+
+def _oracle_corpus_shingle_kmv_sql(k: int = _KMV_K, denom: int = _KMV_DENOM) -> str:
+    h = _dd_md5_long("concat('7:', sh)")
+    cutoff = 2**60 // denom
+    return f"""
+WITH sh AS (SELECT lang, unnest({_dd_shingles(3)}) AS sh FROM documents),
+hs AS (SELECT DISTINCT lang, {h} AS h FROM sh),
+rk AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+       FROM hs WHERE h < {cutoff}),
+ag AS (SELECT lang, COUNT(*) AS n_kept, MAX(h) AS maxh
+       FROM rk WHERE r <= {k} GROUP BY 1),
+ex AS (SELECT lang, COUNT(DISTINCT sh) AS n_exact FROM sh GROUP BY 1),
+est AS (
+  SELECT lang, n_kept,
+         CASE WHEN n_kept = {k} THEN maxh END AS kth_hash,
+         round(CASE WHEN n_kept = {k}
+               THEN {float(k - 1)!r} * ({float(2**60)!r} / CAST(maxh AS DOUBLE))
+               ELSE CAST(n_kept AS DOUBLE) * {float(denom)!r} END, 4) AS distinct_est
+  FROM ag)
+SELECT e.lang, CAST(e.n_kept AS BIGINT) AS n_kept,
+       CAST(e.kth_hash AS BIGINT) AS kth_hash, e.distinct_est,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       round(e.distinct_est / x.n_exact, 4) AS est_ratio
+FROM est e JOIN ex x USING (lang)
+"""
+
+
+_SOURCE_CAP = 40
+
+
+def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (RefinedWeb-style domain balancing,
+    operators/sampling.py `per_group_cap`): rank docs within each source
+    by quality desc (doc_id tie-break) and emit the keep/reject VERDICT
+    for every doc. One partitioned window pass keyed by source."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.round(X.quality_score("text"), 6).alias("q6"),
+    )
+    capped = SP.per_group_cap(
+        scored, "source", [F.desc("q6"), F.asc("doc_id")], _SOURCE_CAP
+    )
+    return capped.select(
+        "doc_id",
+        "source",
+        "q6",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+ORACLE_DOC_SOURCE_CAP = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct
+  FROM documents),
+m AS (
+  SELECT doc_id, source, len(toks) AS n_tokens, n_chars, n_punct,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl
+  FROM t),
+q AS (
+  SELECT doc_id, source,
+         round((least(n_chars / 500.0, 1.0) * 0.4
+               + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
+               + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
+               * (CASE WHEN n_tokens > 0 THEN 1.0 ELSE 0.0 END), 6) AS q6
+  FROM m),
+r AS (
+  SELECT doc_id, source, q6,
+         row_number() OVER (PARTITION BY source ORDER BY q6 DESC, doc_id) AS rnk
+  FROM q)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, q6,
+       CAST(rnk AS BIGINT) AS rank,
+       CAST(CASE WHEN rnk <= {_SOURCE_CAP} THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM r
+"""
+
+
+_POSTINGS_CAP = 16
+
+
+def q_corpus_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index head (operators/text.py `build_postings`): top-20
+    terms by document frequency with capped posting lists. The posting
+    list is bounded BEFORE any collect via a partitioned window, so
+    stopword rows cost max_postings entries, never a million-element
+    aggregate state."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    idx = X.build_postings(docs, "doc_id", "text", max_postings=_POSTINGS_CAP)
+    return idx.orderBy(F.desc("df_docs"), "term").limit(20)
+
+
+ORACLE_CORPUS_POSTINGS = f"""
+WITH ex AS (
+  SELECT doc_id AS id, unnest({_DD_TOKENS.format(c="text")}) AS term
+  FROM documents),
+tf AS (SELECT term, COUNT(*) AS tf_total FROM ex GROUP BY 1),
+pairs AS (SELECT DISTINCT term, id FROM ex),
+dfc AS (SELECT term, COUNT(*) AS df_docs FROM pairs GROUP BY 1),
+hd AS (
+  SELECT term, array_to_string(list(id ORDER BY id), ',') AS postings
+  FROM (SELECT term, id,
+               row_number() OVER (PARTITION BY term ORDER BY id) AS r
+        FROM pairs)
+  WHERE r <= {_POSTINGS_CAP} GROUP BY 1)
+SELECT d.term, CAST(d.df_docs AS BIGINT) AS df_docs,
+       CAST(t.tf_total AS BIGINT) AS tf_total, h.postings,
+       CAST(CASE WHEN d.df_docs > {_POSTINGS_CAP} THEN 1 ELSE 0 END AS INTEGER)
+         AS truncated
+FROM dfc d JOIN tf t USING (term) JOIN hd h USING (term)
+ORDER BY df_docs DESC, term LIMIT 20
+"""
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table (operators/profile.py):
+    one aggregation pass → per-column row/null/distinct counts and
+    min/max. Floating/timestamp columns pre-cast to DECIMAL/date so both
+    engines render min/max identically."""
+    o = _t(spark, sf_dir, "orders")
+    if dict(o.dtypes).get("o_orderdate") == "bigint":
+        o = o.withColumn(
+            "o_orderdate", F.timestamp_micros(F.expr("o_orderdate div 1000"))
+        )
+    o = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return PR.profile_columns(o, _PROFILE_COLS)
+
+
+def _oracle_orders_profile_sql() -> str:
+    aggs = []
+    rows = []
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs.append(
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_{i},"
+            f" COUNT(DISTINCT {c}) AS nd_{i},"
+            f" CAST(MIN({c}) AS VARCHAR) AS mn_{i},"
+            f" CAST(MAX({c}) AS VARCHAR) AS mx_{i}"
+        )
+        rows.append(
+            f"SELECT '{c}' AS col_name, CAST(n AS BIGINT) AS n_rows,"
+            f" CAST(null_{i} AS BIGINT) AS n_nulls,"
+            f" CAST(nd_{i} AS BIGINT) AS n_distinct,"
+            f" mn_{i} AS min_value, mx_{i} AS max_value FROM a"
+        )
+    return f"""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+         CAST(o_orderdate AS DATE) AS o_orderdate,
+         o_orderpriority
+  FROM orders),
+a AS (SELECT COUNT(*) AS n, {", ".join(aggs)} FROM src)
+{" UNION ALL ".join(rows)}
+"""
+
+
+def q_lineitem_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): per-part average
+    quantity via a pre-aggregated frame joined back to lineitem — the
+    decorrelated form of Q17's correlated scalar subquery. The avg
+    comparison is rewritten integer-exact (5·qty·cnt < sum_qty) so no
+    cross-engine float division enters the predicate. The per-part agg
+    frame is part-count-sized → broadcastable; AQE picks that at runtime."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sq"), F.count(F.lit(1)).alias("cn")
+    )
+    j = li.join(per, "l_partkey").filter(
+        F.col("qty") * F.col("cn") * 5 < F.col("sq")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+        F.round(F.sum("price").cast("double") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+ORACLE_LINEITEM_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem),
+per AS (SELECT l_partkey, SUM(qty) AS sq, COUNT(*) AS cn FROM li GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       round(CAST(SUM(price) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM li JOIN per USING (l_partkey)
+WHERE qty * cn * 5 < sq
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -3440,6 +3826,13 @@ QUERIES: dict[str, QueryFn] = {
     "events_hopping_windows": q_events_hopping_windows,
     "user_moving_avg": q_user_moving_avg,
     "events_value_histogram": q_events_value_histogram,
+    "doc_pii_redact": q_doc_pii_redact,
+    "doc_split_assign": q_doc_split_assign,
+    "corpus_shingle_kmv": q_corpus_shingle_kmv,
+    "doc_source_cap": q_doc_source_cap,
+    "corpus_postings": q_corpus_postings,
+    "orders_profile": q_orders_profile,
+    "lineitem_small_qty_revenue": q_lineitem_small_qty_revenue,
 }
 
 
@@ -3523,4 +3916,11 @@ def oracles() -> dict[str, str]:
         "events_hopping_windows": ORACLE_EVENTS_HOPPING_WINDOWS,
         "user_moving_avg": ORACLE_USER_MOVING_AVG,
         "events_value_histogram": ORACLE_EVENTS_VALUE_HISTOGRAM,
+        "doc_pii_redact": _oracle_doc_pii_redact_sql(),
+        "doc_split_assign": _oracle_doc_split_assign_sql(),
+        "corpus_shingle_kmv": _oracle_corpus_shingle_kmv_sql(),
+        "doc_source_cap": ORACLE_DOC_SOURCE_CAP,
+        "corpus_postings": ORACLE_CORPUS_POSTINGS,
+        "orders_profile": _oracle_orders_profile_sql(),
+        "lineitem_small_qty_revenue": ORACLE_LINEITEM_SMALL_QTY_REVENUE,
     }
