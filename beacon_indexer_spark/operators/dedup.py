@@ -781,3 +781,42 @@ def simhash_candidates(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     return _pairs_from_buckets(keyed, id_col, "band", "key", max_bucket=max_bucket)
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: rows whose `name_col` values are
+    within `max_dist` Levenshtein edits, restricted to rows sharing the
+    blocking key. Returns (id_a, id_b, name_a, name_b, dist).
+
+    Scale shape: classic blocked ER — the O(n²) edit-distance comparison
+    never runs globally; the self-join is an EQUI-join on the blocking
+    key (one key shuffle), so cost is Σ block_size² over blocks. Pick
+    block keys the way record-linkage does (coarse attribute + cheap
+    name prefix); audit block sizes with the `frequent_shingles` /
+    `dedup_graph_degrees` pattern before widening a block. Levenshtein
+    is a JVM builtin (no UDF) computed only inside blocks, after the
+    id_a < id_b triangle filter halves the candidates.
+    """
+    left = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).cast("long").alias("id_a"),
+        F.col(name_col).alias("name_a"),
+    )
+    right = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).cast("long").alias("id_b"),
+        F.col(name_col).alias("name_b"),
+    )
+    return (
+        left.join(right, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )

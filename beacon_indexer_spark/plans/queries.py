@@ -3747,6 +3747,128 @@ WHERE qty * cn * 5 < sq
 """
 
 
+def q_orders_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window breadth (NTILE / PERCENT_RANK / CUME_DIST —
+    the SURVEY §2.6 family beyond row_number/rank): per-priority price
+    quartiles in ONE partitioned WindowExec. The ordering is made TOTAL
+    (price, orderkey) so ntile's positional assignment is deterministic
+    across engines and partitionings."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_ORDERS_VALUE_NTILE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution (operators/dedup.py `fuzzy_name_pairs`):
+    near-identical part names within (brand, first-name-token) blocks by
+    Levenshtein ≤ 3, rolled up per brand. The edit distance runs ONLY
+    inside equi-join blocks — never a global cross join — and the
+    rollup keeps the result brand-bounded while the pair generation is
+    exercised in full."""
+    p = _t(spark, sf_dir, "part")
+    blocked = p.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split(F.col("p_name"), " ").getItem(0).alias("__tok"),
+    )
+    pairs = D.fuzzy_name_pairs(
+        blocked, "p_partkey", "p_name", ["p_brand", "__tok"], max_dist=3
+    )
+    withb = pairs.join(
+        blocked.select(F.col("p_partkey").alias("id_a"), "p_brand"), "id_a"
+    )
+    return withb.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("dist") == 0).cast("long")).cast("long").alias("n_exact"),
+        F.sum((F.col("dist") > 0).cast("long")).cast("long").alias("n_near"),
+        F.min("dist").cast("long").alias("min_dist"),
+        F.max("dist").cast("long").alias("max_dist"),
+    )
+
+
+ORACLE_PART_FUZZY_PAIRS = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 1) AS tok
+  FROM part),
+pairs AS (
+  SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS dist
+  FROM p a JOIN p b
+    ON a.p_brand = b.p_brand AND a.tok = b.tok AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       CAST(MIN(dist) AS BIGINT) AS min_dist,
+       CAST(MAX(dist) AS BIGINT) AS max_dist
+FROM pairs GROUP BY 1
+"""
+
+
+def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (operators/graph.py) over the LSH
+    candidate-pair graph — ranks the canonical-representative choice by
+    centrality instead of min-id. Fixed 3 iterations, every step bigint
+    multiply/sum/floor-div at scale 1e12, so the distributed sum is
+    order-independent and the unrolled-CTE oracle matches bit-for-bit
+    (float PageRank cannot be engine-reproducible)."""
+    from beacon_indexer_spark.operators import graph as G
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    return G.pagerank(pairs, iterations=3)
+
+
+def _oracle_dup_graph_pagerank_sql(iters: int = 3) -> str:
+    from beacon_indexer_spark.operators.graph import PAGERANK_SCALE as S
+
+    pairs = _oracle_minhash_lsh_sql().strip().rstrip(";")
+    ctes = [
+        f"pairs AS ({pairs})",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs)",
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT src AS node, CAST({S} AS BIGINT) AS r FROM deg)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.r // d.d) AS s"
+            f" FROM edges e JOIN {prev} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT node, ({15 * S} + 85 * s) // 100 AS r FROM c{i})"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(r AS BIGINT) AS rank_scaled FROM {prev}"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -3833,6 +3955,9 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_postings": q_corpus_postings,
     "orders_profile": q_orders_profile,
     "lineitem_small_qty_revenue": q_lineitem_small_qty_revenue,
+    "orders_value_ntile": q_orders_value_ntile,
+    "part_fuzzy_pairs": q_part_fuzzy_pairs,
+    "dup_graph_pagerank": q_dup_graph_pagerank,
 }
 
 
@@ -3923,4 +4048,7 @@ def oracles() -> dict[str, str]:
         "corpus_postings": ORACLE_CORPUS_POSTINGS,
         "orders_profile": _oracle_orders_profile_sql(),
         "lineitem_small_qty_revenue": ORACLE_LINEITEM_SMALL_QTY_REVENUE,
+        "orders_value_ntile": ORACLE_ORDERS_VALUE_NTILE,
+        "part_fuzzy_pairs": ORACLE_PART_FUZZY_PAIRS,
+        "dup_graph_pagerank": _oracle_dup_graph_pagerank_sql(),
     }

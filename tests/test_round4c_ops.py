@@ -207,3 +207,75 @@ def test_profile_columns_metrics(spark):
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
     assert out["s"]["min_value"] == "x" and out["s"]["max_value"] == "y"
     assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+
+
+# ---------------------------------------------------------------------------
+# integer PageRank
+# ---------------------------------------------------------------------------
+
+def _naive_pagerank(edges, iters=3, S=10**12, d=85):
+    """Reference integer PageRank on an undirected pair list."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    r = {v: S for v in adj}
+    for _ in range(iters):
+        contrib = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            share = r[u] // len(nbrs)
+            for v in nbrs:
+                contrib[v] += share
+        r = {v: ((100 - d) * S + d * c) // 100 for v, c in contrib.items()}
+    return r
+
+
+def test_pagerank_matches_naive(spark):
+    from beacon_indexer_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(pairs, iterations=3).collect()}
+    assert got == _naive_pagerank(edges)
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    from beacon_indexer_spark.operators.graph import pagerank
+
+    # star: node 0 connected to 1..6 — the hub must dominate
+    edges = [(0, i) for i in range(1, 7)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(pairs, iterations=3).collect()}
+    assert got[0] > max(v for k, v in got.items() if k != 0)
+    assert got == _naive_pagerank(edges)
+
+
+def test_pagerank_empty_graph(spark):
+    from beacon_indexer_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank(pairs, iterations=2).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# fuzzy name pairs
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_name_pairs_blocked_levenshtein(spark):
+    from beacon_indexer_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "small ring", "b1"),
+            (2, "small rings", "b1"),   # dist 1, same block
+            (3, "small ring", "b2"),    # identical name, DIFFERENT block
+            (4, "giant cog", "b1"),     # same block key col but name far
+            (5, "small rinx", "b1"),    # dist 1 to #1, 2 to #2
+        ],
+        "id long, name string, blk string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_name_pairs(df, "id", "name", ["blk"], max_dist=3).collect()
+    }
+    assert out == {(1, 2): 1, (1, 5): 1, (2, 5): 2}
