@@ -3869,6 +3869,160 @@ def _oracle_dup_graph_pagerank_sql(iters: int = 3) -> str:
     )
 
 
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: hourly counts of a SPARSE
+    event stream (error, value > 20) over a generated hour spine —
+    missing hours appear as explicit zero rows, the shape every
+    monitoring/forecasting consumer needs. The spine comes from
+    `sequence()` over a broadcast one-row min/max aggregate (never a
+    driver loop); the fill is a left join keyed by hour — spine size is
+    time-range-bounded, independent of event volume."""
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error") & (F.col("value") > 20)
+    )
+    hr = F.date_trunc("hour", F.col("ts"))
+    counts = e.groupBy(hr.alias("hour")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("__v"),
+    )
+    bounds = e.agg(
+        F.min(hr).alias("__lo"), F.max(hr).alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(__lo, __hi, interval 1 hour)")).alias("hour")
+    )
+    return spine.join(counts, "hour", "left").select(
+        F.col("hour").cast("string").alias("hour"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.coalesce(F.col("__v"), F.lit(0).cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("value_sum"),
+    )
+
+
+ORACLE_EVENTS_HOURLY_GAPFILL = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'error' AND value > 20),
+counts AS (SELECT h, COUNT(*) AS n, SUM(v) AS sv FROM e GROUP BY 1),
+spine AS (
+  SELECT unnest(generate_series((SELECT MIN(h) FROM e), (SELECT MAX(h) FROM e),
+                                INTERVAL 1 HOUR)) AS hour)
+SELECT CAST(s.hour AS VARCHAR) AS hour,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+       round(CAST(COALESCE(c.sv, CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS value_sum
+FROM spine s LEFT JOIN counts c ON s.hour = c.h
+"""
+
+
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator validation (measure, don't guess): for every LSH
+    candidate pair, the MinHash Jaccard ESTIMATE (signature agreement /
+    k) against the EXACT shingle-set Jaccard, plus the absolute error —
+    the audit that tells you whether k=8 signatures are enough before
+    trusting the banded pipeline at full scale. The exact side is the
+    unrestricted shingle self-join (the validation cost you pay at audit
+    scale, not in the production path, where the estimate replaces it)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"__a{i}") for i in range(_MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"__b{i}") for i in range(_MINHASH_K)],
+    )
+    matches = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        for i in range(_MINHASH_K)
+    )
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", (matches / F.lit(float(_MINHASH_K))).alias("__est")
+    )
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    common = (
+        sh.select(F.col("id").alias("id_a"), "__s")
+        .join(sh.select(F.col("id").alias("id_b"), "__s"), "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
+    return (
+        est.join(sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .join(common, ["id_a", "id_b"], "left")
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("__est", 4).alias("jaccard_est"),
+            F.round(F.coalesce(jac, F.lit(0.0)), 4).alias("jaccard_exact"),
+            F.round(F.abs(F.col("__est") - F.coalesce(jac, F.lit(0.0))), 4).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+def _oracle_dedup_minhash_est_sql() -> str:
+    rows = _MINHASH_K // _MINHASH_BANDS
+    hashed, sig_cols = _dd_minhash_sigs()
+    band_rows = []
+    for b in range(_MINHASH_BANDS):
+        parts = ", ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {parts})) AS key FROM sigs"
+        )
+    bands_union = "\nUNION ALL ".join(band_rows)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_K)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents),
+hashed AS ({hashed}),
+sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
+keyed AS ({bands_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+est AS (
+  SELECT p.id_a, p.id_b,
+         ({match_sum}) / {float(_MINHASH_K)!r} AS e
+  FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a
+               JOIN sigs sb ON sb.doc_id = p.id_b),
+sh2 AS (SELECT doc_id AS id, unnest(sh) AS s FROM base),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh2 GROUP BY 1),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT CAST(e.id_a AS BIGINT) AS id_a, CAST(e.id_b AS BIGINT) AS id_b,
+       round(e.e, 4) AS jaccard_est,
+       round(COALESCE(CAST(c.c AS DOUBLE) / (na.n + nb.n - c.c), 0.0), 4)
+         AS jaccard_exact,
+       round(abs(e.e - COALESCE(CAST(c.c AS DOUBLE) / (na.n + nb.n - c.c), 0.0)), 4)
+         AS abs_err
+FROM est e
+JOIN sizes na ON na.id = e.id_a
+JOIN sizes nb ON nb.id = e.id_b
+LEFT JOIN common c ON c.id_a = e.id_a AND c.id_b = e.id_b
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -3958,6 +4112,8 @@ QUERIES: dict[str, QueryFn] = {
     "orders_value_ntile": q_orders_value_ntile,
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
     "dup_graph_pagerank": q_dup_graph_pagerank,
+    "events_hourly_gapfill": q_events_hourly_gapfill,
+    "dedup_minhash_est": q_dedup_minhash_est,
 }
 
 
@@ -4051,4 +4207,6 @@ def oracles() -> dict[str, str]:
         "orders_value_ntile": ORACLE_ORDERS_VALUE_NTILE,
         "part_fuzzy_pairs": ORACLE_PART_FUZZY_PAIRS,
         "dup_graph_pagerank": _oracle_dup_graph_pagerank_sql(),
+        "events_hourly_gapfill": ORACLE_EVENTS_HOURLY_GAPFILL,
+        "dedup_minhash_est": _oracle_dedup_minhash_est_sql(),
     }
