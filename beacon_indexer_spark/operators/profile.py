@@ -81,3 +81,44 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def check_constraints(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Deequ-style data-quality gate: each rule is (name, row-level
+    boolean Column); returns one report row per rule —
+    (rule, n_rows, n_violations, passed) — from ONE aggregation pass
+    (map-side combined; adding a rule adds a column, never a scan).
+    A NULL predicate result counts as a violation (unknown ≠ verified)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, pred) in enumerate(rules):
+        aggs.append(
+            F.sum(F.when(pred, 0).otherwise(1)).alias(f"__v{i}")
+        )
+    row = df.agg(*aggs)
+    stacked = ", ".join(f"'{name}', __v{i}" for i, (name, _) in enumerate(rules))
+    return row.select(
+        F.expr(f"stack({len(rules)}, {stacked}) AS (rule, n_violations)"),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "rule",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+        (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).cast("int").alias("passed"),
+    )
+
+
+def check_unique(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+    """Uniqueness constraint in the same report shape: violations =
+    n_rows − n_distinct(key). A single-distinct aggregate (two-stage,
+    no Expand) — union the result with `check_constraints` output for
+    one combined report."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(*[F.col(c) for c in cols]).alias("__nd"),
+    )
+    return agg.select(
+        F.lit(name).alias("rule"),
+        F.col("__n").cast("long").alias("n_rows"),
+        (F.col("__n") - F.col("__nd")).cast("long").alias("n_violations"),
+        (F.col("__n") == F.col("__nd")).cast("int").alias("passed"),
+    )

@@ -4023,6 +4023,51 @@ LEFT JOIN common c ON c.id_a = e.id_a AND c.id_b = e.id_b
 """
 
 
+def q_orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint gate on a raw feed (operators/profile.py
+    `check_constraints` + `check_unique`): row-level predicates fold into
+    ONE aggregation pass; key uniqueness is a single-distinct aggregate;
+    the union is the go/no-go report an ingest pipeline checks before
+    promoting a batch. The date-range rule intentionally FAILS on this
+    data (orders run through 2001) — a report where every row passes
+    tests nothing."""
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        ("orderkey_not_null", F.col("o_orderkey").isNotNull()),
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+        ("status_in_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+        (
+            "orderdate_in_range",
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "2000-01-01"),
+        ),
+    ]
+    report = PR.check_constraints(o, rules)
+    uniq = PR.check_unique(o, ["o_orderkey"], "orderkey_unique")
+    return report.unionByName(uniq)
+
+
+ORACLE_ORDERS_QUALITY_CHECKS = """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v0,
+    SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v1,
+    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS v2,
+    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '2000-01-01' THEN 0 ELSE 1 END) AS v3,
+    COUNT(DISTINCT o_orderkey) AS nd
+  FROM orders)
+SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(v AS BIGINT) AS n_violations,
+       CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+FROM (
+  SELECT 'orderkey_not_null' AS rule, n, v0 AS v FROM a
+  UNION ALL SELECT 'totalprice_positive', n, v1 FROM a
+  UNION ALL SELECT 'status_in_domain', n, v2 FROM a
+  UNION ALL SELECT 'orderdate_in_range', n, v3 FROM a
+  UNION ALL SELECT 'orderkey_unique', n, n - nd FROM a)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -4114,6 +4159,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_graph_pagerank": q_dup_graph_pagerank,
     "events_hourly_gapfill": q_events_hourly_gapfill,
     "dedup_minhash_est": q_dedup_minhash_est,
+    "orders_quality_checks": q_orders_quality_checks,
 }
 
 
@@ -4209,4 +4255,5 @@ def oracles() -> dict[str, str]:
         "dup_graph_pagerank": _oracle_dup_graph_pagerank_sql(),
         "events_hourly_gapfill": ORACLE_EVENTS_HOURLY_GAPFILL,
         "dedup_minhash_est": _oracle_dedup_minhash_est_sql(),
+        "orders_quality_checks": ORACLE_ORDERS_QUALITY_CHECKS,
     }

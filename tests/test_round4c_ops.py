@@ -279,3 +279,29 @@ def test_fuzzy_name_pairs_blocked_levenshtein(spark):
         for r in fuzzy_name_pairs(df, "id", "name", ["blk"], max_dist=3).collect()
     }
     assert out == {(1, 2): 1, (1, 5): 1, (2, 5): 2}
+
+
+# ---------------------------------------------------------------------------
+# constraint checks
+# ---------------------------------------------------------------------------
+
+def test_check_constraints_report(spark):
+    from beacon_indexer_spark.operators.profile import check_constraints, check_unique
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "b", None), (4, "c", 2.0)],
+        "k long, s string, v double",
+    )
+    rules = [
+        ("s_not_null", F.col("s").isNotNull()),
+        ("v_positive", F.col("v") > 0),  # NULL v must count as violation
+        ("k_small", F.col("k") < 100),
+    ]
+    rep = {r["rule"]: r for r in check_constraints(df, rules).collect()}
+    assert rep["s_not_null"]["n_violations"] == 1 and rep["s_not_null"]["passed"] == 0
+    assert rep["v_positive"]["n_violations"] == 2  # -1.0 and NULL
+    assert rep["k_small"]["n_violations"] == 0 and rep["k_small"]["passed"] == 1
+    for r in rep.values():
+        assert r["n_rows"] == 4
+    uniq = check_unique(df, ["k"], "k_unique").collect()[0]
+    assert uniq["n_violations"] == 1 and uniq["passed"] == 0  # k=2 twice
