@@ -256,12 +256,27 @@ def ivf_centroids(
     """Deterministic coarse centroids: the k corpus vectors whose md5(id) is
     smallest — a reproducible pseudo-random sample (no RNG state, no
     iteration; real IVF training would k-means these, which at 100 TB runs
-    on a sampled subset anyway)."""
-    rows = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    on a sampled subset anyway).
+
+    Two-job sample: the TakeOrdered runs over (md5, id) ONLY — column
+    pruning keeps the vector column out of the scan and the sort — and a
+    second scan fetches just the k winning vectors through a pushed-down
+    id filter. At 100 TB the alternative (sorting with vectors attached)
+    moves the entire embedding column through the sample; here it moves
+    k rows."""
+    ids = [
+        r["id"]
+        for r in vectors.select(F.col(id_col).alias("id"))
         .withColumn("__r", F.md5(F.col("id").cast("string")))
         .orderBy("__r")
         .limit(k)
+        .collect()
+    ]
+    rows = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .filter(F.col("id").isin(ids))
+        .withColumn("__r", F.md5(F.col("id").cast("string")))
+        .orderBy("__r")
         .collect()
     )
     return [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
