@@ -4,7 +4,7 @@
     python -m beacon_indexer_spark load backfill --start-slot S --end-slot E
     python -m beacon_indexer_spark load realtime [--iterations N]
     python -m beacon_indexer_spark transform batch [--raw-table T]
-    python -m beacon_indexer_spark maintain status|gaps|integrity|reset|fix|compact|rollup
+    python -m beacon_indexer_spark maintain status|gaps|integrity|reset|fix|compact|rollup|profile
 
 Lifecycle parity (SURVEY §3): backfill = chunk plan → distributed fetch →
 raw lake → ledger; transform = discovery anti-join → parse fan-out →
@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     ru.add_argument("--spec", default="daily_blocks",
                     choices=sorted(ROLLUP_SPECS),
                     help="registered rollup spec")
+    pf = mt.add_parser("profile")
+    pf.add_argument("--table", required=True, help="lake table to profile")
+    pf.add_argument("--columns", default=None,
+                    help="comma-separated columns (default: all)")
     return p
 
 
@@ -277,6 +281,23 @@ def main(
             lake.compact(t)
             compacted[t] = {"before": before, "after": lake.read(t).count()}
         out["compacted"] = compacted
+
+    elif (args.command, args.subcommand) == ("maintain", "profile"):
+        # drift detection on lake tables (operators/profile.py): one
+        # aggregation pass per table; the JSON report is the go/no-go
+        # input for promoting a backfill
+        from beacon_indexer_spark.operators.profile import profile_columns
+
+        df = lake.read_latest(args.table)
+        cols = (
+            args.columns.split(",") if args.columns else list(df.columns)
+        )
+        out["profile"] = {
+            "table": args.table,
+            "columns": [
+                r.asDict() for r in profile_columns(df, cols).collect()
+            ],
+        }
 
     elif (args.command, args.subcommand) == ("maintain", "rollup"):
         src, dst, agg = ROLLUP_SPECS[args.spec]

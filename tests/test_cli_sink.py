@@ -340,3 +340,20 @@ def test_cli_maintain_rollup(spark, capsys, seeded_lake):
         spark,
     )
     assert out2["rollup"]["refreshed_dates"] == []
+
+
+def test_cli_maintain_profile(spark, capsys, seeded_lake):
+    out = _run(
+        capsys,
+        ["--lake-dir", seeded_lake.base_dir, "maintain", "profile",
+         "--table", "raw_blocks", "--columns", "slot,payload_hash"],
+        spark,
+    )
+    prof = {c["col_name"]: c for c in out["profile"]["columns"]}
+    assert out["profile"]["table"] == "raw_blocks"
+    assert set(prof) == {"slot", "payload_hash"}
+    assert prof["slot"]["n_rows"] == 10
+    assert prof["slot"]["n_nulls"] == 0
+    assert prof["slot"]["n_distinct"] == 10
+    assert prof["slot"]["min_value"] == str(SLOT0)
+    assert prof["payload_hash"]["n_distinct"] == 10
