@@ -4068,6 +4068,119 @@ FROM (
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-way star join —
+    region→nation broadcast down to customer AND supplier, the
+    same-nation predicate joining the two fact paths, revenue per
+    nation. Catalyst broadcasts every dim (region 5, nation 25 rows);
+    the only real shuffles are the orders⋈lineitem key exchange and the
+    final nation rollup. Revenue is DECIMAL-exact then cast once."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast(_DEC) * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (o.o_orderdate >= "1996-01-01") & (o.o_orderdate < "1998-01-01")
+        )
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("__rev"))
+        .select(
+            "nation",
+            F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name AS nation,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item report): revenue lost to returns
+    per customer over a quarter, top 20. lineitem filters on
+    returnflag BEFORE the join (pushed to the scan); customer⋈nation is
+    a broadcast; the top-20 is TakeOrderedAndProject, never a full
+    sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("c_name").alias("c_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(rev).alias("__rev"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_ITEM_REPORT = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name AS nation,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -4160,6 +4273,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly_gapfill": q_events_hourly_gapfill,
     "dedup_minhash_est": q_dedup_minhash_est,
     "orders_quality_checks": q_orders_quality_checks,
+    "local_supplier_volume": q_local_supplier_volume,
+    "returned_item_report": q_returned_item_report,
 }
 
 
@@ -4256,4 +4371,6 @@ def oracles() -> dict[str, str]:
         "events_hourly_gapfill": ORACLE_EVENTS_HOURLY_GAPFILL,
         "dedup_minhash_est": _oracle_dedup_minhash_est_sql(),
         "orders_quality_checks": ORACLE_ORDERS_QUALITY_CHECKS,
+        "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+        "returned_item_report": ORACLE_RETURNED_ITEM_REPORT,
     }
