@@ -288,9 +288,16 @@ def main(
         # input for promoting a backfill
         from beacon_indexer_spark.operators.profile import profile_columns
 
-        df = lake.read_latest(args.table)
+        try:
+            df = lake.read_latest(args.table)
+        except KeyError:
+            # tables outside the key registry (rollups, ad-hoc frames)
+            # have no latest-wins key — profile the raw rows
+            df = lake.read(args.table)
         cols = (
-            args.columns.split(",") if args.columns else list(df.columns)
+            [c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns
+            else list(df.columns)
         )
         out["profile"] = {
             "table": args.table,

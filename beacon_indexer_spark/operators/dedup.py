@@ -235,6 +235,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int | None = 65536,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
@@ -244,10 +245,15 @@ def minhash_lsh_candidates(
     carries (band, key, id) triples. ``max_bucket`` routes pathologically
     large buckets (a near-identical boilerplate cluster) through the
     distributed overflow join in `_pairs_from_buckets`.
+
+    ``sigs``: pass an existing `minhash_signatures(df, id_col, ...)` frame
+    to band it directly — callers that also consume the signatures (e.g.
+    estimator validation) avoid computing the shingle+hash pipeline twice.
     """
     assert k % bands == 0, "k must divide evenly into bands"
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -801,7 +807,9 @@ def fuzzy_name_pairs(
     name prefix); audit block sizes with the `frequent_shingles` /
     `dedup_graph_degrees` pattern before widening a block. Levenshtein
     is a JVM builtin (no UDF) computed only inside blocks, after the
-    id_a < id_b triangle filter halves the candidates.
+    id_a < id_b triangle filter halves the candidates. The block columns
+    ride along in the output (constant within a pair by construction), so
+    per-block rollups need no re-join against the input.
     """
     left = df.select(
         *[F.col(c) for c in block_cols],
@@ -818,5 +826,5 @@ def fuzzy_name_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .select(*block_cols, "id_a", "id_b", "name_a", "name_b", "dist")
     )

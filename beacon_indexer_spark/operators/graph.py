@@ -59,11 +59,12 @@ def pagerank(
             .agg(F.sum("__s").alias("__in"))
         )
         # every node of an undirected graph has inbound edges, so the
-        # contrib frame IS the node spine; coalesce guards empty graphs
+        # contrib frame IS the node spine (the inner join + sum cannot
+        # produce NULLs, and an empty graph is an empty frame)
         ranks = contrib.select(
             F.col("dst").alias("src"),
             F.expr(
-                f"CAST(({base} + {damping_pct} * coalesce(__in, 0)) div 100 AS LONG)"
+                f"CAST(({base} + {damping_pct} * __in) div 100 AS LONG)"
             ).alias("__r"),
         )
     return ranks.select(

@@ -30,6 +30,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _distinct_key(df: DataFrame, c: str) -> "F.Column":
+    """String key for the distinct pass that stays INJECTIVE per type:
+    plain casts collide for nested/binary values (['a, b'] and ['a','b']
+    both render '[a, b]'), so arrays/maps/structs go through to_json and
+    binary through base64 — a cardinality profiler must never undercount
+    the cardinality it exists to watch."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        MapType,
+        StructType,
+    )
+
+    dt = df.schema[c].dataType
+    if isinstance(dt, (ArrayType, MapType, StructType)):
+        # to_json(struct(NULL)) renders '{}', not NULL — keep nulls null
+        # so the distinct pass's isNotNull filter still skips them
+        return F.when(
+            F.col(c).isNull(), F.lit(None).cast("string")
+        ).otherwise(F.to_json(F.struct(F.col(c).alias("v"))))
+    if isinstance(dt, BinaryType):
+        return F.base64(F.col(c))
+    return F.col(c).cast("string")
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Profile `cols` of `df`; returns (col_name, n_rows, n_nulls,
     n_distinct, min_value, max_value), one row per column, min/max as
@@ -58,7 +83,7 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.col(c).cast("string").alias("v"),
+                        _distinct_key(df, c).alias("v"),
                     )
                     for c in cols
                 ]
@@ -89,6 +114,8 @@ def check_constraints(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> Dat
     (rule, n_rows, n_violations, passed) — from ONE aggregation pass
     (map-side combined; adding a rule adds a column, never a scan).
     A NULL predicate result counts as a violation (unknown ≠ verified)."""
+    if not rules:
+        raise ValueError("check_constraints requires at least one rule")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (_, pred) in enumerate(rules):
         aggs.append(

@@ -267,16 +267,21 @@ def ivf_centroids(
     ids = [
         r["id"]
         for r in vectors.select(F.col(id_col).alias("id"))
+        .filter(F.col(id_col).isNotNull())
         .withColumn("__r", F.md5(F.col("id").cast("string")))
         .orderBy("__r")
         .limit(k)
         .collect()
     ]
+    # the id fetch re-applies orderBy + limit(k) so a frame with duplicate
+    # ids (append-only lake reads) still yields exactly ≤ k centroids,
+    # matching the single-job version's contract
     rows = (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .filter(F.col("id").isin(ids))
         .withColumn("__r", F.md5(F.col("id").cast("string")))
         .orderBy("__r")
+        .limit(k)
         .collect()
     )
     return [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]

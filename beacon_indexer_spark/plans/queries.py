@@ -3793,10 +3793,7 @@ def q_part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.fuzzy_name_pairs(
         blocked, "p_partkey", "p_name", ["p_brand", "__tok"], max_dist=3
     )
-    withb = pairs.join(
-        blocked.select(F.col("p_partkey").alias("id_a"), "p_brand"), "id_a"
-    )
-    return withb.groupBy("p_brand").agg(
+    return pairs.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum((F.col("dist") == 0).cast("long")).cast("long").alias("n_exact"),
         F.sum((F.col("dist") > 0).cast("long")).cast("long").alias("n_near"),
@@ -3926,9 +3923,14 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrestricted shingle self-join (the validation cost you pay at audit
     scale, not in the production path, where the estimate replaces it)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    sigs = D.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    # ONE signature pass: the banding consumes the same staged frame the
+    # estimate reads (lazy checkpoint — materialized by the LSH probe job)
+    sigs = D.minhash_signatures(
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+    ).localCheckpoint(eager=False)
     pairs = D.minhash_lsh_candidates(
-        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
+        shingle_n=3, sigs=sigs,
     )
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),

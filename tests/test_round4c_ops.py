@@ -305,3 +305,40 @@ def test_check_constraints_report(spark):
         assert r["n_rows"] == 4
     uniq = check_unique(df, ["k"], "k_unique").collect()[0]
     assert uniq["n_violations"] == 1 and uniq["passed"] == 0  # k=2 twice
+
+
+def test_profile_distinct_injective_for_nested_and_binary(spark):
+    from beacon_indexer_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, ["a, b"], bytearray(b"\x00\x01")),
+         (2, ["a", "b"], bytearray(b"\x00")),
+         (3, None, None)],
+        "k long, arr array<string>, bin binary",
+    )
+    out = {r["col_name"]: r for r in profile_columns(df, ["arr", "bin"]).collect()}
+    # ['a, b'] and ['a','b'] stringify identically — to_json keeps them apart
+    assert out["arr"]["n_distinct"] == 2
+    assert out["arr"]["n_nulls"] == 1
+    assert out["bin"]["n_distinct"] == 2
+    assert out["bin"]["n_nulls"] == 1
+
+
+def test_check_constraints_rejects_empty_rules(spark):
+    import pytest as _pytest
+
+    from beacon_indexer_spark.operators.profile import check_constraints
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        check_constraints(df, [])
+
+
+def test_ivf_centroids_caps_at_k_with_duplicate_ids(spark):
+    from beacon_indexer_spark.operators.similarity import ivf_centroids
+
+    rows = [(i % 6, [float(i), 1.0]) for i in range(12)]  # every id twice
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(df, k=4)
+    assert len(cents) == 4
+    assert [c[0] for c in cents] == [0, 1, 2, 3]
