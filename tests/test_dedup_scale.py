@@ -110,3 +110,63 @@ def test_embedding_near_dupes_no_unbounded_rows(spark):
     assert "collect_set" in plan
     assert "collect_set(embedding" not in plan
     assert "collect_list" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4c operator scale guards
+# ---------------------------------------------------------------------------
+
+def test_kmv_scales_with_prefilter_not_corpus(spark):
+    """The KMV shuffle is bounded by survivors (~distinct/denom), not rows:
+    a 100k-row frame with 20k distinct values must keep the survivor
+    frame ~20k/denom regardless of duplication factor."""
+    from beacon_indexer_spark.operators.sketch import _H, _KMV_SALT, kmv_distinct
+    from beacon_indexer_spark.operators.dedup import _md5_long
+
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 20_000).cast("string").alias("v"), F.lit("g").alias("grp")
+    )
+    cutoff = _H // 16
+    survivors = (
+        df.select(_md5_long(F.col("v"), _KMV_SALT).alias("h"))
+        .filter(F.col("h") < cutoff)
+        .distinct()
+        .count()
+    )
+    assert survivors < 20_000 / 16 * 2  # ~1/16 of distincts, 2x head-room
+    row = kmv_distinct(df, "v", "grp", k=64, prefilter_denom=16).collect()[0]
+    assert 0.55 * 20_000 < row["distinct_est"] < 1.6 * 20_000
+
+
+def test_pagerank_rounds_scale_with_edges_not_pairsq(spark):
+    """A 5,000-edge random graph converges through fixed 3 iterations with
+    rank mass conserved (integer truncation only loses < 100 units/node
+    per round) — the O(|E|)-per-iteration contract."""
+    import random
+
+    from beacon_indexer_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(0, 800), rng.randrange(800, 1600)) for _ in range(5000)})
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = pagerank(pairs, iterations=3).collect()
+    nodes = {r["node"] for r in got}
+    assert len(nodes) == len(set(a for a, _ in edges) | set(b for _, b in edges))
+    total = sum(r["rank_scaled"] for r in got)
+    # mass ≈ |V|·S, shrunk only by floor-div truncation
+    assert 0.98 * len(nodes) * PAGERANK_SCALE < total <= len(nodes) * PAGERANK_SCALE
+
+
+def test_per_group_cap_hot_group(spark):
+    """One group holding 90% of rows still yields exactly cap keeps and a
+    full verdict frame (the hot-group degradation is one sorted task,
+    not an error)."""
+    from beacon_indexer_spark.operators.sampling import per_group_cap
+
+    rows = [(i, "hot" if i < 9000 else "g%d" % (i % 7), float(i)) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    out = per_group_cap(df, "grp", [F.desc("score"), F.asc("id")], cap=100)
+    agg = {r["grp"]: r["kept"] for r in out.groupBy("grp").agg(
+        F.sum("keep").alias("kept")).collect()}
+    assert agg["hot"] == 100
+    assert out.count() == 10_000
