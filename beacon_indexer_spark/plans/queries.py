@@ -4183,6 +4183,61 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q_events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier winsorization at an EXACT per-group p99 (the curation
+    clip step before value aggregation): the percentile comes from the
+    same value-HISTOGRAM cumulative window as `doc_length_quantiles` —
+    bounded by distinct values per group, never a window over raw rows —
+    and the integer predicate cum·100 ≥ n·99 avoids any float ceil.
+    The tiny (group, p99) frame broadcasts back for the clip pass."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("__v")
+    )
+    hist = e.groupBy("event_type", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("event_type").orderBy("__v")
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    p99 = (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("__cum") * 100 >= F.col("__n") * 99)
+        .groupBy("event_type")
+        .agg(F.min("__v").alias("__p99"))
+    )
+    clipped = e.join(F.broadcast(p99), "event_type").select(
+        "event_type",
+        "__p99",
+        F.least(F.col("__v"), F.col("__p99")).alias("__cv"),
+        (F.col("__v") > F.col("__p99")).cast("long").alias("__f"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.min("__p99").cast("double"), 2).alias("p99"),
+        F.sum("__f").cast("long").alias("n_clipped"),
+        F.round(F.sum("__cv").cast("double"), 2).alias("clipped_sum"),
+    )
+
+
+ORACLE_EVENTS_VALUE_WINSORIZE = """
+WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+tot AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+hist AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+cum AS (SELECT event_type, v,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+        FROM hist),
+p AS (SELECT cum.event_type, MIN(v) AS p99
+      FROM cum JOIN tot USING (event_type)
+      WHERE cum.cum * 100 >= tot.n * 99 GROUP BY 1),
+cl AS (SELECT e.event_type, p.p99, least(e.v, p.p99) AS cv,
+              CASE WHEN e.v > p.p99 THEN 1 ELSE 0 END AS f
+       FROM e JOIN p USING (event_type))
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(CAST(MIN(p99) AS DOUBLE), 2) AS p99,
+       CAST(SUM(f) AS BIGINT) AS n_clipped,
+       round(CAST(SUM(cv) AS DOUBLE), 2) AS clipped_sum
+FROM cl GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -4277,6 +4332,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_quality_checks": q_orders_quality_checks,
     "local_supplier_volume": q_local_supplier_volume,
     "returned_item_report": q_returned_item_report,
+    "events_value_winsorize": q_events_value_winsorize,
 }
 
 
@@ -4375,4 +4431,5 @@ def oracles() -> dict[str, str]:
         "orders_quality_checks": ORACLE_ORDERS_QUALITY_CHECKS,
         "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
         "returned_item_report": ORACLE_RETURNED_ITEM_REPORT,
+        "events_value_winsorize": ORACLE_EVENTS_VALUE_WINSORIZE,
     }
