@@ -4238,6 +4238,54 @@ FROM cl GROUP BY 1
 """
 
 
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a grouped HAVING
+    subquery (orders whose total quantity clears a threshold) re-joined
+    to the fact chain. The qualifying-keys frame is aggregated FIRST —
+    the decorrelated HAVING — so the expensive joins run only on the
+    qualifying minority; top-100 is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 175)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = big.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            F.round(F.col("total_qty").cast("double"), 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 175)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+       round(CAST(total_qty AS DOUBLE), 2) AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 100
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -4333,6 +4381,7 @@ QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": q_local_supplier_volume,
     "returned_item_report": q_returned_item_report,
     "events_value_winsorize": q_events_value_winsorize,
+    "large_volume_customers": q_large_volume_customers,
 }
 
 
@@ -4432,4 +4481,5 @@ def oracles() -> dict[str, str]:
         "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
         "returned_item_report": ORACLE_RETURNED_ITEM_REPORT,
         "events_value_winsorize": ORACLE_EVENTS_VALUE_WINSORIZE,
+        "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
     }

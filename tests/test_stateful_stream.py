@@ -144,3 +144,44 @@ def test_hopping_window_stream_matches_batch(spark, tmp_path):
         for r in agg(spark.read.parquet(src)).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_constraint_gate_per_batch(spark, tmp_path):
+    """Data-quality gating composes with Structured Streaming: run
+    `check_constraints` inside foreachBatch and append one report row per
+    rule per micro-batch — the streaming ingest gate (reject/alert on a
+    failing batch before promoting it). Two micro-batches, one clean and
+    one violating, must each carry their own verdicts."""
+    from pyspark.sql import functions as F
+
+    from beacon_indexer_spark.operators.profile import check_constraints
+
+    src = str(tmp_path / "qraw")
+    rows_clean = [(1, T0), (2, T0 + dt.timedelta(seconds=5))]
+    rows_bad = [(None, T0 + dt.timedelta(seconds=10)), (4, T0 + dt.timedelta(seconds=15))]
+    _write_events(spark, src, rows_clean)
+    _write_events(spark, src, rows_bad)
+
+    reports = []
+
+    def gate(batch_df, batch_id):
+        rep = check_constraints(
+            batch_df, [("user_not_null", F.col("user_id").isNotNull())]
+        ).collect()
+        reports.append((batch_id, {r["rule"]: r for r in rep}))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert len(reports) == 2
+    by_violations = sorted(
+        rep["user_not_null"]["n_violations"] for _, rep in reports
+    )
+    assert by_violations == [0, 1]  # one clean batch, one violating batch
+    for _, rep in reports:
+        assert rep["user_not_null"]["n_rows"] == 2
