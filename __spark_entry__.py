@@ -19,8 +19,12 @@ from beacon_indexer_spark.plans.queries import QUERIES, oracles  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the end-to-end curation manifest: LSH dedup →
+    connected components → quality gate → split assignment in ONE DAG —
+    the engine's training-data story in a single plan."""
+    return QUERIES["doc_curation_manifest"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

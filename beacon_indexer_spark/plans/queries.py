@@ -4286,6 +4286,88 @@ ORDER BY total_qty DESC, o_orderkey LIMIT 100
 """
 
 
+def q_doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE DAG — the manifest a
+    training run consumes: per document, the dedup verdict (LSH →
+    connected components → min-id keep), the quality gate (score ≥ 0.5),
+    the train/val/test split, and the final include flag
+    (keep ∧ quality). Composes `minhash_lsh_candidates`,
+    `connected_components`, `quality_score`, and `split_assign` into a
+    single plan: the dup-cluster frame stays broadcast-sized (only docs
+    WITH duplicates), quality and split are narrow expressions on the
+    spine — one corpus scan feeds everything but the LSH shuffle."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    spine = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(X.quality_score("text"), 6).alias("q6"),
+        SP.split_assign(F.col("doc_id"), _SPLIT_FRACS).alias("split"),
+    )
+    joined = spine.join(F.broadcast(clusters), "doc_id", "left")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    keep = (cid == F.col("doc_id")).cast("int")
+    q_pass = (F.col("q6") >= 0.5).cast("int")
+    return joined.select(
+        "doc_id",
+        cid.cast("long").alias("cluster_id"),
+        keep.alias("keep"),
+        "q6",
+        q_pass.alias("q_pass"),
+        "split",
+        (keep.cast("boolean") & q_pass.cast("boolean")).cast("int").alias("include"),
+    )
+
+
+def _oracle_doc_curation_manifest_sql() -> str:
+    clusters = _oracle_dedup_clusters_sql().strip().rstrip(";")
+    body = clusters.replace("WITH RECURSIVE", "", 1).strip()
+    wrapped = body.replace(
+        "SELECT CAST(s AS BIGINT) AS doc_id,",
+        ", cl AS (SELECT CAST(s AS BIGINT) AS doc_id,",
+        1,
+    )
+    bkt = _dd_md5_long("concat('13:', CAST(doc_id AS VARCHAR))")
+    return rf"""
+WITH RECURSIVE {wrapped}
+), t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct,
+         ({bkt}) % 1000000 AS bkt
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens, n_chars, n_punct, bkt,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl
+  FROM t),
+q AS (
+  SELECT doc_id,
+         round((least(n_chars / 500.0, 1.0) * 0.4
+               + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
+               + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
+               * (CASE WHEN n_tokens > 0 THEN 1.0 ELSE 0.0 END), 6) AS q6,
+         CASE WHEN bkt < 800000 THEN 'train'
+              WHEN bkt < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM m)
+SELECT CAST(q.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(cl.cluster_id, q.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN COALESCE(cl.cluster_id, q.doc_id) = q.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS keep,
+       q.q6,
+       CAST(CASE WHEN q.q6 >= 0.5 THEN 1 ELSE 0 END AS INT) AS q_pass,
+       q.split,
+       CAST(CASE WHEN COALESCE(cl.cluster_id, q.doc_id) = q.doc_id
+                  AND q.q6 >= 0.5 THEN 1 ELSE 0 END AS INT) AS include
+FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -4382,6 +4464,7 @@ QUERIES: dict[str, QueryFn] = {
     "returned_item_report": q_returned_item_report,
     "events_value_winsorize": q_events_value_winsorize,
     "large_volume_customers": q_large_volume_customers,
+    "doc_curation_manifest": q_doc_curation_manifest,
 }
 
 
@@ -4482,4 +4565,5 @@ def oracles() -> dict[str, str]:
         "returned_item_report": ORACLE_RETURNED_ITEM_REPORT,
         "events_value_winsorize": ORACLE_EVENTS_VALUE_WINSORIZE,
         "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
+        "doc_curation_manifest": _oracle_doc_curation_manifest_sql(),
     }
