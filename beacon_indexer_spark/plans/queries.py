@@ -2043,15 +2043,30 @@ def q_doc_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_doc_keep_list_sql() -> str:
+_CLUSTERS_FINAL_SELECT = "SELECT CAST(s AS BIGINT) AS doc_id,"
+
+
+def _oracle_clusters_cte() -> str:
+    """`WITH RECURSIVE <...> , cl AS (<closure select>` — the dedup
+    clusters oracle re-wrapped so its result is a CTE named ``cl``
+    (callers append their own ``)`` + final SELECT). WITH RECURSIVE must
+    stay the outermost WITH, so the splice rewrites the final SELECT
+    in place; the marker is asserted so a reworded clusters oracle
+    fails loudly here instead of emitting malformed SQL downstream."""
     clusters = _oracle_dedup_clusters_sql().strip().rstrip(";")
-    # re-wrap the recursive-CTE closure: WITH RECURSIVE must stay the
-    # outermost WITH, so splice the documents spine join around its final
-    # SELECT instead of nesting it
     body = clusters.replace("WITH RECURSIVE", "", 1).strip()
+    assert _CLUSTERS_FINAL_SELECT in body, (
+        "dedup clusters oracle changed its final SELECT — update "
+        "_CLUSTERS_FINAL_SELECT to match"
+    )
+    return "WITH RECURSIVE " + body.replace(
+        _CLUSTERS_FINAL_SELECT, ", cl AS (" + _CLUSTERS_FINAL_SELECT, 1
+    )
+
+
+def _oracle_doc_keep_list_sql() -> str:
     return f"""
-WITH RECURSIVE {body.replace("SELECT CAST(s AS BIGINT) AS doc_id,",
-                             ", cl AS (SELECT CAST(s AS BIGINT) AS doc_id,", 1)}
+{_oracle_clusters_cte()}
 )
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
@@ -4190,13 +4205,17 @@ def q_events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by distinct values per group, never a window over raw rows —
     and the integer predicate cum·100 ≥ n·99 avoids any float ceil.
     The tiny (group, p99) frame broadcasts back for the clip pass."""
-    e = _t(spark, sf_dir, "events").select(
-        "event_type", F.col("value").cast("decimal(18,2)").alias("__v")
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())  # NULLs are outside the percentile
+        .select("event_type", F.col("value").cast("decimal(18,2)").alias("__v"))
     )
     hist = e.groupBy("event_type", "__v").agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.partitionBy("event_type").orderBy("__v")
+    # nulls_last for engine parity even though the filter precludes NULLs
+    w = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("__v"))
     cum = hist.withColumn("__cum", F.sum("__c").over(w))
-    tot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    # totals from the histogram — no second scan of the raw frame
+    tot = hist.groupBy("event_type").agg(F.sum("__c").alias("__n"))
     p99 = (
         cum.join(F.broadcast(tot), "event_type")
         .filter(F.col("__cum") * 100 >= F.col("__n") * 99)
@@ -4218,9 +4237,10 @@ def q_events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EVENTS_VALUE_WINSORIZE = """
-WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
-tot AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE value IS NOT NULL),
 hist AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+tot AS (SELECT event_type, SUM(c) AS n FROM hist GROUP BY 1),
 cum AS (SELECT event_type, v,
                SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
         FROM hist),
@@ -4322,16 +4342,9 @@ def q_doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_doc_curation_manifest_sql() -> str:
-    clusters = _oracle_dedup_clusters_sql().strip().rstrip(";")
-    body = clusters.replace("WITH RECURSIVE", "", 1).strip()
-    wrapped = body.replace(
-        "SELECT CAST(s AS BIGINT) AS doc_id,",
-        ", cl AS (SELECT CAST(s AS BIGINT) AS doc_id,",
-        1,
-    )
     bkt = _dd_md5_long("concat('13:', CAST(doc_id AS VARCHAR))")
     return rf"""
-WITH RECURSIVE {wrapped}
+{_oracle_clusters_cte()}
 ), t AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
