@@ -94,3 +94,54 @@ def test_slot_timestamp_matches_python(spark, slots, spb, genesis):
         ).collect()
     ]
     assert got == [genesis + s * spb for s in slots]
+
+
+# ---------------------------------------------------------------------------
+# round-4c deterministic curation ops
+# ---------------------------------------------------------------------------
+
+def _py_bucket(key: str, salt: int) -> int:
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+    return int(h[:15], 16) % 1_000_000
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=10**12),
+                min_size=1, max_size=40, unique=True))
+def test_split_assign_matches_python_bucketing(spark, ids):
+    """split_assign is pure md5-bucket arithmetic: the Python oracle
+    reproduces every label; rows never change split across partitionings."""
+    from beacon_indexer_spark.operators.sampling import split_assign
+
+    fracs = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    lab = split_assign(F.col("id"), fracs, salt=13)
+    got = {r["id"]: r["s"] for r in df.select("id", lab.alias("s")).collect()}
+
+    def py_label(i: int) -> str:
+        b = _py_bucket(str(i), 13)
+        if b < 800_000:
+            return "train"
+        if b < 900_000:
+            return "val"
+        return "test"
+
+    assert got == {i: py_label(i) for i in ids}
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                min_size=1, max_size=60),
+       st.integers(min_value=2, max_value=9))
+def test_kmv_multiplicity_invariance(spark, values, reps):
+    """The KMV sketch depends only on the distinct value SET: replicating
+    every row `reps` times changes nothing (n_kept, kth hash, estimate)."""
+    from beacon_indexer_spark.operators.sketch import kmv_distinct
+
+    a = spark.createDataFrame([(v, "g") for v in values], "v string, grp string")
+    b = spark.createDataFrame(
+        [(v, "g") for v in values for _ in range(reps)], "v string, grp string"
+    )
+    ra = {tuple(r) for r in kmv_distinct(a, "v", "grp", k=8).collect()}
+    rb = {tuple(r) for r in kmv_distinct(b, "v", "grp", k=8).collect()}
+    assert ra == rb
