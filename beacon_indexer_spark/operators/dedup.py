@@ -250,6 +250,26 @@ def minhash_lsh_candidates(
     to band it directly — callers that also consume the signatures (e.g.
     estimator validation) avoid computing the shingle+hash pipeline twice.
     """
+    keyed = minhash_band_keys(
+        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n, sigs=sigs
+    )
+    return _pairs_from_buckets(keyed, id_col, "band", "key", max_bucket=max_bucket)
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, key) LSH band keys — the indexable dedup fingerprint.
+    Shared by `minhash_lsh_candidates` (full-corpus pairing) and
+    incremental ingest (band a NEW batch and equi-join it against the
+    stored corpus keys — O(batch) work against an indexed corpus,
+    never a corpus re-pair)."""
     assert k % bands == 0, "k must divide evenly into bands"
     rows_per_band = k // bands
     if sigs is None:
@@ -260,10 +280,28 @@ def minhash_lsh_candidates(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("key"))
         )
-    keyed = sigs.select(
+    return sigs.select(
         id_col, F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    return _pairs_from_buckets(keyed, id_col, "band", "key", max_bucket=max_bucket)
+
+
+def incremental_duplicates(
+    corpus_keys: DataFrame, batch_keys: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental-ingest dedup verdict: for each NEW document (in
+    `batch_keys`, a `minhash_band_keys` frame), the minimum existing
+    corpus doc sharing any LSH band key, plus how many distinct corpus
+    docs matched. The production shape: the corpus side is the STORED
+    band-key index (written once at ingest, e.g. a bucketed table on
+    (band, key)); each new batch costs one equi-join of O(batch) keys
+    against it — the corpus is never re-paired against itself."""
+    j = batch_keys.join(
+        corpus_keys.withColumnRenamed(id_col, "__old"), ["band", "key"]
+    )
+    return j.groupBy(id_col).agg(
+        F.min("__old").alias("dup_of"),
+        F.countDistinct("__old").alias("n_matches"),
+    )
 
 
 # ---------------------------------------------------------------------------

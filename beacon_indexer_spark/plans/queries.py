@@ -707,7 +707,10 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_lsh_sql() -> str:
+def _dd_minhash_keyed_ctes() -> str:
+    """`base/hashed/sigs/keyed` CTE chain (doc_id → LSH band keys) —
+    shared by the LSH-pairs, estimator-validation, and incremental-dedup
+    oracles so the banding mirror lives in ONE place."""
     rows = _MINHASH_K // _MINHASH_BANDS
     hashed, sig_cols = _dd_minhash_sigs()
     band_rows = []
@@ -719,11 +722,15 @@ def _oracle_minhash_lsh_sql() -> str:
             f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {parts})) AS key FROM sigs"
         )
     bands_union = "\nUNION ALL ".join(band_rows)
-    return f"""
-WITH base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents),
+    return f"""base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents),
 hashed AS ({hashed}),
 sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
-keyed AS ({bands_union})
+keyed AS ({bands_union})"""
+
+
+def _oracle_minhash_lsh_sql() -> str:
+    return f"""
+WITH {_dd_minhash_keyed_ctes()}
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
 FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """
@@ -3992,26 +3999,12 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_minhash_est_sql() -> str:
-    rows = _MINHASH_K // _MINHASH_BANDS
-    hashed, sig_cols = _dd_minhash_sigs()
-    band_rows = []
-    for b in range(_MINHASH_BANDS):
-        parts = ", ".join(
-            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
-        )
-        band_rows.append(
-            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {parts})) AS key FROM sigs"
-        )
-    bands_union = "\nUNION ALL ".join(band_rows)
     match_sum = " + ".join(
         f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
         for i in range(_MINHASH_K)
     )
     return f"""
-WITH base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents),
-hashed AS ({hashed}),
-sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
-keyed AS ({bands_union}),
+WITH {_dd_minhash_keyed_ctes()},
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM keyed a JOIN keyed b
@@ -4381,6 +4374,50 @@ FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py
+    `incremental_duplicates`): docs with doc_id % 5 == 4 play the NEW
+    batch; the rest are the stored corpus. The batch's band keys
+    equi-join the corpus band-key index — O(batch) work, the corpus is
+    never re-paired — and every new doc gets a total verdict
+    (dup_of, n_matches, is_dup). This is the per-batch path a streaming
+    ingest runs between full-corpus dedup rebuilds."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    keyed = D.minhash_band_keys(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    is_new = F.col("doc_id") % 5 == 4
+    m = D.incremental_duplicates(
+        keyed.filter(~is_new), keyed.filter(is_new), "doc_id"
+    )
+    spine = docs.filter(is_new).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return spine.join(m, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").cast("long").alias("dup_of"),
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+        F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+    )
+
+
+def _oracle_dedup_incremental_sql() -> str:
+    return f"""
+WITH {_dd_minhash_keyed_ctes()},
+nk AS (SELECT * FROM keyed WHERE doc_id % 5 = 4),
+ok AS (SELECT * FROM keyed WHERE doc_id % 5 <> 4),
+m AS (
+  SELECT n.doc_id, MIN(o.doc_id) AS dup_of,
+         COUNT(DISTINCT o.doc_id) AS n_matches
+  FROM nk n JOIN ok o ON n.band = o.band AND n.key = o.key
+  GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(m.dup_of AS BIGINT) AS dup_of,
+       CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(CASE WHEN m.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM documents d LEFT JOIN m USING (doc_id)
+WHERE d.doc_id % 5 = 4
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -4478,6 +4515,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_value_winsorize": q_events_value_winsorize,
     "large_volume_customers": q_large_volume_customers,
     "doc_curation_manifest": q_doc_curation_manifest,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 
@@ -4579,4 +4617,5 @@ def oracles() -> dict[str, str]:
         "events_value_winsorize": ORACLE_EVENTS_VALUE_WINSORIZE,
         "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
         "doc_curation_manifest": _oracle_doc_curation_manifest_sql(),
+        "dedup_incremental": _oracle_dedup_incremental_sql(),
     }
