@@ -4418,6 +4418,77 @@ WHERE d.doc_id % 5 = 4
 """
 
 
+def q_events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: exact MEDIAN and MAD (median absolute
+    deviation) — the outlier-resistant location/scale pair. TWO stacked
+    value-histogram quantile passes (the `doc_length_quantiles` plan):
+    medians come from the value histogram, deviations re-aggregate to a
+    second histogram keyed by |v − median| — each window is bounded by
+    distinct values per group, the raw frame is scanned twice and never
+    windowed. The integer predicate cum·2 ≥ n picks the lower median on
+    both engines."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("decimal(18,2)").alias("__v"))
+    )
+
+    def _histo_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        hist = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.partitionBy("event_type").orderBy(F.asc_nulls_last(col))
+        cum = hist.withColumn("__cum", F.sum("__c").over(w))
+        tot = hist.groupBy("event_type").agg(F.sum("__c").alias("__n"))
+        return (
+            cum.join(F.broadcast(tot), "event_type")
+            .filter(F.col("__cum") * 2 >= F.col("__n"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out), F.min("__n").alias(f"__n_{out}"))
+        )
+
+    med = _histo_median(e, "__v", "__med")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("__v") - F.col("__med")).alias("__d")
+    )
+    mad = _histo_median(dev, "__d", "__mad")
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            F.col("__n___med").cast("long").alias("n_rows"),
+            F.round(F.col("__med").cast("double"), 2).alias("median"),
+            F.round(F.col("__mad").cast("double"), 2).alias("mad"),
+        )
+    )
+
+
+ORACLE_EVENTS_VALUE_MAD = """
+WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE value IS NOT NULL),
+h1 AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+c1 AS (SELECT event_type, v,
+              SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+       FROM h1),
+t1 AS (SELECT event_type, SUM(c) AS n FROM h1 GROUP BY 1),
+med AS (SELECT c1.event_type, MIN(v) AS med, MIN(t1.n) AS n
+        FROM c1 JOIN t1 USING (event_type)
+        WHERE c1.cum * 2 >= t1.n GROUP BY 1),
+d AS (SELECT e.event_type, abs(e.v - med.med) AS dv
+      FROM e JOIN med USING (event_type)),
+h2 AS (SELECT event_type, dv, COUNT(*) AS c FROM d GROUP BY 1, 2),
+c2 AS (SELECT event_type, dv,
+              SUM(c) OVER (PARTITION BY event_type ORDER BY dv) AS cum
+       FROM h2),
+t2 AS (SELECT event_type, SUM(c) AS n FROM h2 GROUP BY 1),
+mad AS (SELECT c2.event_type, MIN(dv) AS mad
+        FROM c2 JOIN t2 USING (event_type)
+        WHERE c2.cum * 2 >= t2.n GROUP BY 1)
+SELECT med.event_type, CAST(med.n AS BIGINT) AS n_rows,
+       round(CAST(med.med AS DOUBLE), 2) AS median,
+       round(CAST(mad.mad AS DOUBLE), 2) AS mad
+FROM med JOIN mad USING (event_type)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -4516,6 +4587,7 @@ QUERIES: dict[str, QueryFn] = {
     "large_volume_customers": q_large_volume_customers,
     "doc_curation_manifest": q_doc_curation_manifest,
     "dedup_incremental": q_dedup_incremental,
+    "events_value_mad": q_events_value_mad,
 }
 
 
@@ -4618,4 +4690,5 @@ def oracles() -> dict[str, str]:
         "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
         "doc_curation_manifest": _oracle_doc_curation_manifest_sql(),
         "dedup_incremental": _oracle_dedup_incremental_sql(),
+        "events_value_mad": ORACLE_EVENTS_VALUE_MAD,
     }

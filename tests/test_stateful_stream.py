@@ -185,3 +185,65 @@ def test_streaming_constraint_gate_per_batch(spark, tmp_path):
     assert by_violations == [0, 1]  # one clean batch, one violating batch
     for _, rep in reports:
         assert rep["user_not_null"]["n_rows"] == 2
+
+
+def test_streaming_incremental_dedup_against_growing_index(spark, tmp_path):
+    """The incremental-ingest dedup op composes with Structured
+    Streaming: each micro-batch bands its docs (`minhash_band_keys`),
+    checks them against the ACCUMULATED corpus band-key index, then
+    appends its own keys to the index — the streaming corpus-ingest
+    loop. A doc in batch 2 duplicating a batch-1 doc must be flagged
+    with the original's id; fresh docs must pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from beacon_indexer_spark.operators.dedup import (
+        incremental_duplicates,
+        minhash_band_keys,
+    )
+
+    src = str(tmp_path / "docs_raw")
+    idx = str(tmp_path / "band_index")
+    base = "alpha beta gamma delta epsilon zeta eta theta common words here"
+    batch1 = [(1, base + " one"), (2, "totally different text body entirely unrelated")]
+    # doc 11 near-duplicates doc 1; doc 12 is fresh
+    batch2 = [(11, base + " one"), (12, "yet another unique document nothing shared")]
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(batch1, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(batch2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+
+    verdicts = {}
+
+    def ingest(batch_df, batch_id):
+        keys = minhash_band_keys(batch_df, "doc_id", "text").localCheckpoint()
+        if os.path.isdir(idx) and any(
+            f.endswith(".parquet") for f in os.listdir(idx)
+        ):
+            corpus = spark.read.parquet(idx)
+            m = {
+                r["doc_id"]: r["dup_of"]
+                for r in incremental_duplicates(corpus, keys, "doc_id").collect()
+            }
+        else:
+            m = {}
+        for r in batch_df.select("doc_id").collect():
+            verdicts[r["doc_id"]] = m.get(r["doc_id"])
+        keys.write.mode("append").parquet(idx)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert len(verdicts) == 4
+    assert verdicts[1] is None and verdicts[2] is None  # first batch: empty index
+    assert verdicts[11] == 1  # exact near-dup of doc 1 → flagged with its id
+    assert verdicts[12] is None  # fresh doc passes
