@@ -4489,6 +4489,82 @@ FROM med JOIN mad USING (event_type)
 """
 
 
+def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation shape: the language-ID confusion matrix
+    (predicted × labeled counts) — how curation pipelines validate a
+    heuristic classifier against labels before trusting its routing.
+    One narrow prediction expression + one map-side-combined aggregate
+    bounded by |langs|²."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            X.lang_id("text").alias("pred_lang"),
+            F.col("lang").alias("labeled_lang"),
+        )
+        .groupBy("pred_lang", "labeled_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _oracle_doc_langid_confusion_sql() -> str:
+    return f"""
+WITH p AS ({ORACLE_DOC_LANGID.strip()})
+SELECT pred_lang, labeled_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+"""
+
+
+def q_corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executive dedup rollup: corpus size, docs in duplicate
+    clusters, cluster count, largest cluster, kept docs, and the dup
+    rate — the one-row report a curation run logs. Every input is an
+    already-bounded frame (CC output = only docs WITH duplicates), so
+    the final assembly is cross-joins of one-row aggregates."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs)
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cl = clusters.agg(
+        F.count(F.lit(1)).alias("n_dup_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    mx = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .agg(F.coalesce(F.max("__sz"), F.lit(0)).alias("max_cluster_size"))
+    )
+    j = tot.crossJoin(F.broadcast(cl)).crossJoin(F.broadcast(mx))
+    removed = F.col("n_dup_docs") - F.col("n_clusters")
+    return j.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("max_cluster_size").cast("long").alias("max_cluster_size"),
+        (F.col("n_docs") - removed).cast("long").alias("n_kept"),
+        F.round(removed.cast("double") / F.col("n_docs"), 6).alias("dup_rate"),
+    )
+
+
+def _oracle_corpus_dedup_summary_sql() -> str:
+    return f"""
+{_oracle_clusters_cte()}
+), tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+cs AS (SELECT COUNT(*) AS n_dup_docs, COUNT(DISTINCT cluster_id) AS n_clusters
+       FROM cl),
+mx AS (SELECT COALESCE(MAX(sz), 0) AS max_cluster_size
+       FROM (SELECT COUNT(*) AS sz FROM cl GROUP BY cluster_id))
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(max_cluster_size AS BIGINT) AS max_cluster_size,
+       CAST(n_docs - (n_dup_docs - n_clusters) AS BIGINT) AS n_kept,
+       round(CAST(n_dup_docs - n_clusters AS DOUBLE) / n_docs, 6) AS dup_rate
+FROM tot, cs, mx
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -4588,6 +4664,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_curation_manifest": q_doc_curation_manifest,
     "dedup_incremental": q_dedup_incremental,
     "events_value_mad": q_events_value_mad,
+    "doc_langid_confusion": q_doc_langid_confusion,
+    "corpus_dedup_summary": q_corpus_dedup_summary,
 }
 
 
@@ -4691,4 +4769,6 @@ def oracles() -> dict[str, str]:
         "doc_curation_manifest": _oracle_doc_curation_manifest_sql(),
         "dedup_incremental": _oracle_dedup_incremental_sql(),
         "events_value_mad": ORACLE_EVENTS_VALUE_MAD,
+        "doc_langid_confusion": _oracle_doc_langid_confusion_sql(),
+        "corpus_dedup_summary": _oracle_corpus_dedup_summary_sql(),
     }

@@ -27,6 +27,7 @@ _ALLOWED_CROSS = {
     "similarity_pq",  # ADC scan: broadcast query side, corpus as codes
     "doc_unigram_logprob",  # broadcast ONE-ROW corpus-total attach
     "users_retained_intersect",  # broadcast ONE-ROW time-bounds attach
+    "corpus_dedup_summary",  # cross-join of three ONE-ROW aggregates
 }
 
 # iterative operator: executes during plan construction; its final plan is
