@@ -4383,9 +4383,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dup_of, n_matches, is_dup). This is the per-batch path a streaming
     ingest runs between full-corpus dedup rebuilds."""
     docs = _spread(_t(spark, sf_dir, "documents"))
+    # stage the band keys once (lazy checkpoint): both join sides filter
+    # the SAME materialized frame — without it the shingle/minhash/banding
+    # pipeline executes twice, once per differently-filtered input
     keyed = D.minhash_band_keys(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
-    )
+    ).localCheckpoint(eager=False)
     is_new = F.col("doc_id") % 5 == 4
     m = D.incremental_duplicates(
         keyed.filter(~is_new), keyed.filter(is_new), "doc_id"
@@ -4526,16 +4529,18 @@ def q_corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = D.connected_components(pairs)
     tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    cl = clusters.agg(
-        F.count(F.lit(1)).alias("n_dup_docs"),
-        F.countDistinct("cluster_id").alias("n_clusters"),
-    )
-    mx = (
+    # one pass over the CC output: per-cluster sizes, then SUM/COUNT/MAX
+    # in a single global aggregate (sum of sizes == member count)
+    stats = (
         clusters.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("__sz"))
-        .agg(F.coalesce(F.max("__sz"), F.lit(0)).alias("max_cluster_size"))
+        .agg(
+            F.coalesce(F.sum("__sz"), F.lit(0)).alias("n_dup_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.coalesce(F.max("__sz"), F.lit(0)).alias("max_cluster_size"),
+        )
     )
-    j = tot.crossJoin(F.broadcast(cl)).crossJoin(F.broadcast(mx))
+    j = tot.crossJoin(F.broadcast(stats))
     removed = F.col("n_dup_docs") - F.col("n_clusters")
     return j.select(
         F.col("n_docs").cast("long").alias("n_docs"),

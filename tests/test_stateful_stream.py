@@ -195,8 +195,7 @@ def test_streaming_incremental_dedup_against_growing_index(spark, tmp_path):
     loop. A doc in batch 2 duplicating a batch-1 doc must be flagged
     with the original's id; fresh docs must pass."""
     import os
-
-    from pyspark.sql import functions as F
+    import time
 
     from beacon_indexer_spark.operators.dedup import (
         incremental_duplicates,
@@ -213,9 +212,19 @@ def test_streaming_incremental_dedup_against_growing_index(spark, tmp_path):
     spark.createDataFrame(batch1, "doc_id long, text string").write.mode(
         "append"
     ).parquet(src)
+    batch1_files = {
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    }
     spark.createDataFrame(batch2, "doc_id long, text string").write.mode(
         "append"
     ).parquet(src)
+    # FileStreamSource orders by modification time — pin batch-2 files
+    # strictly later so the two writes can't tie on coarse mtimes
+    later = time.time() + 5
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if f.endswith(".parquet") and p not in batch1_files:
+            os.utime(p, (later, later))
 
     verdicts = {}
 
