@@ -4570,6 +4570,148 @@ FROM tot, cs, mx
 """
 
 
+_SCRUB_W = 16
+
+
+def q_doc_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as an ACTION (Lee et al.): split docs into
+    non-overlapping 16-token passages, drop every passage that appears
+    in MORE THAN ONE document, and reassemble the scrubbed text
+    (fingerprinted — the full text write is the production sink). The
+    statistic sibling is `doc_passage_dup_rate`; this is the transform.
+    Scale shape: the only shuffle keys are (passage_hash) for the
+    document-frequency count and (doc_id) for reassembly — passage text
+    rides the hash join only for surviving rows, and per-doc reassembly
+    state is bounded by document length."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ch = X.chunk_windows(docs, "doc_id", "text", window=_SCRUB_W, stride=_SCRUB_W)
+    keyed = ch.select(
+        "id", "chunk_idx", F.md5("chunk_text").alias("__h"), "chunk_text"
+    )
+    dfreq = keyed.groupBy("__h").agg(F.countDistinct("id").alias("__df"))
+    marked = keyed.join(dfreq, "__h").withColumn("__keep", F.col("__df") == 1)
+    kept_struct = F.when(
+        F.col("__keep"),
+        F.struct(F.col("chunk_idx").alias("i"), F.col("chunk_text").alias("t")),
+    )
+    return marked.groupBy(F.col("id").cast("long").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("__keep").cast("long")).cast("long").alias("n_kept"),
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["t"],
+                    ),
+                    " ",
+                )
+            ),
+            1,
+            16,
+        ).alias("scrub_fp"),
+    )
+
+
+def _oracle_doc_passage_scrub_sql(w: int = _SCRUB_W) -> str:
+    toks = _DD_TOKENS.format(c="text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks, len({toks}) AS n FROM documents),
+k AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= {w} THEN 1
+              ELSE (n - 1) // {w} + 1 END AS n_chunks
+  FROM t),
+c AS (
+  SELECT doc_id, toks, i AS chunk_idx
+  FROM k, unnest(generate_series(0, CAST(n_chunks - 1 AS INT))) AS u(i)
+  WHERE n_chunks > 0),
+p AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(list_slice(toks, chunk_idx * {w} + 1,
+                                    chunk_idx * {w} + {w}), ' ') AS ctext
+  FROM c),
+h AS (SELECT doc_id, chunk_idx, ctext, md5(ctext) AS hh FROM p),
+dfreq AS (SELECT hh, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+m AS (SELECT h.*, (dfreq.df = 1) AS keep FROM h JOIN dfreq USING (hh))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       substr(md5(COALESCE(array_to_string(
+         list(ctext ORDER BY chunk_idx) FILTER (WHERE keep), ' '), '')),
+         1, 16) AS scrub_fp
+FROM m GROUP BY 1
+"""
+
+
+_DRIFT_A, _DRIFT_B = "src0", "src1"
+
+
+def q_corpus_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two sources: smoothed log-ratio of
+    per-term probabilities (add-one over the shared vocabulary), top 15
+    by |ratio| — the report that catches a source whose token mix shifted
+    before it skews a training mix. Shuffles are vocabulary-bounded; the
+    totals attach as a broadcast ONE-ROW aggregate; the final ordering
+    compares ROUNDED ratios so cross-engine libm ulps can't flip ranks."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin(_DRIFT_A, _DRIFT_B)
+    )
+    ex = _spread(docs).select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    counts = (
+        ex.groupBy("term")
+        .agg(
+            F.sum((F.col("source") == _DRIFT_A).cast("long")).alias("__a"),
+            F.sum((F.col("source") == _DRIFT_B).cast("long")).alias("__b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("__a").alias("__na"),
+        F.sum("__b").alias("__nb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    pa = (F.col("__a") + 1).cast("double") / (F.col("__na") + F.col("__v")).cast("double")
+    pb = (F.col("__b") + 1).cast("double") / (F.col("__nb") + F.col("__v")).cast("double")
+    ratio = F.round(F.log(pa / pb), 6)
+    return (
+        j.select(
+            "term",
+            F.col("__a").cast("long").alias("n_a"),
+            F.col("__b").cast("long").alias("n_b"),
+            ratio.alias("log_ratio"),
+            F.abs(ratio).alias("abs_ratio"),
+        )
+        .orderBy(F.desc("abs_ratio"), "term")
+        .limit(15)
+    )
+
+
+ORACLE_CORPUS_TERM_DRIFT = f"""
+WITH ex AS (
+  SELECT source, unnest({_DD_TOKENS.format(c="text")}) AS term
+  FROM documents WHERE source IN ('{_DRIFT_A}', '{_DRIFT_B}')),
+counts AS (
+  SELECT term,
+         SUM(CASE WHEN source = '{_DRIFT_A}' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN source = '{_DRIFT_B}' THEN 1 ELSE 0 END) AS b
+  FROM ex GROUP BY 1),
+tot AS (SELECT SUM(a) AS na, SUM(b) AS nb, COUNT(*) AS v FROM counts),
+r AS (
+  SELECT term, a, b,
+         round(ln((CAST(a + 1 AS DOUBLE) / (na + v))
+                / (CAST(b + 1 AS DOUBLE) / (nb + v))), 6) AS log_ratio
+  FROM counts, tot)
+SELECT term, CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b,
+       log_ratio, abs(log_ratio) AS abs_ratio
+FROM r
+ORDER BY abs_ratio DESC, term LIMIT 15
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -4671,6 +4813,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_value_mad": q_events_value_mad,
     "doc_langid_confusion": q_doc_langid_confusion,
     "corpus_dedup_summary": q_corpus_dedup_summary,
+    "doc_passage_scrub": q_doc_passage_scrub,
+    "corpus_term_drift": q_corpus_term_drift,
 }
 
 
@@ -4776,4 +4920,6 @@ def oracles() -> dict[str, str]:
         "events_value_mad": ORACLE_EVENTS_VALUE_MAD,
         "doc_langid_confusion": _oracle_doc_langid_confusion_sql(),
         "corpus_dedup_summary": _oracle_corpus_dedup_summary_sql(),
+        "doc_passage_scrub": _oracle_doc_passage_scrub_sql(),
+        "corpus_term_drift": ORACLE_CORPUS_TERM_DRIFT,
     }

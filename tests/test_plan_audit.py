@@ -28,6 +28,7 @@ _ALLOWED_CROSS = {
     "doc_unigram_logprob",  # broadcast ONE-ROW corpus-total attach
     "users_retained_intersect",  # broadcast ONE-ROW time-bounds attach
     "corpus_dedup_summary",  # cross-join of three ONE-ROW aggregates
+    "corpus_term_drift",  # broadcast ONE-ROW totals/vocab attach
 }
 
 # iterative operator: executes during plan construction; its final plan is
