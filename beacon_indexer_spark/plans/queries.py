@@ -4579,12 +4579,23 @@ def q_doc_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     in MORE THAN ONE document, and reassemble the scrubbed text
     (fingerprinted — the full text write is the production sink). The
     statistic sibling is `doc_passage_dup_rate`; this is the transform.
-    Scale shape: the only shuffle keys are (passage_hash) for the
-    document-frequency count and (doc_id) for reassembly — passage text
-    rides the hash join only for surviving rows, and per-doc reassembly
-    state is bounded by document length."""
+    Scale shape: shuffle keys are (passage_hash) for the document-
+    frequency join and (doc_id) for reassembly; passage TEXT rides both
+    (it must reach the reassembly aggregate), but per-doc state stays
+    bounded by document length and the df aggregate itself is map-side
+    combined. At 100 TB, write the scrubbed text in the reassembly job's
+    sink so text rides exactly those two exchanges and nothing more."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    ch = X.chunk_windows(docs, "doc_id", "text", window=_SCRUB_W, stride=_SCRUB_W)
+    # lower BEFORE chunking (the doc_chunk_windows / doc_passage_dup_rate
+    # convention) so the Spark hash and the oracle's lower()-based
+    # tokenizer agree on mixed-case corpora
+    ch = X.chunk_windows(
+        docs.select("doc_id", F.lower(F.col("text")).alias("text")),
+        "doc_id",
+        "text",
+        window=_SCRUB_W,
+        stride=_SCRUB_W,
+    )
     keyed = ch.select(
         "id", "chunk_idx", F.md5("chunk_text").alias("__h"), "chunk_text"
     )
