@@ -4723,6 +4723,70 @@ ORDER BY abs_ratio DESC, term LIMIT 15
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): the pure
+    filter-and-aggregate scan — every predicate reaches the parquet
+    reader (PushedFilters), the projection prunes to three columns, and
+    the whole query is one map-side-combined aggregate with no shuffle
+    beyond the final one-row exchange. DECIMAL-exact product."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+    )
+
+
+ORACLE_FORECAST_REVENUE_CHANGE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (the rollup sibling covering ALL grouping-set
+    combinations): order counts and value by (status × priority), each
+    margin, and the grand total in ONE Expand + one map-side-combined
+    aggregate — 4 grouping sets from a single scan instead of four
+    queries. grouping_id disambiguates subtotal rows from real NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), 2
+            ).alias("total_value"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+ORACLE_ORDERS_STATUS_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_value,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -4826,6 +4890,8 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_dedup_summary": q_corpus_dedup_summary,
     "doc_passage_scrub": q_doc_passage_scrub,
     "corpus_term_drift": q_corpus_term_drift,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "orders_status_cube": q_orders_status_cube,
 }
 
 
@@ -4933,4 +4999,6 @@ def oracles() -> dict[str, str]:
         "corpus_dedup_summary": _oracle_corpus_dedup_summary_sql(),
         "doc_passage_scrub": _oracle_doc_passage_scrub_sql(),
         "corpus_term_drift": ORACLE_CORPUS_TERM_DRIFT,
+        "forecast_revenue_change": ORACLE_FORECAST_REVENUE_CHANGE,
+        "orders_status_cube": ORACLE_ORDERS_STATUS_CUBE,
     }
