@@ -318,6 +318,39 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) 
     )
 
 
+def candidate_common_shingles(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Exact shingle-intersection sizes for CANDIDATE pairs only:
+    (id_a, id_b, n_common) for each row of `pairs`, computed by joining
+    the shingle frame THROUGH the pair frame — expand each pair by
+    doc_a's shingles (Σ|S_a| over pairs rows), then keep the ones doc_b
+    also has via an equi-join on (id_b, shingle). Work is bounded by
+    candidate pairs × shingles-per-doc; a hot shingle present in d
+    documents contributes nothing beyond the pairs that actually
+    reference it — unlike a shingle self-join, whose d²/2 rows per
+    stop-shingle are the classic exact-verify scale-killer. Pairs with
+    an empty intersection produce NO row (callers left-join + coalesce
+    to 0). `shingles` must be distinct per (id, shingle), as
+    `shingle_sets` produces."""
+    a = shingles.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__s")
+    )
+    b = shingles.select(
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__s")
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def frequent_shingles(
     df: DataFrame, id_col: str, text_col: str,
     df_cap: int = 10_000, shingle_n: int = 3,
@@ -665,6 +698,30 @@ def connected_components(
             "component diameter exceeds 2^max_iter hops (raise max_iter)"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def broadcast_if_small(df: DataFrame, max_rows: int = 4_000_000) -> DataFrame:
+    """Conditional broadcast for frames whose size is DATA-dependent —
+    the duplicate-cluster frame above all. "Dup clusters are a few
+    percent of the corpus" holds for curated text but NOT for raw web
+    crawls, where near-dup rates of 30-80% are normal; an unconditional
+    ``F.broadcast`` there is a driver/executor OOM in the dedup ACTION
+    path itself. This probes the actual row count and attaches the hint
+    only below ``max_rows`` (default 4M rows ≈ low hundreds of MB for a
+    two-long-column frame — the practical broadcast ceiling); above it
+    the join falls back to a plain shuffle join, and AQE may still pick
+    a runtime broadcast if the byte size allows.
+
+    The probe is one count job over a lazily-localCheckpointed frame —
+    for `connected_components` output (already checkpointed per round)
+    that is a scan of cached blocks, not a recompute; either way the
+    checkpointed frame is what the caller joins, so the probe's
+    materialization is reused, never repeated. Same observe/probe
+    pattern as `cross_corpus_overlap`'s eval-side guard."""
+    checkpointed = df.localCheckpoint(eager=False)
+    if checkpointed.count() <= max_rows:
+        return F.broadcast(checkpointed)
+    return checkpointed
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ def pagerank(
     id_b: str = "id_b",
     iterations: int = 3,
     damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the UNDIRECTED pair graph:
     r'(v) = ((100-d)·S + d·Σ_{u~v} (r(u) div deg(u))) div 100, all
@@ -34,10 +35,17 @@ def pagerank(
     (node, rank div deg) frame plus a map-side-combined sum — O(|E|)
     shuffle, the same bound as a connected-components round. Degrees and
     the node spine are computed once and reused across iterations; the
-    rank frame is |V|-sized. Overflow headroom: rank mass is conserved at
-    ~S per node, so a node's incoming sum is < S · deg(v) · skew — at
-    S=1e12 that leaves ~6 orders of magnitude inside int64 for the
-    hottest hub. A fixed iteration count keeps the plan static (no
+    rank frame is |V|-sized. Overflow is GUARDED, not assumed: total rank
+    mass is conserved at ≤ |V|·S, and a single node's incoming sum is
+    bounded by that mass (a hub fed by degree-1 neighbors receives their
+    whole rank), so `damping_pct · |V| · S` must fit int64 — the bound is
+    checked against a one-job |V| probe before iterating (the probe reads
+    the already-checkpointed edge blocks) and a ValueError names the
+    `scale` that fits. Silent int64 wrap would corrupt ranks without any
+    error. At the default S=1e12 the ceiling is |V| ≈ 10⁵ nodes IN THE
+    PAIR GRAPH (duplicated docs, not the corpus); web-crawl-sized dup
+    graphs pass scale=1e9 (still ~1e-9 relative truncation) for |V| up
+    to ~10⁸. A fixed iteration count keeps the plan static (no
     convergence probe); callers wanting convergence detection can diff
     successive frames with the `observe` pattern used by
     dedup.connected_components."""
@@ -47,8 +55,17 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
-    ranks = deg.select("src", F.lit(PAGERANK_SCALE).cast("long").alias("__r"))
-    base = (100 - damping_pct) * PAGERANK_SCALE
+    n_nodes = deg.count()
+    if damping_pct * n_nodes * scale >= 2**63:
+        fit = 2**63 // (damping_pct * max(n_nodes, 1))
+        raise ValueError(
+            f"pagerank int64 overflow: damping_pct*|V|*scale = "
+            f"{damping_pct}*{n_nodes}*{scale} exceeds int64 — pass "
+            f"scale <= {fit} (rank mass can concentrate on one hub, so "
+            "the worst-case incoming sum is the whole |V|*scale mass)"
+        )
+    ranks = deg.select("src", F.lit(scale).cast("long").alias("__r"))
+    base = (100 - damping_pct) * scale
     for _ in range(iterations):
         share = ranks.join(deg, "src").select(
             "src", F.expr("__r div __d").alias("__s")

@@ -30,6 +30,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ref(df: DataFrame, c: str) -> "F.Column":
+    """EXACT-name column reference: both ``F.col`` and ``df[...]`` parse
+    dots as struct-path access, so a literal column name must be
+    backtick-quoted (internal backticks doubled, per the SQL identifier
+    rule). Fails fast with the schema's own KeyError if absent."""
+    df.schema[c]
+    return F.col("`" + c.replace("`", "``") + "`")
+
+
 def _distinct_key(df: DataFrame, c: str) -> "F.Column":
     """String key for the distinct pass that stays INJECTIVE per type:
     plain casts collide for nested/binary values (['a, b'] and ['a','b']
@@ -48,34 +57,55 @@ def _distinct_key(df: DataFrame, c: str) -> "F.Column":
         # to_json(struct(NULL)) renders '{}', not NULL — keep nulls null
         # so the distinct pass's isNotNull filter still skips them
         return F.when(
-            F.col(c).isNull(), F.lit(None).cast("string")
-        ).otherwise(F.to_json(F.struct(F.col(c).alias("v"))))
+            _ref(df, c).isNull(), F.lit(None).cast("string")
+        ).otherwise(F.to_json(F.struct(_ref(df, c).alias("v"))))
     if isinstance(dt, BinaryType):
-        return F.base64(F.col(c))
-    return F.col(c).cast("string")
+        return F.base64(_ref(df, c))
+    return _ref(df, c).cast("string")
 
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Profile `cols` of `df`; returns (col_name, n_rows, n_nulls,
     n_distinct, min_value, max_value), one row per column, min/max as
-    strings."""
+    strings.
+
+    Injection-safe for ARBITRARY column names (quotes, commas, spaces,
+    dots — reachable via the CLI `maintain profile --table/--columns`
+    on any lake table): names are resolved via `_ref`'s backtick-quoted
+    exact match (never ``F.col``'s dotted-path parse), aggregate aliases are
+    POSITIONAL (``__null_{i}``), and the wide→long unpivot is an
+    explode of Column-API structs whose name field is ``F.lit(c)`` —
+    no user string is ever spliced into SQL text. A name absent from
+    the frame raises the schema lookup's own error."""
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.sum(_ref(df, c).isNull().cast("long")).alias(f"__null_{i}"),
+            F.min(_ref(df, c)).cast("string").alias(f"__min_{i}"),
+            F.max(_ref(df, c)).cast("string").alias(f"__max_{i}"),
         ]
     row = df.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', __null_{c}, __min_{c}, __max_{c}" for c in cols
-    )
     base = row.select(
-        F.expr(
-            f"stack({len(cols)}, {stacked}) AS "
-            "(col_name, n_nulls, min_value, max_value)"
-        ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"__null_{i}").alias("n_nulls"),
+                        F.col(f"__min_{i}").alias("min_value"),
+                        F.col(f"__max_{i}").alias("max_value"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("__s"),
         F.col("__n").alias("n_rows"),
+    ).select(
+        F.col("__s.col_name").alias("col_name"),
+        F.col("__s.n_nulls").alias("n_nulls"),
+        F.col("__s.min_value").alias("min_value"),
+        F.col("__s.max_value").alias("max_value"),
+        "n_rows",
     )
     pairs = df.select(
         F.explode(
@@ -113,7 +143,9 @@ def check_constraints(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> Dat
     boolean Column); returns one report row per rule —
     (rule, n_rows, n_violations, passed) — from ONE aggregation pass
     (map-side combined; adding a rule adds a column, never a scan).
-    A NULL predicate result counts as a violation (unknown ≠ verified)."""
+    A NULL predicate result counts as a violation (unknown ≠ verified).
+    Rule names are emitted as ``F.lit`` struct fields, never spliced
+    into SQL text — a quote or comma in a name cannot break the plan."""
     if not rules:
         raise ValueError("check_constraints requires at least one rule")
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -122,10 +154,23 @@ def check_constraints(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> Dat
             F.sum(F.when(pred, 0).otherwise(1)).alias(f"__v{i}")
         )
     row = df.agg(*aggs)
-    stacked = ", ".join(f"'{name}', __v{i}" for i, (name, _) in enumerate(rules))
     return row.select(
-        F.expr(f"stack({len(rules)}, {stacked}) AS (rule, n_violations)"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"__v{i}").alias("n_violations"),
+                    )
+                    for i, (name, _) in enumerate(rules)
+                ]
+            )
+        ).alias("__s"),
         F.col("__n").alias("n_rows"),
+    ).select(
+        F.col("__s.rule").alias("rule"),
+        F.col("__s.n_violations").alias("n_violations"),
+        "n_rows",
     ).select(
         "rule",
         F.col("n_rows").cast("long").alias("n_rows"),

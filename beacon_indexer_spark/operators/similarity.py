@@ -268,17 +268,29 @@ def ivf_centroids(
         r["id"]
         for r in vectors.select(F.col(id_col).alias("id"))
         .filter(F.col(id_col).isNotNull())
+        .distinct()  # duplicate ids must not consume sample slots
         .withColumn("__r", F.md5(F.col("id").cast("string")))
         .orderBy("__r")
         .limit(k)
         .collect()
     ]
-    # the id fetch re-applies orderBy + limit(k) so a frame with duplicate
-    # ids (append-only lake reads) still yields exactly ≤ k centroids,
-    # matching the single-job version's contract
+    # the id fetch dedups to ONE row per id before the ordered take:
+    # append-only lake reads can hold duplicate ids with DIFFERENT vector
+    # payloads, and md5(id) alone would tie — which row's vector wins
+    # would then be partition-order nondeterminism, breaking the
+    # reproducible-centroids contract. min_by on a payload fingerprint is
+    # a total, content-deterministic tiebreak (equal fingerprints imply
+    # equal payloads); the re-applied orderBy + limit(k) then yields
+    # exactly ≤ k distinct centroids
     rows = (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .filter(F.col("id").isin(ids))
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                "v", F.md5(F.to_json(F.struct(F.col("v").alias("v"))))
+            ).alias("v")
+        )
         .withColumn("__r", F.md5(F.col("id").cast("string")))
         .orderBy("__r")
         .limit(k)
@@ -616,11 +628,14 @@ def semantic_dedup_keep(
     norms attach to surviving candidates via id equi-joins (computed
     once per side). Grouping reuses `connected_components`
     (O(log diameter) rounds); the group frame is bounded by the
-    DUPLICATED subset of the corpus — broadcastable in any real corpus
-    where near-dups are a few percent (same contract as doc_keep_list).
+    DUPLICATED subset of the corpus and broadcast only when its probed
+    row count allows — semantically-redundant crawls can put most of
+    the corpus in groups, where the hint would OOM (same guard as
+    doc_keep_list: `broadcast_if_small`, shuffle-join fallback).
     """
     from beacon_indexer_spark.operators.dedup import (
         _pairs_from_buckets,
+        broadcast_if_small,
         connected_components,
     )
 
@@ -663,7 +678,7 @@ def semantic_dedup_keep(
         .withColumnRenamed("cluster_id", "group_id")
     )
     spine = vectors.select(F.col(id_col).cast("long").alias("vec_id"))
-    joined = spine.join(F.broadcast(groups), "vec_id", "left")
+    joined = spine.join(broadcast_if_small(groups), "vec_id", "left")
     gid = F.coalesce(F.col("group_id"), F.col("vec_id"))
     return joined.select(
         "vec_id",

@@ -13,6 +13,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from beacon_indexer_spark.config import ForkSchedule
 from beacon_indexer_spark.control.ledger import (
@@ -172,3 +173,126 @@ class BeaconPipeline:
         """Re-transform a range and overwrite only the affected daily
         partitions — the DELETE-free repair (reference C9→ SURVEY §4)."""
         return self.transform_range(raw_table, start_slot, end_slot, mode="overwrite")
+
+
+class CurationRun:
+    """The STAGED curation pipeline: compute the LSH→connected-components
+    duplicate-cluster frame ONCE, then derive the keep-list, the curation
+    manifest, and the executive summary from that one staged frame.
+
+    The standalone queries (`doc_keep_list`, `doc_curation_manifest`,
+    `corpus_dedup_summary` in plans/queries.py) must each stand alone for
+    the oracle gate, so each re-runs minhash→banding→CC from the raw
+    corpus — on the sf0.1 bench that repeated LSH→CC work is ~10 s of a
+    ~70 s total. A production curation run pays it once: the CC output is
+    already `localCheckpoint`-backed, `broadcast_if_small` probes its row
+    count once (the probe doubles as the materialization job), and every
+    derived frame reads the staged blocks — one signature/banding pass
+    per run, machine-asserted by
+    tests/test_custom_joins_curation.py::test_curation_run_stages_clusters_once.
+
+    Outputs are column-identical to the standalone queries, so a caller
+    can swap between the audited one-shot queries and the staged run
+    without downstream changes.
+    """
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 8,
+        bands: int = 4,
+        shingle_n: int = 3,
+        quality_threshold: float = 0.5,
+        split_fracs: list[tuple[str, float]] | None = None,
+        max_bucket: int | None = 65536,
+    ) -> None:
+        from beacon_indexer_spark.operators.dedup import (
+            broadcast_if_small,
+            connected_components,
+            minhash_lsh_candidates,
+        )
+
+        self.docs = docs
+        self.id_col = id_col
+        self.text_col = text_col
+        self.quality_threshold = quality_threshold
+        self.split_fracs = split_fracs or [
+            ("train", 0.8), ("val", 0.1), ("test", 0.1)
+        ]
+        pairs = minhash_lsh_candidates(
+            docs, id_col, text_col, k=k, bands=bands,
+            shingle_n=shingle_n, max_bucket=max_bucket,
+        )
+        # staged once: checkpoint-backed, conditionally broadcast-hinted
+        # (raw-crawl dup rates fall back to a shuffle join)
+        self.clusters = broadcast_if_small(
+            connected_components(pairs).withColumnRenamed("node", id_col)
+        )
+
+    def _spine(self) -> DataFrame:
+        return self.docs.select(
+            F.col(self.id_col).cast("long").alias(self.id_col)
+        )
+
+    def keep_list(self) -> DataFrame:
+        """(doc_id, cluster_id, keep) — column-identical to
+        `doc_keep_list`, reading the staged cluster frame."""
+        joined = self._spine().join(self.clusters, self.id_col, "left")
+        cid = F.coalesce(F.col("cluster_id"), F.col(self.id_col))
+        return joined.select(
+            self.id_col,
+            cid.cast("long").alias("cluster_id"),
+            (cid == F.col(self.id_col)).cast("int").alias("keep"),
+        )
+
+    def manifest(self) -> DataFrame:
+        """(doc_id, cluster_id, keep, q6, q_pass, split, include) —
+        column-identical to `doc_curation_manifest`."""
+        from beacon_indexer_spark.operators.sampling import split_assign
+        from beacon_indexer_spark.operators.text import quality_score
+
+        spine = self.docs.select(
+            F.col(self.id_col).cast("long").alias(self.id_col),
+            F.round(quality_score(self.text_col), 6).alias("q6"),
+            split_assign(F.col(self.id_col), self.split_fracs).alias("split"),
+        )
+        joined = spine.join(self.clusters, self.id_col, "left")
+        cid = F.coalesce(F.col("cluster_id"), F.col(self.id_col))
+        keep = (cid == F.col(self.id_col)).cast("int")
+        q_pass = (F.col("q6") >= self.quality_threshold).cast("int")
+        return joined.select(
+            self.id_col,
+            cid.cast("long").alias("cluster_id"),
+            keep.alias("keep"),
+            "q6",
+            q_pass.alias("q_pass"),
+            "split",
+            (keep.cast("boolean") & q_pass.cast("boolean"))
+            .cast("int")
+            .alias("include"),
+        )
+
+    def summary(self) -> DataFrame:
+        """One-row rollup — column-identical to `corpus_dedup_summary`."""
+        tot = self.docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        stats = (
+            self.clusters.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .agg(
+                F.coalesce(F.sum("__sz"), F.lit(0)).alias("n_dup_docs"),
+                F.count(F.lit(1)).alias("n_clusters"),
+                F.coalesce(F.max("__sz"), F.lit(0)).alias("max_cluster_size"),
+            )
+        )
+        j = tot.crossJoin(F.broadcast(stats))
+        removed = F.col("n_dup_docs") - F.col("n_clusters")
+        return j.select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("max_cluster_size").cast("long").alias("max_cluster_size"),
+            (F.col("n_docs") - removed).cast("long").alias("n_kept"),
+            F.round(removed.cast("double") / F.col("n_docs"), 6).alias("dup_rate"),
+        )

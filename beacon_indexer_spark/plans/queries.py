@@ -2034,14 +2034,16 @@ def q_doc_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus every unclustered document — the filter actually applied to a
     corpus after dedup analysis. cluster_id coalesces to the doc's own id
     (singleton semantics) so the output is a total keep/drop verdict per
-    document."""
+    document. The cluster frame is broadcast only when its PROBED row
+    count allows (high-dup raw-crawl corpora fall back to a shuffle
+    join — see `broadcast_if_small`)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
     clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
     spine = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
-    joined = spine.join(F.broadcast(clusters), "doc_id", "left")
+    joined = spine.join(D.broadcast_if_small(clusters), "doc_id", "left")
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     return joined.select(
         "doc_id",
@@ -3941,19 +3943,26 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair, the MinHash Jaccard ESTIMATE (signature agreement /
     k) against the EXACT shingle-set Jaccard, plus the absolute error —
     the audit that tells you whether k=8 signatures are enough before
-    trusting the banded pipeline at full scale. The exact side is the
-    unrestricted shingle self-join (the validation cost you pay at audit
-    scale, not in the production path, where the estimate replaces it)."""
+    trusting the banded pipeline at full scale. The exact side is
+    CANDIDATE-DRIVEN: exact Jaccard is only ever read for LSH candidate
+    pairs, so the shingle frame joins THROUGH the pair frame — first on
+    id_a, then an equi-join on (id_b, shingle) — and the work is bounded
+    by (candidate pairs × shingles per doc), never by a hot shingle's
+    document frequency squared. An unrestricted shingle self-join here
+    would be d²/2 rows for a stop-shingle present in d documents — a
+    scale-killer on real corpora ("the end of"-class trigrams, d ~ 1e6)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     # ONE signature pass: the banding consumes the same staged frame the
     # estimate reads (lazy checkpoint — materialized by the LSH probe job)
     sigs = D.minhash_signatures(
         docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
     ).localCheckpoint(eager=False)
+    # pairs feed BOTH the estimate join and the exact-side expansion —
+    # lazy checkpoint so the LSH banding pipeline runs once, not twice
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
         shingle_n=3, sigs=sigs,
-    )
+    ).localCheckpoint(eager=False)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"sig_{i}").alias(f"__a{i}") for i in range(_MINHASH_K)],
@@ -3974,13 +3983,9 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
     ).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
-    common = (
-        sh.select(F.col("id").alias("id_a"), "__s")
-        .join(sh.select(F.col("id").alias("id_b"), "__s"), "__s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
+    common = D.candidate_common_shingles(
+        pairs, sh, id_col="id", shingle_col="__s"
+    ).withColumnRenamed("n_common", "__c")
     jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
     return (
         est.join(sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
@@ -4306,9 +4311,12 @@ def q_doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train/val/test split, and the final include flag
     (keep ∧ quality). Composes `minhash_lsh_candidates`,
     `connected_components`, `quality_score`, and `split_assign` into a
-    single plan: the dup-cluster frame stays broadcast-sized (only docs
-    WITH duplicates), quality and split are narrow expressions on the
-    spine — one corpus scan feeds everything but the LSH shuffle."""
+    single plan: the dup-cluster frame holds only docs WITH duplicates
+    and is broadcast only when its probed row count stays under the
+    ceiling (raw crawls with 30-80% dup rates fall back to a shuffle
+    join — `broadcast_if_small`); quality and split are narrow
+    expressions on the spine — one corpus scan feeds everything but the
+    LSH shuffle."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
@@ -4319,7 +4327,7 @@ def q_doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(X.quality_score("text"), 6).alias("q6"),
         SP.split_assign(F.col("doc_id"), _SPLIT_FRACS).alias("split"),
     )
-    joined = spine.join(F.broadcast(clusters), "doc_id", "left")
+    joined = spine.join(D.broadcast_if_small(clusters), "doc_id", "left")
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     keep = (cid == F.col("doc_id")).cast("int")
     q_pass = (F.col("q6") >= 0.5).cast("int")

@@ -428,3 +428,80 @@ def test_tfidf_top_terms_rare_term_wins(spark):
     expected = 1 * (math.log((3 + 1) / (1 + 1)) + 1.0)
     assert math.isclose(top1[1]["score"], expected, rel_tol=1e-12)
     assert all(len(rs) == 2 for rs in by_doc.values())
+
+
+# ---------------------------------------------------------------------------
+# staged curation run
+# ---------------------------------------------------------------------------
+
+def _curation_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " extra"),           # near-dup of 1
+        (3, base),                      # exact dup of 1
+        (4, "completely different text about spark partitioning at scale"),
+        (5, "another unique document with its own words entirely here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curation_run_matches_standalone_outputs(spark):
+    """keep_list / manifest / summary derived from the staged cluster
+    frame must equal the standalone re-computations (the oracle-audited
+    query shapes)."""
+    from beacon_indexer_spark.plans.pipeline import CurationRun
+
+    docs = _curation_docs(spark)
+    run = CurationRun(docs, k=8, bands=4, shingle_n=3)
+
+    pairs = D.minhash_lsh_candidates(docs, "doc_id", "text", k=8, bands=4, shingle_n=3)
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    spine = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    want_keep = {
+        tuple(r)
+        for r in spine.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            cid.cast("long").alias("cluster_id"),
+            (cid == F.col("doc_id")).cast("int").alias("keep"),
+        )
+        .collect()
+    }
+    assert {tuple(r) for r in run.keep_list().collect()} == want_keep
+
+    man = {r["doc_id"]: r for r in run.manifest().collect()}
+    assert set(man) == {1, 2, 3, 4, 5}
+    for r in man.values():
+        assert r["include"] == int(bool(r["keep"]) and bool(r["q_pass"]))
+    # dup cluster {1,2,3} keeps min id only
+    assert man[1]["keep"] == 1 and man[2]["keep"] == 0 and man[3]["keep"] == 0
+
+    s = run.summary().collect()[0]
+    assert s["n_docs"] == 5
+    assert s["n_dup_docs"] == 3 and s["n_clusters"] == 1
+    assert s["max_cluster_size"] == 3 and s["n_kept"] == 3
+    assert abs(s["dup_rate"] - 2 / 5) < 1e-9
+
+
+def test_curation_run_stages_clusters_once(spark):
+    """The derived frames must read the staged checkpoint blocks, not
+    re-run LSH→CC: every derived plan scans an ExistingRDD, and the
+    manifest's only source scan is the docs spine (ONE LocalTableScan —
+    a standalone recomputation carries the whole signature pipeline's
+    scans)."""
+    from beacon_indexer_spark.plans.pipeline import CurationRun
+
+    run = CurationRun(_curation_docs(spark), k=8, bands=4, shingle_n=3)
+    for frame in (run.keep_list(), run.manifest(), run.summary()):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan  # staged checkpoint blocks
+        # the minhash signature pipeline's fingerprints: the universal-hash
+        # coefficient and the banding aggregation must NOT reappear
+        assert "2654435761" not in plan
+        assert "collect_set" not in plan
+    man_plan = run.manifest()._jdf.queryExecution().executedPlan().toString()
+    # exactly two sources: the docs spine and the staged cluster blocks —
+    # a standalone recomputation would add the whole signature pipeline
+    assert man_plan.count("Scan ExistingRDD") == 2

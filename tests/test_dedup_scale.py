@@ -170,3 +170,97 @@ def test_per_group_cap_hot_group(spark):
         F.sum("keep").alias("kept")).collect()}
     assert agg["hot"] == 100
     assert out.count() == 10_000
+
+
+def test_candidate_common_shingles_bounded_by_pairs_not_df2(spark):
+    """A planted hot shingle shared by 40 docs must NOT quadratically
+    expand the exact-Jaccard side: with one candidate pair, the pair-driven
+    join's expansion is Σ|S_a| over pairs (≤ pairs × shingles/doc), while a
+    shingle self-join would produce 40·39/2 = 780 rows for the hot shingle
+    alone. Counts must equal the brute-force self-join restricted to the
+    candidate pairs."""
+    # 40 docs share shingle "hot"; docs 0 and 1 additionally share s0..s4
+    rows = [(i, "hot") for i in range(40)]
+    rows += [(0, "s%d" % j) for j in range(5)] + [(1, "s%d" % j) for j in range(5)]
+    rows += [(0, "only0"), (1, "only1")]
+    sh = spark.createDataFrame(rows, "id long, shingle string")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in D.candidate_common_shingles(pairs, sh).collect()
+    }
+    assert got == {(0, 1): 6}  # "hot" + s0..s4
+
+    # the expansion stage is literally pairs ⋈ shingles(id_a): its row
+    # count is |S_0| = 7, independent of the hot shingle's df (40)
+    expansion = pairs.join(
+        sh.select(F.col("id").alias("id_a"), "shingle"), "id_a"
+    )
+    assert expansion.count() == 7
+
+    # brute-force reference: self-join then restrict to the pair
+    brute = (
+        sh.select(F.col("id").alias("id_a"), "shingle")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(pairs, ["id_a", "id_b"], "leftsemi")
+    )
+    assert {(r["id_a"], r["id_b"]): r["n_common"] for r in brute.collect()} == got
+
+
+def test_broadcast_if_small_fallback_same_verdicts(spark):
+    """A raw-crawl-shaped dup graph (every doc clustered — 100% dup rate)
+    must produce IDENTICAL keep verdicts whether the cluster frame is
+    broadcast (row count under the ceiling) or falls back to a shuffle
+    join (over it). Mirrors test_cross_corpus_overlap_shuffle_fallback_
+    same_result for the dedup ACTION path."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(n // 2)], "id_a long, id_b long"
+    )
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    spine = spark.range(n).withColumnRenamed("id", "doc_id")
+
+    def verdicts(clu):
+        j = spine.join(clu, "doc_id", "left")
+        cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        return {
+            (r["doc_id"], r["cluster_id"], r["keep"])
+            for r in j.select(
+                "doc_id",
+                cid.alias("cluster_id"),
+                (cid == F.col("doc_id")).cast("int").alias("keep"),
+            ).collect()
+        }
+
+    hinted = D.broadcast_if_small(clusters, max_rows=10**9)
+    fallback = D.broadcast_if_small(clusters, max_rows=0)
+    joined_fb = spine.join(fallback, "doc_id", "left")
+    plan = joined_fb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # the hint is genuinely absent
+    assert verdicts(hinted) == verdicts(fallback)
+    expected = {(2 * i, 2 * i, 1) for i in range(n // 2)} | {
+        (2 * i + 1, 2 * i, 0) for i in range(n // 2)
+    }
+    assert verdicts(fallback) == expected
+
+
+def test_pagerank_overflow_guard(spark):
+    """A graph too large for the fixed-point scale must raise (silent
+    int64 wrap would corrupt ranks), and the error must name a scale
+    that fits; the suggested scale must then run."""
+    import pytest as _pytest
+
+    from beacon_indexer_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    # 51 nodes: 85 * 51 * 10**18 > 2**63 — must refuse
+    with _pytest.raises(ValueError, match="scale <="):
+        pagerank(pairs, iterations=1, scale=10**18)
+    got = pagerank(pairs, iterations=1, scale=10**9).collect()
+    assert len(got) == 51

@@ -342,3 +342,38 @@ def test_ivf_centroids_caps_at_k_with_duplicate_ids(spark):
     cents = ivf_centroids(df, k=4)
     assert len(cents) == 4
     assert [c[0] for c in cents] == [0, 1, 2, 3]
+
+
+def test_profile_hostile_column_and_rule_names(spark):
+    """Column names with quotes, commas, spaces, hyphens, and dots —
+    reachable via `maintain profile --table/--columns` on arbitrary lake
+    tables — must profile correctly; no user string reaches SQL text."""
+    from beacon_indexer_spark.operators.profile import (
+        check_constraints,
+        profile_columns,
+    )
+
+    hostile = ["it's, tricky", "a.b c-d", "stack(1, 'x')"]
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (None, "y", 3.0), (2, None, None)],
+        "`it's, tricky` long, `a.b c-d` string, `stack(1, 'x')` double",
+    )
+    out = {r["col_name"]: r for r in profile_columns(df, hostile).collect()}
+    assert set(out) == set(hostile)
+    assert out["it's, tricky"]["n_nulls"] == 1
+    assert out["it's, tricky"]["n_distinct"] == 2
+    assert out["a.b c-d"]["min_value"] == "x"
+    assert out["stack(1, 'x')"]["max_value"] == "3.0"
+
+    rep = {
+        r["rule"]: r
+        for r in check_constraints(
+            df, [("quote ' comma, paren)", df["it's, tricky"].isNotNull())]
+        ).collect()
+    }
+    assert rep["quote ' comma, paren)"]["n_violations"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        profile_columns(df, ["no_such_column"])

@@ -134,3 +134,20 @@ def test_lsh_topk_multiband_recall_dominates_single_bucket(vectors):
     recall_banded = len(exact & banded) / len(exact)
     assert recall_banded >= recall_single
     assert recall_banded >= 0.8
+
+
+def test_ivf_centroids_duplicate_ids_deterministic(spark):
+    """Duplicate ids with DIFFERENT payloads (append-only lake reads) must
+    resolve to one content-deterministic vector per id — the min-by-
+    fingerprint winner — regardless of row order."""
+    from beacon_indexer_spark.operators.similarity import ivf_centroids
+
+    rows = [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 2.0]), (3, [3.0, 0.0])]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(rows[::-1], "vec_id long, embedding array<double>")
+    ca = ivf_centroids(a, k=3)
+    cb = ivf_centroids(b, k=3)
+    assert [v for _, v in ca] == [v for _, v in cb]
+    assert len(ca) == 3  # one row per id, never two copies of id=1
+    seen = [tuple(v) for _, v in ca]
+    assert len(set(seen)) == 3
