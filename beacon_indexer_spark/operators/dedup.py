@@ -824,34 +824,62 @@ def simhash_hamming_pairs(
     packed-lane vote aggregate runs over the corpus twice (measured 6.9 s
     → 3.4 s at sf0.1)."""
     sh = simhash(df, id_col, text_col).localCheckpoint(eager=False)
+    return hamming_hash_pairs(
+        sh, id_col, "simhash", max_dist=max_dist, bands=bands,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_hash_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_dist: int = 12,
+    bands: int = 4,
+    max_bucket: int | None = 65536,
+) -> DataFrame:
+    """Banded multi-index Hamming near-dup pairs over ANY precomputed
+    64-bit hash rendered as 16 lowercase hex chars — shared by text
+    SimHash (`simhash_hamming_pairs`) and perceptual image hashes
+    (`operators/multimodal.py image_ahash`). Banded blocking proposes
+    candidates (rows agreeing on any contiguous hex segment — pigeonhole:
+    with bands=4, distance ≤ 3 recall is 1.0 by construction), then the
+    exact 64-bit Hamming distance filters to ``<= max_dist``. The
+    candidate shuffle carries (band, key, id) only; hash values re-attach
+    to surviving pairs via two id equi-joins, so the verify stage is
+    O(candidates), never O(n²). Output: (id_a, id_b, hamming), id_a < id_b.
+
+    Callers that stage the hash frame (lazy localCheckpoint) pay the hash
+    computation once across the banding branch and both re-attach joins.
+    """
     seg = 16 // bands
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.substring("simhash", b * seg + 1, seg).alias("key"),
+            F.substring(hash_col, b * seg + 1, seg).alias("key"),
         )
         for b in range(bands)
     ]
-    keyed = sh.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+    keyed = hashes.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     pairs = _pairs_from_buckets(keyed, id_col, "band", "key", max_bucket=max_bucket)
-    # hex → two 32-bit integer halves ONCE PER DOC (narrow, over the
-    # checkpointed frame; 8-hex-digit conv stays exact in a BIGINT), so
-    # the per-pair verify is two scalar xor+bit_count ops — candidate
-    # counts are quadratic in bucket density, so per-pair cost is the
-    # scale lever (an earlier 16-element zip_with scored 3.1 s at sf0.1;
-    # the scalar form runs the same verify in ~2.6 s)
+    # hex → two 32-bit integer halves ONCE PER ROW (narrow, over the
+    # staged frame; 8-hex-digit conv stays exact in a BIGINT), so the
+    # per-pair verify is two scalar xor+bit_count ops — candidate counts
+    # are quadratic in bucket density, so per-pair cost is the scale
+    # lever (an earlier 16-element zip_with scored 3.1 s at sf0.1; the
+    # scalar form runs the same verify in ~2.6 s)
     def halves(prefix: str) -> list[Column]:
         return [
             F.expr(
-                f"CAST(conv(substring(simhash, {start}, 8), 16, 10) AS BIGINT)"
+                f"CAST(conv(substring(`{hash_col}`, {start}, 8), 16, 10) AS BIGINT)"
             ).alias(f"{prefix}{start}")
             for start in (1, 9)
         ]
 
-    sa = sh.select(F.col(id_col).alias("id_a"), *halves("__a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), *halves("__b"))
+    sa = hashes.select(F.col(id_col).alias("id_a"), *halves("__a"))
+    sb = hashes.select(F.col(id_col).alias("id_b"), *halves("__b"))
     ham = F.bit_count(F.col("__a1").bitwiseXOR(F.col("__b1"))) + F.bit_count(
         F.col("__a9").bitwiseXOR(F.col("__b9"))
     )

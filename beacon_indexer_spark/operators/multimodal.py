@@ -260,6 +260,83 @@ def sample_frames(df: DataFrame, every_nth: int = 1, id_col: str = "doc_id",
     return df.select(id_col, content_col).mapInPandas(run, FRAME_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.StringType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id",
+                content_col: str = "content") -> DataFrame:
+    """Perceptual average-hash (aHash) per image: decode IMG1 →
+    channel-summed 8×8 nearest-neighbor downsample → 64-bit
+    above-average bitmap, rendered as 16 lowercase hex chars so
+    `dedup.hamming_hash_pairs` consumes it directly — the image-side
+    analogue of text SimHash (same banded Hamming verify downstream).
+
+    INTEGER-ONLY by design: sample grid index (j·h)//8, (i·w)//8
+    (nearest-neighbor, works for images smaller or larger than 8×8),
+    pixel value = sum of channel bytes (no division), bit set iff
+    64·value > Σ sampled values (strict — a flat image hashes to 0).
+    Every step is exact integer arithmetic, so the DuckDB oracle
+    reproduces the hash bit-for-bit (ORACLE in plans/queries.py
+    `multimodal_image_near_dupes`) and cross-run determinism needs no
+    float tolerance. The bitmap packs MSB-first as two 32-bit halves
+    (each < 2^32 — no int64 sign edge at bit 0).
+
+    Arrow-batched `mapInPandas`, narrow, shuffle-free — scale cost is
+    one decode per blob, the same shape as `decode_images`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did, buf in zip(pdf[id_col], pdf[content_col]):
+                w, h, c, px = decode_image_bytes(bytes(buf))
+                arr = (
+                    np.frombuffer(px, np.uint8)
+                    .reshape(h, w, c)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                sy = (np.arange(8) * h) // 8
+                sx = (np.arange(8) * w) // 8
+                s = arr[sy[:, None], sx[None, :]]  # 8x8 sampled values
+                total = int(s.sum())
+                bits = (64 * s.reshape(-1) > total).astype(np.int64)
+                hi = int((bits[:32] << (31 - np.arange(32))).sum())
+                lo = int((bits[32:] << (31 - np.arange(32))).sum())
+                out.append((did, f"{hi:08x}{lo:08x}"))
+            yield pd.DataFrame(out, columns=["doc_id", "ahash"])
+
+    return df.select(id_col, content_col).mapInPandas(run, AHASH_SCHEMA)
+
+
+def image_near_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    max_dist: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 65536,
+) -> DataFrame:
+    """Image near-duplicate pairs: `image_ahash` staged once (lazy
+    localCheckpoint — banding + both verify joins read the same
+    materialized hashes, one decode pass per blob), then the shared
+    banded multi-index Hamming engine. bands=4 with max_dist=3 keeps
+    pigeonhole recall 1.0. Output: (id_a, id_b, hamming), id_a < id_b."""
+    from beacon_indexer_spark.operators.dedup import hamming_hash_pairs
+
+    hashes = image_ahash(df, id_col, content_col).localCheckpoint(eager=False)
+    return hamming_hash_pairs(
+        hashes, "doc_id", "ahash", max_dist=max_dist, bands=bands,
+        max_bucket=max_bucket,
+    )
+
+
 def media_fingerprint(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Exact-dup identity for media blobs: sha256 + length, pure JVM-side
     expressions (no Python) — joins/groupBys on this column dedup exactly."""

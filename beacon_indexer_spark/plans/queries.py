@@ -1133,6 +1133,94 @@ FROM v
 """
 
 
+def q_multimodal_image_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end: deterministic IMG1 images
+    synthesized from document bytes (w = 4 + doc_id%5 px, 4 tall, 1
+    channel — first 4·w utf-8 bytes of `text`, space-padded) →
+    Arrow-batched `image_ahash` (integer-only 8×8 average-hash) → the
+    SHARED banded multi-index Hamming engine (`hamming_hash_pairs`,
+    bands=4 max_dist=3 ⇒ pigeonhole recall 1.0). The image-side
+    analogue of `dedup_simhash_hamming`: near-identical images land
+    within 3 bits and survive the exact verify. Integer-only arithmetic
+    end-to-end makes the hash — and therefore the pairs — bit-exact in
+    the DuckDB oracle."""
+    import pandas as pd
+
+    from beacon_indexer_spark.operators import multimodal as M
+
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    docs = (
+        _t(spark, sf_dir, "documents").repartition(n_parts).select("doc_id", "text")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 4 + int(did) % 5  # 4..8 px wide, 4 tall, 1 channel
+                n = w * 4
+                raw = (text or "").encode("utf-8")[:n]
+                raw = raw + b" " * (n - len(raw))
+                out.append((did, M.encode_image(w, 4, 1, raw)))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(gen, "doc_id long, content binary")
+    out = M.image_near_dupes(media, max_dist=3, bands=4, max_bucket=512)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _oracle_multimodal_image_near_dupes_sql(
+    max_dist: int = 3, bands: int = 4
+) -> str:
+    seg = 16 // bands
+    any_band = " OR ".join(
+        f"substr(a.ahash, {b * seg + 1}, {seg}) = substr(b.ahash, {b * seg + 1}, {seg})"
+        for b in range(bands)
+    )
+    ham = (
+        "list_reduce(list_prepend(0, list_transform(generate_series(1, 16), i -> "
+        "bit_count(xor(instr('0123456789abcdef', substr(a.ahash, i, 1)) - 1, "
+        "instr('0123456789abcdef', substr(b.ahash, i, 1)) - 1)))), (x, y) -> x + y)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, 4 + (doc_id % 5) AS w,
+         hex(encode(COALESCE(text, ''))) AS hx
+  FROM documents),
+px AS (
+  SELECT doc_id, w,
+         -- byte i of utf-8(text), right-padded with 0x20 to n = 4*w pixels
+         list_transform(generate_series(1, 4 * w), i ->
+           CASE WHEN 2 * i <= length(hx)
+                THEN 16 * (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1)
+                     + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1)
+                ELSE 32 END) AS b
+  FROM base),
+-- 8x8 nearest-neighbor sample: value[k] = b[row(k)*w + col(k) + 1],
+-- row(k) = ((k//8)*4)//8 over h=4, col(k) = ((k%8)*w)//8 (row-major)
+samp AS (
+  SELECT doc_id, w,
+         list_transform(generate_series(0, 63), k ->
+           b[((((k // 8) * 4) // 8)) * w + (((k % 8) * w) // 8) + 1]) AS s
+  FROM px),
+tot AS (SELECT doc_id, s, list_sum(s) AS t FROM samp),
+hashed AS (
+  SELECT doc_id,
+         printf('%08x', CAST(list_sum(list_transform(generate_series(0, 31), k ->
+           CASE WHEN 64 * s[k + 1] > t THEN (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)) AS BIGINT))
+         || printf('%08x', CAST(list_sum(list_transform(generate_series(32, 63), k ->
+           CASE WHEN 64 * s[k + 1] > t THEN (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)) AS BIGINT)) AS ahash
+  FROM tot)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS BIGINT) AS hamming
+FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id AND ({any_band})
+WHERE {ham} <= {max_dist}
+"""
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k over the embeddings corpus (queries = id<5,
     deterministic md5-sampled centroids). Oracle: the centroid sample,
@@ -4863,6 +4951,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
+    "multimodal_image_near_dupes": q_multimodal_image_near_dupes,
     "dedup_graph_degrees": q_dedup_graph_degrees,
     "events_top_values_ranked": q_events_top_values_ranked,
     "events_lateness_profile": q_events_lateness_profile,
@@ -4972,6 +5061,7 @@ def oracles() -> dict[str, str]:
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
+        "multimodal_image_near_dupes": _oracle_multimodal_image_near_dupes_sql(3),
         "dedup_graph_degrees": _oracle_dedup_graph_degrees_sql(),
         "events_top_values_ranked": ORACLE_EVENTS_TOP_VALUES_RANKED,
         "events_lateness_profile": ORACLE_EVENTS_LATENESS_PROFILE,

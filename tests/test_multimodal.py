@@ -99,3 +99,52 @@ def test_media_fingerprint_dedup(spark):
     groups = fp.groupBy("media_sha256").count().collect()
     assert sorted(g["count"] for g in groups) == [1, 2]
     assert all(g["media_sha256"] and len(g["media_sha256"]) == 64 for g in groups)
+
+
+def test_image_ahash_known_bitmap(spark):
+    """2x2 image [10, 200 / 10, 10]: the 8x8 nearest-neighbor sample maps
+    cols 0-3 -> pixel col 0, cols 4-7 -> col 1, rows likewise; only the
+    (row<4, col>=4) quadrant's 16 samples hold 200, and 64*200 > total
+    (230*16*... ) while 64*10 < total — expected hash = top-right
+    quadrant bits set: rows 0-3, cols 4-7 -> 0x0f0f0f0f00000000."""
+    img = M.encode_image(2, 2, 1, bytes([10, 200, 10, 10]))
+    df = spark.createDataFrame([(1, img)], "doc_id long, content binary")
+    got = M.image_ahash(df).collect()[0]
+    assert got["ahash"] == "0f0f0f0f00000000"
+
+
+def test_image_near_dupes_planted(spark):
+    """Planted frame: base image, a 1-pixel-tweak near-dup (hamming<=3),
+    an exact dup (hamming 0), and a far image — pairs must be exactly
+    the planted ones with exact distances."""
+    base_px = bytes(range(64))           # 8x8 gradient
+    near_px = bytes([0, 63]) + bytes(range(2, 64))  # one pixel bumped
+    # checkerboard: opposite brightness PATTERN (a reversed/inverted
+    # gradient would ahash identically — pattern-equal is dup-equal)
+    far_px = bytes([255 if (i + i // 8) % 2 else 0 for i in range(64)])
+    rows = [
+        (1, M.encode_image(8, 8, 1, base_px)),
+        (2, M.encode_image(8, 8, 1, near_px)),
+        (3, M.encode_image(8, 8, 1, base_px)),   # exact dup of 1
+        (4, M.encode_image(8, 8, 1, far_px)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in M.image_near_dupes(df, max_dist=3).collect()}
+    assert got[(1, 3)] == 0
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert got[(2, 3)] == got[(1, 2)]
+    assert not any(4 in p for p in got)
+
+
+def test_image_near_dupes_resize_invariant_for_nn_upscale(spark):
+    """aHash of an image and its nearest-neighbor 2x upscale are identical
+    (the sample grid hits the same source pixels) — the property that
+    makes the hash 'perceptual' rather than byte identity."""
+    px = bytes([(i * 7 + j * 13) % 256 for i in range(4) for j in range(4)])
+    small = M.encode_image(4, 4, 1, px)
+    df = spark.createDataFrame([(1, small)], "doc_id long, content binary")
+    up = M.resize_images(df, 8, 8).select("doc_id", "content")
+    h_small = M.image_ahash(df).collect()[0]["ahash"]
+    h_up = M.image_ahash(up).collect()[0]["ahash"]
+    assert h_small == h_up
