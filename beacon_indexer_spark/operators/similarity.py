@@ -462,6 +462,105 @@ def lsh_band_keys(bits_col: str, n_bits: int, bands: int) -> Column:
     )
 
 
+def embedding_band_keys(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, key) banded sign-bit LSH keys — the indexable embedding
+    fingerprint, the vector-space analogue of `dedup.minhash_band_keys`.
+    Shared by `embedding_near_duplicates` (full-corpus pairing) and
+    `embedding_incremental_duplicates` (band a NEW batch and equi-join it
+    against the STORED corpus key index — O(batch) work, the corpus is
+    never re-paired). The hyperplane dot products run once per vector;
+    only (id, band, key) triples ever ride a shuffle."""
+    return (
+        vectors.select(
+            F.col(id_col),
+            lsh_bucket(vec_col, dim, n_bits).alias("__bits"),
+        )
+        .select(
+            id_col, F.explode(lsh_band_keys("__bits", n_bits, bands)).alias("bk")
+        )
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+def embedding_incremental_duplicates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    bands: int = 4,
+    corpus_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental-ingest SEMANTIC dedup verdict: for each NEW vector (in
+    `batch`), the minimum existing corpus id whose cosine ≥ `threshold`
+    (``dup_of``) and how many distinct corpus vectors verified
+    (``n_matches``) — the embedding analogue of
+    `dedup.incremental_duplicates`, with a `semantic_dedup_keep`-style
+    exact-cosine verify inside the banded hits.
+
+    Production shape: ``corpus_keys`` is the STORED band-key index
+    (written once at ingest, e.g. a bucketed table on (band, key));
+    each new batch costs one equi-join of O(batch) keys against it plus
+    an exact-cosine verify bounded by the hits — the corpus is never
+    re-paired against itself, and corpus VECTORS are only fetched for
+    hit ids (two id equi-joins, norms computed once per side). Pass
+    ``corpus_keys=None`` to derive the index from `corpus` inline (the
+    rebuild path)."""
+    ck = (
+        corpus_keys
+        if corpus_keys is not None
+        else embedding_band_keys(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+            n_bits=n_bits, bands=bands,
+        )
+    ).withColumnRenamed(id_col, "__old")
+    bk = embedding_band_keys(
+        batch, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_bits=n_bits, bands=bands,
+    )
+    hits = (
+        bk.join(ck, ["band", "key"])
+        .select(id_col, "__old")
+        .distinct()  # multi-band hits verify once
+    )
+    va = batch.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("__old"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    verified = (
+        hits.join(va, id_col)
+        .join(vb, "__old")
+        .select(
+            id_col,
+            "__old",
+            F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+    )
+    return verified.groupBy(id_col).agg(
+        F.min("__old").alias("dup_of"),
+        F.countDistinct("__old").alias("n_matches"),
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -486,14 +585,10 @@ def embedding_near_duplicates(
     pair)."""
     from beacon_indexer_spark.operators.dedup import _pairs_from_buckets
 
-    keyed = (
-        vectors.select(
-            F.col(id_col).alias("id"),
-            lsh_bucket(vec_col, dim, n_bits).alias("__bits"),
-        )
-        .select("id", F.explode(lsh_band_keys("__bits", n_bits, bands)).alias("bk"))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
+    keyed = embedding_band_keys(
+        vectors, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_bits=n_bits, bands=bands,
+    ).withColumnRenamed(id_col, "id")
     pairs = _pairs_from_buckets(keyed, "id", "band", "key", max_bucket=max_bucket)
     va = vectors.select(
         F.col(id_col).alias("id_a"),

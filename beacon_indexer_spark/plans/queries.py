@@ -863,6 +863,78 @@ WHERE {dotp} / ({norm.format(e='a')} * {norm.format(e='b')}) >= 0.35
 """
 
 
+def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest SEMANTIC dedup (operators/similarity.py
+    `embedding_incremental_duplicates`): vectors with vec_id % 5 == 4
+    play the NEW batch; the rest are the stored corpus. The batch's
+    banded sign-bit keys equi-join the corpus band-key index — O(batch)
+    work, the corpus is never re-paired — then an exact-cosine verify
+    (≥ 0.35, the corpus's near-dup threshold) bounded by the hits gives
+    every new vector a total verdict (dup_of, n_matches, is_dup). The
+    embedding sibling of `dedup_incremental`: together they give
+    streaming ingest both text and semantic dedup."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    is_new = F.col("vec_id") % 5 == 4
+    m = S.embedding_incremental_duplicates(
+        emb.filter(~is_new), emb.filter(is_new),
+        dim=64, threshold=0.35, n_bits=32, bands=4,
+    )
+    spine = emb.filter(is_new).select(F.col("vec_id").cast("long").alias("vec_id"))
+    return spine.join(m, "vec_id", "left").select(
+        "vec_id",
+        F.col("dup_of").cast("long").alias("dup_of"),
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+        F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+    )
+
+
+def _oracle_embedding_incremental_sql(n_bits: int = 32, bands: int = 4) -> str:
+    per = n_bits // bands
+    bit_sql = []
+    for b in range(n_bits):
+        arr = "list_value(" + ", ".join(str(x) for x in S._hyperplane(64, b)) + ")"
+        dotb = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 64),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), (a,b) -> a + b)"
+        )
+        bit_sql.append(f"CASE WHEN {dotb} >= 0 THEN '1' ELSE '0' END")
+    band_cols = ", ".join(
+        "(" + " || ".join(bit_sql[b * per : (b + 1) * per]) + f") AS band{b}"
+        for b in range(bands)
+    )
+    any_band = " OR ".join(f"a.band{b} = b.band{b}" for b in range(bands))
+    dotp = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 64),"
+        " i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))), (x,y) -> x + y)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 64),"
+        " i -> CAST({e}.embedding[i] AS DOUBLE) * CAST({e}.embedding[i] AS DOUBLE))), (x,y) -> x + y))"
+    )
+    return f"""
+WITH kb AS (SELECT vec_id, embedding, {band_cols} FROM embeddings),
+newb AS (SELECT * FROM kb WHERE vec_id % 5 = 4),
+oldb AS (SELECT * FROM kb WHERE vec_id % 5 <> 4),
+hits AS (
+  SELECT DISTINCT a.vec_id AS nid, b.vec_id AS oid
+  FROM newb a JOIN oldb b ON ({any_band})),
+ver AS (
+  SELECT nid, oid
+  FROM hits
+  JOIN embeddings ea ON ea.vec_id = nid
+  JOIN embeddings eb ON eb.vec_id = oid
+  WHERE {dotp} / ({nrm.format(e='ea')} * {nrm.format(e='eb')}) >= 0.35),
+m AS (
+  SELECT nid, MIN(oid) AS dup_of, COUNT(DISTINCT oid) AS n_matches
+  FROM ver GROUP BY nid)
+SELECT CAST(k.vec_id AS BIGINT) AS vec_id,
+       CAST(m.dup_of AS BIGINT) AS dup_of,
+       CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(m.dup_of IS NOT NULL AS INT) AS is_dup
+FROM newb k LEFT JOIN m ON k.vec_id = m.nid
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -4911,6 +4983,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_bruteforce": q_similarity_bruteforce,
     "embedding_near_dupes": q_embedding_near_dupes,
+    "embedding_incremental": q_embedding_incremental,
     "multimodal_image_stats": q_multimodal_image_stats,
     "similarity_ivf": q_similarity_ivf,
     "orders_asof_event": q_orders_asof_event,
@@ -5021,6 +5094,7 @@ def oracles() -> dict[str, str]:
         "dedup_simhash": _oracle_simhash_sql(),
         "similarity_bruteforce": ORACLE_SIMILARITY_BRUTEFORCE,
         "embedding_near_dupes": _oracle_embedding_near_dupes_sql(32, 4),
+        "embedding_incremental": _oracle_embedding_incremental_sql(32, 4),
         "multimodal_image_stats": ORACLE_MULTIMODAL_IMAGE_STATS,
         "similarity_ivf": _oracle_similarity_ivf_sql(),
         "orders_asof_event": ORACLE_ORDERS_ASOF_EVENT,

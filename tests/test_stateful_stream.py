@@ -256,3 +256,80 @@ def test_streaming_incremental_dedup_against_growing_index(spark, tmp_path):
     assert verdicts[1] is None and verdicts[2] is None  # first batch: empty index
     assert verdicts[11] == 1  # exact near-dup of doc 1 → flagged with its id
     assert verdicts[12] is None  # fresh doc passes
+
+
+def test_streaming_embedding_incremental_dedup(spark, tmp_path):
+    """The EMBEDDING incremental-dedup op composes with Structured
+    Streaming the same way as the text one: each micro-batch bands its
+    vectors (`embedding_band_keys`), checks them against the ACCUMULATED
+    corpus band-key index with an exact-cosine verify against the stored
+    vectors, then appends its own keys + vectors to the stores. A batch-2
+    vector colinear with a batch-1 vector must be flagged with the
+    original's id; an orthogonal one must pass."""
+    import os
+    import time
+
+    from beacon_indexer_spark.operators.similarity import (
+        embedding_band_keys,
+        embedding_incremental_duplicates,
+    )
+
+    src = str(tmp_path / "vecs_raw")
+    idx = str(tmp_path / "band_index")
+    store = str(tmp_path / "vec_store")
+    schema = "vec_id long, embedding array<double>"
+    batch1 = [(1, [1.0, 0.2, 0.1, 0.05]), (2, [-1.0, 0.9, -0.8, 0.7])]
+    # vec 11 is colinear with vec 1 (cosine 1.0); vec 12 is far from both
+    batch2 = [(11, [2.0, 0.4, 0.2, 0.1]), (12, [0.05, -1.0, 0.9, -0.85])]
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    batch1_files = {
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    }
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    later = time.time() + 5
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if f.endswith(".parquet") and p not in batch1_files:
+            os.utime(p, (later, later))
+
+    verdicts = {}
+
+    def ingest(batch_df, batch_id):
+        keys = embedding_band_keys(
+            batch_df, dim=4, n_bits=8, bands=4
+        ).localCheckpoint()
+        if os.path.isdir(idx) and any(
+            f.endswith(".parquet") for f in os.listdir(idx)
+        ):
+            m = {
+                r["vec_id"]: r["dup_of"]
+                for r in embedding_incremental_duplicates(
+                    spark.read.parquet(store),
+                    batch_df,
+                    dim=4,
+                    threshold=0.95,
+                    n_bits=8,
+                    bands=4,
+                    corpus_keys=spark.read.parquet(idx),
+                ).collect()
+            }
+        else:
+            m = {}
+        for r in batch_df.select("vec_id").collect():
+            verdicts[r["vec_id"]] = m.get(r["vec_id"])
+        keys.write.mode("append").parquet(idx)
+        batch_df.write.mode("append").parquet(store)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert len(verdicts) == 4
+    assert verdicts[1] is None and verdicts[2] is None  # empty index
+    assert verdicts[11] == 1  # colinear with vec 1 → flagged
+    assert verdicts[12] is None  # far vector passes
