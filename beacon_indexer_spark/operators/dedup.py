@@ -137,7 +137,11 @@ def _bucket_pairs(ids: Column) -> Column:
 
 
 def _pairs_from_buckets(
-    keyed: DataFrame, id_col: str, *bucket_cols: str, max_bucket: int | None = None
+    keyed: DataFrame,
+    id_col: str,
+    *bucket_cols: str,
+    max_bucket: int | None = None,
+    probe: bool = True,
 ) -> DataFrame:
     """(bucket → ids) groupBy, then expand pairs inside each bucket.
 
@@ -165,9 +169,18 @@ def _pairs_from_buckets(
     checkpoint. The probe is an eager action at plan-construction time —
     deliberate: it is how the physical plan is chosen, exactly like AQE's
     runtime re-planning.
+
+    ``probe=False`` builds the LAZY both-branches plan instead: in-row
+    expansion for buckets ≤ cap, distributed join for buckets > cap,
+    unioned unconditionally over a lazy checkpoint of the aggregation —
+    identical results, ZERO jobs at plan construction (asserted by
+    tests/test_dedup_scale.py::test_pairs_from_buckets_lazy_no_probe_job).
+    Use it from explain/audit paths that must not execute anything; the
+    eager probe stays the default because the clean no-overflow case then
+    skips the overflow branches' plan nodes entirely.
     """
     return _pair_occurrences(
-        keyed, id_col, *bucket_cols, max_bucket=max_bucket
+        keyed, id_col, *bucket_cols, max_bucket=max_bucket, probe=probe
     ).distinct()
 
 
@@ -177,6 +190,7 @@ def _pair_occurrences(
     *bucket_cols: str,
     df_cap: int | None = None,
     max_bucket: int | None = None,
+    probe: bool = True,
 ) -> DataFrame:
     """Shared core of `_pairs_from_buckets` (distinct pairs) and
     `_counted_pairs_from_buckets` (shared-key counts): one row per
@@ -185,7 +199,10 @@ def _pair_occurrences(
 
     The probe is skipped entirely — no checkpoint, no extra job — when
     ``df_cap`` already bounds every bucket at or below ``max_bucket``
-    (overflow is impossible by construction).
+    (overflow is impossible by construction). ``probe=False`` keeps the
+    cap but defers the decision to execution: both branches are planned
+    over a LAZY checkpoint (one materialization when the query runs, no
+    job now) — for callers that only explain/audit the plan.
     """
     grouped = (
         keyed.groupBy(*bucket_cols)
@@ -194,10 +211,10 @@ def _pair_occurrences(
     )
     if df_cap is not None:
         grouped = grouped.filter(F.size("__ids") <= df_cap)
-    probe_needed = max_bucket is not None and not (
+    cap_active = max_bucket is not None and not (
         df_cap is not None and df_cap <= max_bucket
     )
-    if probe_needed:
+    if cap_active and probe:
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -205,6 +222,15 @@ def _pair_occurrences(
             obs, F.max(F.size("__ids")).alias("max_sz")
         ).localCheckpoint()
         has_overflow = (obs.get["max_sz"] or 0) > max_bucket
+    elif cap_active:
+        # lazy both-branches plan: no probe job. persist(), not a lazy
+        # localCheckpoint — converting an AQE plan to an RDD (which
+        # checkpointing does even with eager=False) already executes its
+        # shuffle stages; persist is a pure plan annotation, and at
+        # execution the first branch materializes the aggregation once
+        # for both filters
+        grouped = grouped.persist()
+        has_overflow = True
     else:
         has_overflow = False
     in_row = grouped if not has_overflow else grouped.filter(
@@ -236,6 +262,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     max_bucket: int | None = 65536,
     sigs: DataFrame | None = None,
+    probe: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
@@ -253,7 +280,9 @@ def minhash_lsh_candidates(
     keyed = minhash_band_keys(
         df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n, sigs=sigs
     )
-    return _pairs_from_buckets(keyed, id_col, "band", "key", max_bucket=max_bucket)
+    return _pairs_from_buckets(
+        keyed, id_col, "band", "key", max_bucket=max_bucket, probe=probe
+    )
 
 
 def minhash_band_keys(

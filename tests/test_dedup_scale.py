@@ -264,3 +264,30 @@ def test_pagerank_overflow_guard(spark):
         pagerank(pairs, iterations=1, scale=10**18)
     got = pagerank(pairs, iterations=1, scale=10**9).collect()
     assert len(got) == 51
+
+
+def test_pairs_from_buckets_lazy_no_probe_job(spark):
+    """probe=False must build the capped both-branches plan WITHOUT
+    running any Spark job at construction (explain/audit callers), and
+    still produce identical pairs when executed."""
+    rows = [("hot", "k1", i) for i in range(30)]
+    rows += [("b%d" % b, "k2", 1000 + b * 10 + i) for b in range(3) for i in range(3)]
+    keyed = spark.createDataFrame(rows, "band string, key string, id long")
+
+    sc = spark.sparkContext
+    group = "lazy-pairs-probe-test"
+    sc.setJobGroup(group, "plan construction must spawn no jobs")
+    try:
+        lazy = D._pairs_from_buckets(
+            keyed, "id", "band", "key", max_bucket=10, probe=False
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == []  # zero jobs at plan-construction time
+    # both branches are planned (in-row explode + overflow join union)
+    plan = lazy._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan
+    assert _pairs(lazy) == _pairs(
+        D._pairs_from_buckets(keyed, "id", "band", "key", max_bucket=10)
+    )

@@ -132,3 +132,31 @@ def test_no_driver_collect_in_query_plans():
         if ".collect()" in line and "#" not in line.split(".collect()")[0]
     ]
     assert hits == [], f"driver collect in query surface: {hits}"
+
+
+def test_capped_lsh_plan_audits_without_jobs(spark):
+    """Explain/audit callers can build the CAPPED LSH candidate plan with
+    probe=False: zero jobs at construction (job-group assertion), and the
+    lazy both-branches plan still satisfies the audit's core invariant —
+    the overflow branch pairs via an EQUI-join on the bucket key, never a
+    cartesian product."""
+    from beacon_indexer_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, "words shared across documents number %d" % (i % 3))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    group = "audit-lazy-lsh"
+    sc.setJobGroup(group, "plan construction must spawn no jobs")
+    try:
+        lazy = minhash_lsh_candidates(docs, "doc_id", "text", max_bucket=4,
+                                      probe=False)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == []
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
