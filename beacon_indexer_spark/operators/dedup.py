@@ -867,57 +867,135 @@ def hamming_hash_pairs(
     bands: int = 4,
     max_bucket: int | None = 65536,
 ) -> DataFrame:
-    """Banded multi-index Hamming near-dup pairs over ANY precomputed
-    64-bit hash rendered as 16 lowercase hex chars — shared by text
-    SimHash (`simhash_hamming_pairs`) and perceptual image hashes
-    (`operators/multimodal.py image_ahash`). Banded blocking proposes
-    candidates (rows agreeing on any contiguous hex segment — pigeonhole:
-    with bands=4, distance ≤ 3 recall is 1.0 by construction), then the
-    exact 64-bit Hamming distance filters to ``<= max_dist``. The
-    candidate shuffle carries (band, key, id) only; hash values re-attach
-    to surviving pairs via two id equi-joins, so the verify stage is
-    O(candidates), never O(n²). Output: (id_a, id_b, hamming), id_a < id_b.
+    """Hamming near-dup pairs over ANY precomputed 64-bit hash rendered
+    as 16 lowercase hex chars — shared by text SimHash
+    (`simhash_hamming_pairs`) and perceptual image hashes
+    (`operators/multimodal.py image_ahash`). Output: (id_a, id_b,
+    hamming), id_a < id_b — every unordered pair at distance
+    ``<= max_dist`` (for max_dist < bands; wider distances additionally
+    require a shared contiguous segment, the documented banded recall
+    envelope) exactly once.
 
-    Callers that stage the hash frame (lazy localCheckpoint) pay the hash
-    computation once across the banding branch and both re-attach joins.
+    Scale shape (redesigned after the round-5 sf1 measurement caught the
+    doc-level banded scheme at 147 s / 159M candidates on 50k
+    concentrated signatures):
+
+    1. SIGNATURE COMPRESSION. Fingerprints repeat — precisely when the
+       corpus is dup-dense — so ALL pair generation runs over DISTINCT
+       hash values (35k classes for 50k docs at sf1; far fewer on real
+       near-dup-heavy crawls). Doc pairs are recovered at the end by
+       expanding class pairs through two hash-keyed equi-joins plus an
+       in-class self-join — both bounded by OUTPUT size, the one term no
+       complete pair listing can avoid.
+    2. CANDIDATES. For ``max_dist <= 3`` (every shipped caller): exact
+       multi-index Hamming (the Norouzi–Fleet pigeonhole split) — two
+       32-bit halves; some half carries <= floor(3/2) = 1 flipped bits,
+       so an asymmetric equi-join of exact half-keys against radius-1
+       key-expanded variants (33 keys/half) reaches recall 1.0. 32-bit
+       keys collide far less than 16-bit segments on concentrated
+       signature sets (2.1M vs 159M sf1 candidates, measured), and
+       candidate rows carry both hash strings through the join, so the
+       verify stage needs NO re-attach joins. Wider distances fall back
+       to contiguous-segment banding over the compressed classes through
+       the capped `_pairs_from_buckets` engine.
+    3. VERIFY: hex → two BIGINT halves per side, xor + bit_count —
+       O(candidate classes), never O(n²) and never O(doc-level
+       candidates).
     """
-    seg = 16 // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.substring(hash_col, b * seg + 1, seg).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    keyed = hashes.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    mem = hashes.select(
+        F.col(hash_col).alias("__sig"), F.col(id_col).alias("__mid")
     )
-    pairs = _pairs_from_buckets(keyed, id_col, "band", "key", max_bucket=max_bucket)
-    # hex → two 32-bit integer halves ONCE PER ROW (narrow, over the
-    # staged frame; 8-hex-digit conv stays exact in a BIGINT), so the
-    # per-pair verify is two scalar xor+bit_count ops — candidate counts
-    # are quadratic in bucket density, so per-pair cost is the scale
-    # lever (an earlier 16-element zip_with scored 3.1 s at sf0.1; the
-    # scalar form runs the same verify in ~2.6 s)
-    def halves(prefix: str) -> list[Column]:
-        return [
-            F.expr(
-                f"CAST(conv(substring(`{hash_col}`, {start}, 8), 16, 10) AS BIGINT)"
-            ).alias(f"{prefix}{start}")
-            for start in (1, 9)
-        ]
+    dsig = mem.select("__sig").distinct()
 
-    sa = hashes.select(F.col(id_col).alias("id_a"), *halves("__a"))
-    sb = hashes.select(F.col(id_col).alias("id_b"), *halves("__b"))
-    ham = F.bit_count(F.col("__a1").bitwiseXOR(F.col("__b1"))) + F.bit_count(
-        F.col("__a9").bitwiseXOR(F.col("__b9"))
+    def half(col: str, start: int) -> Column:
+        return F.expr(f"CAST(conv(substring({col}, {start}, 8), 16, 10) AS BIGINT)")
+
+    ham = (
+        F.bit_count(half("__sa", 1).bitwiseXOR(half("__sb", 1)))
+        + F.bit_count(half("__sa", 9).bitwiseXOR(half("__sb", 9)))
+    ).cast("int")
+    if max_dist <= 3:
+        halves_keyed = [
+            F.struct(F.lit(b).alias("band"), half("__sig", 1 + 8 * b).alias("key"))
+            for b in (0, 1)
+        ]
+        lef = dsig.select(
+            F.col("__sig").alias("__sa"),
+            F.explode(F.array(*halves_keyed)).alias("bk"),
+        ).select("__sa", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        rig = (
+            dsig.select(
+                F.col("__sig").alias("__sb"),
+                F.explode(F.array(*halves_keyed)).alias("bk"),
+            )
+            .select(
+                "__sb",
+                F.col("bk.band").alias("band"),
+                # the half itself + its 32 single-bit flips: each true
+                # pair lands on the exact key of the side it differs
+                # from by the flipped bit, in exactly one band variant
+                F.explode(
+                    F.concat(
+                        F.array(F.col("bk.key")),
+                        F.expr(
+                            "transform(sequence(0, 31), i ->"
+                            " bk.key ^ shiftleft(CAST(1 AS BIGINT), i))"
+                        ),
+                    )
+                ).alias("key"),
+            )
+        )
+        close = (
+            lef.join(rig, ["band", "key"])
+            .filter(F.col("__sa") < F.col("__sb"))
+            .select("__sa", "__sb")
+            .distinct()
+            .select("__sa", "__sb", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_dist)
+        )
+    else:
+        reps = mem.groupBy("__sig").agg(F.min("__mid").alias("__rid"))
+        seg = 16 // bands
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("__sig", b * seg + 1, seg).alias("key"),
+            )
+            for b in range(bands)
+        ]
+        keyed = reps.select(
+            "__rid", F.explode(F.array(*band_cols)).alias("bk")
+        ).select("__rid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        rp = _pairs_from_buckets(keyed, "__rid", "band", "key", max_bucket=max_bucket)
+        ra = reps.select(F.col("__rid").alias("id_a"), F.col("__sig").alias("__sa"))
+        rb = reps.select(F.col("__rid").alias("id_b"), F.col("__sig").alias("__sb"))
+        close = (
+            rp.join(ra, "id_a")
+            .join(rb, "id_b")
+            .select("__sa", "__sb", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_dist)
+        )
+    ma = mem.select(F.col("__sig").alias("__sa"), F.col("__mid").alias("__ida"))
+    mb = mem.select(F.col("__sig").alias("__sb"), F.col("__mid").alias("__idb"))
+    cross = (
+        close.join(ma, "__sa")
+        .join(mb, "__sb")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "hamming",
+        )
     )
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_dist)
+    within = (
+        ma.join(mb.withColumnRenamed("__sb", "__sa"), "__sa")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
     )
+    return cross.unionByName(within)
 
 
 def simhash_candidates(
@@ -954,29 +1032,55 @@ def fuzzy_name_pairs(
 
     Scale shape: classic blocked ER — the O(n²) edit-distance comparison
     never runs globally; the self-join is an EQUI-join on the blocking
-    key (one key shuffle), so cost is Σ block_size² over blocks. Pick
-    block keys the way record-linkage does (coarse attribute + cheap
-    name prefix); audit block sizes with the `frequent_shingles` /
+    key (one key shuffle), so cost is Σ block_size² over blocks. Two
+    semantics-preserving refinements keep that sum in check when block
+    keys are coarser than the corpus growth (the round-5 sf1 measurement:
+    110 s → the length-banded plan below):
+
+    * LENGTH BANDING. dist ≤ d implies |len(a) − len(b)| ≤ d, so each
+      block is subdivided by name-length bands of width d+1: the left
+      side carries its band, the right side replicates ×3 into bands
+      {b−1, b, b+1}. Every qualifying pair matches in EXACTLY one
+      replica (band_a − band_b is a single fixed value), so no dedup
+      pass is needed, and candidate volume drops from Σ block² to
+      Σ (block ∩ length-band)² × 3.
+    * THRESHOLDED VERIFY. `levenshtein(a, b, threshold)` abandons the
+      DP once the distance provably exceeds d — O(len·d) per pair, not
+      O(len²) — after a cheap explicit length filter.
+
+    Pick block keys the way record-linkage does (coarse attribute +
+    cheap name prefix); audit block sizes with the `frequent_shingles` /
     `dedup_graph_degrees` pattern before widening a block. Levenshtein
-    is a JVM builtin (no UDF) computed only inside blocks, after the
+    is a JVM builtin (no UDF) computed only inside sub-blocks, after the
     id_a < id_b triangle filter halves the candidates. The block columns
     ride along in the output (constant within a pair by construction), so
     per-block rollups need no re-join against the input.
     """
+    w = max_dist + 1
+    band = (F.length(F.col(name_col)) / w).cast("long")
     left = df.select(
         *[F.col(c) for c in block_cols],
+        band.alias("__lb"),
         F.col(id_col).cast("long").alias("id_a"),
         F.col(name_col).alias("name_a"),
     )
     right = df.select(
         *[F.col(c) for c in block_cols],
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("__lb"),
         F.col(id_col).cast("long").alias("id_b"),
         F.col(name_col).alias("name_b"),
     )
     return (
-        left.join(right, block_cols)
+        left.join(right, [*block_cols, "__lb"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("dist") <= max_dist)
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b", max_dist).cast("long")
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(*block_cols, "id_a", "id_b", "name_a", "name_b", "dist")
     )

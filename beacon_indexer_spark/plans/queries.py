@@ -2598,19 +2598,31 @@ GROUP BY 1, 2
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup keep-list (operators/similarity.py
-    semantic_dedup_keep): coarse k=8 clustering, exact within-cluster
+    semantic_dedup_keep): coarse clustering, exact within-cluster
     cosine >= 0.95, connected components, keep the min id per group —
-    embedding-space near-dup REMOVAL as a total per-vector verdict."""
+    embedding-space near-dup REMOVAL as a total per-vector verdict.
+
+    k_clusters SCALES WITH THE CORPUS — k = max(8, n/250) — because
+    within-cluster exact cosine is quadratic in cluster size at fixed k
+    (the SemDeDup paper runs k ~ 10k-100k for billion-vector corpora for
+    the same reason; the round-5 sf1 measurement of fixed k=8 showed the
+    16.7x super-linear step that motivates this). The one count() job is
+    a single-column pruned scan; the oracle computes the identical k
+    from COUNT(*). At the driver-gate SFs (n <= 2000) k stays 8, so
+    results there are unchanged."""
     vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    k = max(8, vecs.count() // 250)
     return S.semantic_dedup_keep(
-        vecs, "vec_id", "embedding", k_clusters=8, threshold=0.95
+        vecs, "vec_id", "embedding", k_clusters=int(k), threshold=0.95
     )
 
 
 def _oracle_semantic_dedup_sql(k: int = 8, threshold: float = 0.95) -> str:
     """DuckDB mirror of q_semantic_dedup: identical md5-sampled centroids
     and `-2·v·c + ||c||²` assignment as the IVF oracle, exact sequential
-    cosine within clusters, recursive-CTE closure for the groups."""
+    cosine within clusters, recursive-CTE closure for the groups. The
+    centroid count mirrors the Spark side's corpus-adaptive
+    k = max(k, n/250) via a COUNT(*) scalar subquery."""
     fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
     dot_vc = fold.format(
         arr="list_transform(generate_series(1, len(v.embedding)),"
@@ -2631,9 +2643,11 @@ def _oracle_semantic_dedup_sql(k: int = 8, threshold: float = 0.95) -> str:
     )
     return f"""
 WITH RECURSIVE cents AS (
-  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}),
+  SELECT cid, cv FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings)
+  WHERE cid < greatest({k}, (SELECT COUNT(*) // 250 FROM embeddings))),
 assigned AS (
   SELECT v.vec_id, c.cid, -({dot_vc}) * 2 + ({sq_c}) AS d2
   FROM embeddings v CROSS JOIN cents c),

@@ -28,8 +28,17 @@ def main() -> None:
 
     spark = get_spark(app_name="bis-bench", master=f"local[{cpus}]")
 
-    # warm the JVM + parquet footers + Python/Arrow workers once (not timed)
-    QUERIES["table_counts"](spark, sf_dir).collect()
+    # warm the JVM + parquet footers + Python/Arrow workers once (not timed).
+    # Subset runs may point at a partial directory (tools/
+    # gen_scaled_testdata.py generates only the tables the subset reads),
+    # where table_counts' all-table scan would fail — warm with the first
+    # selected query instead.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only_env:
+        first = only_env.split(",")[0]
+        QUERIES[first](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    else:
+        QUERIES["table_counts"](spark, sf_dir).collect()
     import pandas as pd
 
     def _noop(batches):
@@ -47,12 +56,19 @@ def main() -> None:
     # microbenchmark statistic and stays honest (every rep runs the full
     # plan through the no-op sink)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+    # optional subset (comma-separated query names): scale measurements
+    # (tools/gen_scaled_testdata.py + SCALE.md) time the expensive tail
+    # at bigger SFs without paying for the full surface
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    selected = (
+        {k: QUERIES[k] for k in only.split(",") if k} if only else QUERIES
+    )
     timings: dict[str, float] = {}
     # every rep's raw time is reported alongside the min, so round-over-
     # round deltas can separate methodology (rep count, run-to-run noise)
     # from real plan change
     rep_times: dict[str, list[float]] = {}
-    for name, fn in QUERIES.items():
+    for name, fn in selected.items():
         rep_times[name] = []
         for _ in range(max(1, reps)):
             t0 = time.perf_counter()
@@ -67,8 +83,12 @@ def main() -> None:
     # arrays inline and was truncated past parseability). Per-rep raw times
     # go to a side file + an earlier stdout line; the final line carries
     # 3-decimal mins only.
+    # subset runs (SPARK_GRAFT_BENCH_ONLY) record to a side file so the
+    # committed full-surface bench_reps.json can't be clobbered by a
+    # scale-measurement run
+    reps_name = "bench_reps_subset.json" if only else "bench_reps.json"
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_reps.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), reps_name),
         "w",
     ) as f:
         json.dump({"sf": sf, "n_reps": max(1, reps), "reps": rep_times}, f)
