@@ -228,8 +228,15 @@ def _pair_occurrences(
         # checkpointing does even with eager=False) already executes its
         # shuffle stages; persist is a pure plan annotation, and at
         # execution the first branch materializes the aggregation once
-        # for both filters
-        grouped = grouped.persist()
+        # for both filters. MEMORY_AND_DISK so a huge aggregation spills
+        # instead of evicting. Caveat: the cache is never explicitly
+        # unpersisted — probe=False is meant for explain/audit callers;
+        # a long-lived session that EXECUTES many probe=False plans
+        # accumulates cached blocks until Spark's LRU reclaims them (or
+        # call spark.catalog.clearCache())
+        from pyspark import StorageLevel
+
+        grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
         has_overflow = True
     else:
         has_overflow = False
@@ -901,6 +908,21 @@ def hamming_hash_pairs(
     3. VERIFY: hex → two BIGINT halves per side, xor + bit_count —
        O(candidate classes), never O(n²) and never O(doc-level
        candidates).
+
+    API scope (read before tuning):
+
+    * ``bands`` and ``max_bucket`` apply ONLY to the banded fallback
+      (``max_dist > 3``). The multi-index path ignores both: its recall
+      is exact (1.0 for dist <= 3) regardless of banding, and its
+      32-bit keys make overflow buckets a non-issue by construction —
+      a caller tuning ``bands`` for recall at max_dist <= 3 is tuning a
+      no-op (contract pinned by
+      ``test_dedup_scale.py::test_hamming_recall_independent_of_bands``).
+    * Input must be ONE row per (id, hash). Exact duplicate input rows
+      yield duplicate output pairs (the class-expansion joins multiply
+      multiplicities); de-dup upstream — every shipped caller (simhash,
+      image_ahash) produces one row per doc by construction, so no
+      defensive distinct is paid here.
     """
     mem = hashes.select(
         F.col(hash_col).alias("__sig"), F.col(id_col).alias("__mid")
@@ -1025,6 +1047,8 @@ def fuzzy_name_pairs(
     name_col: str,
     block_cols: list[str],
     max_dist: int = 3,
+    band_lengths: bool | None = None,
+    band_threshold_rows: int = 100_000,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: rows whose `name_col` values are
     within `max_dist` Levenshtein edits, restricted to rows sharing the
@@ -1037,16 +1061,26 @@ def fuzzy_name_pairs(
     keys are coarser than the corpus growth (the round-5 sf1 measurement:
     110 s → the length-banded plan below):
 
-    * LENGTH BANDING. dist ≤ d implies |len(a) − len(b)| ≤ d, so each
-      block is subdivided by name-length bands of width d+1: the left
-      side carries its band, the right side replicates ×3 into bands
+    * LENGTH BANDING (adaptive). dist ≤ d implies |len(a) − len(b)| ≤ d,
+      so each block is subdivided by name-length bands of width d+1: the
+      left side carries its band, the right side replicates ×3 into bands
       {b−1, b, b+1}. Every qualifying pair matches in EXACTLY one
       replica (band_a − band_b is a single fixed value), so no dedup
       pass is needed, and candidate volume drops from Σ block² to
-      Σ (block ∩ length-band)² × 3.
+      Σ (block ∩ length-band)² × 3. The replication pays 3× shuffle
+      volume whether or not blocks need subdividing — a measured ~2×
+      regression on small inputs where blocks are already tight — so
+      ``band_lengths=None`` (the default) probes the input row count
+      (one count job over a lazily localCheckpointed frame that the join
+      then reuses, the `broadcast_if_small` pattern) and bands only above
+      ``band_threshold_rows``; pass True/False to force either plan.
     * THRESHOLDED VERIFY. `levenshtein(a, b, threshold)` abandons the
       DP once the distance provably exceeds d — O(len·d) per pair, not
-      O(len²) — after a cheap explicit length filter.
+      O(len²) — and rejects |len(a) − len(b)| > d in O(1) before
+      touching the DP, so no explicit length pre-filter is applied: a
+      measured sf0.1 A/B showed the "cheap" `abs(length−length) ≤ d`
+      guard costing ~1.8× (two per-pair O(len) char counts duplicating
+      the check levenshtein performs internally). Applied on BOTH plans.
 
     Pick block keys the way record-linkage does (coarse attribute +
     cheap name prefix); audit block sizes with the `frequent_shingles` /
@@ -1056,28 +1090,42 @@ def fuzzy_name_pairs(
     ride along in the output (constant within a pair by construction), so
     per-block rollups need no re-join against the input.
     """
-    w = max_dist + 1
-    band = (F.length(F.col(name_col)) / w).cast("long")
-    left = df.select(
-        *[F.col(c) for c in block_cols],
-        band.alias("__lb"),
-        F.col(id_col).cast("long").alias("id_a"),
-        F.col(name_col).alias("name_a"),
-    )
-    right = df.select(
-        *[F.col(c) for c in block_cols],
-        F.explode(
-            F.array(band - 1, band, band + 1)
-        ).alias("__lb"),
-        F.col(id_col).cast("long").alias("id_b"),
-        F.col(name_col).alias("name_b"),
-    )
-    return (
-        left.join(right, [*block_cols, "__lb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+    if band_lengths is None:
+        df = df.localCheckpoint(eager=False)
+        band_lengths = df.count() > band_threshold_rows
+    if band_lengths:
+        w = max_dist + 1
+        band = (F.length(F.col(name_col)) / w).cast("long")
+        left = df.select(
+            *[F.col(c) for c in block_cols],
+            band.alias("__lb"),
+            F.col(id_col).cast("long").alias("id_a"),
+            F.col(name_col).alias("name_a"),
         )
+        right = df.select(
+            *[F.col(c) for c in block_cols],
+            F.explode(
+                F.array(band - 1, band, band + 1)
+            ).alias("__lb"),
+            F.col(id_col).cast("long").alias("id_b"),
+            F.col(name_col).alias("name_b"),
+        )
+        join_keys = [*block_cols, "__lb"]
+    else:
+        left = df.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).cast("long").alias("id_a"),
+            F.col(name_col).alias("name_a"),
+        )
+        right = df.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).cast("long").alias("id_b"),
+            F.col(name_col).alias("name_b"),
+        )
+        join_keys = list(block_cols)
+    return (
+        left.join(right, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "dist", F.levenshtein("name_a", "name_b", max_dist).cast("long")
         )

@@ -263,35 +263,78 @@ def ivf_centroids(
     second scan fetches just the k winning vectors through a pushed-down
     id filter. At 100 TB the alternative (sorting with vectors attached)
     moves the entire embedding column through the sample; here it moves
-    k rows."""
-    ids = [
-        r["id"]
-        for r in vectors.select(F.col(id_col).alias("id"))
+    O(k) rows.
+
+    Duplicate ids (possible on append-only lake reads) must not consume
+    sample slots, but a full-column ``distinct()`` to guarantee that is a
+    corpus-wide shuffle spent on picking ≤ k rows. Instead: TakeOrdered
+    4·k rows WITHOUT distinct (shuffle-free TakeOrderedAndProject), dedup
+    the ≤ 4·k ids on the driver, keep the first k distinct. Only if heavy
+    duplication leaves < k distinct ids in the oversample (and the corpus
+    plausibly has more) does the distinct fallback run — same determinism
+    contract either way, since md5 ordering is a total order on ids."""
+    oversample = (
+        vectors.select(F.col(id_col).alias("id"))
         .filter(F.col(id_col).isNotNull())
-        .distinct()  # duplicate ids must not consume sample slots
         .withColumn("__r", F.md5(F.col("id").cast("string")))
         .orderBy("__r")
-        .limit(k)
+        .limit(4 * k)
         .collect()
-    ]
-    # the id fetch dedups to ONE row per id before the ordered take:
-    # append-only lake reads can hold duplicate ids with DIFFERENT vector
-    # payloads, and md5(id) alone would tie — which row's vector wins
-    # would then be partition-order nondeterminism, breaking the
-    # reproducible-centroids contract. min_by on a payload fingerprint is
-    # a total, content-deterministic tiebreak (equal fingerprints imply
-    # equal payloads); the re-applied orderBy + limit(k) then yields
-    # exactly ≤ k distinct centroids
-    rows = (
+    )
+    distinct_ids: list = []
+    seen: set = set()
+    saw_dup = False
+    for r in oversample:
+        if r["id"] not in seen:
+            seen.add(r["id"])
+            distinct_ids.append(r)
+        else:
+            saw_dup = True
+    ids = [r["id"] for r in distinct_ids[:k]]
+    if len(ids) < k and len(oversample) == 4 * k:
+        # the oversample was exhausted by duplicates AND truncated — the
+        # corpus may hold more distinct ids; pay the distinct shuffle only
+        # in this degenerate (dup-rate > 75%) case
+        saw_dup = True
+        ids = [
+            r["id"]
+            for r in vectors.select(F.col(id_col).alias("id"))
+            .filter(F.col(id_col).isNotNull())
+            .distinct()
+            .withColumn("__r", F.md5(F.col("id").cast("string")))
+            .orderBy("__r")
+            .limit(k)
+            .collect()
+        ]
+    # PROOF the chosen ids are globally unique when `ids_unique` holds:
+    # every copy of a chosen id shares its md5 key, so copies can only be
+    # missing from the collected window if the window was truncated AT
+    # that key value — excluded by requiring the k-th chosen key to sort
+    # strictly before the truncation cutoff (or no truncation at all).
+    cutoff = oversample[-1]["__r"] if len(oversample) == 4 * k else None
+    ids_unique = not saw_dup and (
+        cutoff is None
+        or (len(distinct_ids) >= k and distinct_ids[k - 1]["__r"] < cutoff)
+    )
+    base = (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .filter(F.col("id").isin(ids))
-        .groupBy("id")
-        .agg(
+    )
+    if not ids_unique:
+        # duplicate ids can carry DIFFERENT vector payloads, and md5(id)
+        # alone would tie — which row's vector wins would then be
+        # partition-order nondeterminism, breaking the reproducible-
+        # centroids contract. min_by on a payload fingerprint is a total,
+        # content-deterministic tiebreak (equal fingerprints imply equal
+        # payloads). The groupBy shuffle moves only the ≤ k ids' rows —
+        # skipped entirely on the proven-unique common path above.
+        base = base.groupBy("id").agg(
             F.min_by(
                 "v", F.md5(F.to_json(F.struct(F.col("v").alias("v"))))
             ).alias("v")
         )
-        .withColumn("__r", F.md5(F.col("id").cast("string")))
+    rows = (
+        base.withColumn("__r", F.md5(F.col("id").cast("string")))
         .orderBy("__r")
         .limit(k)
         .collect()

@@ -1946,18 +1946,16 @@ FROM ranked WHERE rank <= 5
 
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidates verified by EXACT 64-bit Hamming distance
-    (operators/dedup.py simhash_hamming_pairs): banded blocking proposes,
-    digit-wise instr/xor/bit_count scores — the verify stage the plain
-    simhash fingerprint query feeds at production scale. bands=4 with
-    max_dist=3 is the exact multi-index Hamming scheme (pigeonhole: 3
-    flipped bits cannot touch all 4 bands), so candidate recall is 1.0 by
-    construction. max_bucket=512: this corpus's densest simhash band
-    bucket holds ~1.6k docs — the distributed overflow join beats a
-    1.3M-struct in-row expansion (measured 5.3 s → 3.6 s at sf0.1)."""
+    (operators/dedup.py simhash_hamming_pairs / hamming_hash_pairs):
+    max_dist=3 routes through the signature-compressed two-half
+    multi-index scheme (Norouzi–Fleet pigeonhole: some 32-bit half
+    carries <= 1 flipped bit, matched by radius-1 key expansion), so
+    candidate recall is 1.0 by construction and pair generation runs
+    over DISTINCT signature classes (159M → 2.1M sf1 candidates,
+    measured). ``bands``/``max_bucket`` apply only to the banded
+    ``max_dist > 3`` fallback — not exercised here."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    out = D.simhash_hamming_pairs(
-        docs, "doc_id", "text", max_dist=3, max_bucket=512
-    )
+    out = D.simhash_hamming_pairs(docs, "doc_id", "text", max_dist=3)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

@@ -77,6 +77,36 @@ def main() -> None:
             rep_times[name].append(round(time.perf_counter() - t0, 4))
         timings[name] = min(rep_times[name])
 
+    # drift canary: re-time a few cheap, stable queries AFTER the full
+    # loop and compare to their in-loop minima. Rounds 3 and 5 both saw
+    # contended driver benches where untouched queries drifted ~1.3×
+    # uniformly and environment noise masqueraded as plan regressions —
+    # the canary separates the two: large first-vs-last drift on queries
+    # whose plans never change means the RUN is contaminated, not the code
+    canary_names = [
+        n for n in ("top_users", "events_hourly", "event_type_stats")
+        if n in selected
+    ]
+    canary: dict[str, dict[str, float]] = {}
+    for name in canary_names:
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            selected[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            times.append(round(time.perf_counter() - t0, 4))
+        end_min = min(times)
+        loop_min = timings[name]
+        canary[name] = {
+            "loop_min": loop_min,
+            "end_min": end_min,
+            "drift": round(end_min / loop_min, 3) if loop_min > 0 else 1.0,
+        }
+    drift_vals = [c["drift"] for c in canary.values()]
+    max_drift = max(drift_vals) if drift_vals else 1.0
+    drift_flag = max_drift > 1.2 or max_drift < 1 / 1.2
+
     total = round(sum(timings.values()), 4)
     # The headline MUST be the last stdout line and stay short enough for a
     # tail-buffer capture to parse (round 3's line carried the full per-rep
@@ -91,7 +121,17 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), reps_name),
         "w",
     ) as f:
-        json.dump({"sf": sf, "n_reps": max(1, reps), "reps": rep_times}, f)
+        json.dump(
+            {
+                "sf": sf,
+                "n_reps": max(1, reps),
+                "reps": rep_times,
+                "canary": canary,
+                "canary_max_drift": max_drift,
+                "canary_drift_flag": drift_flag,
+            },
+            f,
+        )
     print(json.dumps({"reps": rep_times}))
     print(
         json.dumps(

@@ -291,3 +291,72 @@ def test_pairs_from_buckets_lazy_no_probe_job(spark):
     assert _pairs(lazy) == _pairs(
         D._pairs_from_buckets(keyed, "id", "band", "key", max_bucket=10)
     )
+
+
+def test_hamming_recall_independent_of_bands(spark):
+    """API contract: on the max_dist <= 3 multi-index path, `bands` is a
+    no-op — recall is exact by the two-half pigeonhole regardless of the
+    banding parameter (which only tunes the max_dist > 3 fallback)."""
+    base = int("a5a5a5a5a5a5a5a5", 16)
+    sigs = [base]
+    for bits in [(0,), (3, 17), (5, 33, 60), (1, 2, 31)]:  # dist 1..3
+        v = base
+        for b in bits:
+            v ^= 1 << b
+        sigs.append(v)
+    sigs.append(base ^ 0b11110000)  # dist 4: must NOT pair with base
+    rows = [(i, format(s, "016x")) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "id long, h string")
+    results = [
+        _pairs(D.hamming_hash_pairs(df, "id", "h", max_dist=3, bands=b))
+        for b in (2, 4, 8)
+    ]
+    assert results[0] == results[1] == results[2]
+    assert all((0, i) in results[0] for i in range(1, 5))
+    assert (0, 5) not in results[0]
+
+
+def test_fuzzy_band_adaptive_plans_equivalent(spark):
+    """Adaptive length banding: below the row threshold the plan must NOT
+    carry the x3 band replication (no __lb join key / explode), above it
+    (forced) it must — and both plans return identical pairs."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "widget number %d" % (i % 7), "blk%d" % (i % 3)))
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+
+    auto = D.fuzzy_name_pairs(df, "id", "name", ["blk"], max_dist=3)
+    banded = D.fuzzy_name_pairs(
+        df, "id", "name", ["blk"], max_dist=3, band_lengths=True
+    )
+    plain = D.fuzzy_name_pairs(
+        df, "id", "name", ["blk"], max_dist=3, band_lengths=False
+    )
+    auto_plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    banded_plan = banded._jdf.queryExecution().optimizedPlan().toString()
+    assert "__lb" not in auto_plan  # 40 rows < threshold: unbanded plan
+    assert "__lb" in banded_plan  # forced banding engages the replication
+
+    def key(d):
+        return sorted((r["id_a"], r["id_b"], r["dist"]) for r in d.collect())
+
+    assert key(auto) == key(banded) == key(plain)
+
+
+def test_fuzzy_band_threshold_engages(spark):
+    """Above band_threshold_rows the auto path must pick the banded plan."""
+    rows = [(i, "name %d" % (i % 5), "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    auto = D.fuzzy_name_pairs(
+        df, "id", "name", ["blk"], max_dist=3, band_threshold_rows=10
+    )
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "__lb" in plan
+    banded = D.fuzzy_name_pairs(
+        df, "id", "name", ["blk"], max_dist=3, band_lengths=True
+    )
+
+    def key(d):
+        return sorted((r["id_a"], r["id_b"], r["dist"]) for r in d.collect())
+
+    assert key(auto) == key(banded)

@@ -151,3 +151,50 @@ def test_ivf_centroids_duplicate_ids_deterministic(spark):
     assert len(ca) == 3  # one row per id, never two copies of id=1
     seen = [tuple(v) for _, v in ca]
     assert len(set(seen)) == 3
+
+
+def test_ivf_centroids_sample_is_shuffle_free(spark):
+    """The unique-id common case must pick centroids without a corpus-wide
+    distinct() exchange: the id sample is a 4k-oversampled TakeOrdered
+    (zero shuffles) deduped on the driver."""
+    from beacon_indexer_spark.operators.similarity import ivf_centroids
+
+    rows = [(i, [float(i % 7), 1.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sample = (
+        df.select(F.col("vec_id").alias("id"))
+        .filter(F.col("id").isNotNull())
+        .withColumn("__r", F.md5(F.col("id").cast("string")))
+        .orderBy("__r")
+        .limit(4 * 8)
+    )
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    cents = ivf_centroids(df, k=8)
+    assert len(cents) == 8
+    assert len({tuple(v) for _, v in cents}) <= 8
+
+
+def test_ivf_centroids_heavy_duplication_fallback(spark):
+    """Dup rate > 75% can exhaust the 4k oversample with < k distinct ids;
+    the distinct() fallback must still deliver k distinct centroids, and
+    the result must match what a unique-id frame of the same ids gives
+    (determinism contract is md5-order over DISTINCT ids either way)."""
+    import hashlib
+
+    from beacon_indexer_spark.operators.similarity import ivf_centroids
+
+    ids = list(range(10))
+    # replicate the md5-smallest id enough to flood the 4k=16 oversample
+    hot = min(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    rows = [(i, [float(i), 2.0]) for i in ids]
+    rows += [(hot, [float(hot), 2.0])] * 64
+    dup = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uniq = spark.createDataFrame(
+        [(i, [float(i), 2.0]) for i in ids], "vec_id long, embedding array<double>"
+    )
+    cd = ivf_centroids(dup, k=4)
+    cu = ivf_centroids(uniq, k=4)
+    assert len(cd) == 4
+    assert [v for _, v in cd] == [v for _, v in cu]
