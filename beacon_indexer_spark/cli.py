@@ -4,6 +4,7 @@
     python -m beacon_indexer_spark load backfill --start-slot S --end-slot E
     python -m beacon_indexer_spark load realtime [--iterations N]
     python -m beacon_indexer_spark transform batch [--raw-table T]
+    python -m beacon_indexer_spark curate run --docs PATH|TABLE [--prefix P]
     python -m beacon_indexer_spark maintain status|gaps|integrity|reset|fix|compact|rollup|profile
 
 Lifecycle parity (SURVEY §3): backfill = chunk plan → distributed fetch →
@@ -65,6 +66,18 @@ def build_parser() -> argparse.ArgumentParser:
     tb = tr.add_parser("batch")
     tb.add_argument("--raw-table", default="raw_blocks")
     tb.add_argument("--limit", type=int, default=50)
+
+    cu = sub.add_parser("curate").add_subparsers(dest="subcommand", required=True)
+    cr = cu.add_parser("run")
+    cr.add_argument("--docs", required=True,
+                    help="documents input: a parquet path (contains '/' or "
+                         "ends in .parquet) or a lake table name")
+    cr.add_argument("--id-col", default="doc_id")
+    cr.add_argument("--text-col", default="text")
+    cr.add_argument("--quality-threshold", type=float, default=0.5)
+    cr.add_argument("--prefix", default="curation",
+                    help="output tables: <prefix>_keep_list, "
+                         "<prefix>_manifest, <prefix>_summary")
 
     mt = sub.add_parser("maintain").add_subparsers(dest="subcommand", required=True)
     st = mt.add_parser("status")
@@ -190,6 +203,44 @@ def main(
         out["chunks"] = [
             {"start_slot": s, "end_slot": e, "rows": c} for s, e, c in results
         ]
+
+    elif (args.command, args.subcommand) == ("curate", "run"):
+        # production curation: the STAGED pipeline (plans/pipeline.py
+        # CurationRun) computes LSH→connected-components ONCE and derives
+        # keep-list / manifest / summary from that staged frame — the
+        # standalone oracle queries would rebuild it three times. The
+        # progress manifest records the run like any transform batch.
+        from beacon_indexer_spark.plans.pipeline import CurationRun
+
+        if "/" in args.docs or args.docs.endswith(".parquet"):
+            docs = spark.read.parquet(args.docs)
+        else:
+            docs = lake.read(args.docs)
+        run = CurationRun(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            quality_threshold=args.quality_threshold,
+        )
+        lake.write(f"{args.prefix}_keep_list", run.keep_list())
+        lake.write(f"{args.prefix}_manifest", run.manifest())
+        summary = run.summary()
+        lake.write(f"{args.prefix}_summary", summary)
+        srow = lake.read(f"{args.prefix}_summary").collect()[0].asDict()
+        srow.pop("inserted_at", None)
+        progress.record(
+            f"curate:{args.docs}", 0, 0, "completed",
+            processed_count=int(srow["n_docs"]),
+        )
+        out["curate"] = {
+            "docs": args.docs,
+            "tables": [
+                f"{args.prefix}_keep_list",
+                f"{args.prefix}_manifest",
+                f"{args.prefix}_summary",
+            ],
+            **srow,
+        }
 
     elif (args.command, args.subcommand) == ("maintain", "status"):
         out["chunks"] = [r.asDict() for r in ledger.counts().collect()]

@@ -4967,6 +4967,92 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py — Xie et al. 2023):
+    score every document by the hashed-bigram log-likelihood ratio of the
+    English subcorpus (target) vs the whole corpus (raw), then draw 128
+    keepers by deterministic Gumbel top-k. The distribution-matching
+    member of the curation suite (quality/dedup/decontaminate/mixture
+    cover the rest). Every fit shuffle is bucket-bounded (256 rows), the
+    log-ratio table broadcasts, the per-doc weight folds sequentially in
+    bucket order (engine-reproducible), and the top-k is a TakeOrdered —
+    no global sort, no window, no UDF. Feature counts are staged once
+    (lazy localCheckpoint) and feed the target aggregate, the raw
+    aggregate, and the scoring join from the same materialization."""
+    from beacon_indexer_spark.operators import dsir as DS
+
+    n_buckets = 256
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    counts = DS.hashed_ngram_counts(
+        docs, "doc_id", "text", n_buckets=n_buckets
+    ).localCheckpoint(eager=False)
+    en_ids = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("id")
+    )
+    target_counts = counts.join(en_ids, "id", "left_semi")
+    lr = DS.dsir_bucket_logratio(target_counts, counts, n_buckets=n_buckets)
+    weights = DS.dsir_log_weights(counts, lr).localCheckpoint(eager=False)
+    out = DS.dsir_resample(weights, keep_k=128)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_feat").cast("long").alias("n_feat"),
+        F.round("log_weight", 6).alias("log_weight"),
+        "keep",
+    )
+
+
+def _oracle_doc_dsir_sql(n_buckets: int = 256, keep_k: int = 128) -> str:
+    """DuckDB mirror of q_doc_dsir_weights: identical salted md5-60 bucket
+    hash, add-1 smoothed bucket log-ratio, bucket-ordered sequential fold
+    per doc, and md5-uniform Gumbel top-k with the same (rounded key desc,
+    id) total order."""
+    ng_bucket = _dd_md5_long("concat('7:', ng)")
+    gum_hash = _dd_md5_long("concat('11:', CAST(doc_id AS VARCHAR))")
+    gum_u = f"({gum_hash} + 0.5) / 1152921504606846976.0"
+    b = float(n_buckets)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang, {_DD_TOKENS.format(c='text')} AS t FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(t,
+           list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                          i -> t[i] || ' ' || t[i + 1]))) AS ng
+  FROM tk),
+bf AS (
+  SELECT doc_id, lang, ({ng_bucket} % {n_buckets}) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM feats GROUP BY 1, 2, 3),
+tb AS (SELECT bucket, CAST(SUM(cnt) AS DOUBLE) AS c_t
+       FROM bf WHERE lang = 'en' GROUP BY 1),
+rb AS (SELECT bucket, CAST(SUM(cnt) AS DOUBLE) AS c_r FROM bf GROUP BY 1),
+tt AS (SELECT SUM(c_t) AS T_t FROM tb),
+tr AS (SELECT SUM(c_r) AS T_r FROM rb),
+lr AS (
+  SELECT rb.bucket,
+         ln((COALESCE(tb.c_t, 0.0) + 1.0) / (tt.T_t + {b}))
+       - ln((rb.c_r + 1.0) / (tr.T_r + {b})) AS log_ratio
+  FROM rb LEFT JOIN tb USING (bucket), tt, tr),
+dw AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_feat,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(cnt AS DOUBLE) * log_ratio ORDER BY bucket)),
+           (a, x) -> a + x) AS lw
+  FROM bf JOIN lr USING (bucket)
+  GROUP BY doc_id),
+gk AS (
+  SELECT doc_id, n_feat, lw,
+         round(lw + -ln(-ln({gum_u})), 6) AS g
+  FROM dw),
+win AS (SELECT doc_id FROM gk ORDER BY g DESC, doc_id LIMIT {keep_k})
+SELECT CAST(gk.doc_id AS BIGINT) AS doc_id, n_feat,
+       round(lw, 6) AS log_weight,
+       (win.doc_id IS NOT NULL) AS keep
+FROM gk LEFT JOIN win ON gk.doc_id = win.doc_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -5074,6 +5160,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_term_drift": q_corpus_term_drift,
     "forecast_revenue_change": q_forecast_revenue_change,
     "orders_status_cube": q_orders_status_cube,
+    "doc_dsir_weights": q_doc_dsir_weights,
 }
 
 
@@ -5185,4 +5272,5 @@ def oracles() -> dict[str, str]:
         "corpus_term_drift": ORACLE_CORPUS_TERM_DRIFT,
         "forecast_revenue_change": ORACLE_FORECAST_REVENUE_CHANGE,
         "orders_status_cube": ORACLE_ORDERS_STATUS_CUBE,
+        "doc_dsir_weights": _oracle_doc_dsir_sql(256, 128),
     }

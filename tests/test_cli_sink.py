@@ -357,3 +357,86 @@ def test_cli_maintain_profile(spark, capsys, seeded_lake):
     assert prof["slot"]["n_distinct"] == 10
     assert prof["slot"]["min_value"] == str(SLOT0)
     assert prof["payload_hash"]["n_distinct"] == 10
+
+
+def test_cli_curate_run(spark, capsys, tmp_path):
+    """`curate run` writes keep-list/manifest/summary through the STAGED
+    CurationRun pipeline, records the run in the progress manifest, and
+    reports the summary row. Golden contract mirrored on a corpus with one
+    near-dup cluster {1,2,3} and two singletons."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, base),
+            (4, "completely different text about spark partitioning at scale"),
+            (5, "another unique document with its own words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_path)
+    lake_dir = str(tmp_path / "lake")
+
+    out = _run(
+        capsys,
+        ["--lake-dir", lake_dir, "curate", "run", "--docs", docs_path],
+        spark,
+    )
+    assert out["curate"]["n_docs"] == 5
+    assert out["curate"]["n_clusters"] == 1
+    assert out["curate"]["n_dup_docs"] == 3
+    assert out["curate"]["n_kept"] == 3  # 5 - (3 - 1) removed dups
+
+    lake = ParquetLake(spark, lake_dir, GNOSIS)
+    keep = {r["doc_id"]: r["keep"] for r in lake.read("curation_keep_list").collect()}
+    assert keep == {1: 1, 2: 0, 3: 0, 4: 1, 5: 1}
+    man = lake.read("curation_manifest")
+    assert {"doc_id", "cluster_id", "keep", "q6", "q_pass", "split", "include"} <= set(
+        man.columns
+    )
+    assert man.count() == 5
+    # the run is recorded in the transformer progress manifest
+    prog = spark.read.parquet(f"{lake_dir}/_control/transformer_progress")
+    rec = prog.filter(prog.raw_table_name == f"curate:{docs_path}").collect()
+    assert len(rec) == 1 and rec[0]["status"] == "completed"
+    assert rec[0]["processed_count"] == 5
+
+
+def test_cli_curate_stages_clusters_once(spark, capsys, tmp_path):
+    """The CLI route must go through the staged pipeline: the manifest
+    written by `curate run` is derived from checkpoint-backed cluster
+    blocks (same one-pass property test_curation_run_stages_clusters_once
+    asserts on the library path). Asserted here structurally: the
+    CurationRun class is what the CLI instantiates — monkeypatch it to
+    count constructions and verify exactly ONE per run."""
+    from beacon_indexer_spark.plans import pipeline as P
+
+    calls = []
+    orig = P.CurationRun
+
+    class Counting(orig):
+        def __init__(self, *a, **kw):
+            calls.append(1)
+            super().__init__(*a, **kw)
+
+    P.CurationRun = Counting
+    try:
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [(1, base), (2, base), (3, "something else entirely different")],
+            "doc_id long, text string",
+        )
+        docs_path = str(tmp_path / "docs2.parquet")
+        docs.write.parquet(docs_path)
+        out = _run(
+            capsys,
+            ["--lake-dir", str(tmp_path / "lake2"), "curate", "run",
+             "--docs", docs_path],
+            spark,
+        )
+        assert calls == [1]  # one staged pipeline per run, never per output
+        assert out["curate"]["n_docs"] == 3
+    finally:
+        P.CurationRun = orig
