@@ -1049,6 +1049,7 @@ def fuzzy_name_pairs(
     max_dist: int = 3,
     band_lengths: bool | None = None,
     band_threshold_rows: int = 100_000,
+    band_min_spread: int = 8,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: rows whose `name_col` values are
     within `max_dist` Levenshtein edits, restricted to rows sharing the
@@ -1058,8 +1059,7 @@ def fuzzy_name_pairs(
     never runs globally; the self-join is an EQUI-join on the blocking
     key (one key shuffle), so cost is Σ block_size² over blocks. Two
     semantics-preserving refinements keep that sum in check when block
-    keys are coarser than the corpus growth (the round-5 sf1 measurement:
-    110 s → the length-banded plan below):
+    keys are coarser than the corpus growth:
 
     * LENGTH BANDING (adaptive). dist ≤ d implies |len(a) − len(b)| ≤ d,
       so each block is subdivided by name-length bands of width d+1: the
@@ -1067,13 +1067,19 @@ def fuzzy_name_pairs(
       {b−1, b, b+1}. Every qualifying pair matches in EXACTLY one
       replica (band_a − band_b is a single fixed value), so no dedup
       pass is needed, and candidate volume drops from Σ block² to
-      Σ (block ∩ length-band)² × 3. The replication pays 3× shuffle
-      volume whether or not blocks need subdividing — a measured ~2×
-      regression on small inputs where blocks are already tight — so
-      ``band_lengths=None`` (the default) probes the input row count
-      (one count job over a lazily localCheckpointed frame that the join
-      then reuses, the `broadcast_if_small` pattern) and bands only above
-      ``band_threshold_rows``; pass True/False to force either plan.
+      Σ (block ∩ length-band)² × 3. The replication pays a fixed ~3×
+      shuffle volume, so it only wins when subdivision actually splits
+      blocks — which requires the NAME-LENGTH SPREAD to cover many bands.
+      Measured both ways: at sf0.1 (20k rows) unconditional banding cost
+      ~2×; at sf1 (200k rows, homogeneous two-word names spanning ~3
+      bands) banded 139 s vs unbanded 122 s — subdivision gained nothing
+      and the replication roughly cancelled it. ``band_lengths=None``
+      (the default) therefore probes ONE small aggregate over a lazily
+      localCheckpointed frame (count, min/max name length — the frame
+      the join then reuses) and bands only when rows >
+      ``band_threshold_rows`` AND the length range spans at least
+      ``band_min_spread`` bands (wide-spread corpora: titles, addresses,
+      product descriptions). Pass True/False to force either plan.
     * THRESHOLDED VERIFY. `levenshtein(a, b, threshold)` abandons the
       DP once the distance provably exceeds d — O(len·d) per pair, not
       O(len²) — and rejects |len(a) − len(b)| > d in O(1) before
@@ -1090,11 +1096,20 @@ def fuzzy_name_pairs(
     ride along in the output (constant within a pair by construction), so
     per-block rollups need no re-join against the input.
     """
+    w = max_dist + 1
     if band_lengths is None:
         df = df.localCheckpoint(eager=False)
-        band_lengths = df.count() > band_threshold_rows
+        probe = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.length(F.col(name_col))).alias("mn"),
+            F.max(F.length(F.col(name_col))).alias("mx"),
+        ).collect()[0]
+        spread_bands = ((probe["mx"] or 0) - (probe["mn"] or 0)) // w + 1
+        band_lengths = (
+            probe["n"] > band_threshold_rows
+            and spread_bands >= band_min_spread
+        )
     if band_lengths:
-        w = max_dist + 1
         band = (F.length(F.col(name_col)) / w).cast("long")
         left = df.select(
             *[F.col(c) for c in block_cols],

@@ -5053,6 +5053,222 @@ FROM gk LEFT JOIN win ON gk.doc_id = win.doc_id
 """
 
 
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: for each Jaccard threshold, how many
+    LSH candidate pairs verify as true duplicates and how many documents
+    they touch — the measurement that picks the production threshold
+    BEFORE committing a full-corpus dedup at a given strictness. The
+    exact Jaccard is CANDIDATE-DRIVEN (same `candidate_common_shingles`
+    bound as the estimator audit: pairs × shingles-per-doc, never a
+    shingle self-join), computed ONCE, and the 5-threshold sweep is an
+    explode over that one pair frame — the whole curve costs one extra
+    pairs×5 aggregation, not 5 dedup runs."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures(
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+    ).localCheckpoint(eager=False)
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
+        shingle_n=3, sigs=sigs,
+    ).localCheckpoint(eager=False)
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    common = D.candidate_common_shingles(
+        pairs, sh, id_col="id", shingle_col="__s"
+    ).withColumnRenamed("n_common", "__c")
+    jac = (
+        pairs.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .join(common, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b",
+            F.coalesce(
+                F.col("__c")
+                / (F.col("__na") + F.col("__nb") - F.col("__c")),
+                F.lit(0.0),
+            ).alias("__jac"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    passed = jac.select("id_a", "id_b", "__jac", th).filter(
+        F.col("__jac") >= F.col("threshold")
+    )
+    n_pairs = passed.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        passed.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("__id")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    grid = spark.createDataFrame(
+        [(float(t),) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    return (
+        grid.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _oracle_threshold_sweep_sql() -> str:
+    ts = ", ".join(repr(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+WITH {_dd_minhash_keyed_ctes()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sh2 AS (SELECT doc_id AS id, unnest(sh) AS s FROM base),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh2 GROUP BY 1),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT p.id_a, p.id_b,
+         COALESCE(CAST(c.c AS DOUBLE) / (na.n + nb.n - c.c), 0.0) AS j
+  FROM pairs p
+  JOIN sizes na ON na.id = p.id_a
+  JOIN sizes nb ON nb.id = p.id_b
+  LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b),
+grid AS (SELECT CAST(unnest([{ts}]) AS DOUBLE) AS threshold),
+np AS (
+  SELECT g.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM grid g JOIN jac ON jac.j >= g.threshold GROUP BY 1),
+nd AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+    SELECT DISTINCT g.threshold, u.id
+    FROM grid g JOIN jac ON jac.j >= g.threshold,
+         LATERAL (SELECT unnest([jac.id_a, jac.id_b]) AS id) u)
+  GROUP BY 1)
+SELECT g.threshold,
+       COALESCE(np.n_pairs, 0) AS n_pairs,
+       COALESCE(nd.n_docs, 0) AS n_docs
+FROM grid g
+LEFT JOIN np ON np.threshold = g.threshold
+LEFT JOIN nd ON nd.threshold = g.threshold
+"""
+
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (the dataset-ordering / curriculum
+    signal): the fraction of a doc's distinct 3-gram shingles whose FIRST
+    corpus occurrence (min doc_id over containing docs) is this doc —
+    1.0 for fully novel content, → 0 for documents that only restate
+    earlier material. Plan: one (shingle) min-aggregate (shingle-
+    vocabulary-bounded), one join back through the same (id, shingle)
+    frame, one per-doc aggregate — the `doc_tfidf` shuffle shape."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
+    ).distinct()
+    first = sh.groupBy("__s").agg(F.min("id").alias("__fid"))
+    return (
+        sh.join(first, "__s")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum((F.col("id") == F.col("__fid")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_distinct",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_distinct"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+ORACLE_DOC_NGRAM_NOVELTY = f"""
+WITH base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents),
+sh2 AS (SELECT doc_id AS id, unnest(sh) AS s FROM base),
+first AS (SELECT s, MIN(id) AS fid FROM sh2 GROUP BY 1)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN id = fid THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(SUM(CASE WHEN id = fid THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM sh2 JOIN first USING (s)
+GROUP BY id
+"""
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (dead/saturated/drifting
+    dimensions are the first thing to check before trusting ANN recall):
+    mean, population std, min, max per coordinate. posexplode streams
+    each vector through codegen; the only shuffle is the (dim) aggregate
+    — 64 groups regardless of corpus size, with map-side partial
+    aggregation carrying one partial per dim per task."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    x = e.select(
+        F.posexplode("embedding").alias("dim", "__x")
+    ).select(F.col("dim").cast("long").alias("dim"), F.col("__x").cast("double").alias("__x"))
+    agg = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
+        F.min("__x").alias("__mn"),
+        F.max("__x").alias("__mx"),
+    )
+    mean = F.col("__s") / F.col("n")
+    var = F.col("__s2") / F.col("n") - mean * mean
+    return agg.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+        F.round("__mn", 6).alias("min_x"),
+        F.round("__mx", 6).alias("max_x"),
+    )
+
+
+ORACLE_EMBEDDING_DIM_STATS = """
+WITH x AS (
+  SELECT s.i - 1 AS dim, CAST(e.embedding[s.i] AS DOUBLE) AS x
+  FROM embeddings e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s),
+agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s, SUM(x * x) AS s2,
+         MIN(x) AS mn, MAX(x) AS mx
+  FROM x GROUP BY 1)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       round(s / n, 6) AS mean,
+       round(sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)), 6) AS std,
+       round(mn, 6) AS min_x,
+       round(mx, 6) AS max_x
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -5161,6 +5377,9 @@ QUERIES: dict[str, QueryFn] = {
     "forecast_revenue_change": q_forecast_revenue_change,
     "orders_status_cube": q_orders_status_cube,
     "doc_dsir_weights": q_doc_dsir_weights,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "doc_ngram_novelty": q_doc_ngram_novelty,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }
 
 
@@ -5273,4 +5492,7 @@ def oracles() -> dict[str, str]:
         "forecast_revenue_change": ORACLE_FORECAST_REVENUE_CHANGE,
         "orders_status_cube": ORACLE_ORDERS_STATUS_CUBE,
         "doc_dsir_weights": _oracle_doc_dsir_sql(256, 128),
+        "dedup_threshold_sweep": _oracle_threshold_sweep_sql(),
+        "doc_ngram_novelty": ORACLE_DOC_NGRAM_NOVELTY,
+        "embedding_dim_stats": ORACLE_EMBEDDING_DIM_STATS,
     }

@@ -344,9 +344,13 @@ def test_fuzzy_band_adaptive_plans_equivalent(spark):
 
 
 def test_fuzzy_band_threshold_engages(spark):
-    """Above band_threshold_rows the auto path must pick the banded plan."""
-    rows = [(i, "name %d" % (i % 5), "b") for i in range(30)]
-    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    """Above band_threshold_rows AND with a wide name-length spread the
+    auto path must pick the banded plan; with homogeneous lengths it must
+    NOT (banding's fixed 3x replication buys nothing — measured at sf1)."""
+    wide = [
+        (i, "x" * (5 + (i * 7) % 60), "b") for i in range(40)
+    ]  # lengths 5..64 → ~16 bands of width 4
+    df = spark.createDataFrame(wide, "id long, name string, blk string")
     auto = D.fuzzy_name_pairs(
         df, "id", "name", ["blk"], max_dist=3, band_threshold_rows=10
     )
@@ -360,3 +364,16 @@ def test_fuzzy_band_threshold_engages(spark):
         return sorted((r["id_a"], r["id_b"], r["dist"]) for r in d.collect())
 
     assert key(auto) == key(banded)
+
+    # homogeneous lengths: many rows but ~1 band → stay unbanded
+    flat = [(i, "name %d" % (i % 5), "b") for i in range(30)]
+    df2 = spark.createDataFrame(flat, "id long, name string, blk string")
+    auto2 = D.fuzzy_name_pairs(
+        df2, "id", "name", ["blk"], max_dist=3, band_threshold_rows=10
+    )
+    plan2 = auto2._jdf.queryExecution().optimizedPlan().toString()
+    assert "__lb" not in plan2
+    assert key(auto2) == key(
+        D.fuzzy_name_pairs(df2, "id", "name", ["blk"], max_dist=3,
+                           band_lengths=False)
+    )

@@ -117,6 +117,83 @@ def gen_part(rng: np.random.Generator, mult: int) -> pa.Table:
     )
 
 
+def gen_events(rng: np.random.Generator, mult: int) -> pa.Table:
+    """mult× events over the SAME time window (10× data in a period means
+    10× temporal density — the property the nearest-event/sessionize work
+    scales with). Empirical draws: per-user event-count skew is preserved
+    by sampling original user ids and striping them across mult id blocks;
+    types/values resample the source distributions. The ts column keeps
+    the source's physical parquet type so the engine's `_t()` read path
+    behaves identically."""
+    t = _read("events")
+    src_users = t.column("user_id").to_numpy()
+    src_types = t.column("event_type").to_pylist()
+    src_vals = t.column("value").to_numpy()
+    ts_col = t.column("ts")
+    # draw in the SOURCE's physical unit (int64 view of the timestamp)
+    ts_int = ts_col.cast(pa.int64()).to_numpy()
+    n_users = int(src_users.max()) + 1
+    n = len(src_users) * mult
+    ts = np.sort(
+        rng.integers(int(ts_int.min()), int(ts_int.max()) + 1, size=n)
+    )
+    users = (
+        src_users[rng.integers(0, len(src_users), size=n)]
+        + rng.integers(0, mult, size=n) * n_users
+    )
+    tvals, tcnt = np.unique(src_types, return_counts=True)
+    types = rng.choice(tvals, size=n, p=tcnt / tcnt.sum())
+    vals = src_vals[rng.integers(0, len(src_vals), size=n)]
+    ks = rng.integers(0, 100, size=n)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(ts_col.type),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types),
+            "value": pa.array(np.round(vals, 2), pa.float64()),
+            "props": pa.array([f'{{"k": {k}}}' for k in ks]),
+        }
+    )
+
+
+def gen_orders(rng: np.random.Generator, mult: int) -> pa.Table:
+    """mult× orders: per-customer order-count skew preserved by striping
+    sampled custkeys across mult id blocks; status/priority/price resample
+    the source distributions; dates uniform over the source window in the
+    source's physical unit."""
+    t = _read("orders")
+    cust = t.column("o_custkey").to_numpy()
+    n_cust = int(cust.max()) + 1
+    status = t.column("o_orderstatus").to_pylist()
+    prio = t.column("o_orderpriority").to_pylist()
+    price = t.column("o_totalprice").to_numpy()
+    d_col = t.column("o_orderdate")
+    d_int = d_col.cast(pa.int64()).to_numpy()
+    n = len(cust) * mult
+    sv, sc = np.unique(status, return_counts=True)
+    pv, pc = np.unique(prio, return_counts=True)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array(
+                cust[rng.integers(0, len(cust), size=n)]
+                + rng.integers(0, mult, size=n) * n_cust,
+                pa.int64(),
+            ),
+            "o_orderstatus": pa.array(rng.choice(sv, size=n, p=sc / sc.sum())),
+            "o_totalprice": pa.array(
+                np.round(price[rng.integers(0, len(price), size=n)], 2)
+            ),
+            "o_orderdate": pa.array(
+                np.sort(rng.integers(int(d_int.min()), int(d_int.max()) + 1, size=n)),
+                pa.int64(),
+            ).cast(d_col.type),
+            "o_orderpriority": pa.array(rng.choice(pv, size=n, p=pc / pc.sum())),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -128,6 +205,8 @@ def main() -> None:
         ("documents", gen_documents),
         ("embeddings", gen_embeddings),
         ("part", gen_part),
+        ("events", gen_events),
+        ("orders", gen_orders),
     ):
         tbl = fn(rng, args.mult)
         pq.write_table(tbl, f"{args.out}/{name}.parquet")
