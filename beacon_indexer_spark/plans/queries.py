@@ -5269,6 +5269,224 @@ FROM agg
 """
 
 
+_MIX_ALPHA = 0.3  # XLM-R-style sampling temperature
+
+
+def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling plan (the Conneau et al.
+    XLM-R α-smoothing): per-language token shares reweighted as
+    p_l^α / Σ p_m^α with α = 0.3 — upsamples tail languages relative to
+    their raw share without flattening to uniform. Output per language:
+    raw share, smoothed sampling weight, and the expected tokens drawn
+    under a fixed budget. Pure |langs|-bounded aggregation; the share
+    normalizers attach as broadcast one-row aggregates (never a window)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    per_lang = (
+        docs.select("lang", X.token_count("text").alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("double").alias("__T"))
+    shared = per_lang.crossJoin(F.broadcast(tot)).withColumn(
+        "__p", F.col("n_tokens") / F.col("__T")
+    ).withColumn("__pa", F.pow("__p", F.lit(_MIX_ALPHA)))
+    za = shared.agg(F.sum("__pa").alias("__Z"))
+    out = shared.crossJoin(F.broadcast(za))
+    q = F.col("__pa") / F.col("__Z")
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round("__p", 6).alias("raw_share"),
+        F.round(q, 6).alias("sample_weight"),
+        F.floor(q * F.lit(float(_MIXTURE_BUDGET))).cast("long").alias(
+            "planned_tokens"
+        ),
+    )
+
+
+ORACLE_DOC_MIXTURE_TEMPERATURE = f"""
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_DD_TOKENS.format(c='text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM per_lang),
+shared AS (
+  SELECT lang, n_docs, n_tokens, n_tokens / tot.t AS p,
+         pow(n_tokens / tot.t, {_MIX_ALPHA!r}) AS pa
+  FROM per_lang, tot),
+za AS (SELECT SUM(pa) AS z FROM shared)
+SELECT lang, n_docs, n_tokens,
+       round(p, 6) AS raw_share,
+       round(pa / za.z, 6) AS sample_weight,
+       CAST(floor(pa / za.z * {float(_MIXTURE_BUDGET)!r}) AS BIGINT)
+         AS planned_tokens
+FROM shared, za
+"""
+
+
+def q_dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash (Li & König 2010): store only the lowest b = 4 bits
+    of each of the k signatures — a 7.75/8 storage cut on 31-bit sigs —
+    and correct the inflated match rate analytically: collisions between
+    UNRELATED rows happen with probability C = 2^-b, so
+    Ĵ_b = max(0, (m_b − C) / (1 − C)) where m_b is the b-bit agreement
+    fraction. Output per LSH candidate pair: the full-signature estimate
+    and the corrected b-bit estimate side by side — the audit that says
+    whether the 8× smaller index is safe to ship. One signature pass
+    (staged, shared with the banding), pair-bounded joins."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures(
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+    ).localCheckpoint(eager=False)
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
+        shingle_n=3, sigs=sigs,
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"__a{i}") for i in range(_MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"__b{i}") for i in range(_MINHASH_K)],
+    )
+    full = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        for i in range(_MINHASH_K)
+    )
+    bbit = sum(
+        ((F.col(f"__a{i}") % 16) == (F.col(f"__b{i}") % 16)).cast("int")
+        for i in range(_MINHASH_K)
+    )
+    c = 1.0 / 16.0
+    mb = bbit / F.lit(float(_MINHASH_K))
+    est_b = F.greatest(F.lit(0.0), (mb - F.lit(c)) / F.lit(1.0 - c))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round(full / F.lit(float(_MINHASH_K)), 4).alias("jaccard_est"),
+            F.round(est_b, 4).alias("jaccard_bbit"),
+        )
+    )
+
+
+def _oracle_minhash_bbit_sql() -> str:
+    full_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_K)
+    )
+    bbit_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} % 16 = sb.sig_{i} % 16 THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_K)
+    )
+    k = float(_MINHASH_K)
+    return f"""
+WITH {_dd_minhash_keyed_ctes()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
+       round(({full_sum}) / {k!r}, 4) AS jaccard_est,
+       round(greatest(0.0,
+         (({bbit_sum}) / {k!r} - 0.0625) / 0.9375), 4) AS jaccard_bbit
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_a
+JOIN sigs sb ON sb.doc_id = p.id_b
+"""
+
+
+def q_events_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence mining: the top-20 event-type TRIGRAMS across
+    user sessions (30-min-gap sessionization → per-session ordered type
+    string → sliding 3-grams → global counts). The per-user windows are
+    the sessionize shape (partitioned, never global); the trigram counts
+    aggregate over a |types|³-bounded key space; the final top-20 is a
+    TakeOrdered on (count desc, trigram)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("event_type").alias("t"))
+            )
+        ).alias("__evs")
+    )
+    types = F.transform(F.col("__evs"), lambda s: s["t"])
+    tri = seqs.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.zip_with(
+                        types,
+                        F.slice(types, 2, F.greatest(F.size(types) - 1, F.lit(0))),
+                        lambda a, b: F.concat(a, F.lit(">"), b),
+                    ),
+                    F.slice(types, 3, F.greatest(F.size(types) - 2, F.lit(0))),
+                    lambda ab, c: F.concat(ab, F.lit(">"), c),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(20)
+    )
+
+
+ORACLE_EVENTS_TYPE_SEQUENCES = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flags AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ordered),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags),
+seqs AS (
+  SELECT user_id, session_id,
+         list(event_type ORDER BY ts, event_id) AS tl
+  FROM sess GROUP BY 1, 2),
+tri AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(tl) - 2, 0)),
+           i -> tl[i] || '>' || tl[i + 1] || '>' || tl[i + 2])) AS trigram
+  FROM seqs)
+SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri GROUP BY 1
+ORDER BY n DESC, trigram
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -5380,6 +5598,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "doc_ngram_novelty": q_doc_ngram_novelty,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "doc_mixture_temperature": q_doc_mixture_temperature,
+    "dedup_minhash_bbit": q_dedup_minhash_bbit,
+    "events_type_sequences": q_events_type_sequences,
 }
 
 
@@ -5495,4 +5716,7 @@ def oracles() -> dict[str, str]:
         "dedup_threshold_sweep": _oracle_threshold_sweep_sql(),
         "doc_ngram_novelty": ORACLE_DOC_NGRAM_NOVELTY,
         "embedding_dim_stats": ORACLE_EMBEDDING_DIM_STATS,
+        "doc_mixture_temperature": ORACLE_DOC_MIXTURE_TEMPERATURE,
+        "dedup_minhash_bbit": _oracle_minhash_bbit_sql(),
+        "events_type_sequences": ORACLE_EVENTS_TYPE_SEQUENCES,
     }

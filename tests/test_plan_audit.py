@@ -29,6 +29,7 @@ _ALLOWED_CROSS = {
     "users_retained_intersect",  # broadcast ONE-ROW time-bounds attach
     "corpus_dedup_summary",  # cross-join of three ONE-ROW aggregates
     "corpus_term_drift",  # broadcast ONE-ROW totals/vocab attach
+    "doc_mixture_temperature",  # broadcast ONE-ROW total + Z attach
 }
 
 # iterative operator: executes during plan construction; its final plan is
