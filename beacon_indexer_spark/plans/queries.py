@@ -5487,6 +5487,219 @@ LIMIT 20
 """
 
 
+def q_doc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup ACTION: within each near-dup cluster keep the
+    HIGHEST-QUALITY document (q6 desc, doc_id asc tie-break) instead of
+    the min-id canonical — the keep policy real curation uses (Dolma,
+    FineWeb: among near-dups, keep the best copy, not the first). Same
+    LSH→CC spine as `doc_keep_list`; the winner is a per-cluster
+    partitioned window (never global), and singletons keep themselves by
+    construction."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    spine = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(X.quality_score("text"), 6).alias("q6"),
+    )
+    joined = spine.join(D.broadcast_if_small(clusters), "doc_id", "left")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    staged = joined.select(
+        "doc_id", cid.cast("long").alias("cluster_id"), "q6"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q6"), F.asc("doc_id")
+    )
+    return staged.select(
+        "doc_id",
+        "cluster_id",
+        "q6",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
+
+
+def _oracle_doc_keep_best_sql() -> str:
+    return rf"""
+{_oracle_clusters_cte()}
+), t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens, n_chars, n_punct,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl
+  FROM t),
+q AS (
+  SELECT doc_id,
+         round((least(n_chars / 500.0, 1.0) * 0.4
+               + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
+               + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
+               * (CASE WHEN n_tokens > 0 THEN 1.0 ELSE 0.0 END), 6) AS q6
+  FROM m),
+staged AS (
+  SELECT CAST(q.doc_id AS BIGINT) AS doc_id,
+         CAST(COALESCE(cl.cluster_id, q.doc_id) AS BIGINT) AS cluster_id,
+         q.q6
+  FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id)
+SELECT doc_id, cluster_id, q6,
+       CAST(CASE WHEN row_number() OVER (
+           PARTITION BY cluster_id ORDER BY q6 DESC, doc_id) = 1
+           THEN 1 ELSE 0 END AS INT) AS keep
+FROM staged
+"""
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Okapi): top-10 documents for a fixed
+    3-term query. Plan: the token explode filters to the query terms
+    BEFORE any shuffle (|terms|-bounded everywhere after the scan),
+    document frequencies and average length attach as broadcast one-row/
+    |terms|-row aggregates, and the final top-10 is a TakeOrdered on the
+    ROUNDED score (engine-stable total order with doc_id tie-break). The
+    inverted-index sibling (`corpus_postings`) materializes the index;
+    this is the query-time scorer."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        X.token_count("text").alias("dl"),
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("t"),
+    ).filter(F.col("t").isin(*_BM25_TERMS))
+    tf = base.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.max("dl").alias("dl"),
+    )
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("N"),
+        F.avg(X.token_count("text")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "t", contrib.alias("__c"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t").alias("t"), F.col("__c").alias("c")))
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["c"],
+        ).alias("__score"),
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_terms_hit", F.round("__score", 6).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _oracle_doc_bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    toks = _DD_TOKENS.format(c="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, len({toks}) AS dl, unnest({toks}) AS t FROM documents),
+hits AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf, MAX(dl) AS dl
+  FROM base WHERE t IN ({terms}) GROUP BY 1, 2),
+dft AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM hits GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS N, AVG(len({toks})) AS avgdl
+  FROM documents),
+scored AS (
+  SELECT h.doc_id, h.t,
+         ln((s.N - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (h.tf * {_BM25_K1 + 1.0!r})
+         / (h.tf + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+            + {_BM25_B!r} * h.dl / s.avgdl)) AS c
+  FROM hits h JOIN dft d USING (t), stats s),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(c ORDER BY t)), (a, x) -> a + x) AS score
+  FROM scored GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_terms_hit,
+       round(score, 6) AS bm25
+FROM per_doc
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+_N_SHARDS = 16
+
+
+def q_doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout plan: deterministic md5 hash-sharding into 16
+    output shards with per-shard doc/token inventories and the
+    token-balance skew vs the mean shard (the check run before writing
+    training shards — a skewed shard becomes the slow file every data
+    loader waits on). |shards|-bounded aggregation; the mean attaches as
+    a broadcast one-row aggregate."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    from beacon_indexer_spark.operators.dedup import _md5_long
+
+    shard = (_md5_long(F.col("doc_id").cast("string"), 17) % _N_SHARDS)
+    per_shard = (
+        docs.select(shard.alias("shard"), X.token_count("text").alias("nt"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    mean = per_shard.agg(
+        (F.sum("n_tokens") / F.count(F.lit(1))).alias("__m")
+    )
+    return (
+        per_shard.crossJoin(F.broadcast(mean))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("__m"), 6).alias("skew"),
+        )
+    )
+
+
+def _oracle_doc_shard_plan_sql() -> str:
+    h = _dd_md5_long("concat('17:', CAST(doc_id AS VARCHAR))")
+    toks = _DD_TOKENS.format(c="text")
+    return f"""
+WITH per_shard AS (
+  SELECT ({h}) % {_N_SHARDS} AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({toks})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+m AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mt FROM per_shard)
+SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+       round(n_tokens / m.mt, 6) AS skew
+FROM per_shard, m
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -5601,6 +5814,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_mixture_temperature": q_doc_mixture_temperature,
     "dedup_minhash_bbit": q_dedup_minhash_bbit,
     "events_type_sequences": q_events_type_sequences,
+    "doc_keep_best": q_doc_keep_best,
+    "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_shard_plan": q_doc_shard_plan,
 }
 
 
@@ -5719,4 +5935,7 @@ def oracles() -> dict[str, str]:
         "doc_mixture_temperature": ORACLE_DOC_MIXTURE_TEMPERATURE,
         "dedup_minhash_bbit": _oracle_minhash_bbit_sql(),
         "events_type_sequences": ORACLE_EVENTS_TYPE_SEQUENCES,
+        "doc_keep_best": _oracle_doc_keep_best_sql(),
+        "doc_bm25_topk": _oracle_doc_bm25_sql(),
+        "doc_shard_plan": _oracle_doc_shard_plan_sql(),
     }

@@ -105,7 +105,11 @@ def main() -> None:
         }
     drift_vals = [c["drift"] for c in canary.values()]
     max_drift = max(drift_vals) if drift_vals else 1.0
-    drift_flag = max_drift > 1.2 or max_drift < 1 / 1.2
+    # flag BOTH directions on ANY canary: end slower than loop = the box
+    # got busier mid-run (r3/r5 contention); end much faster = the loop
+    # minima were taken before steady state (insufficient warmup) — either
+    # way round-over-round deltas from this run are unreliable
+    drift_flag = any(d > 1.2 or d < 1 / 1.2 for d in drift_vals)
 
     total = round(sum(timings.values()), 4)
     # The headline MUST be the last stdout line and stay short enough for a

@@ -30,11 +30,13 @@ _ALLOWED_CROSS = {
     "corpus_dedup_summary",  # cross-join of three ONE-ROW aggregates
     "corpus_term_drift",  # broadcast ONE-ROW totals/vocab attach
     "doc_mixture_temperature",  # broadcast ONE-ROW total + Z attach
+    "doc_bm25_topk",  # broadcast ONE-ROW N/avgdl attach
+    "doc_shard_plan",  # broadcast ONE-ROW mean-shard-tokens attach
 }
 
 # iterative operator: executes during plan construction; its final plan is
 # a checkpoint scan, so there is nothing to audit statically
-_ITERATIVE = {"dedup_clusters", "doc_keep_list", "semantic_dedup"}
+_ITERATIVE = {"dedup_clusters", "doc_keep_list", "doc_keep_best", "semantic_dedup"}
 
 
 @pytest.fixture(scope="module")
