@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--id-col", default="doc_id")
     cr.add_argument("--text-col", default="text")
     cr.add_argument("--quality-threshold", type=float, default=0.5)
+    cr.add_argument("--keep-policy", default="min_id",
+                    choices=["min_id", "best_quality"],
+                    help="which copy of a near-dup cluster survives: the "
+                         "minimum id (canonical) or the highest quality "
+                         "score (the Dolma/FineWeb policy)")
     cr.add_argument("--prefix", default="curation",
                     help="output tables: <prefix>_keep_list, "
                          "<prefix>_manifest, <prefix>_summary")
@@ -221,6 +226,7 @@ def main(
             id_col=args.id_col,
             text_col=args.text_col,
             quality_threshold=args.quality_threshold,
+            keep_policy=args.keep_policy,
         )
         lake.write(f"{args.prefix}_keep_list", run.keep_list())
         lake.write(f"{args.prefix}_manifest", run.manifest())

@@ -207,6 +207,7 @@ class CurationRun:
         quality_threshold: float = 0.5,
         split_fracs: list[tuple[str, float]] | None = None,
         max_bucket: int | None = 65536,
+        keep_policy: str = "min_id",
     ) -> None:
         from beacon_indexer_spark.operators.dedup import (
             broadcast_if_small,
@@ -214,10 +215,15 @@ class CurationRun:
             minhash_lsh_candidates,
         )
 
+        if keep_policy not in ("min_id", "best_quality"):
+            raise ValueError(
+                f"keep_policy must be 'min_id' or 'best_quality', got {keep_policy!r}"
+            )
         self.docs = docs
         self.id_col = id_col
         self.text_col = text_col
         self.quality_threshold = quality_threshold
+        self.keep_policy = keep_policy
         self.split_fracs = split_fracs or [
             ("train", 0.8), ("val", 0.1), ("test", 0.1)
         ]
@@ -236,20 +242,45 @@ class CurationRun:
             F.col(self.id_col).cast("long").alias(self.id_col)
         )
 
-    def keep_list(self) -> DataFrame:
-        """(doc_id, cluster_id, keep) — column-identical to
-        `doc_keep_list`, reading the staged cluster frame."""
-        joined = self._spine().join(self.clusters, self.id_col, "left")
-        cid = F.coalesce(F.col("cluster_id"), F.col(self.id_col))
-        return joined.select(
-            self.id_col,
-            cid.cast("long").alias("cluster_id"),
-            (cid == F.col(self.id_col)).cast("int").alias("keep"),
+    def _keep_col(self, cid):
+        """The keep verdict under the configured policy, evaluated over a
+        frame that carries ``cid`` (resolved cluster id) and — for
+        ``best_quality`` — a ``q6`` column. ``min_id`` keeps the cluster's
+        minimum id (the CC label, zero extra work); ``best_quality`` keeps
+        the highest-q6 copy (`doc_keep_best`'s Dolma/FineWeb policy) via a
+        per-cluster PARTITIONED window — never global."""
+        from pyspark.sql import Window
+
+        if self.keep_policy == "min_id":
+            return (cid == F.col(self.id_col)).cast("int")
+        w = Window.partitionBy(cid).orderBy(
+            F.desc("q6"), F.asc(self.id_col)
         )
+        return (F.row_number().over(w) == 1).cast("int")
+
+    def keep_list(self) -> DataFrame:
+        """(doc_id, cluster_id, [q6,] keep) — column-identical to
+        `doc_keep_list` (min_id policy) / `doc_keep_best` (best_quality
+        policy), reading the staged cluster frame."""
+        from beacon_indexer_spark.operators.text import quality_score
+
+        spine = self._spine()
+        if self.keep_policy == "best_quality":
+            spine = self.docs.select(
+                F.col(self.id_col).cast("long").alias(self.id_col),
+                F.round(quality_score(self.text_col), 6).alias("q6"),
+            )
+        joined = spine.join(self.clusters, self.id_col, "left")
+        cid = F.coalesce(F.col("cluster_id"), F.col(self.id_col))
+        cols = [self.id_col, cid.cast("long").alias("cluster_id")]
+        if self.keep_policy == "best_quality":
+            cols.append(F.col("q6"))
+        return joined.select(*cols, self._keep_col(cid).alias("keep"))
 
     def manifest(self) -> DataFrame:
         """(doc_id, cluster_id, keep, q6, q_pass, split, include) —
-        column-identical to `doc_curation_manifest`."""
+        column-identical to `doc_curation_manifest`; under
+        ``best_quality`` the keep flag follows `doc_keep_best`."""
         from beacon_indexer_spark.operators.sampling import split_assign
         from beacon_indexer_spark.operators.text import quality_score
 
@@ -260,7 +291,7 @@ class CurationRun:
         )
         joined = spine.join(self.clusters, self.id_col, "left")
         cid = F.coalesce(F.col("cluster_id"), F.col(self.id_col))
-        keep = (cid == F.col(self.id_col)).cast("int")
+        keep = self._keep_col(cid)
         q_pass = (F.col("q6") >= self.quality_threshold).cast("int")
         return joined.select(
             self.id_col,

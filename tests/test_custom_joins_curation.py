@@ -505,3 +505,53 @@ def test_curation_run_stages_clusters_once(spark):
     # exactly two sources: the docs spine and the staged cluster blocks —
     # a standalone recomputation would add the whole signature pipeline
     assert man_plan.count("Scan ExistingRDD") == 2
+
+
+def test_curation_run_best_quality_policy(spark):
+    """keep_policy='best_quality' must keep the highest-q6 copy per
+    cluster (doc_keep_best semantics) and stay consistent between
+    keep_list() and manifest(); min_id stays the default."""
+    from beacon_indexer_spark.operators.text import quality_score
+    from beacon_indexer_spark.plans.pipeline import CurationRun
+
+    docs = _curation_docs(spark)
+    run = CurationRun(docs, k=8, bands=4, shingle_n=3,
+                      keep_policy="best_quality")
+    kl = {r["doc_id"]: r for r in run.keep_list().collect()}
+    man = {r["doc_id"]: r for r in run.manifest().collect()}
+    # keep flags agree across outputs
+    assert all(kl[d]["keep"] == man[d]["keep"] for d in kl)
+    # within each cluster the kept doc has the max (q6, -id) key
+    q = {
+        r["doc_id"]: r["q6"]
+        for r in docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(quality_score("text"), 6).alias("q6"),
+        ).collect()
+    }
+    by_cluster = {}
+    for d, r in kl.items():
+        by_cluster.setdefault(r["cluster_id"], []).append(d)
+    for cid, members in by_cluster.items():
+        best = max(members, key=lambda d: (q[d], -d))
+        for d in members:
+            assert kl[d]["keep"] == (1 if d == best else 0)
+    # exactly one keeper per cluster
+    assert all(
+        sum(kl[d]["keep"] for d in ms) == 1 for ms in by_cluster.values()
+    )
+    # default stays min_id
+    dflt = CurationRun(docs, k=8, bands=4, shingle_n=3)
+    kd = {r["doc_id"]: r for r in dflt.keep_list().collect()}
+    assert all(
+        kd[d]["keep"] == (1 if kd[d]["cluster_id"] == d else 0) for d in kd
+    )
+
+
+def test_curation_run_rejects_bad_policy(spark):
+    import pytest as _pytest
+
+    from beacon_indexer_spark.plans.pipeline import CurationRun
+
+    with _pytest.raises(ValueError):
+        CurationRun(_curation_docs(spark), keep_policy="newest")
