@@ -5700,6 +5700,176 @@ FROM per_shard, m
 """
 
 
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge step (the tokenizer-training inner loop): count every
+    adjacent character pair inside whitespace tokens across the corpus
+    and rank the top-20 merge candidates — exactly what byte-pair
+    encoding's first iteration computes over a training corpus. Plan:
+    token explode → per-token char-pair explode (expression-only:
+    substring over a posexploded index range) → one |char-pairs|-bounded
+    aggregate (≤ alphabet² keys) → TakeOrdered. At 100 TB the shuffle
+    carries (pair, partial count) only."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    idx = tok.select(
+        "w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    ).filter(F.length("w") >= 2)
+    pair = F.concat(
+        F.substring(F.col("w"), F.col("i"), 1).alias("a"),
+        F.substring(F.col("w"), F.col("i") + 1, 1).alias("b"),
+    )
+    return (
+        idx.select(pair.alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+ORACLE_CORPUS_BPE_MERGES = rf"""
+WITH tok AS (
+  SELECT unnest({_DD_TOKENS.format(c='text')}) AS w FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> substr(w, i, 2))) AS pair
+  FROM tok WHERE len(w) >= 2)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (the KenLM-shaped quality proxy one
+    order up from `doc_unigram_logprob`): fit conditional bigram
+    probabilities p(w2|w1) = c(w1 w2)/c(w1·) over the corpus itself and
+    score each document by its mean bigram negative log-likelihood.
+    Repetitive/templated docs score low, off-distribution noise high —
+    and unlike the unigram version this catches scrambled word salad
+    with a plausible vocabulary. All model frames are vocabulary-bounded
+    (unigram and bigram count tables); they attach to the token stream
+    through equi-joins, never a window."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    big = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(X.word_shingles(F.col("text"), 2)).alias("bg"),
+    )
+    bg_counts = big.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("double").alias("__cb")
+    )
+    # left-context counts derive from the bigram table (vocabulary-
+    # bounded), not from a second corpus pass
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w1_counts = bg_counts.groupBy(w1.alias("w1")).agg(
+        F.sum("__cb").alias("__cw")
+    )
+    return (
+        big.join(bg_counts, "bg")
+        .join(w1_counts, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("__cw")) - F.log(F.col("__cb"))), 6
+            ).alias("mean_nll"),
+        )
+    )
+
+
+ORACLE_DOC_BIGRAM_LOGPROB = rf"""
+WITH tk AS (
+  SELECT doc_id, {_DD_TOKENS.format(c='text')} AS t FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tk),
+bgc AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS cb FROM big GROUP BY 1),
+w1c AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(cb) AS cw
+        FROM bgc GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(ln(w1c.cw) - ln(bgc.cb)), 6) AS mean_nll
+FROM big JOIN bgc USING (bg)
+JOIN w1c ON split_part(big.bg, ' ', 1) = w1c.w1
+GROUP BY doc_id
+"""
+
+
+def q_source_ngram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution divergence: smoothed KL(source ‖ corpus)
+    over the unigram vocabulary — one number per source ranking how far
+    each source's token distribution sits from the corpus blend (the
+    report a mixture rebalance reads before adjusting weights; the
+    pairwise sibling of `corpus_term_drift`'s two-source log-ratios).
+    KL = Σ_w p_s(w)·ln(p_s(w)/p_c(w)) with add-1 smoothing over the
+    shared vocabulary, folded sequentially in token order per source —
+    engine-reproducible. Everything is |vocab|- or |sources|-bounded."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    sc = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("__cs")
+    )
+    cc = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("__cc")
+    )
+    vocab = cc.agg(
+        F.count(F.lit(1)).cast("double").alias("__V"),
+        F.sum("__cc").alias("__Tc"),
+    )
+    stot = sc.groupBy("source").agg(F.sum("__cs").alias("__Ts"))
+    joined = (
+        sc.join(cc, "t")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(vocab))
+    )
+    ps = (F.col("__cs") + 1.0) / (F.col("__Ts") + F.col("__V"))
+    pc = (F.col("__cc") + 1.0) / (F.col("__Tc") + F.col("__V"))
+    contrib = ps * (F.log(ps) - F.log(pc))
+    per_term = joined.select(
+        "source", F.struct(F.col("t").alias("t"), contrib.alias("x")).alias("__tx")
+    )
+    return (
+        per_term.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.aggregate(
+                F.array_sort(F.collect_list("__tx")),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["x"],
+            ).alias("__kl"),
+        )
+        .select("source", "n_terms", F.round("__kl", 6).alias("kl"))
+    )
+
+
+ORACLE_SOURCE_NGRAM_KL = rf"""
+WITH tok AS (
+  SELECT source, unnest({_DD_TOKENS.format(c='text')}) AS t FROM documents),
+sc AS (SELECT source, t, CAST(COUNT(*) AS DOUBLE) AS cs
+       FROM tok GROUP BY 1, 2),
+cc AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS ct FROM tok GROUP BY 1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv, SUM(ct) AS tc FROM cc),
+st AS (SELECT source, SUM(cs) AS ts FROM sc GROUP BY 1),
+terms AS (
+  SELECT sc.source, sc.t,
+         ((sc.cs + 1.0) / (st.ts + v.nv))
+         * (ln((sc.cs + 1.0) / (st.ts + v.nv))
+            - ln((cc.ct + 1.0) / (v.tc + v.nv))) AS x
+  FROM sc JOIN cc USING (t) JOIN st USING (source), v)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(x ORDER BY t)), (a, b) -> a + b), 6) AS kl
+FROM terms GROUP BY source
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -5817,6 +5987,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_keep_best": q_doc_keep_best,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_shard_plan": q_doc_shard_plan,
+    "corpus_bpe_merges": q_corpus_bpe_merges,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
+    "source_ngram_kl": q_source_ngram_kl,
 }
 
 
@@ -5938,4 +6111,7 @@ def oracles() -> dict[str, str]:
         "doc_keep_best": _oracle_doc_keep_best_sql(),
         "doc_bm25_topk": _oracle_doc_bm25_sql(),
         "doc_shard_plan": _oracle_doc_shard_plan_sql(),
+        "corpus_bpe_merges": ORACLE_CORPUS_BPE_MERGES,
+        "doc_bigram_logprob": ORACLE_DOC_BIGRAM_LOGPROB,
+        "source_ngram_kl": ORACLE_SOURCE_NGRAM_KL,
     }

@@ -32,6 +32,7 @@ _ALLOWED_CROSS = {
     "doc_mixture_temperature",  # broadcast ONE-ROW total + Z attach
     "doc_bm25_topk",  # broadcast ONE-ROW N/avgdl attach
     "doc_shard_plan",  # broadcast ONE-ROW mean-shard-tokens attach
+    "source_ngram_kl",  # broadcast ONE-ROW vocab-size/total attach
 }
 
 # iterative operator: executes during plan construction; its final plan is
