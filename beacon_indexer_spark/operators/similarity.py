@@ -382,6 +382,59 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negative_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the k most cosine-similar corpus vectors with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary, which is
+    exactly what a contrastive objective (SimCLR/DPR-style) needs more
+    than random negatives. Returns (query_id, neighbor_id,
+    neighbor_label, cos_sim, rank).
+
+    Same 100-TB shape as `brute_force_topk`: the (small) query side is
+    broadcast with its labels attached, the corpus streams through one
+    map-side scan, the label mismatch filters BEFORE the scoring
+    expression runs, and the per-query top-k is a partitioned window.
+    For billion-vector corpora route the candidate generation through
+    `ivf_topk` first and re-rank the union of probed lists with the
+    label filter — the scoring stage here is unchanged."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.col(label_col).alias("__qlab"),
+        )
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        v.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("neighbor_label") != F.col("__qlab"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("__qvec"), F.col("__vvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def quantize_scale(vec: Column, bits: int = 8) -> Column:
     """Symmetric quantization scale ``max|v| / (2^(bits-1) - 1)``.
 

@@ -5870,6 +5870,53 @@ FROM terms GROUP BY source
 """
 
 
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.py
+    `hard_negative_topk`): per query vector the 5 nearest-by-cosine
+    corpus vectors with a DIFFERENT label — the boundary-adjacent
+    negatives a SimCLR/DPR-style objective trains against. Query side
+    broadcast with labels, label filter below the scoring expression,
+    partitioned top-k window."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.hard_negative_topk(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+ORACLE_EMBEDDING_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+v AS (SELECT vec_id AS neighbor_id, embedding AS vv, label AS vl
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, CAST(vl AS BIGINT) AS neighbor_label,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))), (a,b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a,b) -> a + b))
+      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(vv)), i -> CAST(vv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))), (a,b) -> a + b))) AS cos_sim
+  FROM q, v WHERE query_id <> neighbor_id AND ql <> vl),
+ranked AS (
+  SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       neighbor_label,
+       CAST(rank AS BIGINT) AS rank,
+       round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -5990,6 +6037,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_bpe_merges": q_corpus_bpe_merges,
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "source_ngram_kl": q_source_ngram_kl,
+    "embedding_hard_negatives": q_embedding_hard_negatives,
 }
 
 
@@ -6114,4 +6162,5 @@ def oracles() -> dict[str, str]:
         "corpus_bpe_merges": ORACLE_CORPUS_BPE_MERGES,
         "doc_bigram_logprob": ORACLE_DOC_BIGRAM_LOGPROB,
         "source_ngram_kl": ORACLE_SOURCE_NGRAM_KL,
+        "embedding_hard_negatives": ORACLE_EMBEDDING_HARD_NEGATIVES,
     }

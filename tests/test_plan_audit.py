@@ -33,6 +33,7 @@ _ALLOWED_CROSS = {
     "doc_bm25_topk",  # broadcast ONE-ROW N/avgdl attach
     "doc_shard_plan",  # broadcast ONE-ROW mean-shard-tokens attach
     "source_ngram_kl",  # broadcast ONE-ROW vocab-size/total attach
+    "embedding_hard_negatives",  # broadcast QUERY-SIDE scan (bruteforce shape)
 }
 
 # iterative operator: executes during plan construction; its final plan is
