@@ -1147,3 +1147,64 @@ def fuzzy_name_pairs(
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(*block_cols, "id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+def pair_attribute_matrix(
+    pairs: DataFrame,
+    attrs: DataFrame,
+    id_col: str = "doc_id",
+    attr_col: str = "source",
+) -> DataFrame:
+    """Cross-attribute duplicate leakage matrix: label each duplicate
+    candidate pair with the ``attr_col`` (source, domain, shard, split …)
+    of BOTH members and count pairs / distinct member docs per unordered
+    attribute combination — the "which sources plagiarize each other"
+    report that decides where dedup budget goes and whether an eval split
+    leaks into training sources. Output: (attr_a <= attr_b, n_pairs,
+    n_docs).
+
+    100-TB shape: two equi-joins keyed on the id (pair side is the
+    candidate list — orders of magnitude smaller than the corpus after
+    banding; the attribute dim is a 2-column projection of the corpus, so
+    each join shuffles |pairs| + |corpus x 2 cols|, never full rows). The
+    two aggregations are map-side combined and keyed by the attribute
+    combination (bounded by n_attrs^2) and by combination x doc — output
+    sized, never corpus-squared.
+    """
+    dim = attrs.select(
+        F.col(id_col).alias("__id"), F.col(attr_col).alias("__attr")
+    )
+    labeled = (
+        pairs.select("id_a", "id_b")
+        .join(
+            dim.select(
+                F.col("__id").alias("id_a"), F.col("__attr").alias("__aa")
+            ),
+            "id_a",
+        )
+        .join(
+            dim.select(
+                F.col("__id").alias("id_b"), F.col("__attr").alias("__ab")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__aa", "__ab").alias("attr_a"),
+            F.greatest("__aa", "__ab").alias("attr_b"),
+            "id_a",
+            "id_b",
+        )
+    )
+    n_pairs = labeled.groupBy("attr_a", "attr_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        labeled.select(
+            "attr_a", "attr_b", F.explode(F.array("id_a", "id_b")).alias("__d")
+        )
+        .groupBy("attr_a", "attr_b")
+        .agg(F.countDistinct("__d").cast("long").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, ["attr_a", "attr_b"]).select(
+        "attr_a", "attr_b", "n_pairs", "n_docs"
+    )

@@ -97,3 +97,44 @@ def per_group_cap(
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     ranked = df.withColumn("rank", F.row_number().over(w))
     return ranked.withColumn("keep", (F.col("rank") <= cap).cast("int"))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    train_rate: float = 0.9,
+    salt: int = 7,
+) -> DataFrame:
+    """Near-duplicate-safe train/validation split: every member of a
+    duplicate cluster is assigned by the hash of its CLUSTER id, so two
+    near-copies can never straddle the split (the eval-leakage failure
+    mode document-level hash splits silently allow). `clusters` is the
+    connected-components output (node, cluster_id); unclustered docs
+    coalesce to their own id — for them cluster-hash == doc-hash and the
+    verdicts agree by construction. Output: (doc_id, cluster_id, split,
+    naive_split, moved) where `moved`=1 marks docs the naive doc-hash
+    split would have placed on the other side — the measured leakage
+    surface.
+
+    100-TB shape: one keyed left join against the cluster frame (probe-
+    guarded broadcast upstream); both split verdicts are narrow md5
+    column expressions — no extra shuffle beyond the join.
+    """
+    spine = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    joined = spine.join(clusters, "doc_id", "left")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    cut = int(train_rate * _RES)
+    split = F.when(
+        sample_bucket(cid, salt) < cut, F.lit("train")
+    ).otherwise(F.lit("val"))
+    naive = F.when(
+        sample_bucket(F.col("doc_id"), salt) < cut, F.lit("train")
+    ).otherwise(F.lit("val"))
+    return joined.select(
+        "doc_id",
+        cid.cast("long").alias("cluster_id"),
+        split.alias("split"),
+        naive.alias("naive_split"),
+        (split != naive).cast("int").alias("moved"),
+    )

@@ -1009,3 +1009,51 @@ def pq_topk(
             "adc_dist",
         )
     )
+
+
+def centroid_similarity(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label mean embeddings —
+    the class/source drift monitor (which document sources or label
+    clusters have converged in embedding space; candidates for merging
+    or for mixture re-weighting). Output: (label_a < label_b, cos_sim).
+
+    100-TB shape: builds on `label_centroids` (shuffle bounded by
+    n_labels x dim regardless of corpus size); the pairwise stage
+    self-joins the EXPLODED centroids on the dimension index — at most
+    n_labels^2 x dim rows, corpus-size-independent — and reduces with
+    one map-side-combined groupBy(label_a, label_b). Centroids are
+    rounded before the product (same contract as `label_centroids`) so
+    the pairwise statistic is reproducible across engines; the dot /
+    norm sums run over <= dim rounded terms, far inside the round_to
+    tolerance.
+    """
+    c = label_centroids(vectors, vec_col, label_col, round_to=round_to)
+    a = c.select(
+        F.col("label").alias("label_a"), "pos", F.col("centroid").alias("__va")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "pos", F.col("centroid").alias("__vb")
+    )
+    j = a.join(b, "pos").filter(F.col("label_a") < F.col("label_b"))
+    return (
+        j.groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("__va") * F.col("__vb")).alias("__dot"),
+            F.sum(F.col("__va") * F.col("__va")).alias("__na"),
+            F.sum(F.col("__vb") * F.col("__vb")).alias("__nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("__dot")
+                / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb"))),
+                round_to,
+            ).alias("cos_sim"),
+        )
+    )

@@ -7,7 +7,7 @@ Designed for the 100 TB document case: every op is a narrow map over the
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from beacon_indexer_spark.functions.core import _col, ColumnOrName
@@ -672,5 +672,80 @@ def build_postings(
             F.col("tf_total").cast("long").alias("tf_total"),
             "postings",
             (F.col("df_docs") > max_postings).cast("int").alias("truncated"),
+        )
+    )
+
+
+def curriculum_phases(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n_phases: int = 4,
+) -> DataFrame:
+    """Length-curriculum phase assignment (curriculum learning for LM
+    pretraining: feed short/simple documents first, long ones last):
+    within each ``group_col`` stratum, rank documents by token count and
+    split the ranking into ``n_phases`` equal-population phases via
+    NTILE. The ordering is made TOTAL with the id tiebreak so phase
+    assignment is deterministic across engines and partitionings.
+    Output: (id, group, n_tokens, phase 1..n_phases).
+
+    100-TB shape: token counting is a narrow map; the window is
+    PARTITIONED by the stratum (never an unpartitioned global sort).
+    Strata are corpus sources — when a single source is itself tens of
+    TB, a production run subdivides the stratum key (source x
+    date-bucket) before ranking; the phase semantics compose because
+    NTILE is population-based per stratum.
+    """
+    w = Window.partitionBy("group").orderBy("n_tokens", "id")
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(group_col).alias("group"),
+            token_count(text_col).cast("long").alias("n_tokens"),
+        )
+        .withColumn("phase", F.ntile(n_phases).over(w).cast("long"))
+    )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    cheapest model-free gibberish screen: natural prose sits in a narrow
+    entropy band, while base64 blobs / key dumps sit high and repeated-
+    character padding sits low; used alongside the Gopher repetition and
+    quality gates. Output: (id, n_chars, entropy).
+
+    Computed as ln(n) - (sum c*ln(c))/n over per-character counts — one
+    explode + two map-side-combined aggregations. 100-TB shape: the
+    first shuffle is keyed by (doc, char) and partial aggregation
+    collapses it to at most |alphabet| rows per document (NOT text
+    length); the second is one row per document. The log-count identity
+    keeps every term exact-integer-derived, so the rounded result is
+    engine-reproducible.
+    """
+    chars = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+    ).filter(F.col("__ch") != "")
+    cnts = chars.groupBy("id", "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        cnts.groupBy("id")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clogc"),
+        )
+        .select(
+            "id",
+            F.col("__n").cast("long").alias("n_chars"),
+            F.round(
+                F.log(F.col("__n")) - F.col("__clogc") / F.col("__n"),
+                round_to,
+            ).alias("entropy"),
         )
     )

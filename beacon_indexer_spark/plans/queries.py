@@ -5917,6 +5917,252 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate leakage matrix (operators/dedup.py
+    pair_attribute_matrix): MinHash-LSH candidate pairs labeled with the
+    source of BOTH members, counted per unordered source combination —
+    which sources plagiarize each other, and whether held-out sources
+    leak into training ones. Pair side is the post-banding candidate
+    list; the source dim is a 2-column projection; aggregations keyed by
+    source-pair (bounded by n_sources^2)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    out = D.pair_attribute_matrix(
+        pairs, docs.select("doc_id", "source"), "doc_id", "source"
+    )
+    return out.select(
+        F.col("attr_a").alias("source_a"),
+        F.col("attr_b").alias("source_b"),
+        "n_pairs",
+        "n_docs",
+    )
+
+
+def _oracle_source_dup_matrix_sql() -> str:
+    pairs = _oracle_minhash_lsh_sql().strip().rstrip(";")
+    return f"""
+WITH pairs AS ({pairs}),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.id_a, p.id_b
+  FROM pairs p
+  JOIN documents da ON p.id_a = da.doc_id
+  JOIN documents db ON p.id_b = db.doc_id),
+pp AS (SELECT source_a, source_b, COUNT(*) AS n_pairs
+       FROM lab GROUP BY 1, 2),
+dd AS (SELECT source_a, source_b, COUNT(DISTINCT d) AS n_docs FROM (
+         SELECT source_a, source_b, id_a AS d FROM lab
+         UNION ALL SELECT source_a, source_b, id_b FROM lab)
+       GROUP BY 1, 2)
+SELECT pp.source_a, pp.source_b,
+       CAST(pp.n_pairs AS BIGINT) AS n_pairs,
+       CAST(dd.n_docs AS BIGINT) AS n_docs
+FROM pp JOIN dd ON pp.source_a = dd.source_a AND pp.source_b = dd.source_b
+"""
+
+
+def q_doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum phase assignment (operators/text.py
+    curriculum_phases): per source, documents ranked by token count and
+    NTILE'd into 4 equal-population phases — the shortest-first ordering
+    curriculum-learning LM runs feed the optimizer. Total order
+    (n_tokens, doc_id) for cross-engine determinism; window PARTITIONED
+    by source, never global."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = X.curriculum_phases(docs, "doc_id", "text", "source", n_phases=4)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("group").alias("source"),
+        "n_tokens",
+        "phase",
+    )
+
+
+ORACLE_DOC_CURRICULUM_ORDER = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         len({_DD_TOKENS.format(c='text')}) AS n_tokens
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(ntile(4) OVER (PARTITION BY source
+                           ORDER BY n_tokens, doc_id) AS BIGINT) AS phase
+FROM t
+"""
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroid embeddings
+    (operators/similarity.py centroid_similarity) — the class/source
+    drift monitor run before mixture re-weighting. Both stages bounded
+    by n_labels x dim / n_labels^2 x dim rows, corpus-size-independent."""
+    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    out = S.centroid_similarity(vecs, "embedding", "label")
+    return out.select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        "cos_sim",
+    )
+
+
+ORACLE_LABEL_CENTROID_SIM = """
+WITH x AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+c AS (SELECT label, pos, round(avg(v), 6) AS cv FROM x GROUP BY 1, 2),
+j AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         a.cv AS va, b.cv AS vb
+  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label)
+SELECT CAST(label_a AS BIGINT) AS label_a,
+       CAST(label_b AS BIGINT) AS label_b,
+       round(SUM(va * vb) / (sqrt(SUM(va * va)) * sqrt(SUM(vb * vb))),
+             6) AS cos_sim
+FROM j GROUP BY 1, 2
+"""
+
+
+def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup token budget per source: the keep-list verdict
+    (LSH → connected components → min-id canonical, q_doc_keep_list
+    semantics) joined to per-doc token counts and rolled up per source —
+    the number that actually feeds a training-mix planner (raw token
+    counts overstate sources that are mostly self-copies). One keyed
+    left join (probe-guarded broadcast) + one |sources|-bounded agg."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        X.token_count("text").cast("long").alias("__nt"),
+    )
+    joined = base.join(D.broadcast_if_small(clusters), "doc_id", "left")
+    keep = F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.sum("__nt").cast("long").alias("tokens_total"),
+            F.sum(F.when(keep, F.col("__nt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .withColumn(
+            "kept_frac",
+            F.round(
+                F.col("tokens_kept").cast("double")
+                / F.col("tokens_total").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def _oracle_source_token_budget_sql() -> str:
+    return f"""
+{_oracle_clusters_cte()}
+),
+base AS (
+  SELECT d.doc_id, d.source,
+         len({_DD_TOKENS.format(c='d.text')}) AS nt,
+         CASE WHEN COALESCE(cl.cluster_id, d.doc_id) = d.doc_id
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(nt) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN keep = 1 THEN nt ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       round(CAST(SUM(CASE WHEN keep = 1 THEN nt ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(nt) AS DOUBLE), 6) AS kept_frac
+FROM base GROUP BY source
+"""
+
+
+_SPLIT_SALT = 7
+_SPLIT_TRAIN_RATE = 0.9
+
+
+def q_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate-safe train/val split (operators/sampling.py
+    leakage_safe_split): split verdicts hash the CLUSTER id, so near-
+    copies never straddle the eval boundary; `moved` flags docs a naive
+    per-doc hash split would have leaked to the other side."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return SP.leakage_safe_split(
+        docs,
+        D.broadcast_if_small(clusters),
+        "doc_id",
+        train_rate=_SPLIT_TRAIN_RATE,
+        salt=_SPLIT_SALT,
+    )
+
+
+def _oracle_split_leakage_guard_sql() -> str:
+    cut = int(_SPLIT_TRAIN_RATE * 1_000_000)
+
+    def bucket(expr: str) -> str:
+        salted = f"concat('{_SPLIT_SALT}:', CAST({expr} AS VARCHAR))"
+        return f"({_dd_md5_long(salted)} % 1000000)"
+
+    return f"""
+{_oracle_clusters_cte()}
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cid
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cid AS BIGINT) AS cluster_id,
+       CASE WHEN {bucket('cid')} < {cut} THEN 'train' ELSE 'val' END
+         AS split,
+       CASE WHEN {bucket('doc_id')} < {cut} THEN 'train' ELSE 'val' END
+         AS naive_split,
+       CAST(CASE WHEN ({bucket('cid')} < {cut})
+                  <> ({bucket('doc_id')} < {cut})
+                 THEN 1 ELSE 0 END AS INT) AS moved
+FROM lab
+"""
+
+
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (operators/text.py
+    char_entropy) — the model-free gibberish screen (base64 blobs high,
+    padding low). Shuffles bounded by |alphabet| per doc via map-side
+    partial aggregation, never text length."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return X.char_entropy(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+ORACLE_DOC_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch
+        WHERE c <> '' GROUP BY 1, 2),
+e AS (SELECT doc_id, SUM(n) AS total,
+             SUM(n * ln(n)) AS nlogn
+      FROM cnt GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(total AS BIGINT) AS n_chars,
+       round(ln(total) - nlogn / total, 6) AS entropy
+FROM e
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -6038,6 +6284,12 @@ QUERIES: dict[str, QueryFn] = {
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "source_ngram_kl": q_source_ngram_kl,
     "embedding_hard_negatives": q_embedding_hard_negatives,
+    "source_dup_matrix": q_source_dup_matrix,
+    "doc_curriculum_order": q_doc_curriculum_order,
+    "label_centroid_sim": q_label_centroid_sim,
+    "source_token_budget": q_source_token_budget,
+    "split_leakage_guard": q_split_leakage_guard,
+    "doc_char_entropy": q_doc_char_entropy,
 }
 
 
@@ -6163,4 +6415,10 @@ def oracles() -> dict[str, str]:
         "doc_bigram_logprob": ORACLE_DOC_BIGRAM_LOGPROB,
         "source_ngram_kl": ORACLE_SOURCE_NGRAM_KL,
         "embedding_hard_negatives": ORACLE_EMBEDDING_HARD_NEGATIVES,
+        "source_dup_matrix": _oracle_source_dup_matrix_sql(),
+        "doc_curriculum_order": ORACLE_DOC_CURRICULUM_ORDER,
+        "label_centroid_sim": ORACLE_LABEL_CENTROID_SIM,
+        "source_token_budget": _oracle_source_token_budget_sql(),
+        "split_leakage_guard": _oracle_split_leakage_guard_sql(),
+        "doc_char_entropy": ORACLE_DOC_CHAR_ENTROPY,
     }

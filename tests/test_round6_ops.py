@@ -1,0 +1,138 @@
+"""Planted-scenario tests for the round-6 wave-5 operators: cross-source
+duplicate leakage matrix, length-curriculum phases, centroid similarity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from beacon_indexer_spark.operators import dedup as D
+from beacon_indexer_spark.operators import similarity as S
+from beacon_indexer_spark.operators import text as X
+
+
+def test_pair_attribute_matrix_counts(spark):
+    # docs 1,2 in web; 3,4 in books. Pairs: (1,2) within web,
+    # (1,3) web-books, (2,3) web-books -> two cells.
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    attrs = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "books")],
+        "doc_id long, source string",
+    )
+    out = {
+        (r["attr_a"], r["attr_b"]): (r["n_pairs"], r["n_docs"])
+        for r in D.pair_attribute_matrix(pairs, attrs).collect()
+    }
+    assert out == {
+        ("web", "web"): (1, 2),         # pair (1,2); docs {1,2}
+        ("books", "web"): (2, 3),       # pairs (1,3),(2,3); docs {1,2,3}
+    }
+
+
+def test_pair_attribute_matrix_orders_attrs(spark):
+    # attr ordering is normalized (least, greatest) regardless of which
+    # side of the pair carries which source
+    pairs = spark.createDataFrame([(9, 5)], "id_a long, id_b long")
+    attrs = spark.createDataFrame(
+        [(9, "a_src"), (5, "z_src")], "doc_id long, source string"
+    )
+    [r] = D.pair_attribute_matrix(pairs, attrs).collect()
+    assert (r["attr_a"], r["attr_b"]) == ("a_src", "z_src")
+
+
+def test_curriculum_phases_orders_by_length(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * i, "s") for i in range(1, 9)],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["id"]: (r["n_tokens"], r["phase"])
+        for r in X.curriculum_phases(docs, n_phases=4).collect()
+    }
+    # 8 docs, 4 phases -> 2 per phase, shortest first
+    assert rows == {
+        1: (1, 1), 2: (2, 1), 3: (3, 2), 4: (4, 2),
+        5: (5, 3), 6: (6, 3), 7: (7, 4), 8: (8, 4),
+    }
+
+
+def test_curriculum_phases_stratified_by_group(spark):
+    # each source gets its own ranking: a long doc in a short-doc source
+    # still lands in that source's top phase
+    docs = spark.createDataFrame(
+        [(1, "w", "a"), (2, "w w", "a"), (3, "w " * 50, "b"), (4, "w " * 60, "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["id"]: r["phase"]
+        for r in X.curriculum_phases(docs, n_phases=2).collect()
+    }
+    assert rows == {1: 1, 2: 2, 3: 1, 4: 2}
+
+
+def test_curriculum_phase_deterministic_tiebreak(spark):
+    # equal token counts -> phase decided by doc_id, stable across runs
+    docs = spark.createDataFrame(
+        [(i, "x y z", "s") for i in (7, 3, 5, 1)],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["id"]: r["phase"]
+        for r in X.curriculum_phases(docs, n_phases=4).collect()
+    }
+    assert rows == {1: 1, 3: 2, 5: 3, 7: 4}
+
+
+def test_centroid_similarity_exact(spark):
+    # label 0 centroid = (1,0); label 1 centroid = (0,1); label 2 = (1,1)/sqrt2
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [1.0, 1.0], 2),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        (r["label_a"], r["label_b"]): r["cos_sim"]
+        for r in S.centroid_similarity(vecs).collect()
+    }
+    assert out[(0, 1)] == 0.0
+    assert math.isclose(out[(0, 2)], round(1 / math.sqrt(2), 6), abs_tol=1e-6)
+    assert math.isclose(out[(1, 2)], round(1 / math.sqrt(2), 6), abs_tol=1e-6)
+    assert len(out) == 3
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    # docs 1..4; cluster {1,2} -> both get the SAME split (hash of cluster
+    # id 1); singletons hash their own id
+    docs = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    from beacon_indexer_spark.operators import sampling as SP
+
+    rows = {r["doc_id"]: r for r in SP.leakage_safe_split(docs, clusters).collect()}
+    assert rows[1]["split"] == rows[2]["split"]
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == 1
+    # singleton verdicts agree with naive by construction
+    for i in (3, 4):
+        assert rows[i]["split"] == rows[i]["naive_split"]
+        assert rows[i]["moved"] == 0
+    # doc 1 is the cluster min -> cluster hash == its own hash
+    assert rows[1]["moved"] == 0
+
+
+def test_char_entropy_values(spark):
+    import math as m
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in X.char_entropy(docs).collect()}
+    assert rows[1]["entropy"] == 0.0 and rows[1]["n_chars"] == 4
+    assert m.isclose(rows[2]["entropy"], round(m.log(2), 6), abs_tol=1e-6)
+    assert m.isclose(rows[3]["entropy"], round(m.log(4), 6), abs_tol=1e-6)
