@@ -1057,3 +1057,49 @@ def centroid_similarity(
             ).alias("cos_sim"),
         )
     )
+
+
+def standardize_dims(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension z-score standardization (whitening-lite) of the
+    first ``k`` embedding coordinates — the feature preprocessing step
+    before distance-based curation when dimensions have unequal scales
+    (a high-variance dimension otherwise dominates every cosine/L2
+    verdict). Output: (id, pos < k, z).
+
+    100-TB shape: dims are pruned to ``k`` BEFORE the stats pass; the
+    stats aggregate is map-side combined and keyed by pos (k groups at
+    any corpus size) and joins back via broadcast; the transform is a
+    narrow map. Stats are ROUNDED before the transform (same contract as
+    `label_centroids`) so z is engine-reproducible: both engines divide
+    the same float by identical 6-decimal constants.
+    """
+    x = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "__x"),
+    ).filter(F.col("pos") < k)
+    agg = x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    stats = agg.select(
+        "pos",
+        F.round(mean, 6).alias("__mu"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("__sd"),
+    )
+    z = F.when(
+        F.col("__sd") > 0, (F.col("__x") - F.col("__mu")) / F.col("__sd")
+    ).otherwise(F.lit(0.0))
+    return x.join(F.broadcast(stats), "pos").select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(z, round_to).alias("z"),
+    )

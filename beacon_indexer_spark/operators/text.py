@@ -749,3 +749,43 @@ def char_entropy(
             ).alias("entropy"),
         )
     )
+
+
+_CODE_SYMBOLS = r"[^{}();=<>\[\]#]"
+_CODE_KEYWORDS = (
+    r"\b(def|return|function|var|const|import|class|void|int"
+    r"|if|else|for|while)\b"
+)
+
+
+def code_likeness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    symbol_threshold: float = 0.02,
+    keyword_threshold: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Code-vs-prose detector (the Stack/StarCoder-style source split run
+    before mixing code into an LM corpus): per document the density of
+    code punctuation ({}();=<>[]#) and the count of hard code keywords,
+    with an is_code verdict when either crosses its threshold. Pure
+    column expressions (two regexes), no shuffle — the caller aggregates.
+    Output: (id, n_chars, symbol_ratio, kw_hits, is_code).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    sym = F.length(F.regexp_replace(t, _CODE_SYMBOLS, ""))
+    kw = F.size(F.regexp_extract_all(F.lower(t), F.lit(_CODE_KEYWORDS), 0))
+    ratio = F.when(
+        n > 0, F.round(sym.cast("double") / n.cast("double"), round_to)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        n.cast("long").alias("n_chars"),
+        ratio.alias("symbol_ratio"),
+        kw.cast("long").alias("kw_hits"),
+        (
+            (ratio > symbol_threshold) | (kw >= keyword_threshold)
+        ).cast("int").alias("is_code"),
+    )

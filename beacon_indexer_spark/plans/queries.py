@@ -6163,6 +6163,110 @@ FROM e
 """
 
 
+def q_doc_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose split (operators/text.py code_likeness): code
+    punctuation density + hard-keyword count with an is_code verdict —
+    the source-separation gate run before mixing code into an LM corpus.
+    Two regex column expressions, no shuffle."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = X.code_likeness(docs, "doc_id", "text")
+    return out.withColumnRenamed("id", "doc_id")
+
+
+ORACLE_DOC_CODE_DETECT = r"""
+WITH m AS (
+  SELECT doc_id, length(text) AS n,
+         length(regexp_replace(text, '[^{}();=<>\[\]#]', '', 'g')) AS sym,
+         len(regexp_extract_all(lower(text),
+             '\b(def|return|function|var|const|import|class|void|int|if|else|for|while)\b'))
+           AS kw
+  FROM documents),
+s AS (
+  SELECT doc_id, n, kw,
+         CASE WHEN n > 0
+              THEN round(CAST(sym AS DOUBLE) / CAST(n AS DOUBLE), 6)
+              ELSE 0.0 END AS symbol_ratio
+  FROM m)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       symbol_ratio,
+       CAST(kw AS BIGINT) AS kw_hits,
+       CAST(CASE WHEN symbol_ratio > 0.02 OR kw >= 3
+                 THEN 1 ELSE 0 END AS INT) AS is_code
+FROM s
+"""
+
+
+def q_lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word (XLM-R-style tokenizer-health check — a language
+    whose fertility is far above the corpus norm is being shredded by
+    the tokenizer and will train poorly). Two tokenize expressions, one
+    |langs|-bounded aggregate."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "lang",
+        X.token_count("text").cast("long").alias("__ws"),
+        X.bpe_ish_token_count("text").cast("long").alias("__bpe"),
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ws").cast("long").alias("ws_tokens"),
+        F.sum("__bpe").cast("long").alias("bpe_tokens"),
+        F.round(
+            F.sum("__bpe").cast("double") / F.sum("__ws").cast("double"), 6
+        ).alias("fertility"),
+    )
+
+
+ORACLE_LANG_TOKEN_FERTILITY = rf"""
+WITH t AS (
+  SELECT lang,
+         len({_DD_TOKENS.format(c='text')}) AS ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS bpe
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       round(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 6)
+         AS fertility
+FROM t GROUP BY lang
+"""
+
+
+def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the first 8 embedding
+    coordinates (operators/similarity.py standardize_dims) — the scale-
+    equalizing preprocessing before distance-based curation. Stats
+    aggregate keyed by pos (8 groups at any corpus size), broadcast
+    back; dims pruned BEFORE the stats pass."""
+    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    out = S.standardize_dims(vecs, "vec_id", "embedding", k=8)
+    return out.withColumnRenamed("id", "vec_id")
+
+
+ORACLE_EMBEDDING_WHITEN = """
+WITH x AS (
+  SELECT e.vec_id, s.i - 1 AS pos, CAST(e.embedding[s.i] AS DOUBLE) AS v
+  FROM embeddings e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s
+  WHERE s.i <= 8),
+agg AS (
+  SELECT pos, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS s2
+  FROM x GROUP BY 1),
+st AS (
+  SELECT pos, round(s / n, 6) AS mu,
+         round(sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)), 6) AS sd
+  FROM agg)
+SELECT CAST(x.vec_id AS BIGINT) AS vec_id,
+       CAST(x.pos AS BIGINT) AS pos,
+       round(CASE WHEN st.sd > 0 THEN (x.v - st.mu) / st.sd
+                  ELSE 0.0 END, 6) AS z
+FROM x JOIN st ON x.pos = st.pos
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -6290,6 +6394,9 @@ QUERIES: dict[str, QueryFn] = {
     "source_token_budget": q_source_token_budget,
     "split_leakage_guard": q_split_leakage_guard,
     "doc_char_entropy": q_doc_char_entropy,
+    "doc_code_detect": q_doc_code_detect,
+    "lang_token_fertility": q_lang_token_fertility,
+    "embedding_whiten": q_embedding_whiten,
 }
 
 
@@ -6421,4 +6528,7 @@ def oracles() -> dict[str, str]:
         "source_token_budget": _oracle_source_token_budget_sql(),
         "split_leakage_guard": _oracle_split_leakage_guard_sql(),
         "doc_char_entropy": ORACLE_DOC_CHAR_ENTROPY,
+        "doc_code_detect": ORACLE_DOC_CODE_DETECT,
+        "lang_token_fertility": ORACLE_LANG_TOKEN_FERTILITY,
+        "embedding_whiten": ORACLE_EMBEDDING_WHITEN,
     }

@@ -136,3 +136,41 @@ def test_char_entropy_values(spark):
     assert rows[1]["entropy"] == 0.0 and rows[1]["n_chars"] == 4
     assert m.isclose(rows[2]["entropy"], round(m.log(2), 6), abs_tol=1e-6)
     assert m.isclose(rows[3]["entropy"], round(m.log(4), 6), abs_tol=1e-6)
+
+
+def test_code_likeness_separates_code_from_prose(spark):
+    code = "def f(x):\n    if x > 0:\n        return x + 1\n    else:\n        return {}"
+    prose = "the quiet afternoon settled over the harbor as boats drifted home"
+    docs = spark.createDataFrame(
+        [(1, code), (2, prose)], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in X.code_likeness(docs).collect()}
+    assert rows[1]["is_code"] == 1 and rows[1]["kw_hits"] >= 3
+    assert rows[2]["is_code"] == 0 and rows[2]["kw_hits"] == 0
+    assert rows[2]["symbol_ratio"] == 0.0
+
+
+def test_code_likeness_empty_text(spark):
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    [r] = X.code_likeness(docs).collect()
+    assert (r["symbol_ratio"], r["is_code"]) == (0.0, 0)
+
+
+def test_standardize_dims_exact(spark):
+    # dim0 values {1, 3}: mean 2, std_pop 1 -> z = {-1, +1};
+    # dim1 constant -> sd = 0 -> z = 0
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [3.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {(r["id"], r["pos"]): r["z"] for r in S.standardize_dims(vecs, k=2).collect()}
+    assert rows[(0, 0)] == -1.0 and rows[(1, 0)] == 1.0
+    assert rows[(0, 1)] == 0.0 and rows[(1, 1)] == 0.0
+
+
+def test_standardize_dims_prunes_to_k(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    out = S.standardize_dims(vecs, k=2).collect()
+    assert sorted(r["pos"] for r in out) == [0, 1]
