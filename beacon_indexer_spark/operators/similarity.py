@@ -1103,3 +1103,51 @@ def standardize_dims(
         F.col("pos").cast("long").alias("pos"),
         F.round(z, round_to).alias("z"),
     )
+
+
+def dim_covariance_topk(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k most-correlated embedding dimension PAIRS by |covariance| —
+    the redundancy audit behind whitening/PCA decisions (two dimensions
+    that move together waste index capacity and distort L2/cosine).
+    Output: (pos_i < pos_j, cov), the k largest |cov| with a total
+    (|cov| desc, pos_i, pos_j) order so selection is deterministic.
+
+    100-TB shape: the within-row pair explosion (d²/2 rows per vector)
+    feeds ONE map-side-combined aggregate keyed by (i, j) — d²-bounded
+    groups regardless of corpus size; top-k is a TakeOrdered, never a
+    global sort. For d in the thousands, cap via a dimension sample or
+    partial Gram accumulation; at typical embedding widths (<= 1024)
+    the explosion is the standard outer-product pass.
+    """
+    e1 = vectors.select(
+        F.posexplode(_as_double(F.col(vec_col))).alias("i", "__xi"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    e2 = e1.select(
+        "i", "__xi", F.posexplode(F.col("__v")).alias("j", "__xj")
+    ).filter(F.col("i") < F.col("j"))
+    agg = e2.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__xi").alias("__sx"),
+        F.sum("__xj").alias("__sy"),
+        F.sum(F.col("__xi") * F.col("__xj")).alias("__sxy"),
+    )
+    cov = F.round(
+        F.col("__sxy") / F.col("__n")
+        - (F.col("__sx") / F.col("__n")) * (F.col("__sy") / F.col("__n")),
+        round_to,
+    )
+    return (
+        agg.select(
+            F.col("i").cast("long").alias("pos_i"),
+            F.col("j").cast("long").alias("pos_j"),
+            cov.alias("cov"),
+        )
+        .orderBy(F.abs(F.col("cov")).desc(), "pos_i", "pos_j")
+        .limit(k)
+    )

@@ -789,3 +789,91 @@ def code_likeness(
             (ratio > symbol_threshold) | (kw >= keyword_threshold)
         ).cast("int").alias("is_code"),
     )
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document type-token ratio (lexical diversity): distinct
+    lowercase whitespace tokens over total tokens — low TTR flags
+    template/boilerplate expansion that length and quality gates miss
+    (a 2,000-token doc built from 40 words). Pure column expressions,
+    no shuffle. Output: (id, n_tokens, n_types, ttr).
+    """
+    tk = tokens(F.lower(F.col(text_col)))
+    n = F.size(tk)
+    types = F.size(F.array_distinct(tk))
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        n.cast("long").alias("n_tokens"),
+        types.cast("long").alias("n_types"),
+        F.when(
+            n > 0,
+            F.round(types.cast("double") / n.cast("double"), round_to),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ttr"),
+    )
+
+
+def heaps_law_curve(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_docs: int = 500,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: documents in id order are
+    grouped into buckets of ``bucket_docs``; per bucket the CUMULATIVE
+    token count and CUMULATIVE distinct-vocabulary size up to and
+    including that bucket — the saturation curve that says whether more
+    data still buys new vocabulary. Output: (bucket, cum_tokens,
+    cum_vocab).
+
+    100-TB shape: "cumulative distinct" never re-counts — each term
+    contributes at its FIRST bucket only (min-bucket per term, a
+    vocabulary-bounded aggregate), per-bucket token sums are one row per
+    bucket, and both running totals use the bounded-fan-in recursive
+    prefix sum from `pack_documents` (every window partitioned; no
+    global ORDER BY funnel).
+    """
+    bucket = F.floor(F.col(id_col) / bucket_docs).cast("long")
+    toks = docs.select(
+        bucket.alias("bucket"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__term"),
+    )
+    new_terms = (
+        toks.groupBy("__term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__new"))
+    )
+    per_bucket = (
+        docs.select(
+            bucket.alias("bucket"),
+            token_count(F.col(text_col)).cast("long").alias("__nt"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("__nt").alias("__toks"))
+    )
+    frame = per_bucket.join(new_terms, "bucket", "left").select(
+        "bucket",
+        F.col("__toks").cast("long").alias("__toks"),
+        F.coalesce(F.col("__new"), F.lit(0)).cast("long").alias("__new"),
+    )
+    # the bucket-key domain probe keeps the prefix-sum recursion at one
+    # level for any realistic corpus (same pattern as pack_documents)
+    mx = frame.select(F.max("bucket").alias("mx")).first()["mx"]
+    frame = _exclusive_prefix(
+        frame, "bucket", "__toks", "__tprev", max_key=mx
+    )
+    frame = _exclusive_prefix(
+        frame, "bucket", "__new", "__vprev", max_key=mx
+    )
+    return frame.select(
+        "bucket",
+        (F.col("__tprev") + F.col("__toks")).cast("long").alias("cum_tokens"),
+        (F.col("__vprev") + F.col("__new")).cast("long").alias("cum_vocab"),
+    )

@@ -6267,6 +6267,99 @@ FROM x JOIN st ON x.pos = st.pos
 """
 
 
+def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document (operators/text.py
+    lexical_diversity) — catches template/boilerplate expansion (a long
+    doc built from few distinct words) that length and quality gates
+    miss. Pure column expressions, no shuffle."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return X.lexical_diversity(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+ORACLE_DOC_LEXICAL_DIVERSITY = rf"""
+WITH t AS (
+  SELECT doc_id, {_DD_TOKENS.format(c='text')} AS toks FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CASE WHEN len(toks) > 0
+            THEN round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE), 6)
+            ELSE 0.0 END AS ttr
+FROM t
+"""
+
+
+_HEAPS_BUCKET_DOCS = 500
+
+
+def q_corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve (operators/text.py
+    heaps_law_curve): cumulative tokens vs cumulative distinct
+    vocabulary per 500-doc bucket — does more data still buy new
+    vocabulary? Each term contributes at its FIRST bucket only
+    (vocabulary-bounded min-aggregate); running totals via the
+    bounded-fan-in partitioned prefix sum, no global window."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return X.heaps_law_curve(
+        docs, "doc_id", "text", bucket_docs=_HEAPS_BUCKET_DOCS
+    )
+
+
+ORACLE_CORPUS_HEAPS_CURVE = rf"""
+WITH tok AS (
+  SELECT doc_id // {_HEAPS_BUCKET_DOCS} AS bucket,
+         unnest({_DD_TOKENS.format(c='text')}) AS term
+  FROM documents),
+fb AS (SELECT term, MIN(bucket) AS bucket FROM tok GROUP BY term),
+nb AS (SELECT bucket, COUNT(*) AS new_terms FROM fb GROUP BY bucket),
+tb AS (
+  SELECT doc_id // {_HEAPS_BUCKET_DOCS} AS bucket,
+         SUM(len({_DD_TOKENS.format(c='text')})) AS toks
+  FROM documents GROUP BY 1),
+j AS (
+  SELECT tb.bucket, tb.toks, COALESCE(nb.new_terms, 0) AS new_terms
+  FROM tb LEFT JOIN nb ON tb.bucket = nb.bucket)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(toks) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+       CAST(SUM(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+FROM j
+"""
+
+
+def q_embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-correlated embedding dimension pairs by |covariance|
+    (operators/similarity.py dim_covariance_topk) — the redundancy audit
+    behind whitening/PCA decisions. One d²-bounded aggregate + a
+    TakeOrdered; total (|cov| desc, i, j) order for deterministic
+    selection."""
+    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    return S.dim_covariance_topk(vecs, "embedding", k=20)
+
+
+ORACLE_EMBEDDING_DIM_CORR = """
+WITH x AS (
+  SELECT e.vec_id, s.i - 1 AS pos, CAST(e.embedding[s.i] AS DOUBLE) AS v
+  FROM embeddings e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s),
+p AS (
+  SELECT a.pos AS i, b.pos AS j, a.v AS xi, b.v AS xj
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos < b.pos),
+agg AS (
+  SELECT i, j, COUNT(*) AS n, SUM(xi) AS sx, SUM(xj) AS sy,
+         SUM(xi * xj) AS sxy
+  FROM p GROUP BY 1, 2),
+c AS (
+  SELECT CAST(i AS BIGINT) AS pos_i, CAST(j AS BIGINT) AS pos_j,
+         round(sxy / n - (sx / n) * (sy / n), 6) AS cov
+  FROM agg)
+SELECT pos_i, pos_j, cov FROM c
+ORDER BY abs(cov) DESC, pos_i, pos_j LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -6397,6 +6490,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_code_detect": q_doc_code_detect,
     "lang_token_fertility": q_lang_token_fertility,
     "embedding_whiten": q_embedding_whiten,
+    "doc_lexical_diversity": q_doc_lexical_diversity,
+    "corpus_heaps_curve": q_corpus_heaps_curve,
+    "embedding_dim_corr": q_embedding_dim_corr,
 }
 
 
@@ -6531,4 +6627,7 @@ def oracles() -> dict[str, str]:
         "doc_code_detect": ORACLE_DOC_CODE_DETECT,
         "lang_token_fertility": ORACLE_LANG_TOKEN_FERTILITY,
         "embedding_whiten": ORACLE_EMBEDDING_WHITEN,
+        "doc_lexical_diversity": ORACLE_DOC_LEXICAL_DIVERSITY,
+        "corpus_heaps_curve": ORACLE_CORPUS_HEAPS_CURVE,
+        "embedding_dim_corr": ORACLE_EMBEDDING_DIM_CORR,
     }

@@ -174,3 +174,39 @@ def test_standardize_dims_prunes_to_k(spark):
     )
     out = S.standardize_dims(vecs, k=2).collect()
     assert sorted(r["pos"] for r in out) == [0, 1]
+
+
+def test_lexical_diversity_flags_template(spark):
+    docs = spark.createDataFrame(
+        [(1, "buy now " * 50), (2, "each word here is fully distinct")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in X.lexical_diversity(docs).collect()}
+    assert rows[1]["n_types"] == 2 and rows[1]["ttr"] == 0.02
+    assert rows[2]["ttr"] == 1.0
+
+
+def test_heaps_curve_first_bucket_only(spark):
+    # bucket 0: docs 0-1 (terms a b c); bucket 1: docs 2-3 (terms b c d)
+    # -> cum_vocab 3 then 4; cum_tokens 4 then 8
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c"), (2, "b c"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["bucket"]: (r["cum_tokens"], r["cum_vocab"])
+        for r in X.heaps_law_curve(docs, bucket_docs=2).collect()
+    }
+    assert rows == {0: (4, 3), 1: (8, 4)}
+
+
+def test_dim_covariance_topk_finds_coupled_dims(spark):
+    # dims 0 and 1 move together (cov 1), dim 2 is constant (cov 0 with all)
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 1.0, 5.0]), (1, [3.0, 3.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.dim_covariance_topk(vecs, k=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["pos_i"], r["pos_j"], r["cov"]) == (0, 1, 1.0)
