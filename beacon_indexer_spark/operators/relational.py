@@ -372,3 +372,73 @@ def grouped_concat(
             "concat"
         )
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Association-rule lift between items co-occurring within a group
+    (market-basket / behavior mining: which event types travel
+    together beyond chance): for each unordered item pair,
+    lift = P(a,b) / (P(a)·P(b)) over groups. Output: (item_a < item_b,
+    n_groups_both, lift).
+
+    100-TB shape: items collapse to a per-group sorted set (bounded by
+    the item vocabulary, not event volume — map-side combined), pairs
+    expand WITHIN the row (|items|²/2 per group, never a self-join that
+    would scan and shuffle the input twice), and the pair aggregate is
+    |items|²-bounded. The group total is a one-row broadcast attach.
+    """
+    gi = df.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+    ).distinct()
+    per_item = gi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    total = gi.select(
+        F.countDistinct("__g").cast("double").alias("__ng")
+    )
+    sets = gi.groupBy("__g").agg(
+        F.array_sort(F.collect_set("__i")).alias("__items")
+    )
+    e1 = sets.select(
+        F.posexplode("__items").alias("__pa", "item_a"),
+        F.col("__items"),
+    )
+    pairs = e1.select(
+        "__pa", "item_a", F.posexplode("__items").alias("__pb", "item_b")
+    ).filter(F.col("__pa") < F.col("__pb"))
+    nab = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_groups_both")
+    )
+    return (
+        nab.join(
+            F.broadcast(
+                per_item.select(
+                    F.col("__i").alias("item_a"), F.col("__ni").alias("__na")
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                per_item.select(
+                    F.col("__i").alias("item_b"), F.col("__ni").alias("__nb")
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_groups_both").cast("long").alias("n_groups_both"),
+            F.round(
+                F.col("n_groups_both").cast("double")
+                * F.col("__ng")
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            ).alias("lift"),
+        )
+    )

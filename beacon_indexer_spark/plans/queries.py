@@ -6360,6 +6360,151 @@ ORDER BY abs(cov) DESC, pos_i, pos_j LIMIT 20
 """
 
 
+def q_dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (the power-law health report
+    every dedup run ships with): LSH → CC → cluster sizes (singletons
+    included via the coalesce-to-own-id spine) → docs/clusters per size.
+    Aggregations keyed by cluster then by size — output-bounded."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    spine = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    sizes = (
+        spine.join(D.broadcast_if_small(clusters), "doc_id", "left")
+        .select(cid.alias("__cid"))
+        .groupBy("__cid")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+    )
+    return (
+        sizes.groupBy("__sz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("__sz").cast("long").alias("n_docs"),
+        )
+        .select(F.col("__sz").cast("long").alias("cluster_size"),
+                "n_clusters", "n_docs")
+    )
+
+
+def _oracle_dedup_cluster_size_dist_sql() -> str:
+    return f"""
+{_oracle_clusters_cte()}
+),
+sz AS (
+  SELECT COALESCE(cl.cluster_id, d.doc_id) AS cid, COUNT(*) AS s
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+  GROUP BY 1)
+SELECT CAST(s AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(s) AS BIGINT) AS n_docs
+FROM sz GROUP BY s
+"""
+
+
+def q_events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift between event types co-occurring in a
+    user's history (operators/relational.py cooccurrence_lift) — which
+    behaviors travel together beyond chance. Per-user item sets are
+    vocabulary-bounded; pairs expand within the row; one-row broadcast
+    total."""
+    ev = _t(spark, sf_dir, "events")
+    return R.cooccurrence_lift(ev, "user_id", "event_type").select(
+        F.col("item_a").alias("type_a"),
+        F.col("item_b").alias("type_b"),
+        "n_groups_both",
+        "lift",
+    )
+
+
+ORACLE_EVENTS_COOCCURRENCE_LIFT = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS ng FROM ut),
+cnt AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+pc AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS nab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT pc.type_a, pc.type_b,
+       CAST(pc.nab AS BIGINT) AS n_groups_both,
+       round(CAST(pc.nab AS DOUBLE) * tot.ng / (ca.c * cb.c), 6) AS lift
+FROM pc
+JOIN cnt ca ON pc.type_a = ca.event_type
+JOIN cnt cb ON pc.type_b = cb.event_type
+CROSS JOIN tot
+"""
+
+
+def q_corpus_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate stratified by document length band — are the
+    duplicates concentrated in short boilerplate or long mirrored
+    content? Drives whether dedup effort targets short-doc blocking or
+    long-doc fingerprints. Fixed CASE bands (no quantile dependence);
+    the keep verdict rides the LSH → CC spine."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        X.token_count("text").cast("long").alias("__nt"),
+    )
+    joined = base.join(D.broadcast_if_small(clusters), "doc_id", "left")
+    keep = F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")
+    band = (
+        F.when(F.col("__nt") <= 32, "a_le32")
+        .when(F.col("__nt") <= 64, "b_le64")
+        .when(F.col("__nt") <= 128, "c_le128")
+        .when(F.col("__nt") <= 256, "d_le256")
+        .otherwise("e_gt256")
+    )
+    return (
+        joined.select(band.alias("len_band"), keep.cast("long").alias("__k"))
+        .groupBy("len_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.lit(1) - F.col("__k")).cast("long").alias("n_dups"),
+            F.round(
+                F.sum(F.lit(1) - F.col("__k")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def _oracle_corpus_dup_rate_by_length_sql() -> str:
+    return f"""
+{_oracle_clusters_cte()}
+),
+base AS (
+  SELECT d.doc_id,
+         len({_DD_TOKENS.format(c='d.text')}) AS nt,
+         CASE WHEN COALESCE(cl.cluster_id, d.doc_id) = d.doc_id
+              THEN 0 ELSE 1 END AS dup
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+b AS (
+  SELECT CASE WHEN nt <= 32 THEN 'a_le32'
+              WHEN nt <= 64 THEN 'b_le64'
+              WHEN nt <= 128 THEN 'c_le128'
+              WHEN nt <= 256 THEN 'd_le256'
+              ELSE 'e_gt256' END AS len_band,
+         dup
+  FROM base)
+SELECT len_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dups,
+       round(CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM b GROUP BY len_band
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -6493,6 +6638,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_lexical_diversity": q_doc_lexical_diversity,
     "corpus_heaps_curve": q_corpus_heaps_curve,
     "embedding_dim_corr": q_embedding_dim_corr,
+    "dedup_cluster_size_dist": q_dedup_cluster_size_dist,
+    "events_cooccurrence_lift": q_events_cooccurrence_lift,
+    "corpus_dup_rate_by_length": q_corpus_dup_rate_by_length,
 }
 
 
@@ -6630,4 +6778,7 @@ def oracles() -> dict[str, str]:
         "doc_lexical_diversity": ORACLE_DOC_LEXICAL_DIVERSITY,
         "corpus_heaps_curve": ORACLE_CORPUS_HEAPS_CURVE,
         "embedding_dim_corr": ORACLE_EMBEDDING_DIM_CORR,
+        "dedup_cluster_size_dist": _oracle_dedup_cluster_size_dist_sql(),
+        "events_cooccurrence_lift": ORACLE_EVENTS_COOCCURRENCE_LIFT,
+        "corpus_dup_rate_by_length": _oracle_corpus_dup_rate_by_length_sql(),
     }

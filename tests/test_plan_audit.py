@@ -34,6 +34,7 @@ _ALLOWED_CROSS = {
     "doc_shard_plan",  # broadcast ONE-ROW mean-shard-tokens attach
     "source_ngram_kl",  # broadcast ONE-ROW vocab-size/total attach
     "embedding_hard_negatives",  # broadcast QUERY-SIDE scan (bruteforce shape)
+    "events_cooccurrence_lift",  # broadcast ONE-ROW group-total attach
 }
 
 # iterative operator: executes during plan construction; its final plan is

@@ -210,3 +210,20 @@ def test_dim_covariance_topk_finds_coupled_dims(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["pos_i"], r["pos_j"], r["cov"]) == (0, 1, 1.0)
+
+
+def test_cooccurrence_lift_exact(spark):
+    from beacon_indexer_spark.operators import relational as R
+
+    # 4 users: u1 {a,b}, u2 {a,b}, u3 {a}, u4 {c}
+    # P(a)=3/4, P(b)=2/4, P(ab)=2/4 -> lift(ab) = (2*4)/(3*2) = 4/3
+    rows = [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+        (1, "a"),  # duplicate event must not change set semantics
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        (r["item_a"], r["item_b"]): (r["n_groups_both"], r["lift"])
+        for r in R.cooccurrence_lift(df, "user_id", "event_type").collect()
+    }
+    assert out == {("a", "b"): (2, round(4 / 3, 6))}
