@@ -6505,6 +6505,188 @@ FROM b GROUP BY len_band
 """
 
 
+def q_doc_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter precision audit: the exact-Jaccard
+    DISTRIBUTION of the candidate pairs the banding emits, rolled into
+    0.1-wide bands — how much of the candidate budget is true near-dups
+    (j >= 0.8) vs collision noise. The report that tunes (k, bands)
+    before a full-corpus run. Exact side is candidate-driven
+    (`candidate_common_shingles` — bounded by pairs x shingles/doc,
+    never df²)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    ).localCheckpoint(eager=False)
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    common = D.candidate_common_shingles(
+        pairs, sh, id_col="id", shingle_col="__s"
+    ).withColumnRenamed("n_common", "__c")
+    jac = F.coalesce(
+        F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")),
+        F.lit(0.0),
+    )
+    banded = (
+        pairs.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .join(common, ["id_a", "id_b"], "left")
+        .select(
+            (F.floor(jac * 10) / 10.0).alias("jaccard_band"),
+            jac.alias("__j"),
+        )
+    )
+    return banded.groupBy("jaccard_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("__j"), 6).alias("mean_jaccard"),
+    )
+
+
+def _oracle_doc_lsh_precision_audit_sql() -> str:
+    return f"""
+WITH {_dd_minhash_keyed_ctes()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sh2 AS (SELECT doc_id AS id, unnest(sh) AS s FROM base),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh2 GROUP BY 1),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2),
+j AS (
+  SELECT COALESCE(CAST(c.c AS DOUBLE) / (na.n + nb.n - c.c), 0.0) AS jac
+  FROM pairs p
+  JOIN sizes na ON na.id = p.id_a
+  JOIN sizes nb ON nb.id = p.id_b
+  LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b)
+SELECT floor(jac * 10) / 10.0 AS jaccard_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(AVG(jac), 6) AS mean_jaccard
+FROM j GROUP BY 1
+"""
+
+
+def q_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-same-month-last-year revenue (seasonality-adjusted
+    growth): monthly DECIMAL-exact revenue, then LAG over a window
+    PARTITIONED by calendar month and ordered by year — the YoY compare
+    that cancels seasonal swing. |months|-bounded after the first
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("__y"), F.month("o_orderdate").alias("__m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev")
+    )
+    w = Window.partitionBy("__m").orderBy("__y")
+    prev = F.lag("__rev").over(w)
+    return monthly.select(
+        F.format_string("%04d-%02d", F.col("__y"), F.col("__m")).alias("month"),
+        F.col("__rev").cast("decimal(18,2)").alias("revenue"),
+        F.when(
+            prev.isNotNull(),
+            F.round(
+                F.col("__rev").cast("double") / prev.cast("double") - 1.0, 6
+            ),
+        ).alias("yoy_change"),
+    )
+
+
+ORACLE_ORDERS_SEASONALITY = """
+WITH m AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2),
+l AS (
+  SELECT y, mo, rev,
+         lag(rev) OVER (PARTITION BY mo ORDER BY y) AS prev
+  FROM m)
+SELECT printf('%04d-%02d', y, mo) AS month,
+       CAST(rev AS DECIMAL(18,2)) AS revenue,
+       CASE WHEN prev IS NOT NULL
+            THEN round(CAST(rev AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0, 6)
+            END AS yoy_change
+FROM l
+"""
+
+
+_RFM_NOW = "2024-02-01"
+
+
+def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation over the
+    events stream with FIXED tier thresholds (no quantile dependence):
+    per user days-since-last-event, event count, and DECIMAL-exact value
+    sum -> 3x3 tier label -> per-segment rollup. One user-keyed
+    aggregate + one |segments|-bounded aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(_RFM_NOW).cast("date"), F.max(F.to_date("ts"))
+        ).alias("__rec"),
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("__mon"),
+    )
+    r_tier = (
+        F.when(F.col("__rec") <= 7, "r1")
+        .when(F.col("__rec") <= 14, "r2")
+        .otherwise("r3")
+    )
+    f_tier = (
+        F.when(F.col("__freq") >= 15, "f1")
+        .when(F.col("__freq") >= 5, "f2")
+        .otherwise("f3")
+    )
+    return (
+        per_user.select(
+            F.concat_ws("_", r_tier, f_tier).alias("segment"),
+            F.col("__mon"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(
+                F.sum("__mon").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_value"),
+        )
+    )
+
+
+ORACLE_USER_RFM_SEGMENTS = f"""
+WITH pu AS (
+  SELECT user_id,
+         datediff('day', CAST(MAX(ts) AS DATE), DATE '{_RFM_NOW}') AS rec,
+         COUNT(*) AS freq,
+         SUM(CAST(value AS DECIMAL(18,6))) AS mon
+  FROM events GROUP BY 1),
+seg AS (
+  SELECT CASE WHEN rec <= 7 THEN 'r1' WHEN rec <= 14 THEN 'r2'
+              ELSE 'r3' END
+         || '_' ||
+         CASE WHEN freq >= 15 THEN 'f1' WHEN freq >= 5 THEN 'f2'
+              ELSE 'f3' END AS segment,
+         mon
+  FROM pu)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(CAST(SUM(mon) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_value
+FROM seg GROUP BY segment
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -6641,6 +6823,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_cluster_size_dist": q_dedup_cluster_size_dist,
     "events_cooccurrence_lift": q_events_cooccurrence_lift,
     "corpus_dup_rate_by_length": q_corpus_dup_rate_by_length,
+    "doc_lsh_precision_audit": q_doc_lsh_precision_audit,
+    "orders_seasonality": q_orders_seasonality,
+    "user_rfm_segments": q_user_rfm_segments,
 }
 
 
@@ -6781,4 +6966,7 @@ def oracles() -> dict[str, str]:
         "dedup_cluster_size_dist": _oracle_dedup_cluster_size_dist_sql(),
         "events_cooccurrence_lift": ORACLE_EVENTS_COOCCURRENCE_LIFT,
         "corpus_dup_rate_by_length": _oracle_corpus_dup_rate_by_length_sql(),
+        "doc_lsh_precision_audit": _oracle_doc_lsh_precision_audit_sql(),
+        "orders_seasonality": ORACLE_ORDERS_SEASONALITY,
+        "user_rfm_segments": ORACLE_USER_RFM_SEGMENTS,
     }

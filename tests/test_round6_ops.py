@@ -227,3 +227,20 @@ def test_cooccurrence_lift_exact(spark):
         for r in R.cooccurrence_lift(df, "user_id", "event_type").collect()
     }
     assert out == {("a", "b"): (2, round(4 / 3, 6))}
+
+
+def test_lsh_precision_bands_exact_dup_in_band_1(spark):
+    # identical docs -> jaccard 1.0 -> floor(10*j)/10 = 1.0 band (its own
+    # band, not merged into 0.9) — the exact-dup mass is visible separately
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", "s", "en", 36) for i in range(4)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["jaccard_band"]: r for r in QUERIES["doc_lsh_precision_audit"](spark, d).collect()}
+    assert list(out) == [1.0]
+    assert out[1.0]["n_pairs"] == 6 and out[1.0]["mean_jaccard"] == 1.0
