@@ -82,7 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "score (the Dolma/FineWeb policy)")
     cr.add_argument("--prefix", default="curation",
                     help="output tables: <prefix>_keep_list, "
-                         "<prefix>_manifest, <prefix>_summary")
+                         "<prefix>_manifest, <prefix>_summary (plus the "
+                         "reports enabled by --reports)")
+    cr.add_argument("--reports", default="",
+                    help="comma list of extra staged-spine reports to "
+                         "write: size_dist, token_budget, dup_by_length, "
+                         "leakage_split (each reads the SAME staged "
+                         "cluster frame — no extra LSH/CC pass)")
 
     mt = sub.add_parser("maintain").add_subparsers(dest="subcommand", required=True)
     st = mt.add_parser("status")
@@ -232,6 +238,21 @@ def main(
         lake.write(f"{args.prefix}_manifest", run.manifest())
         summary = run.summary()
         lake.write(f"{args.prefix}_summary", summary)
+        report_fns = {
+            "size_dist": run.cluster_size_dist,
+            "token_budget": run.token_budget,
+            "dup_by_length": run.dup_rate_by_length,
+            "leakage_split": run.leakage_split,
+        }
+        extra_tables = []
+        for rep in [r for r in args.reports.split(",") if r]:
+            if rep not in report_fns:
+                raise SystemExit(
+                    f"unknown --reports entry {rep!r}; "
+                    f"choose from {sorted(report_fns)}"
+                )
+            lake.write(f"{args.prefix}_{rep}", report_fns[rep]())
+            extra_tables.append(f"{args.prefix}_{rep}")
         srow = lake.read(f"{args.prefix}_summary").collect()[0].asDict()
         srow.pop("inserted_at", None)
         progress.record(
@@ -244,6 +265,7 @@ def main(
                 f"{args.prefix}_keep_list",
                 f"{args.prefix}_manifest",
                 f"{args.prefix}_summary",
+                *extra_tables,
             ],
             **srow,
         }

@@ -327,3 +327,117 @@ class CurationRun:
             (F.col("n_docs") - removed).cast("long").alias("n_kept"),
             F.round(removed.cast("double") / F.col("n_docs"), 6).alias("dup_rate"),
         )
+
+    def cluster_size_dist(self) -> DataFrame:
+        """(cluster_size, n_clusters, n_docs) — column-identical to
+        `dedup_cluster_size_dist`, reading the staged cluster frame
+        (singletons included via the coalesce-to-own-id spine)."""
+        joined = self._spine().join(self.clusters, self.id_col, "left")
+        cid = F.coalesce(F.col("cluster_id"), F.col(self.id_col))
+        sizes = joined.select(cid.alias("__cid")).groupBy("__cid").agg(
+            F.count(F.lit(1)).alias("__sz")
+        )
+        return (
+            sizes.groupBy("__sz")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                F.sum("__sz").cast("long").alias("n_docs"),
+            )
+            .select(
+                F.col("__sz").cast("long").alias("cluster_size"),
+                "n_clusters",
+                "n_docs",
+            )
+        )
+
+    def _keep_frame(self, source_col: str = "source") -> DataFrame:
+        """Docs spine + resolved cluster id + configured keep verdict —
+        the shared base for the budget/length rollups. Carries q6 when
+        the policy needs it."""
+        from beacon_indexer_spark.operators.text import (
+            quality_score,
+            token_count,
+        )
+
+        cols = [F.col(self.id_col).cast("long").alias(self.id_col)]
+        if self.keep_policy == "best_quality":
+            cols.append(F.round(quality_score(self.text_col), 6).alias("q6"))
+        spine = self.docs.select(
+            *cols,
+            F.col(source_col).alias("source"),
+            token_count(self.text_col).cast("long").alias("__nt"),
+        )
+        joined = spine.join(self.clusters, self.id_col, "left")
+        cid = F.coalesce(F.col("cluster_id"), F.col(self.id_col))
+        return joined.select(
+            self.id_col,
+            "source",
+            "__nt",
+            self._keep_col(cid).alias("__keep"),
+        )
+
+    def token_budget(self, source_col: str = "source") -> DataFrame:
+        """(source, n_docs, n_kept, tokens_total, tokens_kept, kept_frac)
+        — column-identical to `source_token_budget` under the min_id
+        policy; under best_quality the kept copy is the highest-q6 one."""
+        kf = self._keep_frame(source_col)
+        return (
+            kf.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("__keep").cast("long").alias("n_kept"),
+                F.sum("__nt").cast("long").alias("tokens_total"),
+                F.sum(F.when(F.col("__keep") == 1, F.col("__nt")).otherwise(0))
+                .cast("long")
+                .alias("tokens_kept"),
+            )
+            .withColumn(
+                "kept_frac",
+                F.round(
+                    F.col("tokens_kept").cast("double")
+                    / F.col("tokens_total").cast("double"),
+                    6,
+                ),
+            )
+        )
+
+    def dup_rate_by_length(self) -> DataFrame:
+        """(len_band, n_docs, n_dups, dup_rate) — column-identical to
+        `corpus_dup_rate_by_length` (fixed token-length CASE bands)."""
+        # no source column needed: the id stands in for the unused
+        # "source" slot of the shared keep frame
+        kf = self._keep_frame(source_col=self.id_col)
+        band = (
+            F.when(F.col("__nt") <= 32, "a_le32")
+            .when(F.col("__nt") <= 64, "b_le64")
+            .when(F.col("__nt") <= 128, "c_le128")
+            .when(F.col("__nt") <= 256, "d_le256")
+            .otherwise("e_gt256")
+        )
+        return (
+            kf.select(band.alias("len_band"), F.col("__keep"))
+            .groupBy("len_band")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.lit(1) - F.col("__keep")).cast("long").alias("n_dups"),
+                F.round(
+                    F.sum(F.lit(1) - F.col("__keep")).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("dup_rate"),
+            )
+        )
+
+    def leakage_split(
+        self, train_rate: float = 0.9, salt: int = 7
+    ) -> DataFrame:
+        """(doc_id, cluster_id, split, naive_split, moved) — column-
+        identical to `split_leakage_guard`: split verdicts hash the
+        staged CLUSTER id so near-copies never straddle the eval
+        boundary."""
+        from beacon_indexer_spark.operators.sampling import leakage_safe_split
+
+        return leakage_safe_split(
+            self.docs, self.clusters, self.id_col,
+            train_rate=train_rate, salt=salt,
+        )

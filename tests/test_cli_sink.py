@@ -440,3 +440,51 @@ def test_cli_curate_stages_clusters_once(spark, capsys, tmp_path):
         assert out["curate"]["n_docs"] == 3
     finally:
         P.CurationRun = orig
+
+
+def test_cli_curate_reports(spark, capsys, tmp_path):
+    """`curate run --reports ...` writes the staged-spine reports from
+    the SAME cluster frame; unknown report names fail loudly."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "web"),
+            (2, base + " extra", "web"),
+            (3, base, "books"),
+            (4, "completely different text about spark partitioning here", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_path)
+    lake_dir = str(tmp_path / "lake")
+
+    out = _run(
+        capsys,
+        ["--lake-dir", lake_dir, "curate", "run", "--docs", docs_path,
+         "--reports", "size_dist,token_budget,dup_by_length,leakage_split"],
+        spark,
+    )
+    assert set(out["curate"]["tables"]) >= {
+        "curation_size_dist", "curation_token_budget",
+        "curation_dup_by_length", "curation_leakage_split",
+    }
+    lake = ParquetLake(spark, lake_dir, GNOSIS)
+    sd = {r["cluster_size"]: r["n_clusters"]
+          for r in lake.read("curation_size_dist").collect()}
+    assert sd == {3: 1, 1: 1}  # cluster {1,2,3} + singleton {4}
+    tb = {r["source"]: r["n_kept"]
+          for r in lake.read("curation_token_budget").collect()}
+    assert tb == {"web": 1, "books": 1}  # keep=min id 1 (web) + 4 (books)
+    ls = lake.read("curation_leakage_split")
+    assert ls.count() == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        _run(
+            capsys,
+            ["--lake-dir", str(tmp_path / "lake2"), "curate", "run",
+             "--docs", docs_path, "--reports", "nope"],
+            spark,
+        )

@@ -555,3 +555,94 @@ def test_curation_run_rejects_bad_policy(spark):
 
     with _pytest.raises(ValueError):
         CurationRun(_curation_docs(spark), keep_policy="newest")
+
+
+def _curation_docs_sourced(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "web"),
+        (2, base + " extra", "web"),
+        (3, base, "books"),
+        (4, "completely different text about spark partitioning at scale", "books"),
+        (5, "another unique document with its own words entirely here now", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_curation_run_spine_consumers_match_standalone(spark):
+    """cluster_size_dist / token_budget / dup_rate_by_length /
+    leakage_split derived from the staged cluster frame must equal the
+    standalone recomputations (the oracle-audited query shapes)."""
+    from beacon_indexer_spark.operators.sampling import leakage_safe_split
+    from beacon_indexer_spark.operators.text import token_count
+    from beacon_indexer_spark.plans.pipeline import CurationRun
+
+    docs = _curation_docs_sourced(spark)
+    run = CurationRun(docs, k=8, bands=4, shingle_n=3)
+
+    pairs = D.minhash_lsh_candidates(docs, "doc_id", "text", k=8, bands=4, shingle_n=3)
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    spine = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+
+    # cluster_size_dist
+    want_sizes = (
+        spine.join(clusters, "doc_id", "left")
+        .select(cid.alias("c")).groupBy("c").count()
+        .groupBy("count").agg(F.count(F.lit(1)).alias("n"), F.sum("count").alias("d"))
+    )
+    want = {(r["count"], r["n"], r["d"]) for r in want_sizes.collect()}
+    got = {
+        (r["cluster_size"], r["n_clusters"], r["n_docs"])
+        for r in run.cluster_size_dist().collect()
+    }
+    assert got == want
+
+    # token_budget
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        token_count("text").cast("long").alias("nt"),
+    ).join(clusters, "doc_id", "left")
+    keep = (F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")).cast("long")
+    want_tb = {
+        tuple(r)
+        for r in base.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long"),
+            F.sum(keep).cast("long"),
+            F.sum("nt").cast("long"),
+            F.sum(F.when(keep == 1, F.col("nt")).otherwise(0)).cast("long"),
+        ).collect()
+    }
+    got_tb = {
+        (r["source"], r["n_docs"], r["n_kept"], r["tokens_total"], r["tokens_kept"])
+        for r in run.token_budget().collect()
+    }
+    assert got_tb == want_tb
+
+    # dup_rate_by_length: 3-dup cluster -> 2 dups, all docs in one band here
+    drl = {r["len_band"]: (r["n_docs"], r["n_dups"]) for r in run.dup_rate_by_length().collect()}
+    assert sum(v[0] for v in drl.values()) == 5
+    assert sum(v[1] for v in drl.values()) == 2
+
+    # leakage_split equals the standalone operator over the same clusters
+    want_ls = {tuple(r) for r in leakage_safe_split(docs, clusters).collect()}
+    got_ls = {tuple(r) for r in run.leakage_split().collect()}
+    assert got_ls == want_ls
+
+
+def test_curation_run_spine_consumers_stage_once(spark):
+    """The new derived frames must read the staged checkpoint blocks —
+    the signature pipeline's fingerprints must not reappear."""
+    from beacon_indexer_spark.plans.pipeline import CurationRun
+
+    run = CurationRun(_curation_docs_sourced(spark), k=8, bands=4, shingle_n=3)
+    for frame in (
+        run.cluster_size_dist(),
+        run.token_budget(),
+        run.dup_rate_by_length(),
+        run.leakage_split(),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan
+        assert "2654435761" not in plan
+        assert "collect_set" not in plan
