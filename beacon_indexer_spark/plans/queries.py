@@ -6687,6 +6687,156 @@ FROM seg GROUP BY segment
 """
 
 
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) per event type over active minutes:
+    variance/mean of per-minute counts — Fano >> 1 flags bursty traffic
+    (bot storms, replay floods) that a rate average hides. One
+    (type, minute) aggregate, then a |types|-bounded moment rollup."""
+    ev = _t(spark, sf_dir, "events")
+    pm = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("__m")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    agg = pm.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__c").alias("__s"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__s2"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    return agg.select(
+        "event_type",
+        F.col("__n").cast("long").alias("n_minutes"),
+        F.round(mean, 6).alias("mean_per_min"),
+        F.round(var / mean, 6).alias("fano"),
+    )
+
+
+ORACLE_EVENTS_BURSTINESS = """
+WITH pm AS (
+  SELECT event_type, date_trunc('minute', ts) AS m, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS s2
+  FROM pm GROUP BY 1)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_minutes,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_per_min,
+       round((CAST(s2 AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / (CAST(s AS DOUBLE) / n), 6) AS fano
+FROM agg
+"""
+
+
+def q_doc_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-purity margin: the argmax language's share of ALL marker
+    hits plus a mixed-language flag (second-best within 2x of the top) —
+    code-switched / concatenated-crawl documents hurt monolingual
+    training even when argmax langid looks confident. Pure column
+    expressions over the shared marker lexicons."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    scores = X.lang_scores(F.col("text"))
+    arr = F.array(*[scores[lang] for lang in sorted(scores)])
+    desc = F.sort_array(arr, asc=False)
+    top, second = desc[0], desc[1]
+    total = F.aggregate(
+        arr, F.lit(0), lambda acc, x: acc + x
+    )
+    purity = F.when(
+        total > 0, F.round(top.cast("double") / total.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    mixed = (
+        (total > 0) & (second > 0) & (second * 2 >= top)
+    ).cast("int")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        X.lang_id("text").alias("pred_lang"),
+        purity.alias("purity"),
+        mixed.alias("is_mixed"),
+    )
+
+
+def _oracle_doc_langid_margin_sql() -> str:
+    score_cols = ", ".join(
+        f"{_dd_lang_score(lang)} AS s_{lang}"
+        for lang in sorted(X.LANG_MARKERS)
+    )
+    arr = "[" + ", ".join(f"s_{lang}" for lang in sorted(X.LANG_MARKERS)) + "]"
+    return f"""
+WITH s AS (SELECT doc_id, {score_cols} FROM documents),
+r AS (
+  SELECT doc_id, s_en, s_es, s_fr, s_de,
+         list_sort({arr}, 'DESC') AS d,
+         s_en + s_es + s_fr + s_de AS tot
+  FROM s)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       CASE WHEN tot > 0
+            THEN round(CAST(d[1] AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+            ELSE 0.0 END AS purity,
+       CAST(CASE WHEN tot > 0 AND d[2] > 0 AND d[2] * 2 >= d[1]
+                 THEN 1 ELSE 0 END AS INT) AS is_mixed
+FROM r
+"""
+
+
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/WAU) per day: daily active users over trailing-7-
+    day active users. Each distinct (user, day) row fans out to the <= 7
+    future days whose trailing window it belongs to (a x7 narrow map),
+    then two distinct-count aggregates — no per-day window over raw
+    events, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.to_date("ts").alias("d"),
+    ).distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        du.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__i"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("__i")).alias("d"))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+ORACLE_EVENTS_DAU_WAU = """
+WITH du AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, CAST(ts AS DATE) AS d
+  FROM events),
+dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY 1),
+f AS (
+  SELECT du.user_id, du.d + CAST(i.i AS INTEGER) AS d
+  FROM du, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) i),
+wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau FROM f GROUP BY 1)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+         AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -6826,6 +6976,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_lsh_precision_audit": q_doc_lsh_precision_audit,
     "orders_seasonality": q_orders_seasonality,
     "user_rfm_segments": q_user_rfm_segments,
+    "events_burstiness": q_events_burstiness,
+    "doc_langid_margin": q_doc_langid_margin,
+    "events_dau_wau": q_events_dau_wau,
 }
 
 
@@ -6969,4 +7122,7 @@ def oracles() -> dict[str, str]:
         "doc_lsh_precision_audit": _oracle_doc_lsh_precision_audit_sql(),
         "orders_seasonality": ORACLE_ORDERS_SEASONALITY,
         "user_rfm_segments": ORACLE_USER_RFM_SEGMENTS,
+        "events_burstiness": ORACLE_EVENTS_BURSTINESS,
+        "doc_langid_margin": _oracle_doc_langid_margin_sql(),
+        "events_dau_wau": ORACLE_EVENTS_DAU_WAU,
     }

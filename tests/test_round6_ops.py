@@ -244,3 +244,49 @@ def test_lsh_precision_bands_exact_dup_in_band_1(spark):
         out = {r["jaccard_band"]: r for r in QUERIES["doc_lsh_precision_audit"](spark, d).collect()}
     assert list(out) == [1.0]
     assert out[1.0]["n_pairs"] == 6 and out[1.0]["mean_jaccard"] == 1.0
+
+
+def test_langid_margin_flags_code_switch(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os
+
+    # doc 1: pure English markers; doc 2: half English / half Spanish
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of the with that this from the and", "s", "en", 40),
+            (2, "the and of with los las que por una del", "s", "en", 40),
+            (3, "zzz qqq xxx", "s", "en", 11),  # no markers -> und, purity 0
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {r["doc_id"]: r for r in QUERIES["doc_langid_margin"](spark, d).collect()}
+    assert rows[1]["is_mixed"] == 0 and rows[1]["purity"] == 1.0
+    assert rows[2]["is_mixed"] == 1 and rows[2]["purity"] < 1.0
+    assert rows[3]["pred_lang"] == "und" and rows[3]["purity"] == 0.0
+
+
+def test_dau_wau_trailing_window(spark):
+    from pyspark.sql import functions as F
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os, datetime
+
+    # user 1 active day 1 and day 5; user 2 active day 5.
+    # day5: dau=2; wau (day -6..day5) = {1,2} = 2 -> stickiness 1.0
+    # day1: dau=1, wau={1} -> 1.0
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + datetime.timedelta(days=4), 1, "a", 1.0, "{}"),
+        (3, base + datetime.timedelta(days=4), 2, "a", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["day"]: r for r in QUERIES["events_dau_wau"](spark, d).collect()}
+    assert out["2024-01-01"]["dau"] == 1 and out["2024-01-01"]["wau"] == 1
+    assert out["2024-01-05"]["dau"] == 2 and out["2024-01-05"]["wau"] == 2
+    assert out["2024-01-05"]["stickiness"] == 1.0
