@@ -6837,6 +6837,192 @@ FROM dau JOIN wau ON dau.d = wau.d
 """
 
 
+def q_doc_quality_vs_dup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation quadrant report: quality-pass x keep cross-tab with doc
+    and token mass per cell — 'how much HIGH-quality content is the
+    dedup pass deleting' (top-right cell) is the tradeoff number a
+    curation review asks for first. Rides the LSH → CC spine; one
+    4-group aggregate."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(X.quality_score("text"), 6).alias("__q6"),
+        X.token_count("text").cast("long").alias("__nt"),
+    )
+    joined = base.join(D.broadcast_if_small(clusters), "doc_id", "left")
+    keep = (
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")
+    ).cast("int")
+    q_pass = (F.col("__q6") >= 0.5).cast("int")
+    return (
+        joined.select(
+            q_pass.alias("q_pass"), keep.alias("keep"), F.col("__nt")
+        )
+        .groupBy("q_pass", "keep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("tokens"),
+        )
+    )
+
+
+def _oracle_doc_quality_vs_dup_grid_sql() -> str:
+    return rf"""
+{_oracle_clusters_cte()}
+), t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens, n_chars, n_punct,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl
+  FROM t),
+q AS (
+  SELECT doc_id, n_tokens,
+         round((least(n_chars / 500.0, 1.0) * 0.4
+               + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
+               + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
+               * (CASE WHEN n_tokens > 0 THEN 1.0 ELSE 0.0 END), 6) AS q6
+  FROM m),
+g AS (
+  SELECT CASE WHEN q.q6 >= 0.5 THEN 1 ELSE 0 END AS q_pass,
+         CASE WHEN COALESCE(cl.cluster_id, q.doc_id) = q.doc_id
+              THEN 1 ELSE 0 END AS keep,
+         q.n_tokens
+  FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id)
+SELECT CAST(q_pass AS INT) AS q_pass, CAST(keep AS INT) AS keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens
+FROM g GROUP BY 1, 2
+"""
+
+
+def q_corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-heaviness of the bigram distribution: the share of ALL
+    bigram occurrences covered by the top-100 bigrams — a spiking head
+    coverage means template/boilerplate mass is growing. Bigram counts
+    are vocabulary²-bounded; the head sum is a 100-row TakeOrdered with
+    a total (count desc, bigram) order; totals attach as one-row
+    broadcasts."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    bc = (
+        docs.select(F.explode(X.word_shingles("text", 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = bc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        F.sum("__c").cast("long").alias("total_occ"),
+    )
+    top = (
+        bc.orderBy(F.col("__c").desc(), "bg")
+        .limit(100)
+        .agg(F.sum("__c").cast("long").alias("top100_occ"))
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        "n_distinct_bigrams",
+        "total_occ",
+        "top100_occ",
+        F.round(
+            F.col("top100_occ").cast("double")
+            / F.col("total_occ").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def _oracle_corpus_ngram_coverage_sql() -> str:
+    toks = _DD_TOKENS.format(c="text")
+    return f"""
+WITH tk AS (SELECT {toks} AS t FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tk WHERE len(t) >= 2),
+bc AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+               CAST(SUM(c) AS BIGINT) AS total_occ FROM bc),
+top AS (SELECT CAST(SUM(c) AS BIGINT) AS top100_occ FROM (
+          SELECT c FROM bc ORDER BY c DESC, bg LIMIT 100))
+SELECT tot.n_distinct_bigrams, tot.total_occ, top.top100_occ,
+       round(CAST(top.top100_occ AS DOUBLE)
+             / CAST(tot.total_occ AS DOUBLE), 6) AS coverage
+FROM tot CROSS JOIN top
+"""
+
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-LTV triangle: customers grouped by first-order month, each
+    cohort's order count / revenue / CUMULATIVE revenue by month-age.
+    Month arithmetic stays in exact integers (year*12 + month), revenue
+    DECIMAL-exact; the running total windows over the (cohort, age)
+    frame — |cohorts|x|ages| rows, never raw orders."""
+    o = _t(spark, sf_dir, "orders")
+    idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    base = o.select(
+        F.col("o_custkey").alias("__cust"),
+        idx.alias("__idx"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+    )
+    first = base.groupBy("__cust").agg(F.min("__idx").alias("__cidx"))
+    cell = (
+        base.join(first, "__cust")
+        .groupBy("__cidx", (F.col("__idx") - F.col("__cidx")).alias("age_months"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("__p").alias("__rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("__cidx")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cell.select(
+        F.format_string(
+            "%04d-%02d",
+            (F.col("__cidx") / 12).cast("int"),
+            (F.col("__cidx") % 12 + 1).cast("int"),
+        ).alias("cohort"),
+        F.col("age_months").cast("long").alias("age_months"),
+        "n_orders",
+        F.col("__rev").cast("decimal(18,2)").alias("revenue"),
+        F.sum("__rev").over(w).cast("decimal(18,2)").alias("cum_revenue"),
+    )
+
+
+ORACLE_ORDERS_COHORT_LTV = """
+WITH base AS (
+  SELECT o_custkey AS cust,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS idx,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders),
+f AS (SELECT cust, MIN(idx) AS cidx FROM base GROUP BY 1),
+cell AS (
+  SELECT f.cidx, base.idx - f.cidx AS age_months,
+         COUNT(*) AS n_orders, SUM(p) AS rev
+  FROM base JOIN f ON base.cust = f.cust
+  GROUP BY 1, 2)
+SELECT printf('%04d-%02d', CAST(cidx // 12 AS INT),
+              CAST(cidx % 12 + 1 AS INT)) AS cohort,
+       CAST(age_months AS BIGINT) AS age_months,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(rev AS DECIMAL(18,2)) AS revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cidx ORDER BY age_months
+                           ROWS UNBOUNDED PRECEDING)
+            AS DECIMAL(18,2)) AS cum_revenue
+FROM cell
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -6979,6 +7165,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_burstiness": q_events_burstiness,
     "doc_langid_margin": q_doc_langid_margin,
     "events_dau_wau": q_events_dau_wau,
+    "doc_quality_vs_dup_grid": q_doc_quality_vs_dup_grid,
+    "corpus_ngram_coverage": q_corpus_ngram_coverage,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
 }
 
 
@@ -7125,4 +7314,7 @@ def oracles() -> dict[str, str]:
         "events_burstiness": ORACLE_EVENTS_BURSTINESS,
         "doc_langid_margin": _oracle_doc_langid_margin_sql(),
         "events_dau_wau": ORACLE_EVENTS_DAU_WAU,
+        "doc_quality_vs_dup_grid": _oracle_doc_quality_vs_dup_grid_sql(),
+        "corpus_ngram_coverage": _oracle_corpus_ngram_coverage_sql(),
+        "orders_cohort_ltv": ORACLE_ORDERS_COHORT_LTV,
     }

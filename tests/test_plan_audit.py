@@ -35,6 +35,7 @@ _ALLOWED_CROSS = {
     "source_ngram_kl",  # broadcast ONE-ROW vocab-size/total attach
     "embedding_hard_negatives",  # broadcast QUERY-SIDE scan (bruteforce shape)
     "events_cooccurrence_lift",  # broadcast ONE-ROW group-total attach
+    "corpus_ngram_coverage",  # ONE-ROW total x ONE-ROW head-sum attach
 }
 
 # iterative operator: executes during plan construction; its final plan is

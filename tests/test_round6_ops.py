@@ -290,3 +290,29 @@ def test_dau_wau_trailing_window(spark):
     assert out["2024-01-01"]["dau"] == 1 and out["2024-01-01"]["wau"] == 1
     assert out["2024-01-05"]["dau"] == 2 and out["2024-01-05"]["wau"] == 2
     assert out["2024-01-05"]["stickiness"] == 1.0
+
+
+def test_cohort_ltv_triangle(spark):
+    from pyspark.sql import functions as F
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os, datetime
+
+    # cust 1 first-orders in Jan, orders again in Mar (age 2);
+    # cust 2 first-orders in Mar (its own cohort, age 0)
+    rows = [
+        (1, 1, datetime.datetime(2024, 1, 5), 100.0),
+        (2, 1, datetime.datetime(2024, 3, 9), 50.0),
+        (3, 2, datetime.datetime(2024, 3, 1), 70.0),
+    ]
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        o.write.parquet(os.path.join(d, "orders.parquet"))
+        out = {
+            (r["cohort"], r["age_months"]): (r["n_orders"], float(r["revenue"]), float(r["cum_revenue"]))
+            for r in QUERIES["orders_cohort_ltv"](spark, d).collect()
+        }
+    assert out[("2024-01", 0)] == (1, 100.0, 100.0)
+    assert out[("2024-01", 2)] == (1, 50.0, 150.0)   # cumulative
+    assert out[("2024-03", 0)] == (1, 70.0, 70.0)
