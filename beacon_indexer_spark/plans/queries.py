@@ -7023,6 +7023,174 @@ FROM cell
 """
 
 
+_AQP_RATE = 0.05
+
+
+def q_events_aqp_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style) with a deterministic
+    audit: per event type, the count estimated from a 5% md5-hash sample
+    (scaled 20x) against the exact count, with the relative error — the
+    'is a sample good enough for this dashboard' calibration. The sample
+    is the same md5-keyed filter the sampling operators use, so the
+    estimate is reproducible across engines/partitionings (types missing
+    from the sample surface with est 0 / rel_err 1)."""
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    samp = (
+        SP.hash_sample(ev, "event_id", _AQP_RATE)
+        .groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) * int(round(1 / _AQP_RATE)))
+            .cast("long")
+            .alias("est_count")
+        )
+    )
+    j = exact.join(samp, "event_type", "left")
+    est = F.coalesce(F.col("est_count"), F.lit(0))
+    return j.select(
+        "event_type",
+        est.cast("long").alias("est_count"),
+        "exact_count",
+        F.round(
+            F.abs(est - F.col("exact_count")).cast("double")
+            / F.col("exact_count").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _oracle_events_aqp_estimate_sql() -> str:
+    salted = "concat('1:', CAST(event_id AS VARCHAR))"
+    bucket = f"({_dd_md5_long(salted)} % 1000000)"
+    scale = int(round(1 / _AQP_RATE))
+    return f"""
+WITH exact AS (
+  SELECT event_type, COUNT(*) AS exact_count FROM events GROUP BY 1),
+samp AS (
+  SELECT event_type, COUNT(*) * {scale} AS est_count
+  FROM events WHERE {bucket} < {int(_AQP_RATE * 1_000_000)}
+  GROUP BY 1)
+SELECT e.event_type,
+       CAST(COALESCE(s.est_count, 0) AS BIGINT) AS est_count,
+       CAST(e.exact_count AS BIGINT) AS exact_count,
+       round(CAST(abs(COALESCE(s.est_count, 0) - e.exact_count) AS DOUBLE)
+             / CAST(e.exact_count AS DOUBLE), 6) AS rel_err
+FROM exact e LEFT JOIN samp s ON e.event_type = s.event_type
+"""
+
+
+def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk: the Herfindahl–Hirschman index of
+    supplier revenue shares per nation (HHI -> 1 means one supplier owns
+    the nation's volume). DECIMAL-exact revenue; shares squared over a
+    per-nation supplier frame — bounded by supplier count, never line
+    items."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__r")
+        )
+        .join(
+            F.broadcast(
+                s.select("s_suppkey", "s_nationkey").join(
+                    F.broadcast(n.select("n_nationkey", "n_name")),
+                    s.s_nationkey == n.n_nationkey,
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    tot = rev.groupBy("n_name").agg(F.sum("__r").alias("__t"))
+    return (
+        rev.join(F.broadcast(tot), "n_name")
+        .select(
+            "n_name",
+            (
+                (F.col("__r").cast("double") / F.col("__t").cast("double"))
+                ** 2
+            ).alias("__sh2"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum("__sh2"), 6).alias("hhi"),
+        )
+        .withColumnRenamed("n_name", "nation")
+    )
+
+
+ORACLE_SUPPLIER_CONCENTRATION_HHI = """
+WITH rev AS (
+  SELECT n.n_name AS nation, l.l_suppkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+tot AS (SELECT nation, SUM(r) AS t FROM rev GROUP BY 1)
+SELECT rev.nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       round(SUM((CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                 * (CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE))), 6)
+         AS hhi
+FROM rev JOIN tot ON rev.nation = tot.nation
+GROUP BY rev.nation
+"""
+
+
+def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@5 of the IVF index against the exact
+    brute-force top-5, per query — the number that decides whether
+    nprobe/k_lists are production-ready. Composes the two audited
+    operators; the compare joins two 25-row frames."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = S.ivf_centroids(emb, k=8)
+    ivf = S.ivf_topk(emb, queries, cents, k=5, nprobe=2).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+    bf = S.brute_force_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+    hits = ivf.join(bf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__h")
+    )
+    qids = bf.select("query_id").distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("__h"), F.lit(0)).cast("double") / 5.0, 6
+        ).alias("recall_at_5"),
+    )
+
+
+def _oracle_embedding_ann_recall_sql() -> str:
+    ivf = _oracle_similarity_ivf_sql().strip().rstrip(";")
+    bf = ORACLE_SIMILARITY_BRUTEFORCE.strip().rstrip(";")
+    return f"""
+WITH ivf AS (SELECT query_id, neighbor_id FROM ({ivf}) t),
+bf AS (SELECT query_id, neighbor_id FROM ({bf}) t),
+hits AS (
+  SELECT i.query_id, COUNT(*) AS h
+  FROM ivf i JOIN bf b
+    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+  GROUP BY 1),
+qids AS (SELECT DISTINCT query_id FROM bf)
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+       round(CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0, 6) AS recall_at_5
+FROM qids q LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -7168,6 +7336,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_quality_vs_dup_grid": q_doc_quality_vs_dup_grid,
     "corpus_ngram_coverage": q_corpus_ngram_coverage,
     "orders_cohort_ltv": q_orders_cohort_ltv,
+    "events_aqp_estimate": q_events_aqp_estimate,
+    "supplier_concentration_hhi": q_supplier_concentration_hhi,
+    "embedding_ann_recall": q_embedding_ann_recall,
 }
 
 
@@ -7317,4 +7488,7 @@ def oracles() -> dict[str, str]:
         "doc_quality_vs_dup_grid": _oracle_doc_quality_vs_dup_grid_sql(),
         "corpus_ngram_coverage": _oracle_corpus_ngram_coverage_sql(),
         "orders_cohort_ltv": ORACLE_ORDERS_COHORT_LTV,
+        "events_aqp_estimate": _oracle_events_aqp_estimate_sql(),
+        "supplier_concentration_hhi": ORACLE_SUPPLIER_CONCENTRATION_HHI,
+        "embedding_ann_recall": _oracle_embedding_ann_recall_sql(),
     }

@@ -36,6 +36,7 @@ _ALLOWED_CROSS = {
     "embedding_hard_negatives",  # broadcast QUERY-SIDE scan (bruteforce shape)
     "events_cooccurrence_lift",  # broadcast ONE-ROW group-total attach
     "corpus_ngram_coverage",  # ONE-ROW total x ONE-ROW head-sum attach
+    "embedding_ann_recall",  # broadcast QUERY-SIDE scan (bruteforce side)
 }
 
 # iterative operator: executes during plan construction; its final plan is

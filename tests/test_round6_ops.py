@@ -316,3 +316,46 @@ def test_cohort_ltv_triangle(spark):
     assert out[("2024-01", 0)] == (1, 100.0, 100.0)
     assert out[("2024-01", 2)] == (1, 50.0, 150.0)   # cumulative
     assert out[("2024-03", 0)] == (1, 70.0, 70.0)
+
+
+def test_aqp_estimate_scales_sample(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os, datetime
+
+    # 1000 events of one type: the 5% hash sample estimate must land
+    # within a loose band of the exact count and be internally consistent
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, base, i % 7, "click", 1.0, "{}") for i in range(1000)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        [r] = QUERIES["events_aqp_estimate"](spark, d).collect()
+    assert r["exact_count"] == 1000
+    assert r["est_count"] % 20 == 0            # scaled by 1/rate
+    assert abs(r["est_count"] - 1000) <= 400   # loose CI for n=1000, p=.05
+    assert abs(r["rel_err"] - abs(r["est_count"] - 1000) / 1000) < 1e-9
+
+
+def test_hhi_monopoly_is_one(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os
+
+    li = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 50.0), (3, 20, 30.0), (4, 21, 30.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double",
+    )
+    sup = spark.createDataFrame(
+        [(10, 0), (20, 1), (21, 1)], "s_suppkey long, s_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(0, "MONO"), (1, "DUO")], "n_nationkey long, n_name string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        sup.write.parquet(os.path.join(d, "supplier.parquet"))
+        nat.write.parquet(os.path.join(d, "nation.parquet"))
+        out = {r["nation"]: r for r in QUERIES["supplier_concentration_hhi"](spark, d).collect()}
+    assert out["MONO"]["hhi"] == 1.0 and out["MONO"]["n_suppliers"] == 1
+    assert out["DUO"]["hhi"] == 0.5 and out["DUO"]["n_suppliers"] == 2
