@@ -7191,6 +7191,171 @@ FROM qids q LEFT JOIN hits h ON q.query_id = h.query_id
 """
 
 
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard: which sources share wording —
+    high overlap between a 'curated' and a 'crawl' source means the
+    curated set is mostly re-crawled content. Per-token source sets are
+    bounded by n_sources (collect_set per token, map-side combined);
+    pairs expand WITHIN the row; the union term is |A|+|B|-common over
+    per-source distinct-token counts."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    st = docs.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("__t")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    sets = st.groupBy("__t").agg(
+        F.array_sort(F.collect_set("source")).alias("__ss")
+    )
+    e1 = sets.select(
+        F.posexplode("__ss").alias("__pa", "source_a"), F.col("__ss")
+    )
+    pairs = e1.select(
+        "__pa", "source_a", F.posexplode("__ss").alias("__pb", "source_b")
+    ).filter(F.col("__pa") < F.col("__pb"))
+    common = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        common.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("__n").alias("__na"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("__n").alias("__nb"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("__c").cast("long").alias("n_common_terms"),
+            F.round(
+                F.col("__c").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double"),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+ORACLE_CORPUS_SOURCE_OVERLAP = rf"""
+WITH st AS (
+  SELECT DISTINCT source, unnest({_DD_TOKENS.format(c='text')}) AS t
+  FROM documents),
+sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS c
+  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT c.source_a, c.source_b,
+       CAST(c.c AS BIGINT) AS n_common_terms,
+       round(CAST(c.c AS DOUBLE) / (na.n + nb.n - c.c), 6) AS vocab_jaccard
+FROM common c
+JOIN sizes na ON na.source = c.source_a
+JOIN sizes nb ON nb.source = c.source_b
+"""
+
+
+def q_events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of event values per type (fraud /
+    synthetic-data screen: organic monetary values follow Benford;
+    generated or capped values don't). Digit extraction stays in exact
+    integers (cents -> leading decimal digit via string), shares join a
+    |types|-bounded total frame."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "event_type", cents.alias("__c")
+    ).filter(F.col("__c") > 0)
+    digit = F.substring(F.col("__c").cast("string"), 1, 1).cast("int")
+    cnt = base.select("event_type", digit.alias("first_digit")).groupBy(
+        "event_type", "first_digit"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    tot = cnt.groupBy("event_type").agg(F.sum("__n").alias("__t"))
+    return cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("first_digit"),
+        F.col("__n").cast("long").alias("n"),
+        F.round(
+            F.col("__n").cast("double") / F.col("__t").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+ORACLE_EVENTS_VALUE_BENFORD = """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events WHERE CAST(floor(value * 100) AS BIGINT) > 0),
+cnt AS (
+  SELECT event_type,
+         CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS first_digit,
+         COUNT(*) AS n
+  FROM base GROUP BY 1, 2),
+tot AS (SELECT event_type, SUM(n) AS t FROM cnt GROUP BY 1)
+SELECT cnt.event_type, cnt.first_digit,
+       CAST(cnt.n AS BIGINT) AS n,
+       round(CAST(cnt.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS share
+FROM cnt JOIN tot ON cnt.event_type = tot.event_type
+"""
+
+
+_BACKLOG_REF = "2001-09-01"
+
+
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging: order count and DECIMAL-exact value per status x
+    fixed age band (as of a reference date after the data window) — the
+    ops report behind 'how old is the open book'. One map + one
+    |status x bands|-bounded aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    age = F.datediff(F.lit(_BACKLOG_REF).cast("date"), F.to_date("o_orderdate"))
+    band = (
+        F.when(age <= 180, "a_le180d")
+        .when(age <= 365, "b_le1y")
+        .when(age <= 730, "c_le2y")
+        .otherwise("d_gt2y")
+    )
+    return (
+        o.select(
+            "o_orderstatus",
+            band.alias("age_band"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+        )
+        .groupBy("o_orderstatus", "age_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("__p").cast("decimal(18,2)").alias("value"),
+        )
+    )
+
+
+ORACLE_ORDERS_BACKLOG_AGING = f"""
+WITH b AS (
+  SELECT o_orderstatus,
+         datediff('day', CAST(o_orderdate AS DATE), DATE '{_BACKLOG_REF}')
+           AS age,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders)
+SELECT o_orderstatus,
+       CASE WHEN age <= 180 THEN 'a_le180d'
+            WHEN age <= 365 THEN 'b_le1y'
+            WHEN age <= 730 THEN 'c_le2y'
+            ELSE 'd_gt2y' END AS age_band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(p) AS DECIMAL(18,2)) AS value
+FROM b GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -7339,6 +7504,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_aqp_estimate": q_events_aqp_estimate,
     "supplier_concentration_hhi": q_supplier_concentration_hhi,
     "embedding_ann_recall": q_embedding_ann_recall,
+    "corpus_source_overlap": q_corpus_source_overlap,
+    "events_value_benford": q_events_value_benford,
+    "orders_backlog_aging": q_orders_backlog_aging,
 }
 
 
@@ -7491,4 +7659,7 @@ def oracles() -> dict[str, str]:
         "events_aqp_estimate": _oracle_events_aqp_estimate_sql(),
         "supplier_concentration_hhi": ORACLE_SUPPLIER_CONCENTRATION_HHI,
         "embedding_ann_recall": _oracle_embedding_ann_recall_sql(),
+        "corpus_source_overlap": ORACLE_CORPUS_SOURCE_OVERLAP,
+        "events_value_benford": ORACLE_EVENTS_VALUE_BENFORD,
+        "orders_backlog_aging": ORACLE_ORDERS_BACKLOG_AGING,
     }

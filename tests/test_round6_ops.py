@@ -359,3 +359,45 @@ def test_hhi_monopoly_is_one(spark):
         out = {r["nation"]: r for r in QUERIES["supplier_concentration_hhi"](spark, d).collect()}
     assert out["MONO"]["hhi"] == 1.0 and out["MONO"]["n_suppliers"] == 1
     assert out["DUO"]["hhi"] == 0.5 and out["DUO"]["n_suppliers"] == 2
+
+
+def test_source_overlap_jaccard_exact(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os
+
+    # web vocab {a,b,c}; books vocab {b,c,d}: common 2, union 4 -> 0.5
+    docs = spark.createDataFrame(
+        [(1, "a b c", "web", "en", 5), (2, "b c d", "books", "en", 5)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        [r] = QUERIES["corpus_source_overlap"](spark, d).collect()
+    assert (r["source_a"], r["source_b"]) == ("books", "web")
+    assert r["n_common_terms"] == 2 and r["vocab_jaccard"] == 0.5
+
+
+def test_benford_digit_extraction(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os, datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    # values 1.00, 12.34, 190.0 -> cents 100, 1234, 19000 -> digit 1 x3;
+    # 0.5 -> cents 50 -> digit 5; zero/negative excluded
+    rows = [
+        (1, base, 1, "a", 1.00, "{}"),
+        (2, base, 1, "a", 12.34, "{}"),
+        (3, base, 1, "a", 190.0, "{}"),
+        (4, base, 1, "a", 0.50, "{}"),
+        (5, base, 1, "a", 0.0, "{}"),
+        (6, base, 1, "a", -3.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["first_digit"]: r for r in QUERIES["events_value_benford"](spark, d).collect()}
+    assert out[1]["n"] == 3 and out[1]["share"] == 0.75
+    assert out[5]["n"] == 1 and out[5]["share"] == 0.25
+    assert set(out) == {1, 5}
