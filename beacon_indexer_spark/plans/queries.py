@@ -7356,6 +7356,183 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_doc_len_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length and quality score —
+    the sanity number behind any length-based curation shortcut (if
+    corr is high, a cheap length filter approximates the quality gate).
+    Five sums in ONE aggregation pass; the correlation is closed-form
+    over exact token counts and rounded q6."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        X.token_count("text").cast("double").alias("__x"),
+        F.round(X.quality_score("text"), 6).alias("__y"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.sqrt(
+        F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    ) * F.sqrt(F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    return agg.select(
+        F.col("__n").cast("long").alias("n_docs"),
+        F.round(num / den, 6).alias("len_quality_corr"),
+    )
+
+
+_ORACLE_Q6_EXPR = """round((least(n_chars / 500.0, 1.0) * 0.4
+  + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
+  + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
+  * (CASE WHEN n_tokens > 0 THEN 1.0 ELSE 0.0 END), 6)"""
+
+_ORACLE_Q6_CTES = r"""t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens, n_chars, n_punct,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl
+  FROM t)"""
+
+
+def _oracle_doc_len_quality_corr_sql() -> str:
+    return f"""
+WITH {_ORACLE_Q6_CTES},
+q AS (SELECT CAST(n_tokens AS DOUBLE) AS x, {_ORACLE_Q6_EXPR} AS y FROM m),
+a AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM q)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS len_quality_corr
+FROM a
+"""
+
+
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream (behavior model: which action follows which): per-user LAG
+    over a user-partitioned window with a total (ts, event_id) order,
+    then |types|²-bounded counts row-normalized per previous state."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("__n").alias("__t"))
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("__n").cast("long").alias("n"),
+        F.round(
+            F.col("__n").cast("double") / F.col("__t").cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+ORACLE_EVENTS_MARKOV_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+trans AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_type, SUM(n) AS t FROM trans GROUP BY 1)
+SELECT trans.prev_type, trans.next_type,
+       CAST(trans.n AS BIGINT) AS n,
+       round(CAST(trans.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS prob
+FROM trans JOIN tot ON trans.prev_type = tot.prev_type
+"""
+
+
+_QUALITY_SWEEP = (0.7, 0.8, 0.85, 0.9, 0.95)
+
+
+def q_corpus_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold sweep: docs and tokens retained at each cutoff
+    — the 'choose the quality bar' curve a curation review reads before
+    committing to 0.5. ONE aggregation pass computes every threshold's
+    conditional sums (no per-threshold rescan, no cross join); the
+    5-column row unpivots with stack()."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        F.round(X.quality_score("text"), 6).alias("__q"),
+        X.token_count("text").cast("long").alias("__nt"),
+    )
+    aggs = [F.sum("__nt").alias("__tot")]
+    for t in _QUALITY_SWEEP:
+        tag = str(t).replace(".", "")
+        aggs.append(
+            F.sum(F.when(F.col("__q") >= t, 1).otherwise(0)).alias(f"__d{tag}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("__q") >= t, F.col("__nt")).otherwise(0)).alias(
+                f"__t{tag}"
+            )
+        )
+    one = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"{t}D, __d{str(t).replace('.', '')}, __t{str(t).replace('.', '')}"
+        for t in _QUALITY_SWEEP
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_QUALITY_SWEEP)}, {stack_args}) "
+            "AS (threshold, docs_kept, tokens_kept)"
+        ),
+        F.col("__tot"),
+    ).select(
+        F.round("threshold", 2).alias("threshold"),
+        F.col("docs_kept").cast("long").alias("docs_kept"),
+        F.col("tokens_kept").cast("long").alias("tokens_kept"),
+        F.round(
+            F.col("tokens_kept").cast("double") / F.col("__tot").cast("double"),
+            6,
+        ).alias("tokens_frac"),
+    )
+
+
+def _oracle_corpus_quality_sweep_sql() -> str:
+    selects = []
+    for t in _QUALITY_SWEEP:
+        selects.append(f"""
+SELECT CAST({t} AS DOUBLE) AS threshold,
+       CAST(SUM(CASE WHEN q >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       CAST(SUM(CASE WHEN q >= {t} THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+       round(CAST(SUM(CASE WHEN q >= {t} THEN nt ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(nt) AS DOUBLE), 6) AS tokens_frac
+FROM q""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {_ORACLE_Q6_CTES},
+q AS (SELECT n_tokens AS nt, {_ORACLE_Q6_EXPR} AS q FROM m)
+{body}
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -7507,6 +7684,9 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_source_overlap": q_corpus_source_overlap,
     "events_value_benford": q_events_value_benford,
     "orders_backlog_aging": q_orders_backlog_aging,
+    "doc_len_quality_corr": q_doc_len_quality_corr,
+    "events_markov_transitions": q_events_markov_transitions,
+    "corpus_quality_sweep": q_corpus_quality_sweep,
 }
 
 
@@ -7662,4 +7842,7 @@ def oracles() -> dict[str, str]:
         "corpus_source_overlap": ORACLE_CORPUS_SOURCE_OVERLAP,
         "events_value_benford": ORACLE_EVENTS_VALUE_BENFORD,
         "orders_backlog_aging": ORACLE_ORDERS_BACKLOG_AGING,
+        "doc_len_quality_corr": _oracle_doc_len_quality_corr_sql(),
+        "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
+        "corpus_quality_sweep": _oracle_corpus_quality_sweep_sql(),
     }

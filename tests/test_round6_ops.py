@@ -401,3 +401,44 @@ def test_benford_digit_extraction(spark):
     assert out[1]["n"] == 3 and out[1]["share"] == 0.75
     assert out[5]["n"] == 1 and out[5]["share"] == 0.25
     assert set(out) == {1, 5}
+
+
+def test_markov_transitions_rows_normalize(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os, datetime
+
+    b = datetime.datetime(2024, 1, 1)
+    dt = datetime.timedelta
+    # user 1: a -> b -> a -> c ; user 2: b -> a
+    rows = [
+        (1, b, 1, "a", 1.0, "{}"), (2, b + dt(minutes=1), 1, "b", 1.0, "{}"),
+        (3, b + dt(minutes=2), 1, "a", 1.0, "{}"), (4, b + dt(minutes=3), 1, "c", 1.0, "{}"),
+        (5, b, 2, "b", 1.0, "{}"), (6, b + dt(minutes=1), 2, "a", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r["prev_type"], r["next_type"]): (r["n"], r["prob"])
+            for r in QUERIES["events_markov_transitions"](spark, d).collect()
+        }
+    # from 'a': -> b once, -> c once (prob 0.5 each); from 'b': -> a twice (1.0)
+    assert out[("a", "b")] == (1, 0.5) and out[("a", "c")] == (1, 0.5)
+    assert out[("b", "a")] == (2, 1.0)
+
+
+def test_len_quality_corr_sign(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os
+
+    # longer docs score higher under the length component -> corr > 0
+    docs = spark.createDataFrame(
+        [(i, "word " * (10 * (i + 1)), "s", "en", 50) for i in range(10)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        [r] = QUERIES["doc_len_quality_corr"](spark, d).collect()
+    assert r["n_docs"] == 10 and r["len_quality_corr"] > 0.5
