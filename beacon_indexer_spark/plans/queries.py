@@ -7533,6 +7533,151 @@ q AS (SELECT n_tokens AS nt, {_ORACLE_Q6_EXPR} AS q FROM m)
 """
 
 
+def q_embedding_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance: member count and load factor
+    (n / mean) per coarse cell — skewed lists are the ANN latency
+    killer (a probe into a hot cell scans 10x the vectors). Assignment
+    is a narrow map (centroids ship as literals); sizes are one k-group
+    aggregate; the mean attaches as a one-row broadcast."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    cents = S.ivf_centroids(emb, k=8)
+    lists = S.ivf_assign(emb, cents, "embedding", nprobe=1)
+    sizes = lists.groupBy("ivf_list").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = sizes.agg(F.sum("__n").cast("double").alias("__t"))
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        F.col("ivf_list").cast("long").alias("ivf_list"),
+        F.col("__n").cast("long").alias("n_vectors"),
+        F.round(F.col("__n").cast("double") * 8.0 / F.col("__t"), 6).alias(
+            "load_factor"
+        ),
+    )
+
+
+def _oracle_embedding_ivf_balance_sql(k: int = 8) -> str:
+    # same cents/assigned/ranked chain as _oracle_similarity_ivf_sql
+    # (md5-sampled centroids, -2·v·c + ||c||² exact nearest ranking)
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
+    dot_vc = fold.format(
+        arr="list_transform(generate_series(1, len(v.embedding)),"
+        " i -> CAST(v.embedding[i] AS DOUBLE) * c.cv[i])"
+    )
+    sq_c = fold.format(arr="list_transform(c.cv, x -> x * x)")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}),
+assigned AS (
+  SELECT v.vec_id, c.cid, -({dot_vc}) * 2 + ({sq_c}) AS d2
+  FROM embeddings v CROSS JOIN cents c),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+  FROM assigned),
+sizes AS (SELECT cid, COUNT(*) AS n FROM ranked WHERE rk = 1 GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM sizes)
+SELECT CAST(sizes.cid AS BIGINT) AS ivf_list,
+       CAST(sizes.n AS BIGINT) AS n_vectors,
+       round(CAST(sizes.n AS DOUBLE) * {float(k)!r} / tot.t, 6)
+         AS load_factor
+FROM sizes CROSS JOIN tot
+"""
+
+
+def q_events_hour_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic heatmap: event share per (day-of-week, hour) cell — the
+    seasonality profile capacity planning and anomaly baselines read.
+    One map + a 7x24-bounded aggregate; total attaches as a one-row
+    broadcast. Day numbering normalized to Sunday=1 on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.select(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("__n"))
+    tot = cnt.agg(F.sum("__n").cast("double").alias("__t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__n").cast("double") / F.col("__t"), 6).alias("share"),
+    )
+
+
+ORACLE_EVENTS_HOUR_DOW_PROFILE = """
+WITH cnt AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cnt)
+SELECT cnt.dow, cnt.hour, CAST(cnt.n AS BIGINT) AS n,
+       round(CAST(cnt.n AS DOUBLE) / tot.t, 6) AS share
+FROM cnt CROSS JOIN tot
+"""
+
+
+def q_customer_returns_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-revenue share per market segment (the churn-risk slice
+    behind TPC-H Q10's per-customer view): customer -> orders ->
+    lineitem with DECIMAL-exact revenue, returned = l_returnflag 'R'.
+    One |segments|-bounded rollup after the keyed joins; the customer
+    dim side broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.select(
+            "l_orderkey",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("__p"),
+            (F.col("l_returnflag") == "R").cast("int").alias("__r"),
+        )
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.sum("__p").cast("decimal(18,2)").alias("revenue"),
+            F.sum(F.when(F.col("__r") == 1, F.col("__p")).otherwise(0))
+            .cast("decimal(18,2)")
+            .alias("returned_revenue"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "revenue",
+            "returned_revenue",
+            F.round(
+                F.col("returned_revenue").cast("double")
+                / F.col("revenue").cast("double"),
+                6,
+            ).alias("return_rate"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_RETURNS_RATE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS p,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT segment,
+       CAST(SUM(p) AS DECIMAL(18,2)) AS revenue,
+       CAST(SUM(CASE WHEN r = 1 THEN p ELSE 0 END) AS DECIMAL(18,2))
+         AS returned_revenue,
+       round(CAST(SUM(CASE WHEN r = 1 THEN p ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(p) AS DOUBLE), 6) AS return_rate
+FROM j GROUP BY segment
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -7687,6 +7832,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_len_quality_corr": q_doc_len_quality_corr,
     "events_markov_transitions": q_events_markov_transitions,
     "corpus_quality_sweep": q_corpus_quality_sweep,
+    "embedding_ivf_balance": q_embedding_ivf_balance,
+    "events_hour_dow_profile": q_events_hour_dow_profile,
+    "customer_returns_rate": q_customer_returns_rate,
 }
 
 
@@ -7845,4 +7993,7 @@ def oracles() -> dict[str, str]:
         "doc_len_quality_corr": _oracle_doc_len_quality_corr_sql(),
         "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
         "corpus_quality_sweep": _oracle_corpus_quality_sweep_sql(),
+        "embedding_ivf_balance": _oracle_embedding_ivf_balance_sql(),
+        "events_hour_dow_profile": ORACLE_EVENTS_HOUR_DOW_PROFILE,
+        "customer_returns_rate": ORACLE_CUSTOMER_RETURNS_RATE,
     }

@@ -37,6 +37,8 @@ _ALLOWED_CROSS = {
     "events_cooccurrence_lift",  # broadcast ONE-ROW group-total attach
     "corpus_ngram_coverage",  # ONE-ROW total x ONE-ROW head-sum attach
     "embedding_ann_recall",  # broadcast QUERY-SIDE scan (bruteforce side)
+    "embedding_ivf_balance",  # broadcast ONE-ROW mean attach
+    "events_hour_dow_profile",  # broadcast ONE-ROW total attach
 }
 
 # iterative operator: executes during plan construction; its final plan is
