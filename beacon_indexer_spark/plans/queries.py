@@ -7678,6 +7678,157 @@ FROM j GROUP BY segment
 """
 
 
+def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event concentration — 'do 1% of
+    users generate 90% of traffic'. Computed over the per-user-count
+    VALUE HISTOGRAM (bounded by distinct activity levels, never user
+    count) with the bounded-fan-in partitioned prefix sum supplying the
+    rank offsets, so every intermediate stays an exact integer: users
+    with count c occupy ranks [cum+1, cum+f], so sum(rank*x) over the
+    group is c*(f*cum + f*(f+1)/2) in closed form. No unpartitioned
+    window, no per-user sort."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("__c"))
+    hist = per_user.groupBy("__c").agg(F.count(F.lit(1)).alias("__f"))
+    h = _exclusive_prefix(hist, "__c", "__f", "__cum")
+    s1 = (
+        F.col("__c")
+        * (
+            F.col("__f") * F.col("__cum")
+            + F.col("__f") * (F.col("__f") + 1) / 2
+        )
+    ).cast("double")
+    agg = h.agg(
+        F.sum("__f").cast("long").alias("n_users"),
+        F.sum(F.col("__c") * F.col("__f")).cast("long").alias("total_events"),
+        F.sum(s1).alias("__s1"),
+    )
+    n = F.col("n_users").cast("double")
+    t = F.col("total_events").cast("double")
+    return agg.select(
+        "n_users",
+        "total_events",
+        F.round(2.0 * F.col("__s1") / (n * t) - (n + 1.0) / n, 6).alias(
+            "gini"
+        ),
+    )
+
+
+ORACLE_EVENTS_USER_GINI = """
+WITH pu AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+hist AS (SELECT c, COUNT(*) AS f FROM pu GROUP BY 1),
+cum AS (
+  SELECT c, f,
+         COALESCE(SUM(f) OVER (ORDER BY c
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cu
+  FROM hist),
+a AS (
+  SELECT SUM(f) AS n, SUM(c * f) AS t,
+         SUM(CAST(c AS DOUBLE) * (f * cu + f * (f + 1) / 2.0)) AS s1
+  FROM cum)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(t AS BIGINT) AS total_events,
+       round(2.0 * s1 / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM a
+"""
+
+
+def q_part_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of retail price on size per brand (pricing-curve
+    fit): slope and intercept from five sums in ONE aggregation pass per
+    brand — the regression shape without MLlib, |brands|-bounded."""
+    p = _t(spark, sf_dir, "part")
+    base = p.select(
+        "p_brand",
+        F.col("p_size").cast("double").alias("__x"),
+        F.col("p_retailprice").alias("__y"),
+    )
+    agg = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    slope = (
+        F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ) / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("__n")
+    return agg.select(
+        F.col("p_brand").alias("brand"),
+        F.col("__n").cast("long").alias("n_parts"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+ORACLE_PART_PRICE_REGRESSION = """
+WITH a AS (
+  SELECT p_brand AS brand,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(p_size AS DOUBLE)) AS sx,
+         SUM(p_retailprice) AS sy,
+         SUM(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)) AS sxx,
+         SUM(CAST(p_size AS DOUBLE) * p_retailprice) AS sxy
+  FROM part GROUP BY 1)
+SELECT brand, CAST(n AS BIGINT) AS n_parts,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM a
+"""
+
+
+def q_corpus_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Shannon entropy of the within-token character-pair
+    distribution (the LM-difficulty / compressibility proxy; the same
+    pair stream BPE merge induction counts). ln(T) - sum(c ln c)/T over
+    an alphabet²-bounded aggregate — one row out."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
+    idx = tok.select(
+        "w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    ).filter(F.length("w") >= 2)
+    pair = F.concat(
+        F.substring(F.col("w"), F.col("i"), 1),
+        F.substring(F.col("w"), F.col("i") + 1, 1),
+    )
+    cnt = idx.select(pair.alias("pair")).groupBy("pair").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_pairs"),
+        F.sum("__c").cast("long").alias("total_pairs"),
+        F.sum(F.col("__c") * F.log("__c")).alias("__clogc"),
+    )
+    t = F.col("total_pairs").cast("double")
+    return agg.select(
+        "n_distinct_pairs",
+        "total_pairs",
+        F.round(F.log(t) - F.col("__clogc") / t, 6).alias("entropy"),
+    )
+
+
+ORACLE_CORPUS_CHAR_BIGRAM_ENTROPY = rf"""
+WITH tok AS (
+  SELECT unnest({_DD_TOKENS.format(c='text')}) AS w FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> substr(w, i, 2))) AS pair
+  FROM tok WHERE len(w) >= 2),
+cnt AS (SELECT pair, COUNT(*) AS c FROM pairs GROUP BY 1),
+a AS (SELECT COUNT(*) AS d, SUM(c) AS t, SUM(c * ln(c)) AS clogc FROM cnt)
+SELECT CAST(d AS BIGINT) AS n_distinct_pairs,
+       CAST(t AS BIGINT) AS total_pairs,
+       round(ln(t) - clogc / t, 6) AS entropy
+FROM a
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -7835,6 +7986,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ivf_balance": q_embedding_ivf_balance,
     "events_hour_dow_profile": q_events_hour_dow_profile,
     "customer_returns_rate": q_customer_returns_rate,
+    "events_user_gini": q_events_user_gini,
+    "part_price_regression": q_part_price_regression,
+    "corpus_char_bigram_entropy": q_corpus_char_bigram_entropy,
 }
 
 
@@ -7996,4 +8150,7 @@ def oracles() -> dict[str, str]:
         "embedding_ivf_balance": _oracle_embedding_ivf_balance_sql(),
         "events_hour_dow_profile": ORACLE_EVENTS_HOUR_DOW_PROFILE,
         "customer_returns_rate": ORACLE_CUSTOMER_RETURNS_RATE,
+        "events_user_gini": ORACLE_EVENTS_USER_GINI,
+        "part_price_regression": ORACLE_PART_PRICE_REGRESSION,
+        "corpus_char_bigram_entropy": ORACLE_CORPUS_CHAR_BIGRAM_ENTROPY,
     }

@@ -442,3 +442,44 @@ def test_len_quality_corr_sign(spark):
         docs.write.parquet(os.path.join(d, "documents.parquet"))
         [r] = QUERIES["doc_len_quality_corr"](spark, d).collect()
     assert r["n_docs"] == 10 and r["len_quality_corr"] > 0.5
+
+
+def test_gini_extremes(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os, datetime
+
+    b = datetime.datetime(2024, 1, 1)
+
+    def _write(rows, d):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).write.parquet(os.path.join(d, "events.parquet"))
+
+    # perfectly equal: 4 users x 5 events -> gini 0
+    with tempfile.TemporaryDirectory() as d:
+        _write([(i, b, i % 4, "a", 1.0, "{}") for i in range(20)], d)
+        [r] = QUERIES["events_user_gini"](spark, d).collect()
+    assert r["n_users"] == 4 and r["gini"] == 0.0
+
+    # concentrated: user 0 has 97 events, three users have 1 each
+    with tempfile.TemporaryDirectory() as d:
+        rows = [(i, b, 0, "a", 1.0, "{}") for i in range(97)]
+        rows += [(100 + u, b, u, "a", 1.0, "{}") for u in (1, 2, 3)]
+        _write(rows, d)
+        [r] = QUERIES["events_user_gini"](spark, d).collect()
+    assert r["gini"] > 0.7
+
+
+def test_price_regression_exact_line(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os
+
+    # y = 2x + 3 exactly -> slope 2, intercept 3
+    p = spark.createDataFrame(
+        [(i, f"part{i}", "B1", "t", i, 2.0 * i + 3.0) for i in range(1, 6)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p.write.parquet(os.path.join(d, "part.parquet"))
+        [r] = QUERIES["part_price_regression"](spark, d).collect()
+    assert (r["slope"], r["intercept"], r["n_parts"]) == (2.0, 3.0, 5)
