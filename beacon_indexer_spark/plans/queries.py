@@ -7829,6 +7829,144 @@ FROM a
 """
 
 
+def q_lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 order-to-ship latency (days) per order
+    priority — the SLA panel. Same audited VALUE-HISTOGRAM quantile
+    shape as doc_length_quantiles: the cumulative window runs over
+    (priority, latency) histogram rows bounded by distinct day counts,
+    never per line item."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("__d"),
+    )
+    hist = lat.groupBy("o_orderpriority", "__d").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.asc_nulls_last("__d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__crank", F.sum("__cnt").over(w))
+    totals = hist.groupBy("o_orderpriority").agg(F.sum("__cnt").alias("__n"))
+    j = cum.join(F.broadcast(totals), "o_orderpriority")
+    aggs = [
+        F.min(
+            F.when(F.col("__crank") * 100 >= F.col("__n") * p, F.col("__d"))
+        ).alias(f"p{p}")
+        for p in (50, 90, 99)
+    ]
+    return j.groupBy("o_orderpriority").agg(
+        F.sum("__cnt").cast("long").alias("n_items"), *aggs
+    )
+
+
+ORACLE_LINEITEM_SHIP_LATENCY = """
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+hist AS (
+  SELECT o_orderpriority, d, COUNT(*) AS cnt FROM lat GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderpriority, d, cnt,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS crank
+  FROM hist),
+tot AS (SELECT o_orderpriority, SUM(cnt) AS n FROM hist GROUP BY 1)
+SELECT c.o_orderpriority,
+       CAST(t.n AS BIGINT) AS n_items,
+       CAST(MIN(CASE WHEN c.crank * 100 >= t.n * 50 THEN c.d END) AS BIGINT) AS p50,
+       CAST(MIN(CASE WHEN c.crank * 100 >= t.n * 90 THEN c.d END) AS BIGINT) AS p90,
+       CAST(MIN(CASE WHEN c.crank * 100 >= t.n * 99 THEN c.d END) AS BIGINT) AS p99
+FROM cum c JOIN tot t ON c.o_orderpriority = t.o_orderpriority
+GROUP BY 1, 2
+"""
+
+
+def q_doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena share per source: vocabulary size and the
+    fraction of terms seen exactly once — a young/diverse source has a
+    fat hapax tail; a templated source doesn't. Vocabulary-bounded
+    aggregates only."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tc = (
+        docs.select(
+            "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("__t")
+        )
+        .groupBy("source", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("long").alias("hapax"),
+        F.round(
+            F.sum((F.col("__c") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+    )
+
+
+ORACLE_DOC_HAPAX_RATIO = rf"""
+WITH tc AS (
+  SELECT source, t, COUNT(*) AS c FROM (
+    SELECT source, unnest({_DD_TOKENS.format(c='text')}) AS t
+    FROM documents)
+  GROUP BY 1, 2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+FROM tc GROUP BY source
+"""
+
+
+def q_events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's lifetime value attributed to
+    their FIRST event type (total (ts, event_id) order) — the marketing
+    attribution rollup. One min_by per user + one |types|-bounded
+    rollup; DECIMAL-exact value sums."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("first_type"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("__v"),
+    )
+    return per_user.groupBy("first_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("__v").cast("double"), 6).alias("total_value"),
+    )
+
+
+ORACLE_EVENTS_FIRST_TOUCH = """
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+pu AS (
+  SELECT r.user_id,
+         MAX(CASE WHEN r.rn = 1 THEN r.event_type END) AS first_type,
+         SUM(CAST(r.value AS DECIMAL(18,6))) AS v
+  FROM ranked r GROUP BY 1)
+SELECT first_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(CAST(SUM(v) AS DOUBLE), 6) AS total_value
+FROM pu GROUP BY first_type
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -7989,6 +8127,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_user_gini": q_events_user_gini,
     "part_price_regression": q_part_price_regression,
     "corpus_char_bigram_entropy": q_corpus_char_bigram_entropy,
+    "lineitem_ship_latency": q_lineitem_ship_latency,
+    "doc_hapax_ratio": q_doc_hapax_ratio,
+    "events_first_touch": q_events_first_touch,
 }
 
 
@@ -8153,4 +8294,7 @@ def oracles() -> dict[str, str]:
         "events_user_gini": ORACLE_EVENTS_USER_GINI,
         "part_price_regression": ORACLE_PART_PRICE_REGRESSION,
         "corpus_char_bigram_entropy": ORACLE_CORPUS_CHAR_BIGRAM_ENTROPY,
+        "lineitem_ship_latency": ORACLE_LINEITEM_SHIP_LATENCY,
+        "doc_hapax_ratio": ORACLE_DOC_HAPAX_RATIO,
+        "events_first_touch": ORACLE_EVENTS_FIRST_TOUCH,
     }
