@@ -7967,6 +7967,185 @@ FROM pu GROUP BY first_type
 """
 
 
+def q_events_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly screen: robust z (|n − median| / MAD) per
+    day over daily event counts — the pipeline-health check that flags
+    ingest outages and replay storms. The GLOBAL exact median and MAD
+    use the bounded-fan partitioned prefix sum over the value
+    histogram — zero windows anywhere, demonstrating global exact
+    quantiles without a single-partition sort."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("__d")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+
+    def _global_median(df: DataFrame, col: str) -> DataFrame:
+        hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        hist = hist.localCheckpoint(eager=False)
+        # key-domain probe over the tiny histogram keeps the prefix-sum
+        # recursion at ONE level (the pack_documents pattern) instead of
+        # the static 64-bit depth — the probe job doubles as the
+        # checkpoint materialization
+        mx = hist.agg(F.max(col).alias("mx")).first()["mx"]
+        cum = _exclusive_prefix(hist, col, "__c", "__prev", max_key=mx)
+        cum = cum.withColumn("__cum", F.col("__prev") + F.col("__c"))
+        tot = hist.agg(F.sum("__c").alias("__t"))
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("__cum") * 2 >= F.col("__t"))
+            .agg(F.min(col).alias("__med"))
+        )
+
+    med = _global_median(daily, "__n")
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "__d", "__n", F.abs(F.col("__n") - F.col("__med")).alias("__dev"),
+        "__med",
+    )
+    mad = _global_median(dev.select(F.col("__dev").alias("__n")), "__n")
+    out = dev.crossJoin(F.broadcast(mad.withColumnRenamed("__med", "__mad")))
+    return out.select(
+        F.date_format("__d", "yyyy-MM-dd").alias("day"),
+        F.col("__n").cast("long").alias("n_events"),
+        F.col("__med").cast("long").alias("median"),
+        F.col("__dev").cast("long").alias("abs_dev"),
+        F.when(
+            F.col("__mad") > 0,
+            F.round(F.col("__dev").cast("double") / F.col("__mad"), 6),
+        ).alias("robust_z"),
+        (
+            (F.col("__mad") > 0) & (F.col("__dev") > 3 * F.col("__mad"))
+        ).cast("int").alias("is_anomaly"),
+    )
+
+
+ORACLE_EVENTS_DAILY_VOLUME_ANOMALY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1),
+h1 AS (SELECT n, COUNT(*) AS c FROM daily GROUP BY 1),
+c1 AS (SELECT n, SUM(c) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum
+       FROM h1),
+med AS (SELECT MIN(n) AS med FROM c1, (SELECT SUM(c) AS t FROM h1) tt
+        WHERE cum * 2 >= tt.t),
+dev AS (SELECT d, n, abs(n - med.med) AS dv, med.med FROM daily, med),
+h2 AS (SELECT dv, COUNT(*) AS c FROM dev GROUP BY 1),
+c2 AS (SELECT dv, SUM(c) OVER (ORDER BY dv ROWS UNBOUNDED PRECEDING) AS cum
+       FROM h2),
+mad AS (SELECT MIN(dv) AS mad FROM c2, (SELECT SUM(c) AS t FROM h2) tt
+        WHERE cum * 2 >= tt.t)
+SELECT strftime(dev.d, '%Y-%m-%d') AS day,
+       CAST(dev.n AS BIGINT) AS n_events,
+       CAST(dev.med AS BIGINT) AS median,
+       CAST(dev.dv AS BIGINT) AS abs_dev,
+       CASE WHEN mad.mad > 0
+            THEN round(CAST(dev.dv AS DOUBLE) / mad.mad, 6) END AS robust_z,
+       CAST(CASE WHEN mad.mad > 0 AND dev.dv > 3 * mad.mad
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM dev, mad
+"""
+
+
+def q_doc_keep_policy_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-policy audit: does min-id canonical selection systematically
+    keep the SHORTER copy of a duplicate cluster? Per multi-member
+    cluster the kept (min-id) token count vs the mean of the dropped
+    copies, plus the fraction of clusters where some dropped copy is
+    longer — the number that justifies switching to the best_quality
+    policy. Cluster-keyed aggregate + one-row rollup."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        X.token_count("text").cast("long").alias("__nt"),
+    ).join(clusters, "doc_id")
+    per_cluster = base.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum("__nt").alias("__sum"),
+        F.min_by("__nt", "doc_id").alias("__kept"),
+        F.max("__nt").alias("__mx"),
+    )
+    dropped_avg = (F.col("__sum") - F.col("__kept")) / (F.col("__m") - 1)
+    return per_cluster.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.round(F.avg(F.col("__kept").cast("double")), 6).alias(
+            "avg_tokens_kept"
+        ),
+        F.round(F.avg(dropped_avg.cast("double")), 6).alias(
+            "avg_tokens_dropped"
+        ),
+        F.round(
+            F.avg((F.col("__mx") > F.col("__kept")).cast("double")), 6
+        ).alias("frac_dropped_longer"),
+    )
+
+
+def _oracle_doc_keep_policy_bias_sql() -> str:
+    return f"""
+{_oracle_clusters_cte()}
+),
+base AS (
+  SELECT cl.cluster_id,
+         len({_DD_TOKENS.format(c='d.text')}) AS nt,
+         d.doc_id
+  FROM documents d JOIN cl ON cl.doc_id = d.doc_id),
+pc AS (
+  SELECT cluster_id, COUNT(*) AS m, SUM(nt) AS s,
+         arg_min(nt, doc_id) AS kept, MAX(nt) AS mx
+  FROM base GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       round(AVG(CAST(kept AS DOUBLE)), 6) AS avg_tokens_kept,
+       round(AVG(CAST(s - kept AS DOUBLE) / (m - 1)), 6)
+         AS avg_tokens_dropped,
+       round(AVG(CASE WHEN mx > kept THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_dropped_longer
+FROM pc
+"""
+
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm histogram of the embedding corpus (0.1-wide buckets) —
+    unnormalized vectors silently break cosine-by-dot shortcuts and IVF
+    residuals; this is the one-glance check. Sequential-fold norm (the
+    engine-portable accumulation), bucket counts bounded by the norm
+    range, one-row total attach."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    bucket = (F.floor(F.sqrt(sq) * 10) / 10.0).alias("norm_bucket")
+    cnt = emb.select(bucket).groupBy("norm_bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = cnt.agg(F.sum("__n").cast("double").alias("__t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "norm_bucket",
+        F.col("__n").cast("long").alias("n_vectors"),
+        F.round(F.col("__n").cast("double") / F.col("__t"), 6).alias("share"),
+    )
+
+
+ORACLE_EMBEDDING_NORM_PROFILE = """
+WITH n AS (
+  SELECT floor(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (a, b) -> a + b)) * 10) / 10.0 AS norm_bucket
+  FROM embeddings),
+cnt AS (SELECT norm_bucket, COUNT(*) AS c FROM n GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt)
+SELECT cnt.norm_bucket,
+       CAST(cnt.c AS BIGINT) AS n_vectors,
+       round(CAST(cnt.c AS DOUBLE) / tot.t, 6) AS share
+FROM cnt CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -8130,6 +8309,9 @@ QUERIES: dict[str, QueryFn] = {
     "lineitem_ship_latency": q_lineitem_ship_latency,
     "doc_hapax_ratio": q_doc_hapax_ratio,
     "events_first_touch": q_events_first_touch,
+    "events_daily_volume_anomaly": q_events_daily_volume_anomaly,
+    "doc_keep_policy_bias": q_doc_keep_policy_bias,
+    "embedding_norm_profile": q_embedding_norm_profile,
 }
 
 
@@ -8297,4 +8479,7 @@ def oracles() -> dict[str, str]:
         "lineitem_ship_latency": ORACLE_LINEITEM_SHIP_LATENCY,
         "doc_hapax_ratio": ORACLE_DOC_HAPAX_RATIO,
         "events_first_touch": ORACLE_EVENTS_FIRST_TOUCH,
+        "events_daily_volume_anomaly": ORACLE_EVENTS_DAILY_VOLUME_ANOMALY,
+        "doc_keep_policy_bias": _oracle_doc_keep_policy_bias_sql(),
+        "embedding_norm_profile": ORACLE_EMBEDDING_NORM_PROFILE,
     }

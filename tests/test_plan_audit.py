@@ -39,6 +39,8 @@ _ALLOWED_CROSS = {
     "embedding_ann_recall",  # broadcast QUERY-SIDE scan (bruteforce side)
     "embedding_ivf_balance",  # broadcast ONE-ROW mean attach
     "events_hour_dow_profile",  # broadcast ONE-ROW total attach
+    "events_daily_volume_anomaly",  # broadcast ONE-ROW median/MAD attaches
+    "embedding_norm_profile",  # broadcast ONE-ROW total attach
 }
 
 # iterative operator: executes during plan construction; its final plan is

