@@ -234,10 +234,15 @@ def main(
             quality_threshold=args.quality_threshold,
             keep_policy=args.keep_policy,
         )
-        lake.write(f"{args.prefix}_keep_list", run.keep_list())
-        lake.write(f"{args.prefix}_manifest", run.manifest())
+        # curation outputs are REPORTS, not append-only facts: they carry
+        # no key/version column for latest-wins reads, so a re-run with
+        # the same --prefix must REPLACE the previous run's tables —
+        # append would leave two conflicting keep verdicts per doc for
+        # downstream readers
+        lake.write(f"{args.prefix}_keep_list", run.keep_list(), mode="overwrite")
+        lake.write(f"{args.prefix}_manifest", run.manifest(), mode="overwrite")
         summary = run.summary()
-        lake.write(f"{args.prefix}_summary", summary)
+        lake.write(f"{args.prefix}_summary", summary, mode="overwrite")
         report_fns = {
             "size_dist": run.cluster_size_dist,
             "token_budget": run.token_budget,
@@ -251,9 +256,11 @@ def main(
                     f"unknown --reports entry {rep!r}; "
                     f"choose from {sorted(report_fns)}"
                 )
-            lake.write(f"{args.prefix}_{rep}", report_fns[rep]())
+            lake.write(f"{args.prefix}_{rep}", report_fns[rep](), mode="overwrite")
             extra_tables.append(f"{args.prefix}_{rep}")
-        srow = lake.read(f"{args.prefix}_summary").collect()[0].asDict()
+        # read the summary from the in-memory frame, not the lake table —
+        # a table re-read could pick up a stale row if anything appended
+        srow = summary.collect()[0].asDict()
         srow.pop("inserted_at", None)
         progress.record(
             f"curate:{args.docs}", 0, 0, "completed",

@@ -28,6 +28,22 @@ from beacon_indexer_spark.operators.text import fingerprint, word_shingles
 # 15 hex chars = 60 bits — fits signed 64-bit exactly, both engines.
 _HEX_PREFIX_LEN = 15
 
+# persisted handles created by probe=False (lazy both-branches) plans in
+# _pair_occurrences — plan annotations, not data-path actions. A session
+# that EXECUTES many such plans can release their caches deterministically:
+_LAZY_CACHES: list = []
+
+
+def release_lazy_caches() -> int:
+    """Unpersist every DataFrame cached by ``probe=False`` lazy plans and
+    return how many were released. Safe to call any time: unpersist on a
+    never-executed persist is a no-op, and blocks are dropped lazily so
+    in-flight jobs are unaffected."""
+    n = len(_LAZY_CACHES)
+    while _LAZY_CACHES:
+        _LAZY_CACHES.pop().unpersist()
+    return n
+
 
 def _md5_long(c: Column, salt: int) -> Column:
     """Deterministic 60-bit integer hash of a string, salted: engine-portable
@@ -229,14 +245,14 @@ def _pair_occurrences(
         # shuffle stages; persist is a pure plan annotation, and at
         # execution the first branch materializes the aggregation once
         # for both filters. MEMORY_AND_DISK so a huge aggregation spills
-        # instead of evicting. Caveat: the cache is never explicitly
-        # unpersisted — probe=False is meant for explain/audit callers;
-        # a long-lived session that EXECUTES many probe=False plans
-        # accumulates cached blocks until Spark's LRU reclaims them (or
-        # call spark.catalog.clearCache())
+        # instead of evicting. The persisted handle is REGISTERED so a
+        # long-lived session that EXECUTES many probe=False plans can
+        # release the accumulated cache deterministically via
+        # release_lazy_caches() instead of waiting on LRU pressure.
         from pyspark import StorageLevel
 
         grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+        _LAZY_CACHES.append(grouped)
         has_overflow = True
     else:
         has_overflow = False

@@ -273,6 +273,11 @@ def ivf_centroids(
     duplication leaves < k distinct ids in the oversample (and the corpus
     plausibly has more) does the distinct fallback run — same determinism
     contract either way, since md5 ordering is a total order on ids."""
+    if k <= 0:
+        # k=0 would make len(oversample) == 4*k hold for an EMPTY list and
+        # oversample[-1] raise IndexError below; zero centroids is a
+        # well-defined (if useless) request
+        return []
     oversample = (
         vectors.select(F.col(id_col).alias("id"))
         .filter(F.col(id_col).isNotNull())

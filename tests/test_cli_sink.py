@@ -403,6 +403,23 @@ def test_cli_curate_run(spark, capsys, tmp_path):
     assert len(rec) == 1 and rec[0]["status"] == "completed"
     assert rec[0]["processed_count"] == 5
 
+    # RE-RUN with the same --prefix: curation tables are reports with no
+    # latest-wins key, so the second run must REPLACE them — an append
+    # would leave two conflicting keep verdicts per doc (ADVICE r6)
+    out2 = _run(
+        capsys,
+        ["--lake-dir", lake_dir, "curate", "run", "--docs", docs_path],
+        spark,
+    )
+    assert out2["curate"]["n_docs"] == 5
+    keep2 = {
+        r["doc_id"]: r["keep"] for r in lake.read("curation_keep_list").collect()
+    }
+    assert keep2 == keep  # same verdicts, not doubled
+    assert lake.read("curation_keep_list").count() == 5
+    assert lake.read("curation_manifest").count() == 5
+    assert lake.read("curation_summary").count() == 1
+
 
 def test_cli_curate_stages_clusters_once(spark, capsys, tmp_path):
     """The CLI route must go through the staged pipeline: the manifest

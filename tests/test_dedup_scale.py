@@ -291,6 +291,12 @@ def test_pairs_from_buckets_lazy_no_probe_job(spark):
     assert _pairs(lazy) == _pairs(
         D._pairs_from_buckets(keyed, "id", "band", "key", max_bucket=10)
     )
+    # the lazy plan's persist() handle is registered for deterministic
+    # release — a long-lived session executing many probe=False plans must
+    # not accumulate cached blocks until LRU pressure (ADVICE r6)
+    released = D.release_lazy_caches()
+    assert released >= 1
+    assert D.release_lazy_caches() == 0  # registry drains
 
 
 def test_hamming_recall_independent_of_bands(spark):

@@ -36,6 +36,19 @@ def ddb():
     con.close()
 
 
+def _row_sort_key(vals):
+    # rounding-insensitive row order (mirrors tools/run_oracle_gate.py):
+    # non-float fields lead, floats join at 1e-6 rounding so a 1e-9
+    # boundary can't flip the positional pairing of in-tolerance rows
+    lead = [repr(v) for (t, v) in vals if t != "f"]
+    tail = [
+        repr(round(v, 6)) if isinstance(v, float) else repr(v)
+        for (t, v) in vals
+        if t == "f"
+    ]
+    return (lead, tail)
+
+
 def _normalize(rows, cols):
     out = []
     for row in rows:
@@ -47,7 +60,7 @@ def _normalize(rows, cols):
             else:
                 vals.append((type(v).__name__[:1], v))
         out.append(tuple(vals))
-    out.sort(key=repr)
+    out.sort(key=_row_sort_key)
     return out
 
 

@@ -198,3 +198,18 @@ def test_ivf_centroids_heavy_duplication_fallback(spark):
     cu = ivf_centroids(uniq, k=4)
     assert len(cd) == 4
     assert [v for _, v in cd] == [v for _, v in cu]
+
+
+def test_ivf_centroids_degenerate_k_and_empty(spark):
+    """k<=0 returns [] (k=0 once made the empty oversample look 'exactly
+    truncated' and indexed oversample[-1] — ADVICE r6); an empty corpus
+    with k>0 returns [] rather than erroring."""
+    from beacon_indexer_spark.operators.similarity import ivf_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert ivf_centroids(df, k=0) == []
+    assert ivf_centroids(df, k=-3) == []
+    empty = df.filter(F.lit(False))
+    assert ivf_centroids(empty, k=4) == []

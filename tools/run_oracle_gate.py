@@ -35,6 +35,21 @@ TABLES = [
 ]
 
 
+def _row_sort_key(vals):
+    # rounding-insensitive row order: non-float fields lead (exact across
+    # engines), floats join at a 1e-6 rounding — three orders of magnitude
+    # coarser than the 1e-9 comparison tolerance, so two engines landing on
+    # opposite sides of a 1e-9 boundary can't flip the row order and turn
+    # an in-tolerance result into a positional mismatch
+    lead = [repr(v) for (t, v) in vals if t != "f"]
+    tail = [
+        repr(round(v, 6)) if isinstance(v, float) else repr(v)
+        for (t, v) in vals
+        if t == "f"
+    ]
+    return (lead, tail)
+
+
 def _normalize(rows, cols):
     out = []
     for row in rows:
@@ -46,7 +61,7 @@ def _normalize(rows, cols):
             else:
                 vals.append((type(v).__name__[:1], v))
         out.append(tuple(vals))
-    out.sort(key=repr)
+    out.sort(key=_row_sort_key)
     return out
 
 
