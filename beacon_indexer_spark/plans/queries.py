@@ -743,7 +743,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
 
 
-def _oracle_simhash_sql() -> str:
+def _dd_simhash_ctes() -> str:
+    """`base` + `sh` CTEs producing (doc_id, simhash hex16) — shared by
+    the simhash-fingerprints oracle and the bit-balance audit oracle so
+    the majority-vote mirror lives in ONE place."""
     toks = f"list_distinct({_DD_TOKENS.format(c='text')})"
     digit_exprs = []
     for pos in range(1, 17):
@@ -760,9 +763,14 @@ def _oracle_simhash_sql() -> str:
         )
         digit_exprs.append(f"substr('0123456789abcdef', {digit_val} + 1, 1)")
     concat = " || ".join(digit_exprs)
+    return f"""base AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {concat} AS simhash FROM base)"""
+
+
+def _oracle_simhash_sql() -> str:
     return f"""
-WITH base AS (SELECT doc_id, {toks} AS toks FROM documents)
-SELECT CAST(doc_id AS BIGINT) AS doc_id, {concat} AS simhash FROM base
+WITH {_dd_simhash_ctes()}
+SELECT doc_id, simhash FROM sh
 """
 
 
@@ -5227,20 +5235,29 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, population std, min, max per coordinate. posexplode streams
     each vector through codegen; the only shuffle is the (dim) aggregate
     — 64 groups regardless of corpus size, with map-side partial
-    aggregation carrying one partial per dim per task."""
+    aggregation carrying one partial per dim per task.
+
+    Determinism: coordinates are quantized to 1e-9 fixed-point BEFORE
+    the sums, so both reductions are exact integer (DECIMAL) sums —
+    partition-order-independent at any parallelism (an unordered float
+    SUM is not; repo convention). Requires |x| <= 3 so the per-element
+    square stays inside int64; embedding coordinates are unit-norm-ish
+    (|x| < 1 in every fixture). min/max are order-independent already
+    and stay on the raw doubles."""
     e = _spread(_t(spark, sf_dir, "embeddings"))
     x = e.select(
         F.posexplode("embedding").alias("dim", "__x")
     ).select(F.col("dim").cast("long").alias("dim"), F.col("__x").cast("double").alias("__x"))
+    xi = F.round(F.col("__x") * 1e9, 0).cast("long")
     agg = x.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__x").alias("__s"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
+        F.sum(xi.cast("decimal(38,0)")).alias("__si"),
+        F.sum((xi * xi).cast("decimal(38,0)")).alias("__s2i"),
         F.min("__x").alias("__mn"),
         F.max("__x").alias("__mx"),
     )
-    mean = F.col("__s") / F.col("n")
-    var = F.col("__s2") / F.col("n") - mean * mean
+    mean = F.col("__si").cast("double") / 1e9 / F.col("n")
+    var = F.col("__s2i").cast("double") / 1e18 / F.col("n") - mean * mean
     return agg.select(
         "dim",
         "n",
@@ -5257,12 +5274,16 @@ WITH x AS (
   FROM embeddings e,
        LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s),
 agg AS (
-  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s, SUM(x * x) AS s2,
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(round(x * 1e9) AS BIGINT)) AS si,
+         SUM(CAST(round(x * 1e9) AS BIGINT) * CAST(round(x * 1e9) AS BIGINT)) AS s2i,
          MIN(x) AS mn, MAX(x) AS mx
   FROM x GROUP BY 1)
 SELECT CAST(dim AS BIGINT) AS dim, n,
-       round(s / n, 6) AS mean,
-       round(sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)), 6) AS std,
+       round(CAST(si AS DOUBLE) / 1e9 / n, 6) AS mean,
+       round(sqrt(greatest(CAST(s2i AS DOUBLE) / 1e18 / n
+                           - (CAST(si AS DOUBLE) / 1e9 / n) * (CAST(si AS DOUBLE) / 1e9 / n),
+                           0.0)), 6) AS std,
        round(mn, 6) AS min_x,
        round(mx, 6) AS max_x
 FROM agg
@@ -6541,12 +6562,21 @@ def q_doc_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(common, ["id_a", "id_b"], "left")
         .select(
             (F.floor(jac * 10) / 10.0).alias("jaccard_band"),
-            jac.alias("__j"),
+            # 1e-9 fixed-point per pair BEFORE the mean: the reduction is
+            # an exact integer sum (order-independent; an unordered float
+            # AVG is not — repo determinism convention). jac itself is a
+            # single deterministic per-row division.
+            F.round(jac * 1e9, 0).cast("long").alias("__ji"),
         )
     )
     return banded.groupBy("jaccard_band").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.round(F.avg("__j"), 6).alias("mean_jaccard"),
+        F.round(
+            F.sum(F.col("__ji").cast("decimal(38,0)")).cast("double")
+            / 1e9
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_jaccard"),
     )
 
 
@@ -6571,7 +6601,8 @@ j AS (
   LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b)
 SELECT floor(jac * 10) / 10.0 AS jaccard_band,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       round(AVG(jac), 6) AS mean_jaccard
+       round(CAST(SUM(CAST(round(jac * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / COUNT(*), 6) AS mean_jaccard
 FROM j GROUP BY 1
 """
 
@@ -7361,34 +7392,45 @@ def q_doc_len_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sanity number behind any length-based curation shortcut (if
     corr is high, a cheap length filter approximates the quality gate).
     Five sums in ONE aggregation pass; the correlation is closed-form
-    over exact token counts and rounded q6."""
+    over exact token counts and the quality score quantized to 1e-6
+    fixed-point BEFORE summation — every reduction is an integer
+    (DECIMAL) sum, so the result is partition-order-independent at any
+    parallelism (the repo's cross-engine determinism convention; an
+    unordered float SUM can flip the 6th rounded decimal at scale)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
+    dec = "decimal(38,0)"
     base = docs.select(
-        X.token_count("text").cast("double").alias("__x"),
-        F.round(X.quality_score("text"), 6).alias("__y"),
+        X.token_count("text").alias("__xi"),
+        F.round(X.quality_score("text") * 1e6, 0).cast("long").alias("__yi"),
     )
     agg = base.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__y").alias("__sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
-        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
-        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__xi").cast(dec)).alias("__sxi"),
+        F.sum(F.col("__yi").cast(dec)).alias("__syi"),
+        F.sum((F.col("__xi") * F.col("__xi")).cast(dec)).alias("__sxxi"),
+        F.sum((F.col("__yi") * F.col("__yi")).cast(dec)).alias("__syyi"),
+        F.sum((F.col("__xi") * F.col("__yi")).cast(dec)).alias("__sxyi"),
     )
-    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    den = F.sqrt(
-        F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    ) * F.sqrt(F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    sx = F.col("__sxi").cast("double")
+    sy = F.col("__syi").cast("double") / 1e6
+    sxx = F.col("__sxxi").cast("double")
+    syy = F.col("__syyi").cast("double") / 1e12
+    sxy = F.col("__sxyi").cast("double") / 1e6
+    num = F.col("__n") * sxy - sx * sy
+    den = F.sqrt(F.col("__n") * sxx - sx * sx) * F.sqrt(
+        F.col("__n") * syy - sy * sy
+    )
     return agg.select(
         F.col("__n").cast("long").alias("n_docs"),
         F.round(num / den, 6).alias("len_quality_corr"),
     )
 
 
-_ORACLE_Q6_EXPR = """round((least(n_chars / 500.0, 1.0) * 0.4
+_ORACLE_Q_RAW_EXPR = """((least(n_chars / 500.0, 1.0) * 0.4
   + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
   + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
-  * (CASE WHEN n_tokens > 0 THEN 1.0 ELSE 0.0 END), 6)"""
+  * (CASE WHEN n_tokens > 0 THEN 1.0 ELSE 0.0 END))"""
+_ORACLE_Q6_EXPR = f"round({_ORACLE_Q_RAW_EXPR}, 6)"
 
 _ORACLE_Q6_CTES = r"""t AS (
   SELECT doc_id,
@@ -7405,18 +7447,29 @@ m AS (
 
 
 def _oracle_doc_len_quality_corr_sql() -> str:
+    # mirror of the Spark fixed-point plan: quantize quality to 1e-6
+    # integers per row, SUM exact integers (HUGEINT), convert to double
+    # with the SAME expression shape as the Spark side
     return f"""
 WITH {_ORACLE_Q6_CTES},
-q AS (SELECT CAST(n_tokens AS DOUBLE) AS x, {_ORACLE_Q6_EXPR} AS y FROM m),
+q AS (SELECT n_tokens AS xi,
+             CAST(round({_ORACLE_Q_RAW_EXPR} * 1e6) AS BIGINT) AS yi
+      FROM m),
 a AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
-  FROM q)
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(xi) AS sxi, SUM(yi) AS syi,
+         SUM(xi * xi) AS sxxi, SUM(yi * yi) AS syyi, SUM(xi * yi) AS sxyi
+  FROM q),
+d AS (
+  SELECT n, CAST(sxi AS DOUBLE) AS sx, CAST(syi AS DOUBLE) / 1e6 AS sy,
+         CAST(sxxi AS DOUBLE) AS sxx, CAST(syyi AS DOUBLE) / 1e12 AS syy,
+         CAST(sxyi AS DOUBLE) / 1e6 AS sxy
+  FROM a)
 SELECT CAST(n AS BIGINT) AS n_docs,
        round((n * sxy - sx * sy)
              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
          AS len_quality_corr
-FROM a
+FROM d
 """
 
 
@@ -7740,24 +7793,33 @@ FROM a
 def q_part_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form OLS of retail price on size per brand (pricing-curve
     fit): slope and intercept from five sums in ONE aggregation pass per
-    brand — the regression shape without MLlib, |brands|-bounded."""
+    brand — the regression shape without MLlib, |brands|-bounded.
+    Prices are money (exactly 2 decimals), so they quantize to cents and
+    every reduction is an exact integer (DECIMAL) sum — partition-order-
+    independent (repo determinism convention; an unordered float SUM can
+    flip the 6th rounded decimal at scale)."""
     p = _t(spark, sf_dir, "part")
+    dec = "decimal(38,0)"
     base = p.select(
         "p_brand",
-        F.col("p_size").cast("double").alias("__x"),
-        F.col("p_retailprice").alias("__y"),
+        F.col("p_size").cast("long").alias("__xi"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("__yi"),
     )
     agg = base.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__y").alias("__sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
-        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__xi").cast(dec)).alias("__sxi"),
+        F.sum(F.col("__yi").cast(dec)).alias("__syi"),
+        F.sum((F.col("__xi") * F.col("__xi")).cast(dec)).alias("__sxxi"),
+        F.sum((F.col("__xi") * F.col("__yi")).cast(dec)).alias("__sxyi"),
     )
-    slope = (
-        F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    ) / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
-    intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("__n")
+    sx = F.col("__sxi").cast("double")
+    sy = F.col("__syi").cast("double") / 100
+    sxx = F.col("__sxxi").cast("double")
+    sxy = F.col("__sxyi").cast("double") / 100
+    slope = (F.col("__n") * sxy - sx * sy) / (
+        F.col("__n") * sxx - sx * sx
+    )
+    intercept = (sy - slope * sx) / F.col("__n")
     return agg.select(
         F.col("p_brand").alias("brand"),
         F.col("__n").cast("long").alias("n_parts"),
@@ -7770,16 +7832,20 @@ ORACLE_PART_PRICE_REGRESSION = """
 WITH a AS (
   SELECT p_brand AS brand,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         SUM(CAST(p_size AS DOUBLE)) AS sx,
-         SUM(p_retailprice) AS sy,
-         SUM(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)) AS sxx,
-         SUM(CAST(p_size AS DOUBLE) * p_retailprice) AS sxy
-  FROM part GROUP BY 1)
+         SUM(p_size) AS sxi,
+         SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS syi,
+         SUM(p_size * p_size) AS sxxi,
+         SUM(p_size * CAST(round(p_retailprice * 100) AS BIGINT)) AS sxyi
+  FROM part GROUP BY 1),
+d AS (
+  SELECT brand, n, CAST(sxi AS DOUBLE) AS sx, CAST(syi AS DOUBLE) / 100 AS sy,
+         CAST(sxxi AS DOUBLE) AS sxx, CAST(sxyi AS DOUBLE) / 100 AS sxy
+  FROM a)
 SELECT brand, CAST(n AS BIGINT) AS n_parts,
        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
          AS intercept
-FROM a
+FROM d
 """
 
 
@@ -8146,6 +8212,1093 @@ FROM cnt CROSS JOIN tot
 """
 
 
+def q_part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part from OBSERVED line items (the TPC-H Q2
+    correlated-min shape re-expressed as one grouped argmin — no
+    correlated subquery, no self-join): per part, min(struct(unit_price,
+    suppkey)) gives the cheapest observed unit price with a total
+    deterministic tiebreak, computed with map-side partial aggregation
+    on the (partkey) shuffle. The supplier dim attaches by broadcast.
+    At 100 TB this is ONE shuffle of partial minima — the naive
+    window-row_number form would sort every line item instead."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    up = (F.col("l_extendedprice") / F.col("l_quantity")).alias("__up")
+    best = (
+        li.select(
+            F.col("l_partkey").cast("long").alias("partkey"),
+            F.struct(
+                up.alias("up"), F.col("l_suppkey").cast("long").alias("sk")
+            ).alias("__b"),
+        )
+        .groupBy("partkey")
+        .agg(F.min("__b").alias("__b"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("sk"), "s_name"
+    )
+    return (
+        best.select(
+            "partkey", F.col("__b.up").alias("__up"), F.col("__b.sk").alias("sk")
+        )
+        .join(F.broadcast(sup), "sk")
+        .select(
+            "partkey",
+            F.round("__up", 6).alias("best_unit_price"),
+            F.col("sk").alias("suppkey"),
+            "s_name",
+        )
+    )
+
+
+ORACLE_PART_CHEAPEST_SUPPLIER = """
+WITH up AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS up
+  FROM lineitem WHERE l_quantity > 0),
+r AS (
+  SELECT l_partkey, l_suppkey, up,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY up, l_suppkey) AS rn
+  FROM up)
+SELECT CAST(r.l_partkey AS BIGINT) AS partkey,
+       round(r.up, 6) AS best_unit_price,
+       CAST(r.l_suppkey AS BIGINT) AS suppkey,
+       s.s_name
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rn = 1
+"""
+
+
+def q_part_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly promo-type revenue share (the TPC-H Q14 shape): lineitem
+    ⋈ broadcast part, conditional DECIMAL-exact discounted revenue per
+    ship month. The fact-side scan prunes to three columns; the dim is
+    2k rows at any SF of this schema (parts don't grow with history) —
+    a hash broadcast, never a shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("__pk"), "p_type"
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    )
+    j = li.select(
+        F.col("l_partkey").alias("__pk"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        rev.alias("__rev"),
+    ).join(F.broadcast(part), "__pk")
+    agg = j.groupBy("month").agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("__rev"))).alias("__p"),
+        F.sum("__rev").alias("__t"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    # exact decimal sums surfaced as doubles (the pricing_summary
+    # convention): a final cast back to DECIMAL(18,2) would round the
+    # sub-cent tail, and Spark (HALF_UP) and DuckDB disagree on halves
+    return agg.select(
+        "month",
+        F.coalesce(F.col("__p"), F.lit(0).cast(_DEC))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.col("__t").cast("double").alias("total_revenue"),
+        F.round(
+            F.coalesce(F.col("__p"), F.lit(0).cast(_DEC)).cast("double")
+            / F.col("__t").cast("double")
+            * 100.0,
+            6,
+        ).alias("promo_share_pct"),
+        "n_items",
+    )
+
+
+ORACLE_PART_PROMO_REVENUE = """
+WITH j AS (
+  SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS rev,
+         p.p_type
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+a AS (
+  SELECT month,
+         SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS pr,
+         SUM(rev) AS tr,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM j GROUP BY 1)
+SELECT month,
+       CAST(COALESCE(pr, 0) AS DOUBLE) AS promo_revenue,
+       CAST(tr AS DOUBLE) AS total_revenue,
+       round(CAST(COALESCE(pr, 0) AS DOUBLE) / CAST(tr AS DOUBLE) * 100.0, 6)
+         AS promo_share_pct,
+       n_items
+FROM a
+"""
+
+
+_EWMA_ALPHA = 0.3
+
+
+def q_events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA daily-volume anomaly screen: each day's event count vs the
+    exponentially-weighted moving average of all PRIOR days (α = 0.3) —
+    the streaming-flavored complement to the robust-z screen (EWMA
+    adapts to drifting baselines; median/MAD doesn't). EWMA is
+    inherently sequential, so the fold runs over the sort_array'd daily
+    series in ONE |days|-bounded row — daily counts are the only
+    shuffle; no window, no driver loop. Deterministic: the fold order
+    is the date order, identical on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "n"))).alias("__a")
+    )
+    out_t = "array<struct<d:date,n:double,prior:double>>"
+    init = F.struct(
+        F.lit(-1.0).alias("prev"),
+        F.expr(f"CAST(array() AS {out_t})").alias("out"),
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        prior = acc["prev"]
+        nxt = F.when(prior < 0, x["n"]).otherwise(
+            F.lit(_EWMA_ALPHA) * x["n"] + F.lit(1.0 - _EWMA_ALPHA) * prior
+        )
+        rec = F.struct(
+            x["d"].alias("d"), x["n"].alias("n"), prior.alias("prior")
+        )
+        return F.struct(
+            nxt.alias("prev"), F.concat(acc["out"], F.array(rec)).alias("out")
+        )
+
+    rows = arr.select(
+        F.explode(F.aggregate("__a", init, _step)["out"]).alias("r")
+    )
+    prior = F.col("r.prior")
+    n = F.col("r.n")
+    return rows.select(
+        F.date_format("r.d", "yyyy-MM-dd").alias("day"),
+        n.cast("long").alias("n_events"),
+        F.when(prior >= 0, F.round(prior, 6)).alias("ewma_prior"),
+        F.when(prior > 0, F.round(n / prior, 6)).alias("ratio"),
+        F.when(
+            (prior > 0) & ((n > 2.0 * prior) | (n < 0.5 * prior)), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_spike"),
+    )
+
+
+ORACLE_EVENTS_EWMA_ANOMALY = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1),
+r AS (SELECT d, n, row_number() OVER (ORDER BY d) AS rn FROM daily),
+ew AS (
+  SELECT rn, d, n, CAST(NULL AS DOUBLE) AS prior, n AS e
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.d, r.n, ew.e AS prior,
+         {_EWMA_ALPHA} * r.n + {1.0 - _EWMA_ALPHA} * ew.e AS e
+  FROM ew JOIN r ON r.rn = ew.rn + 1)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n_events,
+       round(prior, 6) AS ewma_prior,
+       CASE WHEN prior > 0 THEN round(n / prior, 6) END AS ratio,
+       CAST(CASE WHEN prior > 0 AND (n > 2.0 * prior OR n < 0.5 * prior)
+                 THEN 1 ELSE 0 END AS INT) AS is_spike
+FROM ew
+"""
+
+
+def q_embedding_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher separation score for the label column —
+    between-class variance over within-class variance, the classic
+    feature-quality ranking (a dim with Fisher ≈ 0 carries no label
+    signal; a heavily separating dim dominates cosine similarity within
+    a label). All reductions are exact: coordinates quantize to 1e-9
+    fixed-point, the (dim, label) partial sums are integer DECIMAL sums
+    (map-side combined; |dims|·|labels| groups regardless of corpus
+    size), and the per-dim combination across labels is a label-ordered
+    sequential fold — nothing order-dependent anywhere."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    x = e.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "__x"),
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("__x").cast("double") * 1e9, 0).cast("long").alias("__xi"),
+    )
+    dec = "decimal(38,0)"
+    per = x.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__xi").cast(dec)).alias("__si"),
+        F.sum((F.col("__xi") * F.col("__xi")).cast(dec)).alias("__s2i"),
+    )
+    tot = per.groupBy("dim").agg(
+        F.sum("__n").cast("long").alias("__nt"),
+        F.sum("__si").alias("__sit"),
+    )
+    mu_l = F.col("__si").cast("double") / 1e9 / F.col("__n")
+    mu = F.col("__sit").cast("double") / 1e9 / F.col("__nt")
+    terms = per.join(F.broadcast(tot), "dim").select(
+        "dim",
+        "label",
+        "__nt",
+        (F.col("__n").cast("double") * (mu_l - mu) * (mu_l - mu)).alias("__bt"),
+        (
+            F.col("__s2i").cast("double") / 1e18
+            - F.col("__n").cast("double") * mu_l * mu_l
+        ).alias("__wt"),
+    )
+    folded = terms.groupBy("dim", "__nt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("label", "__bt"))),
+                lambda s: s["__bt"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("__b"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("label", "__wt"))),
+                lambda s: s["__wt"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("__w"),
+    )
+    return folded.select(
+        "dim",
+        "n_labels",
+        F.when(F.col("__w") > 0, F.round(F.col("__b") / F.col("__w"), 6)).alias(
+            "fisher"
+        ),
+    )
+
+
+ORACLE_EMBEDDING_FISHER_SEPARATION = """
+WITH x AS (
+  SELECT CAST(e.label AS BIGINT) AS label, s.i - 1 AS dim,
+         CAST(round(CAST(e.embedding[s.i] AS DOUBLE) * 1e9) AS BIGINT) AS xi
+  FROM embeddings e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s),
+per AS (
+  SELECT dim, label, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(xi) AS si, SUM(xi * xi) AS s2i
+  FROM x GROUP BY 1, 2),
+tot AS (SELECT dim, SUM(n) AS nt, SUM(si) AS sit FROM per GROUP BY 1),
+terms AS (
+  SELECT p.dim, p.label, t.nt,
+         CAST(p.n AS DOUBLE)
+           * (CAST(p.si AS DOUBLE) / 1e9 / p.n - CAST(t.sit AS DOUBLE) / 1e9 / t.nt)
+           * (CAST(p.si AS DOUBLE) / 1e9 / p.n - CAST(t.sit AS DOUBLE) / 1e9 / t.nt)
+           AS bt,
+         CAST(p.s2i AS DOUBLE) / 1e18
+           - CAST(p.n AS DOUBLE) * (CAST(p.si AS DOUBLE) / 1e9 / p.n)
+                                 * (CAST(p.si AS DOUBLE) / 1e9 / p.n) AS wt
+  FROM per p JOIN tot t ON t.dim = p.dim),
+agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_labels,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(bt ORDER BY label)), (a, b) -> a + b) AS b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(wt ORDER BY label)), (a, b) -> a + b) AS w
+  FROM terms GROUP BY 1)
+SELECT CAST(dim AS BIGINT) AS dim, n_labels,
+       CASE WHEN w > 0 THEN round(b / w, 6) END AS fisher
+FROM agg
+"""
+
+
+def q_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bit-position balance audit: the share of 1s at each of
+    the 64 signature positions across the corpus. A healthy hash sits
+    near 0.5 everywhere; a skewed bit inflates Hamming-collision rates
+    and silently degrades the multi-index pair generator's selectivity —
+    this is the one-glance check before trusting simhash banding. Pure
+    integer bit counts over a 64-group aggregate; the signature stream
+    is the same map-only simhash pass the dedup queries use."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sh = D.simhash(docs, "doc_id", "text")
+    bits = sh.select(
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"), "simhash"
+    ).select(
+        F.col("p").cast("long").alias("bit_pos"),
+        F.expr(
+            "(CAST(conv(substring(simhash, CAST(p div 4 AS INT) + 1, 1), 16, 10)"
+            " AS BIGINT) div (CASE CAST(p % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4"
+            " WHEN 2 THEN 2 ELSE 1 END)) % 2"
+        ).alias("__b"),
+    )
+    return bits.groupBy("bit_pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__b").cast("long").alias("n_ones"),
+        F.round(
+            F.sum("__b").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ones_share"),
+    )
+
+
+def _oracle_simhash_bit_balance_sql() -> str:
+    return f"""
+WITH {_dd_simhash_ctes()},
+pos AS (SELECT simhash, unnest(generate_series(0, 63)) AS p FROM sh),
+bits AS (
+  SELECT p,
+         ((CAST(strpos('0123456789abcdef', substr(simhash, (p // 4) + 1, 1))
+             AS BIGINT) - 1)
+          // (CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
+          % 2 AS b
+  FROM pos)
+SELECT CAST(p AS BIGINT) AS bit_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b) AS BIGINT) AS n_ones,
+       round(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS ones_share
+FROM bits GROUP BY 1
+"""
+
+
+def q_customer_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue concentration: the smallest number of customers
+    whose combined order revenue reaches 80% of the total. Exact and
+    fully integer: per-customer revenue in cents, compressed to a
+    revenue-value histogram, DESC-cumulated via the bounded-fan-in
+    partitioned prefix sum (no unpartitioned window at any scale), the
+    80% threshold compared as 5·cum ≥ 4·T in int64, and the partial
+    group at the crossing resolved in closed form with a ceiling
+    division. The only non-integer outputs are the final display
+    round()s."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    o = _t(spark, sf_dir, "orders")
+    percust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("__r")
+    )
+    hist = percust.groupBy("__r").agg(F.count(F.lit(1)).alias("__f"))
+    hist = hist.withColumn("__s", F.col("__r") * F.col("__f"))
+    hist = hist.localCheckpoint(eager=False)
+    mx = hist.agg(F.max("__r").alias("mx")).first()["mx"]
+    cf = _exclusive_prefix(hist, "__r", "__f", "__pf", max_key=mx)
+    cs = _exclusive_prefix(
+        hist.select("__r", "__s"), "__r", "__s", "__ps", max_key=mx
+    )
+    j = cf.join(cs.select("__r", "__ps"), "__r")
+    tot = hist.agg(
+        F.sum("__f").cast("long").alias("__N"),
+        F.sum("__s").cast("long").alias("__T"),
+    )
+    x = j.crossJoin(F.broadcast(tot)).select(
+        "__r", "__f", "__s", "__N", "__T",
+        # ASC exclusive prefixes flip to strict-above suffixes exactly
+        (F.col("__N") - F.col("__pf") - F.col("__f")).alias("__above_f"),
+        (F.col("__T") - F.col("__ps") - F.col("__s")).alias("__above_s"),
+    )
+    hit = x.filter(
+        (5 * F.col("__above_s") < 4 * F.col("__T"))
+        & (5 * (F.col("__above_s") + F.col("__s")) >= 4 * F.col("__T"))
+    )
+    # ceiling division in EXACT int64 (`div`, never a double round-trip):
+    # k = ceil((4T - 5·above_s) / (5r)) customers of the crossing group
+    n80 = F.col("__above_f") + F.expr(
+        "(4 * __T - 5 * __above_s + 5 * __r - 1) div (5 * __r)"
+    )
+    return hit.select(
+        F.col("__N").alias("n_customers"),
+        (F.col("__T").cast("double") / 100).alias("total_revenue"),
+        n80.cast("long").alias("n_customers_80"),
+        F.round(
+            n80.cast("double") / F.col("__N").cast("double") * 100.0, 6
+        ).alias("pct_customers_80"),
+    )
+
+
+ORACLE_CUSTOMER_PARETO_COVERAGE = """
+WITH pc AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS r
+  FROM orders GROUP BY 1),
+hist AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS f FROM pc GROUP BY 1),
+t AS (SELECT CAST(SUM(f) AS BIGINT) AS N, CAST(SUM(r * f) AS BIGINT) AS T
+      FROM hist),
+cum AS (
+  SELECT r, f, r * f AS s,
+         COALESCE(SUM(f) OVER (ORDER BY r DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS above_f,
+         COALESCE(SUM(r * f) OVER (ORDER BY r DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS above_s
+  FROM hist),
+hit AS (
+  SELECT c.*, t.N, t.T,
+         c.above_f + (4 * t.T - 5 * c.above_s + 5 * c.r - 1) // (5 * c.r) AS n80
+  FROM cum c, t
+  WHERE 5 * c.above_s < 4 * t.T AND 5 * (c.above_s + c.s) >= 4 * t.T)
+SELECT CAST(N AS BIGINT) AS n_customers,
+       CAST(T AS DOUBLE) / 100 AS total_revenue,
+       CAST(n80 AS BIGINT) AS n_customers_80,
+       round(CAST(n80 AS DOUBLE) / CAST(N AS DOUBLE) * 100.0, 6)
+         AS pct_customers_80
+FROM hit
+"""
+
+
+_OOV_VOCAB_K = 16
+
+
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary occurrence rate per source against the corpus
+    top-K vocabulary — the tokenizer-coverage health number (a source
+    whose token mass falls outside the head vocabulary will fragment
+    into long BPE tails and inflate training cost). Two vocab-bounded
+    aggregates: corpus term counts (map-side combined), then per-
+    (source, term) counts joined against the broadcast K-row head —
+    nothing scales with document count except the first scan."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    head = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), "w")
+        .limit(_OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("__in"))
+    )
+    per_src = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("__n"))
+    j = per_src.join(F.broadcast(head), "w", "left")
+    return j.groupBy("source").agg(
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), F.col("__n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(
+                F.when(F.col("__in").isNull(), F.col("__n")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("__n").cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+ORACLE_DOC_OOV_RATE = f"""
+WITH tok AS (
+  SELECT source, unnest({_DD_TOKENS.format(c='text')}) AS w
+  FROM (SELECT source, lower(text) AS text FROM documents)),
+head AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1)
+  ORDER BY c DESC, w LIMIT {_OOV_VOCAB_K}),
+ps AS (SELECT source, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+j AS (
+  SELECT ps.source, ps.n, (h.w IS NOT NULL) AS inv
+  FROM ps LEFT JOIN head h ON h.w = ps.w)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN NOT inv THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(SUM(CASE WHEN NOT inv THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE), 6) AS oov_rate
+FROM j GROUP BY 1
+"""
+
+
+def q_events_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard of the user sets of
+    every type pair — 'do buyers also search, or are these disjoint
+    populations'. Distinct (user, type) once, per-type distinct counts,
+    and common-user counts via a user-keyed self-join whose fan-out per
+    user is bounded by |types| — output and every aggregate are
+    |types|²-bounded regardless of event volume."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    per = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    common = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    j = (
+        common.join(
+            F.broadcast(
+                per.select(F.col("event_type").alias("type_a"), F.col("__n").alias("__na"))
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                per.select(F.col("event_type").alias("type_b"), F.col("__n").alias("__nb"))
+            ),
+            "type_b",
+        )
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("__c").cast("long").alias("n_common_users"),
+        F.round(
+            F.col("__c").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double"),
+            6,
+        ).alias("user_jaccard"),
+    )
+
+
+ORACLE_EVENTS_TYPE_AUDIENCE_OVERLAP = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+per AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+common AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS c
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT c.type_a, c.type_b,
+       CAST(c.c AS BIGINT) AS n_common_users,
+       round(CAST(c.c AS DOUBLE)
+             / CAST(na.n + nb.n - c.c AS DOUBLE), 6) AS user_jaccard
+FROM common c
+JOIN per na ON na.event_type = c.type_a
+JOIN per nb ON nb.event_type = c.type_b
+"""
+
+
+_ZIPF_K = 1000
+
+
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the term-frequency head: OLS of ln(count) on
+    ln(rank) for the top-K terms — slope ≈ −1 is the healthy natural-
+    language signature; a flat slope flags template/boilerplate corpora
+    and a cliff flags truncated vocabularies. The head is a K-row
+    TakeOrdered (count desc, term); ranks, logs, and all five OLS sums
+    are rank-ordered sequential folds over ONE K-bounded array — exact
+    reproducibility at any parallelism, no unordered float reduction."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), "w")
+        .limit(_ZIPF_K)
+    )
+    arr = counts.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("__c")).alias("nc"), "w"))
+        ).alias("__a")
+    )
+    xy = F.transform(
+        F.col("__a"),
+        lambda s, i: F.struct(
+            F.log((i + 1).cast("double")).alias("x"),
+            F.log((-s["nc"]).cast("double")).alias("y"),
+        ),
+    )
+
+    def _fold(field: str) -> Column:
+        return F.aggregate(
+            F.col("__t"),
+            F.lit(0.0),
+            lambda a, s: a + s[field],
+        )
+
+    terms = arr.select(
+        xy.alias("__t"), F.size("__a").cast("double").alias("__k")
+    ).select(
+        "__k",
+        _fold("x").alias("__sx"),
+        _fold("y").alias("__sy"),
+        F.aggregate(
+            F.col("__t"), F.lit(0.0), lambda a, s: a + s["x"] * s["x"]
+        ).alias("__sxx"),
+        F.aggregate(
+            F.col("__t"), F.lit(0.0), lambda a, s: a + s["x"] * s["y"]
+        ).alias("__sxy"),
+        F.aggregate(
+            F.col("__t"), F.lit(0.0), lambda a, s: a + s["y"] * s["y"]
+        ).alias("__syy"),
+    )
+    k = F.col("__k")
+    cov = k * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = k * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = k * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return terms.select(
+        k.cast("long").alias("n_terms"),
+        F.round(cov / vx, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("__sy") - cov / vx * F.col("__sx")) / k, 6
+        ).alias("intercept"),
+        F.when(vy > 0, F.round(cov * cov / (vx * vy), 6)).alias("r2"),
+    )
+
+
+ORACLE_CORPUS_ZIPF_FIT = f"""
+WITH tok AS (
+  SELECT unnest({_DD_TOKENS.format(c='text')}) AS w
+  FROM (SELECT lower(text) AS text FROM documents)),
+head AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+  ORDER BY c DESC, w LIMIT {_ZIPF_K}),
+arr AS (
+  SELECT list(struct_pack(x := ln(CAST(rn AS DOUBLE)),
+                          y := ln(CAST(c AS DOUBLE))) ORDER BY rn) AS t,
+         CAST(COUNT(*) AS DOUBLE) AS k
+  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM head)),
+sums AS (
+  SELECT k,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(t, s -> s.x)), (a, b) -> a + b) AS sx,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(t, s -> s.y)), (a, b) -> a + b) AS sy,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(t, s -> s.x * s.x)), (a, b) -> a + b) AS sxx,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(t, s -> s.x * s.y)), (a, b) -> a + b) AS sxy,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(t, s -> s.y * s.y)), (a, b) -> a + b) AS syy
+  FROM arr)
+SELECT CAST(k AS BIGINT) AS n_terms,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+         AS intercept,
+       CASE WHEN k * syy - sy * sy > 0
+            THEN round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                       / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6)
+       END AS r2
+FROM sums
+"""
+
+
+def q_embedding_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-dimension p01/median/p99 of the embedding coordinates —
+    the saturation/clipping screen that a mean/std profile misses
+    (quantization and fp16 export clip tails first). Discrete (lower)
+    quantiles over the 1e-9-quantized VALUE HISTOGRAM per dim: the
+    cumulative window is PARTITIONED by dim (64 shards at any corpus
+    size) and runs over distinct-value rows, never raw coordinates; the
+    rank threshold compares in exact int64 (100·cum ≥ q·n — no float
+    rank arithmetic)."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    x = e.select(F.posexplode("embedding").alias("dim", "__x")).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("__x").cast("double") * 1e9, 0).cast("long").alias("__xi"),
+    )
+    hist = x.groupBy("dim", "__xi").agg(F.count(F.lit(1)).alias("__f"))
+    w = (
+        Window.partitionBy("dim")
+        .orderBy("__xi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("__cum", F.sum("__f").over(w))
+    tot = hist.groupBy("dim").agg(F.sum("__f").alias("__n"))
+    j = cum.join(F.broadcast(tot), "dim")
+
+    def _q(pct: int) -> Column:
+        return F.min(
+            F.when(100 * F.col("__cum") >= pct * F.col("__n"), F.col("__xi"))
+        )
+
+    agg = j.groupBy("dim").agg(
+        F.max("__n").cast("long").alias("n"),
+        _q(1).alias("__p01"),
+        _q(50).alias("__p50"),
+        _q(99).alias("__p99"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        F.round(F.col("__p01").cast("double") / 1e9, 6).alias("p01"),
+        F.round(F.col("__p50").cast("double") / 1e9, 6).alias("p50"),
+        F.round(F.col("__p99").cast("double") / 1e9, 6).alias("p99"),
+    )
+
+
+ORACLE_EMBEDDING_DIM_QUANTILES = """
+WITH x AS (
+  SELECT s.i - 1 AS dim,
+         CAST(round(CAST(e.embedding[s.i] AS DOUBLE) * 1e9) AS BIGINT) AS xi
+  FROM embeddings e,
+       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) s),
+hist AS (SELECT dim, xi, COUNT(*) AS f FROM x GROUP BY 1, 2),
+cum AS (
+  SELECT dim, xi, f,
+         SUM(f) OVER (PARTITION BY dim ORDER BY xi
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM hist),
+tot AS (SELECT dim, SUM(f) AS n FROM hist GROUP BY 1),
+agg AS (
+  SELECT c.dim, CAST(t.n AS BIGINT) AS n,
+         MIN(CASE WHEN 100 * c.c >= 1 * t.n THEN c.xi END) AS p01i,
+         MIN(CASE WHEN 100 * c.c >= 50 * t.n THEN c.xi END) AS p50i,
+         MIN(CASE WHEN 100 * c.c >= 99 * t.n THEN c.xi END) AS p99i
+  FROM cum c JOIN tot t ON t.dim = c.dim
+  GROUP BY 1, 2)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       round(CAST(p01i AS DOUBLE) / 1e9, 6) AS p01,
+       round(CAST(p50i AS DOUBLE) / 1e9, 6) AS p50,
+       round(CAST(p99i AS DOUBLE) / 1e9, 6) AS p99
+FROM agg
+"""
+
+
+def q_orders_interarrival_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order inter-arrival gaps in fixed
+    day bands — the repeat-purchase cadence profile (and the input a
+    re-engagement trigger is tuned against). One customer-partitioned
+    LAG over a total (date, orderkey) order, integer day gaps, then a
+    |bands|-bounded rollup with a one-row total attach."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("__d")
+        )
+        .withColumn("__gap", F.datediff(F.col("__d"), F.lag("__d").over(w)))
+        .filter(F.col("__gap").isNotNull())
+    )
+    band = (
+        F.when(F.col("__gap") == 0, "0d")
+        .when(F.col("__gap") <= 7, "1-7d")
+        .when(F.col("__gap") <= 30, "8-30d")
+        .when(F.col("__gap") <= 90, "31-90d")
+        .otherwise("90d+")
+    )
+    cnt = gaps.select(band.alias("gap_band")).groupBy("gap_band").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = cnt.agg(F.sum("__n").cast("double").alias("__t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "gap_band",
+        F.col("__n").cast("long").alias("n_gaps"),
+        F.round(F.col("__n").cast("double") / F.col("__t"), 6).alias("share"),
+    )
+
+
+ORACLE_ORDERS_INTERARRIVAL_DIST = """
+WITH g AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         lag(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS pd
+  FROM orders),
+gaps AS (SELECT date_diff('day', pd, d) AS gap FROM g WHERE pd IS NOT NULL),
+cnt AS (
+  SELECT CASE WHEN gap = 0 THEN '0d'
+              WHEN gap <= 7 THEN '1-7d'
+              WHEN gap <= 30 THEN '8-30d'
+              WHEN gap <= 90 THEN '31-90d'
+              ELSE '90d+' END AS gap_band,
+         COUNT(*) AS n
+  FROM gaps GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cnt)
+SELECT gap_band, CAST(n AS BIGINT) AS n_gaps,
+       round(CAST(n AS DOUBLE) / tot.t, 6) AS share
+FROM cnt CROSS JOIN tot
+"""
+
+
+_PREFIX_TOKENS = 8
+
+
+def q_doc_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of documents per source whose leading-token prefix is
+    shared with at least one other document — the boilerplate/template
+    screen that whole-document hashing misses (same header, different
+    tail). Prefix keys group once (map-side combined); counts re-attach
+    by an equi-join on the prefix key, so nothing is quadratic in
+    corpus size."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pre = docs.select(
+        "source",
+        F.concat_ws(
+            " ", F.slice(X.tokens(F.lower(F.col("text"))), 1, _PREFIX_TOKENS)
+        ).alias("__p"),
+    )
+    counts = pre.groupBy("__p").agg(F.count(F.lit(1)).alias("__c"))
+    j = pre.join(counts, "__p")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("__c") > 1).cast("long")).cast("long").alias("n_prefix_dup"),
+        F.round(
+            F.sum((F.col("__c") > 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("prefix_dup_rate"),
+    )
+
+
+ORACLE_DOC_PREFIX_DUP_RATE = f"""
+WITH pre AS (
+  SELECT source,
+         array_to_string(list_slice({_DD_TOKENS.format(c='text')},
+                                    1, {_PREFIX_TOKENS}), ' ') AS p
+  FROM (SELECT source, lower(text) AS text FROM documents)),
+cnt AS (SELECT p, COUNT(*) AS c FROM pre GROUP BY 1),
+j AS (SELECT pre.source, cnt.c FROM pre JOIN cnt ON cnt.p = pre.p)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_dup,
+       round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS prefix_dup_rate
+FROM j GROUP BY 1
+"""
+
+
+def q_events_funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert profile for the view → purchase funnel: exact
+    p50/p90/p99 of first-view→first-purchase lag (minutes) over users
+    whose first purchase follows their first view. The quantiles run on
+    the lag-minute VALUE HISTOGRAM through the bounded-fan partitioned
+    prefix sum (no unpartitioned window at any user count) and the rank
+    thresholds compare in exact int64 (100·cum ≥ q·n)."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__tv"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__tp"))
+    )
+    lag = (
+        fv.join(fp, "user_id")
+        .filter(F.col("__tp") >= F.col("__tv"))
+        .select(
+            (
+                (
+                    F.unix_timestamp("__tp") - F.unix_timestamp("__tv")
+                ) / 60
+            ).cast("long").alias("__m")
+        )
+    )
+    hist = lag.groupBy("__m").agg(F.count(F.lit(1)).alias("__f"))
+    hist = hist.localCheckpoint(eager=False)
+    mx = hist.agg(F.max("__m").alias("mx")).first()
+    mx = mx["mx"] if mx["mx"] is not None else 0
+    cum = _exclusive_prefix(hist, "__m", "__f", "__prev", max_key=mx)
+    cum = cum.withColumn("__cum", F.col("__prev") + F.col("__f"))
+    tot = hist.agg(F.sum("__f").alias("__n"))
+    j = cum.crossJoin(F.broadcast(tot))
+
+    def _q(pct: int) -> Column:
+        return F.min(
+            F.when(100 * F.col("__cum") >= pct * F.col("__n"), F.col("__m"))
+        )
+
+    return j.agg(
+        F.max("__n").cast("long").alias("n_conversions"),
+        _q(50).cast("long").alias("p50_minutes"),
+        _q(90).cast("long").alias("p90_minutes"),
+        _q(99).cast("long").alias("p99_minutes"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL_CONVERSION_LAG = """
+WITH fv AS (SELECT user_id, MIN(ts) AS tv FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+fp AS (SELECT user_id, MIN(ts) AS tp FROM events
+       WHERE event_type = 'purchase' GROUP BY 1),
+lag AS (
+  SELECT (CAST(floor(epoch(tp)) AS BIGINT)
+          - CAST(floor(epoch(tv)) AS BIGINT)) // 60 AS m
+  FROM fv JOIN fp USING (user_id) WHERE tp >= tv),
+hist AS (SELECT m, COUNT(*) AS f FROM lag GROUP BY 1),
+cum AS (SELECT m, f, SUM(f) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS c
+        FROM hist),
+tot AS (SELECT SUM(f) AS n FROM hist)
+SELECT CAST(tot.n AS BIGINT) AS n_conversions,
+       CAST(MIN(CASE WHEN 100 * cum.c >= 50 * tot.n THEN cum.m END) AS BIGINT)
+         AS p50_minutes,
+       CAST(MIN(CASE WHEN 100 * cum.c >= 90 * tot.n THEN cum.m END) AS BIGINT)
+         AS p90_minutes,
+       CAST(MIN(CASE WHEN 100 * cum.c >= 99 * tot.n THEN cum.m END) AS BIGINT)
+         AS p99_minutes
+FROM cum, tot GROUP BY tot.n
+"""
+
+
+def q_embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) on the
+    deterministic vec_id < 100 sample: d = (n−1) / Σ ln(r2/r1) from each
+    point's two nearest cosine distances. The effective dimensionality
+    check before trusting IVF cell counts or PQ subspace budgets — a
+    64-dim table whose data lives on a 9-dim manifold wants very
+    different ANN parameters. Distances come from the audited
+    brute-force top-k (query side broadcast, corpus scanned once);
+    r1/r2 quantize to 1e-9 fixed-point so the ratio is a ratio of exact
+    integers, and the log-sum folds in query-id order."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    nn = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 100), k=2)
+    per_q = nn.groupBy("query_id").agg(
+        F.round((1.0 - F.max(F.when(F.col("rank") == 1, F.col("cos_sim")))) * 1e9, 0)
+        .cast("long")
+        .alias("__r1"),
+        F.round((1.0 - F.max(F.when(F.col("rank") == 2, F.col("cos_sim")))) * 1e9, 0)
+        .cast("long")
+        .alias("__r2"),
+    )
+    valid = per_q.filter(
+        (F.col("__r1") > 0) & (F.col("__r2") >= F.col("__r1"))
+    ).select(
+        "query_id",
+        F.log(F.col("__r2").cast("double") / F.col("__r1").cast("double")).alias("__lmu"),
+    )
+    agg = valid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_valid"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("query_id", F.col("__lmu").alias("x")))
+            ),
+            F.lit(0.0),
+            lambda a, s: a + s["x"],
+        ).alias("__s"),
+    )
+    return agg.select(
+        "n_valid",
+        F.when(
+            F.col("__s") > 0,
+            F.round((F.col("n_valid") - 1).cast("double") / F.col("__s"), 6),
+        ).alias("intrinsic_dim"),
+    )
+
+
+ORACLE_EMBEDDING_INTRINSIC_DIM = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 100),
+v AS (SELECT vec_id AS neighbor_id, embedding AS vv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))), (a,b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a,b) -> a + b))
+      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(vv)), i -> CAST(vv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))), (a,b) -> a + b))) AS cos_sim
+  FROM q, v WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored),
+rr AS (
+  SELECT query_id,
+         CAST(round((1.0 - MAX(CASE WHEN rank = 1 THEN cos_sim END)) * 1e9)
+              AS BIGINT) AS r1,
+         CAST(round((1.0 - MAX(CASE WHEN rank = 2 THEN cos_sim END)) * 1e9)
+              AS BIGINT) AS r2
+  FROM ranked WHERE rank <= 2 GROUP BY 1),
+valid AS (
+  SELECT query_id, ln(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE)) AS lmu
+  FROM rr WHERE r1 > 0 AND r2 >= r1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(lmu ORDER BY query_id)),
+                     (a, b) -> a + b) AS s
+  FROM valid)
+SELECT n_valid,
+       CASE WHEN s > 0
+            THEN round(CAST(n_valid - 1 AS DOUBLE) / s, 6) END AS intrinsic_dim
+FROM agg
+"""
+
+
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions (symmetric, bounded — the mixture-design distance
+    `source_ngram_kl`'s corpus-anchored KL can't give): add-1 smoothing
+    over the shared corpus vocabulary on a |sources|×|vocab| grid, JSD
+    folded in term order per pair. Every frame is dimension-bounded
+    (sources × vocab), independent of document count."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    sc = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    vocab = tok.select("t").distinct()
+    vtot = vocab.agg(F.count(F.lit(1)).cast("double").alias("__V"))
+    stot = sc.groupBy("source").agg(F.sum("__c").alias("__T"))
+    grid = (
+        stot.crossJoin(vocab)
+        .join(sc, ["source", "t"], "left")
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            "source",
+            "t",
+            (
+                (F.coalesce(F.col("__c"), F.lit(0.0)) + 1.0)
+                / (F.col("__T") + F.col("__V"))
+            ).alias("__p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"), "t", F.col("__p").alias("__pa")
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"), "t", F.col("__p").alias("__pb")
+    )
+    pairs = a.join(b, "t").filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("__pa") + F.col("__pb")) / 2.0
+    contrib = 0.5 * F.col("__pa") * (F.log(F.col("__pa")) - F.log(m)) + (
+        0.5 * F.col("__pb") * (F.log(F.col("__pb")) - F.log(m))
+    )
+    per_term = pairs.select(
+        "source_a",
+        "source_b",
+        F.struct(F.col("t").alias("t"), contrib.alias("x")).alias("__tx"),
+    )
+    return (
+        per_term.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.aggregate(
+                F.array_sort(F.collect_list("__tx")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            ).alias("__jsd"),
+        )
+        .select(
+            "source_a", "source_b", "n_terms", F.round("__jsd", 6).alias("jsd")
+        )
+    )
+
+
+ORACLE_SOURCE_JS_DIVERGENCE = rf"""
+WITH tok AS (
+  SELECT source, unnest({_DD_TOKENS.format(c='text')}) AS t
+  FROM (SELECT source, lower(text) AS text FROM documents)),
+sc AS (SELECT source, t, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT t FROM tok),
+vt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM vocab),
+st AS (SELECT source, SUM(c) AS ts FROM sc GROUP BY 1),
+grid AS (
+  SELECT st.source, vocab.t,
+         (COALESCE(sc.c, 0.0) + 1.0) / (st.ts + vt.nv) AS p
+  FROM st CROSS JOIN vocab
+  LEFT JOIN sc ON sc.source = st.source AND sc.t = vocab.t, vt),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.t,
+         0.5 * a.p * (ln(a.p) - ln((a.p + b.p) / 2.0))
+         + 0.5 * b.p * (ln(b.p) - ln((a.p + b.p) / 2.0)) AS x
+  FROM grid a JOIN grid b ON a.t = b.t AND a.source < b.source)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(x ORDER BY t)), (a, b) -> a + b), 6) AS jsd
+FROM pairs GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -8312,6 +9465,21 @@ QUERIES: dict[str, QueryFn] = {
     "events_daily_volume_anomaly": q_events_daily_volume_anomaly,
     "doc_keep_policy_bias": q_doc_keep_policy_bias,
     "embedding_norm_profile": q_embedding_norm_profile,
+    "part_cheapest_supplier": q_part_cheapest_supplier,
+    "part_promo_revenue": q_part_promo_revenue,
+    "events_ewma_anomaly": q_events_ewma_anomaly,
+    "embedding_fisher_separation": q_embedding_fisher_separation,
+    "simhash_bit_balance": q_simhash_bit_balance,
+    "customer_pareto_coverage": q_customer_pareto_coverage,
+    "doc_oov_rate": q_doc_oov_rate,
+    "events_type_audience_overlap": q_events_type_audience_overlap,
+    "corpus_zipf_fit": q_corpus_zipf_fit,
+    "embedding_dim_quantiles": q_embedding_dim_quantiles,
+    "orders_interarrival_dist": q_orders_interarrival_dist,
+    "doc_prefix_dup_rate": q_doc_prefix_dup_rate,
+    "events_funnel_conversion_lag": q_events_funnel_conversion_lag,
+    "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
+    "source_js_divergence": q_source_js_divergence,
 }
 
 
@@ -8482,4 +9650,19 @@ def oracles() -> dict[str, str]:
         "events_daily_volume_anomaly": ORACLE_EVENTS_DAILY_VOLUME_ANOMALY,
         "doc_keep_policy_bias": _oracle_doc_keep_policy_bias_sql(),
         "embedding_norm_profile": ORACLE_EMBEDDING_NORM_PROFILE,
+        "part_cheapest_supplier": ORACLE_PART_CHEAPEST_SUPPLIER,
+        "part_promo_revenue": ORACLE_PART_PROMO_REVENUE,
+        "events_ewma_anomaly": ORACLE_EVENTS_EWMA_ANOMALY,
+        "embedding_fisher_separation": ORACLE_EMBEDDING_FISHER_SEPARATION,
+        "simhash_bit_balance": _oracle_simhash_bit_balance_sql(),
+        "customer_pareto_coverage": ORACLE_CUSTOMER_PARETO_COVERAGE,
+        "doc_oov_rate": ORACLE_DOC_OOV_RATE,
+        "events_type_audience_overlap": ORACLE_EVENTS_TYPE_AUDIENCE_OVERLAP,
+        "corpus_zipf_fit": ORACLE_CORPUS_ZIPF_FIT,
+        "embedding_dim_quantiles": ORACLE_EMBEDDING_DIM_QUANTILES,
+        "orders_interarrival_dist": ORACLE_ORDERS_INTERARRIVAL_DIST,
+        "doc_prefix_dup_rate": ORACLE_DOC_PREFIX_DUP_RATE,
+        "events_funnel_conversion_lag": ORACLE_EVENTS_FUNNEL_CONVERSION_LAG,
+        "embedding_intrinsic_dim": ORACLE_EMBEDDING_INTRINSIC_DIM,
+        "source_js_divergence": ORACLE_SOURCE_JS_DIVERGENCE,
     }

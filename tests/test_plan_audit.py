@@ -41,6 +41,11 @@ _ALLOWED_CROSS = {
     "events_hour_dow_profile",  # broadcast ONE-ROW total attach
     "events_daily_volume_anomaly",  # broadcast ONE-ROW median/MAD attaches
     "embedding_norm_profile",  # broadcast ONE-ROW total attach
+    "customer_pareto_coverage",  # broadcast ONE-ROW N/T totals attach
+    "orders_interarrival_dist",  # broadcast ONE-ROW gap-total attach
+    "events_funnel_conversion_lag",  # broadcast ONE-ROW total attach
+    "embedding_intrinsic_dim",  # broadcast QUERY-SIDE scan (bruteforce shape)
+    "source_js_divergence",  # |sources|×|vocab| grid — dimension-bounded
 }
 
 # iterative operator: executes during plan construction; its final plan is

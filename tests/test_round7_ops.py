@@ -1,0 +1,433 @@
+"""Planted-scenario tests for the round-7 wave-2 queries: min-cost
+supplier per part (TPC-H Q2 shape as a grouped argmin), monthly promo
+revenue share (Q14 shape), and the EWMA daily-volume anomaly screen."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from beacon_indexer_spark.plans.queries import QUERIES
+
+
+def _plant(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+def test_part_cheapest_supplier_argmin_and_tiebreak(spark, tmp_path):
+    # part 1: supp 20 wins on unit price (5.0 < 10.0);
+    # part 2: exact price tie (7.0) -> lower suppkey (5) wins;
+    # zero-quantity rows are excluded before the division
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, 10, 100.0, 10.0),
+            (1, 20, 50.0, 10.0),
+            (2, 30, 14.0, 2.0),
+            (2, 5, 70.0, 10.0),
+            (2, 99, 1.0, 0.0),
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_quantity double",
+    )
+    _plant(
+        spark, tmp_path, "supplier",
+        [(5, "S5"), (10, "S10"), (20, "S20"), (30, "S30"), (99, "S99")],
+        "s_suppkey long, s_name string",
+    )
+    out = {
+        r["partkey"]: (r["best_unit_price"], r["suppkey"], r["s_name"])
+        for r in QUERIES["part_cheapest_supplier"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {1: (5.0, 20, "S20"), 2: (7.0, 5, "S5")}
+
+
+def test_part_promo_revenue_share(spark, tmp_path):
+    _plant(
+        spark, tmp_path, "part",
+        [(1, "PROMO"), (2, "STANDARD")],
+        "p_partkey long, p_type string",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, datetime(1995, 1, 10, 12), 100.0, 0.0),
+            (2, datetime(1995, 1, 20, 12), 100.0, 0.5),
+            (2, datetime(1995, 2, 5, 12), 40.0, 0.0),
+        ],
+        "l_partkey long, l_shipdate timestamp, l_extendedprice double, l_discount double",
+    )
+    out = {
+        r["month"]: (
+            r["promo_revenue"],
+            r["total_revenue"],
+            r["promo_share_pct"],
+            r["n_items"],
+        )
+        for r in QUERIES["part_promo_revenue"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "1995-01": (100.0, 150.0, 66.666667, 2),
+        # a month with no promo items reports 0, not null
+        "1995-02": (0.0, 40.0, 0.0, 1),
+    }
+
+
+def test_events_ewma_anomaly_recurrence_and_flags(spark, tmp_path):
+    # daily counts 10, 10, 30, 4:
+    #   day1: prior null (seed), never a spike
+    #   day2: prior 10.0, ratio 1.0 -> calm; e2 stays 10
+    #   day3: prior 10.0, ratio 3.0 -> spike; e3 = .3*30 + .7*10 = 16
+    #   day4: prior 16.0, ratio 0.25 -> dip flagged
+    rows = []
+    counts = {1: 10, 2: 10, 3: 30, 4: 4}
+    eid = 0
+    for day, n in counts.items():
+        for i in range(n):
+            rows.append((eid, datetime(2024, 3, day, 8 + (i % 12))))
+            eid += 1
+    _plant(spark, tmp_path, "events", rows, "event_id long, ts timestamp")
+    out = {
+        r["day"]: (r["n_events"], r["ewma_prior"], r["ratio"], r["is_spike"])
+        for r in QUERIES["events_ewma_anomaly"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "2024-03-01": (10, None, None, 0),
+        "2024-03-02": (10, 10.0, 1.0, 0),
+        "2024-03-03": (30, 10.0, 3.0, 1),
+        "2024-03-04": (4, 16.0, 0.25, 1),
+    }
+
+
+def test_embedding_fisher_separation_planted(spark, tmp_path):
+    # dim0 separates labels (means 0.1 vs 1.1, tiny within) -> fisher 25;
+    # dim1 has identical per-label distributions -> fisher 0
+    _plant(
+        spark, tmp_path, "embeddings",
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [0.2, 1.0], 0),
+            (3, [1.0, 0.0], 1),
+            (4, [1.2, 1.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        r["dim"]: (r["n_labels"], r["fisher"])
+        for r in QUERIES["embedding_fisher_separation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {0: (2, 25.0), 1: (2, 0.0)}
+
+
+def test_simhash_bit_balance_matches_signature_popcounts(spark, tmp_path):
+    # the 64 per-position ones-counts must exactly reproduce the bits of
+    # the corpus signatures (independently decoded in python)
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta iota"),
+            (3, "alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    from beacon_indexer_spark.operators import dedup as D
+    from beacon_indexer_spark.plans.queries import _t
+
+    sigs = [
+        r["simhash"]
+        for r in D.simhash(
+            _t(spark, str(tmp_path), "documents"), "doc_id", "text"
+        ).collect()
+    ]
+    expected = [0] * 64
+    for h in sigs:
+        v = int(h, 16)
+        for p in range(64):
+            expected[p] += (v >> (63 - p)) & 1
+    out = {
+        r["bit_pos"]: (r["n_docs"], r["n_ones"], r["ones_share"])
+        for r in QUERIES["simhash_bit_balance"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 64
+    for p in range(64):
+        assert out[p] == (3, expected[p], round(expected[p] / 3, 6)), p
+
+
+def test_customer_pareto_coverage_exact_crossing(spark, tmp_path):
+    # revenues 40, 30, 30 (multiple orders per customer sum first):
+    # 40 < 80% of 100, 40+30 = 70 < 80, +30 = 100 >= 80 -> 3 customers,
+    # exercising the partial-group ceiling division on a TIED group
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, 25.0), (1, 15.0),   # cust 1 -> 40
+            (2, 30.0),              # cust 2 -> 30
+            (3, 30.0),              # cust 3 -> 30
+        ],
+        "o_custkey long, o_totalprice double",
+    )
+    [r] = QUERIES["customer_pareto_coverage"](spark, str(tmp_path)).collect()
+    assert (
+        r["n_customers"],
+        r["total_revenue"],
+        r["n_customers_80"],
+        r["pct_customers_80"],
+    ) == (3, 100.0, 3, 100.0)
+
+
+def test_customer_pareto_coverage_top_heavy(spark, tmp_path):
+    # 60, 25, 15: top-2 cover 85% -> n80 = 2 of 3
+    _plant(
+        spark, tmp_path, "orders",
+        [(1, 60.0), (2, 25.0), (3, 15.0)],
+        "o_custkey long, o_totalprice double",
+    )
+    [r] = QUERIES["customer_pareto_coverage"](spark, str(tmp_path)).collect()
+    assert (r["n_customers_80"], r["pct_customers_80"]) == (2, 66.666667)
+
+
+def test_doc_oov_rate_head_vocabulary(spark, tmp_path):
+    # 16 head words (count 2 in source A) + 3 rare words only in source B:
+    # the top-16 head is exactly the h-words, so A is fully covered and
+    # B's OOV mass is its 3 rare occurrences out of 4 tokens
+    head_words = [f"h{i:02d}" for i in range(16)]
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, " ".join(head_words), "A"),
+            (2, " ".join(head_words), "A"),
+            (3, "h00 r1 r2 r3", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in QUERIES["doc_oov_rate"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"A": (32, 0, 0.0), "B": (4, 3, 0.75)}
+
+
+def test_events_type_audience_overlap_jaccard(spark, tmp_path):
+    # u1:{buy,click} u2:{click} u3:{buy,view} ->
+    # (buy,click): common 1 of union 3; (buy,view): 1 of 2; click-view: none
+    rows = [
+        (1, datetime(2024, 1, 1, 1), 1, "buy"),
+        (2, datetime(2024, 1, 1, 2), 1, "click"),
+        (3, datetime(2024, 1, 1, 3), 2, "click"),
+        (4, datetime(2024, 1, 1, 4), 3, "buy"),
+        (5, datetime(2024, 1, 1, 5), 3, "view"),
+        (6, datetime(2024, 1, 1, 6), 3, "buy"),  # dup (user,type) collapses
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r["type_a"], r["type_b"]): (r["n_common_users"], r["user_jaccard"])
+        for r in QUERIES["events_type_audience_overlap"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        ("buy", "click"): (1, round(1 / 3, 6)),
+        ("buy", "view"): (1, 0.5),
+    }
+
+
+def test_corpus_zipf_fit_matches_reference_fold(spark, tmp_path):
+    # counts a:8 b:4 c:2 d:1 -> expected OLS replicated with the SAME
+    # rank-ordered sequential accumulation the query folds with
+    import math
+
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, text)], "doc_id long, text string",
+    )
+    counts = [8.0, 4.0, 2.0, 1.0]
+    sx = sy = sxx = sxy = syy = 0.0
+    for r, c in enumerate(counts, start=1):
+        x, y = math.log(float(r)), math.log(c)
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+        syy += y * y
+    k = float(len(counts))
+    cov, vx, vy = k * sxy - sx * sy, k * sxx - sx * sx, k * syy - sy * sy
+    [r] = QUERIES["corpus_zipf_fit"](spark, str(tmp_path)).collect()
+    assert r["n_terms"] == 4
+    assert r["zipf_slope"] == round(cov / vx, 6)
+    assert r["intercept"] == round((sy - cov / vx * sx) / k, 6)
+    assert r["r2"] == round(cov * cov / (vx * vy), 6)
+    assert r["zipf_slope"] < 0 and 0 < r["r2"] <= 1
+
+
+def test_embedding_dim_quantiles_discrete_ranks(spark, tmp_path):
+    # dim0: 0.1..1.0 -> p01 = first value, p50 = 5th, p99 = last;
+    # dim1: constant -> all quantiles equal
+    _plant(
+        spark, tmp_path, "embeddings",
+        [(i, [i / 10.0, 0.5], 0) for i in range(1, 11)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        r["dim"]: (r["n"], r["p01"], r["p50"], r["p99"])
+        for r in QUERIES["embedding_dim_quantiles"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        0: (10, 0.1, 0.5, 1.0),
+        1: (10, 0.5, 0.5, 0.5),
+    }
+
+
+def test_orders_interarrival_dist_bands(spark, tmp_path):
+    # cust 1: gaps 0d, 3d, 37d, 160d; cust 2: single order -> no gap
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, 1, datetime(2024, 1, 1, 12)),
+            (2, 1, datetime(2024, 1, 1, 15)),
+            (3, 1, datetime(2024, 1, 4, 9)),
+            (4, 1, datetime(2024, 2, 10, 9)),
+            (5, 1, datetime(2024, 7, 19, 9)),
+            (6, 2, datetime(2024, 5, 5, 5)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    out = {
+        r["gap_band"]: (r["n_gaps"], r["share"])
+        for r in QUERIES["orders_interarrival_dist"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "0d": (1, 0.25),
+        "1-7d": (1, 0.25),
+        "31-90d": (1, 0.25),
+        "90d+": (1, 0.25),
+    }
+
+
+def test_doc_prefix_dup_rate_shared_heads(spark, tmp_path):
+    # docs 1,2 share the 8-token head (different tails, different source);
+    # doc 3 unique -> A: 2 docs both dup in head terms? doc1 dup, doc3 not
+    head = "t1 t2 t3 t4 t5 t6 t7 t8"
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, head + " tail one", "A"),
+            (2, head + " completely different tail", "B"),
+            (3, "unique text with its own words here now", "A"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: (r["n_docs"], r["n_prefix_dup"], r["prefix_dup_rate"])
+        for r in QUERIES["doc_prefix_dup_rate"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"A": (2, 1, 0.5), "B": (1, 1, 1.0)}
+
+
+def test_events_funnel_conversion_lag_quantiles(spark, tmp_path):
+    # lags 30, 90, 600 min; u4 purchased BEFORE viewing (excluded);
+    # u5 never purchased -> n=3, p50=90, p90=p99=600
+    t0 = datetime(2024, 6, 1, 10, 0)
+
+    def at(minutes):
+        from datetime import timedelta
+
+        return t0 + timedelta(minutes=minutes)
+
+    rows = [
+        (1, t0, 1, "view"), (2, at(30), 1, "purchase"),
+        (3, t0, 2, "view"), (4, at(90), 2, "purchase"),
+        (5, t0, 3, "view"), (6, at(600), 3, "purchase"),
+        (7, at(5), 4, "purchase"), (8, at(10), 4, "view"),
+        (9, t0, 5, "view"),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    [r] = QUERIES["events_funnel_conversion_lag"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (
+        r["n_conversions"], r["p50_minutes"], r["p90_minutes"], r["p99_minutes"]
+    ) == (3, 90, 600, 600)
+
+
+def test_embedding_intrinsic_dim_matches_reference(spark, tmp_path):
+    # replicate the TwoNN estimate in python with the SAME cosine fold
+    # order and 1e-9 quantization the query uses
+    import math
+
+    angles = [0.0, 0.2, 0.5, 0.9]
+    vecs = [(i, [math.cos(a), math.sin(a)], 0) for i, a in enumerate(angles)]
+    _plant(
+        spark, tmp_path, "embeddings", vecs,
+        "vec_id long, embedding array<double>, label int",
+    )
+
+    def cos(u, v):
+        dot = 0.0
+        for x, y in zip(u, v):
+            dot = dot + x * y
+        nu = 0.0
+        for x in u:
+            nu = nu + x * x
+        nv = 0.0
+        for y in v:
+            nv = nv + y * y
+        return dot / (math.sqrt(nu) * math.sqrt(nv))
+
+    s, n_valid = 0.0, 0
+    for qi, (_, qv, _l) in enumerate(vecs):
+        sims = sorted(
+            (
+                (-cos(qv, vv), ni)
+                for ni, vv, _x in vecs
+                if ni != qi
+            )
+        )
+        r1 = round((1.0 - (-sims[0][0])) * 1e9)
+        r2 = round((1.0 - (-sims[1][0])) * 1e9)
+        if r1 > 0 and r2 >= r1:
+            n_valid += 1
+            s += math.log(r2 / r1)
+    expected = round((n_valid - 1) / s, 6)
+    [r] = QUERIES["embedding_intrinsic_dim"](spark, str(tmp_path)).collect()
+    assert r["n_valid"] == n_valid == 4
+    assert r["intrinsic_dim"] == expected
+    # a circle arc is a 1-D manifold; the estimate must sit near 1
+    assert 0.5 < r["intrinsic_dim"] < 2.5
+
+
+def test_source_js_divergence_identity_and_symmetry(spark, tmp_path):
+    # identical distributions -> JSD exactly 0; a disjoint-vocab source
+    # diverges from both by the same amount (grid smoothing is symmetric)
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, "alpha beta gamma", "A"),
+            (2, "alpha beta gamma", "B"),
+            (3, "delta epsilon zeta", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_terms"], r["jsd"])
+        for r in QUERIES["source_js_divergence"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert out[("A", "B")] == (6, 0.0)
+    assert out[("A", "C")] == out[("B", "C")]
+    assert out[("A", "C")][1] > 0
