@@ -9299,6 +9299,273 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+_QUANT_BITS = (8, 4, 2)
+
+
+def q_embedding_quant_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-width sweep: corpus reconstruction error at int8 /
+    int4 / int2 symmetric scalar quantization from ONE scan — the
+    bits-per-weight budget table read before shipping compressed
+    shortlists (the single-width `embedding_quantize` gives the per-
+    vector view; this gives the corpus tradeoff curve). Per-vector max
+    abs error quantizes to 1e-9 fixed-point so the corpus mean is an
+    exact integer sum; worst-case is an order-independent MAX. The
+    sweep unpivots in-row (array explode) — no per-width rescan."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    v = F.col("__v")
+    staged = emb.select(
+        F.col("vec_id").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("__v"),
+        *[
+            S.quantize_scale(F.col("embedding"), bits=b).alias(f"__s{b}")
+            for b in _QUANT_BITS
+        ],
+    )
+
+    def _err(b: int) -> Column:
+        s = F.col(f"__s{b}")
+        per = F.aggregate(
+            F.transform(
+                v,
+                lambda x: F.when(
+                    s > 0, F.abs(x - F.floor(x / s + F.lit(0.5)) * s)
+                ).otherwise(F.abs(x)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        return F.round(per * 1e9, 0).cast("long")
+
+    rows = staged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("bits"),
+                        _err(b).alias("e"),
+                    )
+                    for b in _QUANT_BITS
+                ]
+            )
+        ).alias("r")
+    ).select(F.col("r.bits").alias("bits"), F.col("r.e").alias("__e"))
+    agg = rows.groupBy("bits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("__e").cast("decimal(38,0)")).alias("__se"),
+        F.max("__e").alias("__mx"),
+    )
+    return agg.select(
+        "bits",
+        "n_vectors",
+        F.round(
+            F.col("__se").cast("double") / 1e9 / F.col("n_vectors"), 6
+        ).alias("mean_max_err"),
+        F.round(F.col("__mx").cast("double") / 1e9, 6).alias("worst_err"),
+    )
+
+
+def _oracle_embedding_quant_sweep_sql() -> str:
+    parts = []
+    for b in _QUANT_BITS:
+        qmax = float(2 ** (b - 1) - 1)
+        scale = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), "
+            f"(a, x) -> greatest(a, x)) / {qmax}"
+        )
+        parts.append(f"""
+e{b} AS (
+  SELECT CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding, x ->
+             CASE WHEN s.s > 0
+                  THEN abs(CAST(x AS DOUBLE)
+                           - floor(CAST(x AS DOUBLE) / s.s + 0.5) * s.s)
+                  ELSE abs(CAST(x AS DOUBLE)) END)),
+           (a, x) -> greatest(a, x)) * 1e9) AS BIGINT) AS e
+  FROM (SELECT embedding, {scale} AS s FROM embeddings) s)""")
+    selects = "\nUNION ALL ".join(
+        f"""SELECT CAST({b} AS BIGINT) AS bits,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(CAST(SUM(e) AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_max_err,
+       round(CAST(MAX(e) AS DOUBLE) / 1e9, 6) AS worst_err
+FROM e{b}"""
+        for b in _QUANT_BITS
+    )
+    return "WITH " + ",".join(p for p in parts) + "\n" + selects
+
+
+def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation of the two cheap near-dup detectors: how many
+    candidate pairs MinHash-LSH banding and SimHash Hamming(≤3) agree
+    on. High disagreement means the detectors see different duplicate
+    populations (shingle-level vs token-set-level similarity) and a
+    curation run should union them; near-total agreement licenses
+    running only the cheaper one. Composes the two audited pipelines
+    and full-outer-joins their |pairs|-bounded outputs — one row out."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    mh = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    ).select("id_a", "id_b", F.lit(1).alias("__m"))
+    hp = D.simhash_hamming_pairs(docs, "doc_id", "text", max_dist=3).select(
+        "id_a", "id_b", F.lit(1).alias("__h")
+    )
+    j = mh.join(hp, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("__m"), F.lit(0))).cast("long").alias("n_minhash"),
+        F.sum(F.coalesce(F.col("__h"), F.lit(0))).cast("long").alias("n_hamming"),
+        F.sum(
+            (F.col("__m").isNotNull() & F.col("__h").isNotNull()).cast("long")
+        ).cast("long").alias("n_both"),
+        F.round(
+            F.sum(
+                (F.col("__m").isNotNull() & F.col("__h").isNotNull()).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("agreement_jaccard"),
+    )
+
+
+def _oracle_dedup_detector_agreement_sql() -> str:
+    return f"""
+WITH mh AS (SELECT id_a, id_b FROM ({_oracle_minhash_lsh_sql()})),
+hp AS (SELECT id_a, id_b FROM ({_oracle_simhash_hamming_sql(max_dist=3, bands=4)})),
+j AS (
+  SELECT COALESCE(mh.id_a, hp.id_a) AS id_a,
+         (mh.id_a IS NOT NULL) AS m, (hp.id_a IS NOT NULL) AS h
+  FROM mh FULL OUTER JOIN hp ON mh.id_a = hp.id_a AND mh.id_b = hp.id_b)
+SELECT CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+       CAST(SUM(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_hamming,
+       CAST(SUM(CASE WHEN m AND h THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       round(CAST(SUM(CASE WHEN m AND h THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS agreement_jaccard
+FROM j
+"""
+
+
+_ENTROPY_BUCKETS = 256
+
+
+def q_corpus_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level conditional entropy H(next | prev) = H(bigram) −
+    H(unigram) — the LM-difficulty number one order up from the char-
+    pair entropy (how much a 1-token context actually constrains the
+    next token in this corpus). Every Σ c·ln c reduction whose operand
+    count grows with the vocabulary folds deterministically in TWO
+    levels: md5-bucketed term folds (≤256 buckets, each term-ordered)
+    then one bucket-ordered fold — exact reproducibility without ever
+    collecting the whole vocabulary into one array."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+
+    def _h(counts: DataFrame, key: str):
+        c_d = F.col("__c").cast("double")
+        per = counts.select(
+            F.col(key).alias("__k"),
+            "__c",
+            F.pmod(D._md5_long(F.col(key), 0), F.lit(_ENTROPY_BUCKETS)).alias(
+                "__b"
+            ),
+            (c_d * F.log(c_d)).alias("__x"),
+        )
+        bsum = per.groupBy("__b").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("__k", F.col("__x").alias("x")))),
+                F.lit(0.0),
+                lambda a, s: a + s["x"],
+            ).alias("__bx")
+        )
+        s = bsum.agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("__b", F.col("__bx").alias("x")))),
+                F.lit(0.0),
+                lambda a, t: a + t["x"],
+            ).alias("__s")
+        )
+        tot = counts.agg(
+            F.sum("__c").cast("long").alias("__t"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+        return s, tot
+
+    uni = (
+        docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    big = (
+        docs.select(F.explode(X.word_shingles(F.col("text"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    su, tu = _h(uni, "t")
+    sb, tb = _h(big, "bg")
+    row = (
+        tu.withColumnRenamed("__t", "__tu").withColumnRenamed("__n", "n_unigrams")
+        .crossJoin(F.broadcast(su.withColumnRenamed("__s", "__su")))
+        .crossJoin(
+            F.broadcast(
+                tb.withColumnRenamed("__t", "__tb").withColumnRenamed(
+                    "__n", "n_bigrams"
+                )
+            )
+        )
+        .crossJoin(F.broadcast(sb.withColumnRenamed("__s", "__sb")))
+    )
+    tu_d = F.col("__tu").cast("double")
+    tb_d = F.col("__tb").cast("double")
+    h_uni = F.log(tu_d) - F.col("__su") / tu_d
+    h_big = F.log(tb_d) - F.col("__sb") / tb_d
+    return row.select(
+        "n_unigrams",
+        "n_bigrams",
+        F.round(h_uni, 6).alias("h_unigram"),
+        F.round(h_big, 6).alias("h_bigram"),
+        F.round(h_big - h_uni, 6).alias("cond_entropy"),
+    )
+
+
+ORACLE_CORPUS_BIGRAM_COND_ENTROPY = rf"""
+WITH tok AS (
+  SELECT unnest({_DD_TOKENS.format(c='text')}) AS t FROM documents),
+tk AS (SELECT {_DD_TOKENS.format(c='text')} AS a FROM documents),
+bgs AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(a) - 1, 0)),
+                i -> a[i] || ' ' || a[i + 1])) AS bg
+  FROM tk),
+uc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+bc AS (SELECT bg, COUNT(*) AS c FROM bgs GROUP BY 1),
+ub AS (SELECT t, ({_dd_md5_long("concat('0:', t)")}) % {_ENTROPY_BUCKETS} AS b,
+              CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS x
+       FROM uc),
+ubs AS (SELECT b, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(x ORDER BY t)), (a, v) -> a + v) AS bx
+        FROM ub GROUP BY 1),
+us AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(bx ORDER BY b)), (a, v) -> a + v) AS s FROM ubs),
+ut AS (SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM uc),
+bb AS (SELECT bg, ({_dd_md5_long("concat('0:', bg)")}) % {_ENTROPY_BUCKETS} AS b,
+              CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS x
+       FROM bc),
+bbs AS (SELECT b, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(x ORDER BY bg)), (a, v) -> a + v) AS bx
+        FROM bb GROUP BY 1),
+bs AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(bx ORDER BY b)), (a, v) -> a + v) AS s FROM bbs),
+bt AS (SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM bc)
+SELECT ut.n AS n_unigrams, bt.n AS n_bigrams,
+       round(ln(CAST(ut.t AS DOUBLE)) - us.s / CAST(ut.t AS DOUBLE), 6)
+         AS h_unigram,
+       round(ln(CAST(bt.t AS DOUBLE)) - bs.s / CAST(bt.t AS DOUBLE), 6)
+         AS h_bigram,
+       round((ln(CAST(bt.t AS DOUBLE)) - bs.s / CAST(bt.t AS DOUBLE))
+             - (ln(CAST(ut.t AS DOUBLE)) - us.s / CAST(ut.t AS DOUBLE)), 6)
+         AS cond_entropy
+FROM ut, bt, us, bs
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -9480,6 +9747,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_funnel_conversion_lag": q_events_funnel_conversion_lag,
     "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
     "source_js_divergence": q_source_js_divergence,
+    "embedding_quant_sweep": q_embedding_quant_sweep,
+    "dedup_detector_agreement": q_dedup_detector_agreement,
+    "corpus_bigram_cond_entropy": q_corpus_bigram_cond_entropy,
 }
 
 
@@ -9665,4 +9935,7 @@ def oracles() -> dict[str, str]:
         "events_funnel_conversion_lag": ORACLE_EVENTS_FUNNEL_CONVERSION_LAG,
         "embedding_intrinsic_dim": ORACLE_EMBEDDING_INTRINSIC_DIM,
         "source_js_divergence": ORACLE_SOURCE_JS_DIVERGENCE,
+        "embedding_quant_sweep": _oracle_embedding_quant_sweep_sql(),
+        "dedup_detector_agreement": _oracle_dedup_detector_agreement_sql(),
+        "corpus_bigram_cond_entropy": ORACLE_CORPUS_BIGRAM_COND_ENTROPY,
     }

@@ -46,6 +46,7 @@ _ALLOWED_CROSS = {
     "events_funnel_conversion_lag",  # broadcast ONE-ROW total attach
     "embedding_intrinsic_dim",  # broadcast QUERY-SIDE scan (bruteforce shape)
     "source_js_divergence",  # |sources|×|vocab| grid — dimension-bounded
+    "corpus_bigram_cond_entropy",  # cross of four ONE-ROW aggregates
 }
 
 # iterative operator: executes during plan construction; its final plan is

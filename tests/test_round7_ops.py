@@ -431,3 +431,93 @@ def test_source_js_divergence_identity_and_symmetry(spark, tmp_path):
     assert out[("A", "B")] == (6, 0.0)
     assert out[("A", "C")] == out[("B", "C")]
     assert out[("A", "C")][1] > 0
+
+
+def test_embedding_quant_sweep_exact_errors(spark, tmp_path):
+    # one vector [1.0, 0.5]: int8 reconstructs 0.5 as 64/127; int2
+    # (qmax=1) collapses it to 1.0 -> err 0.5. Expected values replicate
+    # the engine's floor(x/s + .5) rounding exactly
+    import math
+
+    _plant(
+        spark, tmp_path, "embeddings",
+        [(1, [1.0, 0.5], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+
+    def err(bits):
+        qmax = float(2 ** (bits - 1) - 1)
+        s = 1.0 / qmax
+        worst = 0.0
+        for x in (1.0, 0.5):
+            r = math.floor(x / s + 0.5) * s
+            worst = max(worst, abs(x - r))
+        return round(round(worst * 1e9) / 1e9, 6)
+
+    out = {
+        r["bits"]: (r["n_vectors"], r["mean_max_err"], r["worst_err"])
+        for r in QUERIES["embedding_quant_sweep"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {8, 4, 2}
+    for b in (8, 4, 2):
+        assert out[b] == (1, err(b), err(b)), b
+    assert out[2][2] == 0.5  # int2 collapses 0.5 -> 1.0
+    assert out[8][2] < 0.005
+
+
+def test_dedup_detector_agreement_composes_pipelines(spark, tmp_path):
+    # expected agreement computed from the two operator outputs directly
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, base),
+            (2, base),
+            (3, base + " with a small tail change here"),
+            (4, "completely unrelated content about shuffle partitions"),
+            (5, "another standalone document with unique words only"),
+        ],
+        "doc_id long, text string",
+    )
+    from beacon_indexer_spark.operators import dedup as D
+    from beacon_indexer_spark.plans.queries import (
+        _MINHASH_BANDS, _MINHASH_K, _t,
+    )
+
+    docs = _t(spark, str(tmp_path), "documents")
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(
+            docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
+            shingle_n=3,
+        ).collect()
+    }
+    hp = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_hamming_pairs(
+            docs, "doc_id", "text", max_dist=3
+        ).collect()
+    }
+    [r] = QUERIES["dedup_detector_agreement"](spark, str(tmp_path)).collect()
+    assert r["n_minhash"] == len(mh)
+    assert r["n_hamming"] == len(hp)
+    assert r["n_both"] == len(mh & hp)
+    assert r["agreement_jaccard"] == round(len(mh & hp) / len(mh | hp), 6)
+    assert (1, 2) in (mh & hp)  # exact dup caught by both
+
+
+def test_corpus_bigram_cond_entropy_closed_form(spark, tmp_path):
+    # "a b a b a": unigrams a:3 b:2 (T=5); bigrams "a b":2 "b a":2 (T=4)
+    import math
+
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, "a b a b a")], "doc_id long, text string",
+    )
+    h_uni = math.log(5) - (3 * math.log(3) + 2 * math.log(2)) / 5
+    h_big = math.log(4) - (2 * math.log(2) + 2 * math.log(2)) / 4
+    [r] = QUERIES["corpus_bigram_cond_entropy"](spark, str(tmp_path)).collect()
+    assert (r["n_unigrams"], r["n_bigrams"]) == (2, 2)
+    assert r["h_unigram"] == round(h_uni, 6)
+    assert r["h_bigram"] == round(h_big, 6)
+    assert r["cond_entropy"] == round(h_big - h_uni, 6)
