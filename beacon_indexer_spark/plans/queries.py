@@ -9566,6 +9566,287 @@ FROM ut, bt, us, bs
 """
 
 
+def q_embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label agreement per class on the deterministic vec_id < 100
+    sample — the cleanlab-style label-noise screen: a class whose
+    members' nearest neighbors mostly carry OTHER labels is either
+    mislabeled or not separable in this embedding space (read next to
+    `embedding_fisher_separation`, which scores dimensions instead of
+    points). Composes the audited brute-force top-k (query side
+    broadcast); label attach is two id-keyed equi-joins; output is
+    |labels|-bounded."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    labels = emb.select(F.col("vec_id").alias("__id"), F.col("label").alias("__l"))
+    nn = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 100), k=1)
+    j = (
+        nn.join(
+            labels.select(
+                F.col("__id").alias("query_id"), F.col("__l").alias("__ql")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("__id").alias("neighbor_id"), F.col("__l").alias("__nl")
+            ),
+            "neighbor_id",
+        )
+    )
+    return j.groupBy(F.col("__ql").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum((F.col("__ql") == F.col("__nl")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+        F.round(
+            F.sum((F.col("__ql") == F.col("__nl")).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("agree_rate"),
+    )
+
+
+ORACLE_EMBEDDING_KNN_LABEL_AGREEMENT = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 100),
+v AS (SELECT vec_id AS neighbor_id, embedding AS vv, label AS nl
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, ql, nl,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))), (a,b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a,b) -> a + b))
+      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(vv)), i -> CAST(vv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))), (a,b) -> a + b))) AS cos_sim
+  FROM q, v WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT ql, nl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT CAST(ql AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       round(CAST(SUM(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS agree_rate
+FROM ranked WHERE rank = 1 GROUP BY 1
+"""
+
+
+_MINHASH_SWEEP_KS = (2, 4, 8)
+
+
+def q_corpus_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-length tuning table: mean |minhash-estimate − exact
+    Jaccard| over the LSH candidate pairs, using the FIRST k of the 8
+    signature components for k ∈ {2,4,8} — all three estimates read one
+    signature pass (a prefix of the same component vector), so the
+    sweep costs one corpus scan plus the candidate-bounded exact side
+    (`candidate_common_shingles`, never df²). The empirical
+    √(j(1−j)/k) tradeoff that decides how many hashes a production run
+    pays for. Per-pair errors quantize to 1e-9 so the means are exact
+    integer sums."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures(
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+    )
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    ).localCheckpoint(eager=False)
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    common = D.candidate_common_shingles(
+        pairs, sh, id_col="id", shingle_col="__s"
+    ).withColumnRenamed("n_common", "__c")
+    sig_a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"__a{i}") for i in range(_MINHASH_K)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"__b{i}") for i in range(_MINHASH_K)],
+    )
+    jac = F.coalesce(
+        F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")),
+        F.lit(0.0),
+    )
+    base = (
+        pairs.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .join(common, ["id_a", "id_b"], "left")
+        .join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+    )
+
+    def _est(k: int) -> Column:
+        matches: Column = F.lit(0)
+        for i in range(k):
+            matches = matches + (
+                F.col(f"__a{i}") == F.col(f"__b{i}")
+            ).cast("int")
+        return matches.cast("double") / k
+
+    rows = base.select(
+        jac.alias("__j"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"), _est(k).alias("est")
+                    )
+                    for k in _MINHASH_SWEEP_KS
+                ]
+            )
+        ).alias("r"),
+    ).select(
+        F.col("r.k").alias("k"),
+        F.round(F.abs(F.col("r.est") - F.col("__j")) * 1e9, 0)
+        .cast("long")
+        .alias("__e"),
+    )
+    agg = rows.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("__e").cast("decimal(38,0)")).alias("__se"),
+    )
+    return agg.select(
+        "k",
+        "n_pairs",
+        F.round(
+            F.col("__se").cast("double") / 1e9 / F.col("n_pairs"), 6
+        ).alias("mean_abs_err"),
+    )
+
+
+def _oracle_corpus_minhash_k_sweep_sql() -> str:
+    a_cols = ", ".join(
+        f"sa.sig_{i} AS a{i}" for i in range(_MINHASH_K)
+    )
+    b_cols = ", ".join(
+        f"sb.sig_{i} AS b{i}" for i in range(_MINHASH_K)
+    )
+    ests = []
+    for k in _MINHASH_SWEEP_KS:
+        match = " + ".join(
+            f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(k)
+        )
+        ests.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, id_a, id_b,"
+            f" CAST(({match}) AS DOUBLE) / {k} AS est FROM sp"
+        )
+    est_union = "\nUNION ALL ".join(ests)
+    return f"""
+WITH {_dd_minhash_keyed_ctes()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sh2 AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS s FROM base),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh2 GROUP BY 1),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2),
+sp AS (
+  SELECT p.id_a, p.id_b, {a_cols}, {b_cols}
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b),
+jacs AS (
+  SELECT p.id_a, p.id_b,
+         COALESCE(CAST(c.c AS DOUBLE) / (na.n + nb.n - c.c), 0.0) AS jac
+  FROM pairs p
+  JOIN sizes na ON na.id = p.id_a
+  JOIN sizes nb ON nb.id = p.id_b
+  LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b),
+est AS ({est_union}),
+err AS (
+  SELECT e.k,
+         CAST(round(abs(e.est - j.jac) * 1e9) AS BIGINT) AS ei
+  FROM est e JOIN jacs j ON j.id_a = e.id_a AND j.id_b = e.id_b)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(ei) AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_abs_err
+FROM err GROUP BY 1
+"""
+
+
+def q_events_session_depth_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session depth distribution: events per session rolled into fixed
+    bands (1, 2–4, 5–9, 10+) with corpus share — the engagement-shape
+    profile behind bounce-rate and prefetch decisions, one step past
+    `events_sessionize`'s per-user stats. Same 30-min-gap session
+    assignment (user-partitioned windows), then a |bands|-bounded
+    rollup with a one-row total attach."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "__sid",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "__sid").agg(F.count(F.lit(1)).alias("__n"))
+    band = (
+        F.when(F.col("__n") == 1, "1")
+        .when(F.col("__n") <= 4, "2-4")
+        .when(F.col("__n") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    cnt = per.select(band.alias("depth_band")).groupBy("depth_band").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tot = cnt.agg(F.sum("__c").cast("double").alias("__t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "depth_band",
+        F.col("__c").cast("long").alias("n_sessions"),
+        F.round(F.col("__c").cast("double") / F.col("__t"), 6).alias("share"),
+    )
+
+
+ORACLE_EVENTS_SESSION_DEPTH_DIST = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags),
+per AS (SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY 1, 2),
+cnt AS (
+  SELECT CASE WHEN n = 1 THEN '1'
+              WHEN n <= 4 THEN '2-4'
+              WHEN n <= 9 THEN '5-9'
+              ELSE '10+' END AS depth_band,
+         COUNT(*) AS c
+  FROM per GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt)
+SELECT depth_band, CAST(c AS BIGINT) AS n_sessions,
+       round(CAST(c AS DOUBLE) / tot.t, 6) AS share
+FROM cnt CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -9750,6 +10031,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_quant_sweep": q_embedding_quant_sweep,
     "dedup_detector_agreement": q_dedup_detector_agreement,
     "corpus_bigram_cond_entropy": q_corpus_bigram_cond_entropy,
+    "embedding_knn_label_agreement": q_embedding_knn_label_agreement,
+    "corpus_minhash_k_sweep": q_corpus_minhash_k_sweep,
+    "events_session_depth_dist": q_events_session_depth_dist,
 }
 
 
@@ -9938,4 +10222,7 @@ def oracles() -> dict[str, str]:
         "embedding_quant_sweep": _oracle_embedding_quant_sweep_sql(),
         "dedup_detector_agreement": _oracle_dedup_detector_agreement_sql(),
         "corpus_bigram_cond_entropy": ORACLE_CORPUS_BIGRAM_COND_ENTROPY,
+        "embedding_knn_label_agreement": ORACLE_EMBEDDING_KNN_LABEL_AGREEMENT,
+        "corpus_minhash_k_sweep": _oracle_corpus_minhash_k_sweep_sql(),
+        "events_session_depth_dist": ORACLE_EVENTS_SESSION_DEPTH_DIST,
     }

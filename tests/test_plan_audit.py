@@ -47,6 +47,8 @@ _ALLOWED_CROSS = {
     "embedding_intrinsic_dim",  # broadcast QUERY-SIDE scan (bruteforce shape)
     "source_js_divergence",  # |sources|×|vocab| grid — dimension-bounded
     "corpus_bigram_cond_entropy",  # cross of four ONE-ROW aggregates
+    "embedding_knn_label_agreement",  # broadcast QUERY-SIDE scan (bruteforce)
+    "events_session_depth_dist",  # broadcast ONE-ROW total attach
 }
 
 # iterative operator: executes during plan construction; its final plan is

@@ -521,3 +521,84 @@ def test_corpus_bigram_cond_entropy_closed_form(spark, tmp_path):
     assert r["h_unigram"] == round(h_uni, 6)
     assert r["h_bigram"] == round(h_big, 6)
     assert r["cond_entropy"] == round(h_big - h_uni, 6)
+
+
+def test_embedding_knn_label_agreement_planted(spark, tmp_path):
+    # angular clusters: {0°,5°} labeled 0, {80°,85°} split 1/0 ->
+    # label 0 queries agree 2/3 (v3's NN is v2, label 1); label 1 never
+    import math
+
+    vecs = [
+        (0, 0.0, 0), (1, 5.0, 0), (2, 80.0, 1), (3, 85.0, 0),
+    ]
+    _plant(
+        spark, tmp_path, "embeddings",
+        [
+            (i, [math.cos(math.radians(a)), math.sin(math.radians(a))], l)
+            for i, a, l in vecs
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        r["label"]: (r["n_queries"], r["n_agree"], r["agree_rate"])
+        for r in QUERIES["embedding_knn_label_agreement"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {0: (3, 2, round(2 / 3, 6)), 1: (1, 0, 0.0)}
+
+
+def test_corpus_minhash_k_sweep_exact_dups_zero_error(spark, tmp_path):
+    # exact duplicates: every signature prefix matches AND exact jaccard
+    # is 1 -> error exactly 0 at every k; singletons form no pairs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, base),
+            (2, base),
+            (3, "entirely different words live in this document here"),
+            (4, "yet another unrelated corpus member with its own text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["k"]: (r["n_pairs"], r["mean_abs_err"])
+        for r in QUERIES["corpus_minhash_k_sweep"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {2, 4, 8}
+    for k in (2, 4, 8):
+        assert out[k] == (1, 0.0), k
+
+
+def test_events_session_depth_dist_bands(spark, tmp_path):
+    # user 1: sessions of 1, 3, 12 events (gaps > 30 min between);
+    # user 2: one session of 5 -> one session per band, share 0.25 each
+    from datetime import timedelta
+
+    t0 = datetime(2024, 4, 1, 9, 0)
+    rows, eid = [], 0
+
+    def sess(user, start, n):
+        nonlocal eid, rows
+        for i in range(n):
+            rows.append((eid, start + timedelta(minutes=i), user, "view"))
+            eid += 1
+
+    sess(1, t0, 1)
+    sess(1, t0 + timedelta(hours=2), 3)
+    sess(1, t0 + timedelta(hours=5), 12)
+    sess(2, t0, 5)
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["depth_band"]: (r["n_sessions"], r["share"])
+        for r in QUERIES["events_session_depth_dist"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "1": (1, 0.25), "2-4": (1, 0.25), "5-9": (1, 0.25), "10+": (1, 0.25),
+    }
