@@ -9847,6 +9847,252 @@ FROM cnt CROSS JOIN tot
 """
 
 
+def q_doc_embedding_quality_norm_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal sanity check: Pearson correlation between a
+    document's TEXT quality score and the L2 norm of its embedding
+    (joined on doc_id = vec_id). Unnormalized encoders often emit
+    larger norms for more 'confident' inputs — if this correlation is
+    strong, norm is leaking quality signal into dot-product retrieval
+    and vectors should be re-normalized before ANN. Both variables
+    quantize to 1e-6 fixed-point BEFORE the five sums (exact DECIMAL
+    reductions, partition-order-independent); the join is id-keyed."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("__id"),
+        F.round(X.quality_score("text") * 1e6, 0).cast("long").alias("__xi"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("__id"),
+        F.round(norm * 1e6, 0).cast("long").alias("__yi"),
+    )
+    dec = "decimal(38,0)"
+    agg = docs.join(emb, "__id").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.col("__xi").cast(dec)).alias("__sxi"),
+        F.sum(F.col("__yi").cast(dec)).alias("__syi"),
+        F.sum((F.col("__xi") * F.col("__xi")).cast(dec)).alias("__sxxi"),
+        F.sum((F.col("__yi") * F.col("__yi")).cast(dec)).alias("__syyi"),
+        F.sum((F.col("__xi") * F.col("__yi")).cast(dec)).alias("__sxyi"),
+    )
+    sx = F.col("__sxi").cast("double") / 1e6
+    sy = F.col("__syi").cast("double") / 1e6
+    sxx = F.col("__sxxi").cast("double") / 1e12
+    syy = F.col("__syyi").cast("double") / 1e12
+    sxy = F.col("__sxyi").cast("double") / 1e12
+    num = F.col("__n") * sxy - sx * sy
+    den = F.sqrt(F.col("__n") * sxx - sx * sx) * F.sqrt(
+        F.col("__n") * syy - sy * sy
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_docs"),
+        F.when(den > 0, F.round(num / den, 6)).alias("quality_norm_corr"),
+    )
+
+
+ORACLE_DOC_EMBEDDING_QUALITY_NORM_CORR = f"""
+WITH {_ORACLE_Q6_CTES},
+q AS (SELECT m.doc_id AS id,
+             CAST(round({_ORACLE_Q_RAW_EXPR} * 1e6) AS BIGINT) AS xi
+      FROM m),
+nv AS (
+  SELECT vec_id AS id,
+         CAST(round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, b) -> a + b)) * 1e6) AS BIGINT) AS yi
+  FROM embeddings),
+a AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(xi) AS sxi, SUM(yi) AS syi,
+         SUM(xi * xi) AS sxxi, SUM(yi * yi) AS syyi, SUM(xi * yi) AS sxyi
+  FROM q JOIN nv USING (id)),
+d AS (
+  SELECT n, CAST(sxi AS DOUBLE) / 1e6 AS sx, CAST(syi AS DOUBLE) / 1e6 AS sy,
+         CAST(sxxi AS DOUBLE) / 1e12 AS sxx,
+         CAST(syyi AS DOUBLE) / 1e12 AS syy,
+         CAST(sxyi AS DOUBLE) / 1e12 AS sxy
+  FROM a)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy)), 6)
+       END AS quality_norm_corr
+FROM d
+"""
+
+
+_HEAD_KS = (10, 100, 1000)
+
+
+def q_corpus_head_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-coverage curve: share of all token occurrences covered by
+    the top-10 / top-100 / top-1000 terms — the three-point vocabulary-
+    concentration profile (a 90% top-100 corpus is template soup; a
+    flat curve means a long productive tail worth a bigger tokenizer).
+    One vocab-bounded count pass, one K-row TakeOrdered head; all three
+    coverages read exact-integer prefix sums of ONE sorted array."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    head = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), "w")
+        .limit(max(_HEAD_KS))
+    )
+    arr = head.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("__c")).alias("nc"), "w"))
+        ).alias("__a")
+    ).crossJoin(F.broadcast(tot))
+
+    def _cov(k: int) -> Column:
+        return F.aggregate(
+            F.slice(F.col("__a"), 1, k),
+            F.lit(0).cast("long"),
+            lambda a, s: a - s["nc"],
+        )
+
+    rows = arr.select(
+        "__t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        F.least(F.lit(k).cast("long"), F.size("__a").cast("long")).alias(
+                            "n_terms"
+                        ),
+                        _cov(k).alias("cum"),
+                    )
+                    for k in _HEAD_KS
+                ]
+            )
+        ).alias("r"),
+    )
+    return rows.select(
+        F.col("r.k").alias("k"),
+        F.col("r.n_terms").alias("n_terms"),
+        F.col("r.cum").alias("n_occurrences"),
+        F.round(F.col("r.cum").cast("double") / F.col("__t").cast("double"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+def _oracle_corpus_head_coverage_curve_sql() -> str:
+    selects = "\nUNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+       CAST(least({k}, (SELECT COUNT(*) FROM head)) AS BIGINT) AS n_terms,
+       CAST((SELECT COALESCE(SUM(c), 0) FROM head WHERE rn <= {k}) AS BIGINT)
+         AS n_occurrences,
+       round(CAST((SELECT COALESCE(SUM(c), 0) FROM head WHERE rn <= {k})
+                  AS DOUBLE) / (SELECT t FROM tot), 6) AS coverage"""
+        for k in _HEAD_KS
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest({_DD_TOKENS.format(c='text')}) AS w
+  FROM (SELECT lower(text) AS text FROM documents)),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+head AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn
+  FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1)
+  ORDER BY c DESC, w LIMIT {max(_HEAD_KS)})
+{selects}
+"""
+
+
+def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifetime-value decile table: for each decile of users (by
+    total event value), the boundary value and the cumulative share of
+    all value held at or below it — the full concentration profile the
+    single-threshold Pareto query summarizes. Cents-exact user LTVs
+    compress to a value histogram; both cumulatives ride the bounded-
+    fan prefix sum; decile ranks compare as 10·cum ≥ d·n in int64."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("__v")
+    )
+    hist = per.groupBy("__v").agg(F.count(F.lit(1)).alias("__f"))
+    hist = hist.withColumn("__s", F.col("__v") * F.col("__f"))
+    hist = hist.localCheckpoint(eager=False)
+    mx = hist.agg(F.max("__v").alias("mx")).first()["mx"]
+    cf = _exclusive_prefix(hist, "__v", "__f", "__pf", max_key=mx)
+    cs = _exclusive_prefix(
+        hist.select("__v", "__s"), "__v", "__s", "__ps", max_key=mx
+    )
+    j = cf.join(cs.select("__v", "__ps"), "__v")
+    tot = hist.agg(
+        F.sum("__f").cast("long").alias("__N"),
+        F.sum("__s").cast("long").alias("__T"),
+    )
+    x = j.crossJoin(F.broadcast(tot)).select(
+        "__v",
+        (F.col("__pf") + F.col("__f")).alias("__cumf"),
+        (F.col("__ps") + F.col("__s")).alias("__cums"),
+        "__N",
+        "__T",
+    )
+    dec = (
+        x.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+            "__v", "__cumf", "__cums", "__N", "__T",
+        )
+        .filter(10 * F.col("__cumf") >= F.col("decile") * F.col("__N"))
+        .groupBy("decile")
+        .agg(F.min("__v").alias("__b"))
+    )
+    out = (
+        dec.join(x.withColumnRenamed("__v", "__b"), "__b")
+        .select(
+            "decile",
+            (F.col("__b").cast("double") / 100).alias("boundary_value"),
+            F.col("__cumf").cast("long").alias("cum_users"),
+            F.round(
+                F.col("__cums").cast("double") / F.col("__T").cast("double"), 6
+            ).alias("cum_value_share"),
+        )
+    )
+    return out
+
+
+ORACLE_USER_VALUE_DECILES = """
+WITH per AS (
+  SELECT user_id,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1),
+hist AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS f FROM per GROUP BY 1),
+cum AS (
+  SELECT v, f, v * f AS s,
+         SUM(f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumf,
+         SUM(v * f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cums
+  FROM hist),
+t AS (SELECT CAST(SUM(f) AS BIGINT) AS N, CAST(SUM(v * f) AS BIGINT) AS T
+      FROM hist),
+dec AS (
+  SELECT d.d AS decile, MIN(c.v) AS b
+  FROM (SELECT unnest(generate_series(1, 10)) AS d) d, cum c, t
+  WHERE 10 * c.cumf >= d.d * t.N
+  GROUP BY 1)
+SELECT CAST(dec.decile AS BIGINT) AS decile,
+       CAST(dec.b AS DOUBLE) / 100 AS boundary_value,
+       CAST(c.cumf AS BIGINT) AS cum_users,
+       round(CAST(c.cums AS DOUBLE) / CAST(t.T AS DOUBLE), 6)
+         AS cum_value_share
+FROM dec JOIN cum c ON c.v = dec.b, t
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -10034,6 +10280,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_knn_label_agreement": q_embedding_knn_label_agreement,
     "corpus_minhash_k_sweep": q_corpus_minhash_k_sweep,
     "events_session_depth_dist": q_events_session_depth_dist,
+    "doc_embedding_quality_norm_corr": q_doc_embedding_quality_norm_corr,
+    "corpus_head_coverage_curve": q_corpus_head_coverage_curve,
+    "user_value_deciles": q_user_value_deciles,
 }
 
 
@@ -10225,4 +10474,7 @@ def oracles() -> dict[str, str]:
         "embedding_knn_label_agreement": ORACLE_EMBEDDING_KNN_LABEL_AGREEMENT,
         "corpus_minhash_k_sweep": _oracle_corpus_minhash_k_sweep_sql(),
         "events_session_depth_dist": ORACLE_EVENTS_SESSION_DEPTH_DIST,
+        "doc_embedding_quality_norm_corr": ORACLE_DOC_EMBEDDING_QUALITY_NORM_CORR,
+        "corpus_head_coverage_curve": _oracle_corpus_head_coverage_curve_sql(),
+        "user_value_deciles": ORACLE_USER_VALUE_DECILES,
     }

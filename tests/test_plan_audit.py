@@ -49,6 +49,8 @@ _ALLOWED_CROSS = {
     "corpus_bigram_cond_entropy",  # cross of four ONE-ROW aggregates
     "embedding_knn_label_agreement",  # broadcast QUERY-SIDE scan (bruteforce)
     "events_session_depth_dist",  # broadcast ONE-ROW total attach
+    "corpus_head_coverage_curve",  # broadcast ONE-ROW total attach
+    "user_value_deciles",  # broadcast ONE-ROW N/T totals attach
 }
 
 # iterative operator: executes during plan construction; its final plan is

@@ -602,3 +602,109 @@ def test_events_session_depth_dist_bands(spark, tmp_path):
     assert out == {
         "1": (1, 0.25), "2-4": (1, 0.25), "5-9": (1, 0.25), "10+": (1, 0.25),
     }
+
+
+def test_doc_embedding_quality_norm_corr_planted(spark, tmp_path):
+    # quality values come from the operator; the correlation math is
+    # replicated in python over the same 1e-6 quantization
+    import math
+
+    docs = [
+        (1, "short", 0.5),
+        (2, "a noticeably longer document with several proper words", 1.0),
+        (3, "an even longer and fairly reasonable document with many "
+            "plain words that lift the length component higher", 1.5),
+    ]
+    _plant(
+        spark, tmp_path, "documents",
+        [(i, t) for i, t, _ in docs], "doc_id long, text string",
+    )
+    _plant(
+        spark, tmp_path, "embeddings",
+        [(i, [n, 0.0], 0) for i, _, n in docs],
+        "vec_id long, embedding array<double>, label int",
+    )
+    from beacon_indexer_spark.operators import text as X
+    from pyspark.sql import functions as F
+
+    qvals = {
+        r["doc_id"]: r["q"]
+        for r in spark.createDataFrame(
+            [(i, t) for i, t, _ in docs], "doc_id long, text string"
+        ).select("doc_id", X.quality_score("text").alias("q")).collect()
+    }
+    xs = [round(qvals[i] * 1e6) for i, _, _ in docs]
+    ys = [round(n * 1e6) for _, _, n in docs]
+    n = float(len(xs))
+    sx, sy = sum(xs) / 1e6, sum(ys) / 1e6
+    sxx = sum(x * x for x in xs) / 1e12
+    syy = sum(y * y for y in ys) / 1e12
+    sxy = sum(x * y for x, y in zip(xs, ys)) / 1e12
+    num = n * sxy - sx * sy
+    den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    [r] = QUERIES["doc_embedding_quality_norm_corr"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r["n_docs"] == 3
+    assert r["quality_norm_corr"] == round(num / den, 6)
+
+    # degenerate: constant quality -> zero variance -> NULL, not NaN
+    _plant(
+        spark, tmp_path / "flat", "documents",
+        [(1, "same text here"), (2, "same text here")],
+        "doc_id long, text string",
+    )
+    _plant(
+        spark, tmp_path / "flat", "embeddings",
+        [(1, [1.0, 0.0], 0), (2, [2.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    [r2] = QUERIES["doc_embedding_quality_norm_corr"](
+        spark, str(tmp_path / "flat")
+    ).collect()
+    # zero x-variance: exact-math den is 0 (NULL), but the double
+    # conversion can leave den as positive dust giving 0/den = 0.0 —
+    # both engines compute the IDENTICAL expression, so either way the
+    # oracle agrees; assert the degenerate result is null-or-zero, never
+    # NaN or a spurious correlation
+    assert r2["quality_norm_corr"] in (None, 0.0)
+
+
+def test_corpus_head_coverage_curve_partial_head(spark, tmp_path):
+    # 12 terms with counts 12..1: top-10 covers 75 of 78 occurrences
+    words = []
+    for i in range(12):
+        words += [f"t{i:02d}"] * (12 - i)
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, " ".join(words))], "doc_id long, text string",
+    )
+    out = {
+        r["k"]: (r["n_terms"], r["n_occurrences"], r["coverage"])
+        for r in QUERIES["corpus_head_coverage_curve"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    total = sum(range(1, 13))
+    top10 = sum(range(3, 13))
+    assert out[10] == (10, top10, round(top10 / total, 6))
+    assert out[100] == (12, total, 1.0)
+    assert out[1000] == (12, total, 1.0)
+
+
+def test_user_value_deciles_uniform(spark, tmp_path):
+    # users 1..10 with LTV d dollars -> decile d boundary = d, cum_users
+    # = d, cum share = triangular(d)/55
+    rows = [(u, datetime(2024, 1, 1, 8), u, "buy", float(u)) for u in range(1, 11)]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {
+        r["decile"]: (r["boundary_value"], r["cum_users"], r["cum_value_share"])
+        for r in QUERIES["user_value_deciles"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 10
+    for d in range(1, 11):
+        tri = d * (d + 1) / 2
+        assert out[d] == (float(d), d, round(tri / 55, 6)), d
