@@ -10093,6 +10093,177 @@ FROM dec JOIN cum c ON c.v = dec.b, t
 """
 
 
+def q_events_conversion_by_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by acquisition channel: users grouped by their
+    FIRST event type (total (ts, event_id) order), with the share that
+    ever purchases — the companion to `events_first_touch`'s value
+    attribution (that query says where the money sits; this one says
+    which entry point converts). One user-keyed aggregate computes both
+    the min_by first-touch and the purchase flag; the rollup is
+    |types|-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("first_type"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("__conv"),
+    )
+    return per_user.groupBy("first_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("__conv").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("__conv").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )
+
+
+ORACLE_EVENTS_CONVERSION_BY_FIRST_TOUCH = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM ranked GROUP BY 1)
+SELECT first_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       round(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+FROM pu GROUP BY 1
+"""
+
+
+def q_dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding skew audit BEFORE pair expansion: per band, how many
+    buckets collide (size ≥ 2), the hottest bucket, and the exact
+    candidate-pair volume Σ C(size,2) the band would emit — the number
+    that predicts the shuffle bill and flags a degenerate band (one hot
+    bucket holding half the corpus) before a full-corpus dedup run pays
+    for it. Pure integer aggregates over the (band, key) sizes."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    keyed = D.minhash_band_keys(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+    )
+    sizes = keyed.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__s"))
+    return (
+        sizes.filter(F.col("__s") >= 2)
+        .groupBy(F.col("band").cast("long").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_colliding_buckets"),
+            F.max("__s").cast("long").alias("max_bucket"),
+            F.sum(F.expr("(__s * (__s - 1)) div 2"))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
+    )
+
+
+def _oracle_dedup_lsh_bucket_stats_sql() -> str:
+    return f"""
+WITH {_dd_minhash_keyed_ctes()},
+sizes AS (SELECT band, key, COUNT(*) AS s FROM keyed GROUP BY 1, 2)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_colliding_buckets,
+       CAST(MAX(s) AS BIGINT) AS max_bucket,
+       CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS n_candidate_pairs
+FROM sizes WHERE s >= 2 GROUP BY 1
+"""
+
+
+def q_embedding_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer fit: per inverted list, the share of vector
+    energy LEFT in the residuals (Σ‖v−c‖² / Σ‖v‖²) — near 1.0 means the
+    coarse centroids explain nothing and PQ-on-residuals will quantize
+    noise; the read that justifies more lists or a k-means refinement.
+    Assignment is the audited literal-centroid narrow map; residual and
+    norm energies are per-row sequential folds quantized to 1e-9 before
+    exact integer per-list sums."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    cents = S.ivf_centroids(emb, k=8)
+    lists = S.ivf_assign(emb, cents, "embedding", nprobe=1)
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in cv])
+            for _cid, cv in sorted(cents)
+        ]
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cvec = F.element_at(cent_arr, (F.col("ivf_list") + 1).cast("int"))
+    res = F.aggregate(
+        F.zip_with(v, cvec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dec = "decimal(38,0)"
+    per = lists.select(
+        "ivf_list",
+        F.round(res * 1e9, 0).cast("long").alias("__r"),
+        F.round(nrm * 1e9, 0).cast("long").alias("__n"),
+    )
+    agg = per.groupBy(F.col("ivf_list").cast("long").alias("ivf_list")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("__r").cast(dec)).alias("__sr"),
+        F.sum(F.col("__n").cast(dec)).alias("__sn"),
+    )
+    return agg.select(
+        "ivf_list",
+        "n_vectors",
+        F.round(
+            F.col("__sr").cast("double") / F.col("__sn").cast("double"), 6
+        ).alias("residual_energy_share"),
+    )
+
+
+def _oracle_embedding_residual_energy_sql(k: int = 8) -> str:
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
+    dot_vc = fold.format(
+        arr="list_transform(generate_series(1, len(v.embedding)),"
+        " i -> CAST(v.embedding[i] AS DOUBLE) * c.cv[i])"
+    )
+    sq_c = fold.format(arr="list_transform(c.cv, x -> x * x)")
+    res = fold.format(
+        arr="list_transform(generate_series(1, len(r.embedding)),"
+        " i -> (CAST(r.embedding[i] AS DOUBLE) - cc.cv[i])"
+        " * (CAST(r.embedding[i] AS DOUBLE) - cc.cv[i]))"
+    )
+    nrm = fold.format(
+        arr="list_transform(r.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}),
+assigned AS (
+  SELECT v.vec_id, c.cid, -({dot_vc}) * 2 + ({sq_c}) AS d2
+  FROM embeddings v CROSS JOIN cents c),
+win AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+  FROM assigned),
+per AS (
+  SELECT w.cid,
+         CAST(round(({res}) * 1e9) AS BIGINT) AS ri,
+         CAST(round(({nrm}) * 1e9) AS BIGINT) AS ni
+  FROM win w
+  JOIN embeddings r ON r.vec_id = w.vec_id
+  JOIN cents cc ON cc.cid = w.cid
+  WHERE w.rk = 1)
+SELECT CAST(cid AS BIGINT) AS ivf_list,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(CAST(SUM(ri) AS DOUBLE) / CAST(SUM(ni) AS DOUBLE), 6)
+         AS residual_energy_share
+FROM per GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -10283,6 +10454,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_embedding_quality_norm_corr": q_doc_embedding_quality_norm_corr,
     "corpus_head_coverage_curve": q_corpus_head_coverage_curve,
     "user_value_deciles": q_user_value_deciles,
+    "events_conversion_by_first_touch": q_events_conversion_by_first_touch,
+    "dedup_lsh_bucket_stats": q_dedup_lsh_bucket_stats,
+    "embedding_residual_energy": q_embedding_residual_energy,
 }
 
 
@@ -10477,4 +10651,7 @@ def oracles() -> dict[str, str]:
         "doc_embedding_quality_norm_corr": ORACLE_DOC_EMBEDDING_QUALITY_NORM_CORR,
         "corpus_head_coverage_curve": _oracle_corpus_head_coverage_curve_sql(),
         "user_value_deciles": ORACLE_USER_VALUE_DECILES,
+        "events_conversion_by_first_touch": ORACLE_EVENTS_CONVERSION_BY_FIRST_TOUCH,
+        "dedup_lsh_bucket_stats": _oracle_dedup_lsh_bucket_stats_sql(),
+        "embedding_residual_energy": _oracle_embedding_residual_energy_sql(),
     }

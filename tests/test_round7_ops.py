@@ -708,3 +708,62 @@ def test_user_value_deciles_uniform(spark, tmp_path):
     for d in range(1, 11):
         tri = d * (d + 1) / 2
         assert out[d] == (float(d), d, round(tri / 55, 6)), d
+
+
+def test_events_conversion_by_first_touch_planted(spark, tmp_path):
+    rows = [
+        (1, datetime(2024, 1, 1, 1), 1, "view"),
+        (2, datetime(2024, 1, 1, 2), 1, "purchase"),
+        (3, datetime(2024, 1, 2, 1), 2, "view"),
+        (4, datetime(2024, 1, 2, 2), 2, "click"),
+        (5, datetime(2024, 1, 3, 1), 3, "purchase"),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["first_type"]: (r["n_users"], r["n_converted"], r["conversion_rate"])
+        for r in QUERIES["events_conversion_by_first_touch"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {"view": (2, 1, 0.5), "purchase": (1, 1, 1.0)}
+
+
+def test_dedup_lsh_bucket_stats_exact_trio(spark, tmp_path):
+    # three identical docs share every band bucket -> each of the 4
+    # bands reports one colliding bucket of size 3 (= 3 candidate pairs)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, base), (2, base), (3, base),
+            (4, "entirely different words live in this document here"),
+            (5, "yet another unrelated corpus member with its own text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["band"]: (r["n_colliding_buckets"], r["max_bucket"], r["n_candidate_pairs"])
+        for r in QUERIES["dedup_lsh_bucket_stats"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for band, stats in out.items():
+        assert stats[1] >= 3 and stats[2] >= 3, (band, stats)
+        # the exact-dup trio contributes one size->=3 bucket per band
+        assert stats[0] >= 1
+
+
+def test_embedding_residual_energy_identical_vectors(spark, tmp_path):
+    # identical vectors: every centroid equals the vector, residuals are
+    # exactly zero, and all mass lands in one list (cid tiebreak)
+    _plant(
+        spark, tmp_path, "embeddings",
+        [(i, [0.6, 0.8], 0) for i in range(10)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = QUERIES["embedding_residual_energy"](spark, str(tmp_path)).collect()
+    assert sum(r["n_vectors"] for r in rows) == 10
+    for r in rows:
+        assert r["residual_energy_share"] == 0.0
