@@ -10264,6 +10264,254 @@ FROM per GROUP BY 1
 """
 
 
+def q_embedding_mean_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mean pairwise cosine of the WHOLE corpus — the anisotropy /
+    mean-shift diagnostic (Ethayarajh-style: a high corpus-wide mean
+    cosine means vectors share a dominant direction and cosine scores
+    compress) — WITHOUT any pair join, via the Gram identity:
+    Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖². One normalize-and-quantize map, 64
+    per-dim exact integer sums, closed form — an O(n²) statistic at
+    O(n·d) cost, exact at any parallelism (1e-9 fixed-point before
+    every reduction)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    u = emb.filter(nrm > 0).select(
+        F.posexplode(
+            F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
+        ).alias("dim", "__ui"),
+    )
+    dec = "decimal(38,0)"
+    per_dim = u.groupBy("dim").agg(
+        F.sum(F.col("__ui").cast(dec)).alias("__sd"),
+        F.sum((F.col("__ui") * F.col("__ui")).cast(dec)).alias("__sq"),
+    )
+    n_rows = emb.filter(nrm > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    agg = per_dim.agg(
+        F.sum(F.col("__sd") * F.col("__sd")).alias("__S2"),
+        F.sum("__sq").alias("__Q"),
+    ).crossJoin(F.broadcast(n_rows))
+    n = F.col("__n").cast("double")
+    mean_cos = (
+        (F.col("__S2").cast("double") / 1e18 - F.col("__Q").cast("double") / 1e18)
+        / (n * (n - 1.0))
+    )
+    return agg.select(
+        F.col("__n").alias("n_vectors"),
+        F.round(mean_cos, 6).alias("mean_pairwise_cosine"),
+    )
+
+
+ORACLE_EMBEDDING_MEAN_PAIRWISE_COSINE = """
+WITH nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+u AS (
+  SELECT s.i - 1 AS dim,
+         CAST(round(CAST(n.embedding[s.i] AS DOUBLE) / n.nrm * 1e9) AS BIGINT)
+           AS ui
+  FROM nv n,
+       LATERAL (SELECT unnest(generate_series(1, len(n.embedding))) AS i) s
+  WHERE n.nrm > 0),
+per_dim AS (
+  SELECT dim, SUM(ui) AS sd, SUM(ui * ui) AS sq FROM u GROUP BY 1),
+t AS (SELECT SUM(sd * sd) AS s2, SUM(sq) AS q FROM per_dim),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nv WHERE nrm > 0)
+SELECT nn.n AS n_vectors,
+       round((CAST(t.s2 AS DOUBLE) / 1e18 - CAST(t.q AS DOUBLE) / 1e18)
+             / (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0)), 6)
+         AS mean_pairwise_cosine
+FROM t, nn
+"""
+
+
+def q_doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit of the document-length distribution: μ and σ of
+    ln(token_count) plus the fitted-vs-actual median ratio — natural
+    corpora are approximately lognormal in length, so a big gap flags
+    truncation, padding, or a template corpus (and the fitted median is
+    the right prior for packing-capacity planning). ln values quantize
+    to 1e-9 fixed-point (exact integer sums); the actual median runs on
+    the token-count histogram through the bounded-fan prefix sum."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    nt = docs.select(X.token_count("text").alias("__t")).filter(
+        F.col("__t") > 0
+    )
+    li = F.round(F.log(F.col("__t").cast("double")) * 1e9, 0).cast("long")
+    dec = "decimal(38,0)"
+    # li ~ ln(tokens)·1e9 can reach ~1.4e10, so li² (~2e20) overflows
+    # int64 — widen to DECIMAL BEFORE the square
+    moments = nt.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(li.cast(dec)).alias("__sl"),
+        F.sum(li.cast(dec) * li.cast(dec)).alias("__sll"),
+    )
+    hist = nt.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    hist = hist.localCheckpoint(eager=False)
+    mx = hist.agg(F.max("__t").alias("mx")).first()["mx"]
+    cum = _exclusive_prefix(hist, "__t", "__f", "__prev", max_key=mx or 0)
+    cum = cum.withColumn("__cum", F.col("__prev") + F.col("__f"))
+    med = (
+        cum.crossJoin(
+            F.broadcast(hist.agg(F.sum("__f").alias("__tot")))
+        )
+        .filter(2 * F.col("__cum") >= F.col("__tot"))
+        .agg(F.min("__t").cast("long").alias("__med"))
+    )
+    out = moments.crossJoin(F.broadcast(med))
+    n = F.col("__n").cast("double")
+    mu = F.col("__sl").cast("double") / 1e9 / n
+    var = F.col("__sll").cast("double") / 1e18 / n - mu * mu
+    fitted_med = F.exp(mu)
+    return out.select(
+        F.col("__n").alias("n_docs"),
+        F.round(mu, 6).alias("mu_log"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("sigma_log"),
+        F.col("__med").alias("actual_median"),
+        F.round(fitted_med, 6).alias("fitted_median"),
+        F.round(F.col("__med").cast("double") / fitted_med, 6).alias(
+            "median_ratio"
+        ),
+    )
+
+
+ORACLE_DOC_LENGTH_LOGNORMAL_FIT = f"""
+WITH nt AS (
+  SELECT CAST(len({_DD_TOKENS.format(c='text')}) AS BIGINT) AS t
+  FROM documents),
+pos AS (SELECT t FROM nt WHERE t > 0),
+li AS (SELECT CAST(round(ln(CAST(t AS DOUBLE)) * 1e9) AS BIGINT) AS l FROM pos),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(l) AS sl,
+             SUM(CAST(l AS HUGEINT) * l) AS sll
+      FROM li),
+hist AS (SELECT t, COUNT(*) AS f FROM pos GROUP BY 1),
+cum AS (SELECT t, SUM(f) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS c
+        FROM hist),
+tt AS (SELECT SUM(f) AS tot FROM hist),
+med AS (SELECT CAST(MIN(t) AS BIGINT) AS med FROM cum, tt
+        WHERE 2 * cum.c >= tt.tot)
+SELECT m.n AS n_docs,
+       round(CAST(m.sl AS DOUBLE) / 1e9 / CAST(m.n AS DOUBLE), 6) AS mu_log,
+       round(sqrt(greatest(CAST(m.sll AS DOUBLE) / 1e18 / CAST(m.n AS DOUBLE)
+                  - (CAST(m.sl AS DOUBLE) / 1e9 / CAST(m.n AS DOUBLE))
+                    * (CAST(m.sl AS DOUBLE) / 1e9 / CAST(m.n AS DOUBLE)),
+                  0.0)), 6) AS sigma_log,
+       med.med AS actual_median,
+       round(exp(CAST(m.sl AS DOUBLE) / 1e9 / CAST(m.n AS DOUBLE)), 6)
+         AS fitted_median,
+       round(CAST(med.med AS DOUBLE)
+             / exp(CAST(m.sl AS DOUBLE) / 1e9 / CAST(m.n AS DOUBLE)), 6)
+         AS median_ratio
+FROM m, med
+"""
+
+
+def q_events_value_hour_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value by hour-of-day: F-statistic and η²
+    (share of value variance the hour explains) — the statistical form
+    of 'does time of day move spend', one step past the hour-profile
+    heatmap. Values quantize to exact cents; (hour) partials are
+    integer DECIMAL sums; the 24-group combination folds in hour order.
+    Same exact-fixed-point discipline as the Fisher separation score."""
+    ev = _t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    x = ev.select(
+        F.hour("ts").cast("long").alias("__h"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("__xi"),
+    )
+    per = x.groupBy("__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__xi").cast(dec)).alias("__si"),
+        F.sum((F.col("__xi") * F.col("__xi")).cast(dec)).alias("__s2i"),
+    )
+    tot = per.agg(
+        F.sum("__n").cast("long").alias("__nt"),
+        F.sum("__si").alias("__sit"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    mu_h = F.col("__si").cast("double") / 100 / F.col("__n")
+    mu = F.col("__sit").cast("double") / 100 / F.col("__nt")
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "__h", "__nt", "__k",
+        (F.col("__n").cast("double") * (mu_h - mu) * (mu_h - mu)).alias("__bt"),
+        (
+            F.col("__s2i").cast("double") / 1e4
+            - F.col("__n").cast("double") * mu_h * mu_h
+        ).alias("__wt"),
+    )
+    folded = terms.groupBy("__nt", "__k").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__h", F.col("__bt").alias("x")))),
+            F.lit(0.0),
+            lambda a, s: a + s["x"],
+        ).alias("__b"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__h", F.col("__wt").alias("x")))),
+            F.lit(0.0),
+            lambda a, s: a + s["x"],
+        ).alias("__w"),
+    )
+    nt = F.col("__nt").cast("double")
+    k = F.col("__k").cast("double")
+    f_stat = (F.col("__b") / (k - 1.0)) / (F.col("__w") / (nt - k))
+    return folded.select(
+        F.col("__nt").alias("n_events"),
+        F.col("__k").alias("n_hours"),
+        F.when(F.col("__w") > 0, F.round(f_stat, 6)).alias("f_stat"),
+        F.round(
+            F.col("__b") / (F.col("__b") + F.col("__w")), 6
+        ).alias("eta_sq"),
+    )
+
+
+ORACLE_EVENTS_VALUE_HOUR_ANOVA = """
+WITH x AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(round(value * 100) AS BIGINT) AS xi
+  FROM events),
+per AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n, SUM(xi) AS si, SUM(xi * xi) AS s2i
+  FROM x GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(si) AS sit,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM per),
+terms AS (
+  SELECT p.h, t.nt, t.k,
+         CAST(p.n AS DOUBLE)
+           * (CAST(p.si AS DOUBLE) / 100 / p.n - CAST(t.sit AS DOUBLE) / 100 / t.nt)
+           * (CAST(p.si AS DOUBLE) / 100 / p.n - CAST(t.sit AS DOUBLE) / 100 / t.nt)
+           AS bt,
+         CAST(p.s2i AS DOUBLE) / 1e4
+           - CAST(p.n AS DOUBLE) * (CAST(p.si AS DOUBLE) / 100 / p.n)
+                                 * (CAST(p.si AS DOUBLE) / 100 / p.n) AS wt
+  FROM per p, tot t),
+agg AS (
+  SELECT nt, k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(bt ORDER BY h)), (a, b) -> a + b) AS b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(wt ORDER BY h)), (a, b) -> a + b) AS w
+  FROM terms GROUP BY 1, 2)
+SELECT nt AS n_events, k AS n_hours,
+       CASE WHEN w > 0
+            THEN round((b / (CAST(k AS DOUBLE) - 1.0))
+                       / (w / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+       END AS f_stat,
+       round(b / (b + w), 6) AS eta_sq
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -10457,6 +10705,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_conversion_by_first_touch": q_events_conversion_by_first_touch,
     "dedup_lsh_bucket_stats": q_dedup_lsh_bucket_stats,
     "embedding_residual_energy": q_embedding_residual_energy,
+    "embedding_mean_pairwise_cosine": q_embedding_mean_pairwise_cosine,
+    "doc_length_lognormal_fit": q_doc_length_lognormal_fit,
+    "events_value_hour_anova": q_events_value_hour_anova,
 }
 
 
@@ -10654,4 +10905,7 @@ def oracles() -> dict[str, str]:
         "events_conversion_by_first_touch": ORACLE_EVENTS_CONVERSION_BY_FIRST_TOUCH,
         "dedup_lsh_bucket_stats": _oracle_dedup_lsh_bucket_stats_sql(),
         "embedding_residual_energy": _oracle_embedding_residual_energy_sql(),
+        "embedding_mean_pairwise_cosine": ORACLE_EMBEDDING_MEAN_PAIRWISE_COSINE,
+        "doc_length_lognormal_fit": ORACLE_DOC_LENGTH_LOGNORMAL_FIT,
+        "events_value_hour_anova": ORACLE_EVENTS_VALUE_HOUR_ANOVA,
     }

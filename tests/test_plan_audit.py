@@ -51,6 +51,9 @@ _ALLOWED_CROSS = {
     "events_session_depth_dist",  # broadcast ONE-ROW total attach
     "corpus_head_coverage_curve",  # broadcast ONE-ROW total attach
     "user_value_deciles",  # broadcast ONE-ROW N/T totals attach
+    "embedding_mean_pairwise_cosine",  # broadcast ONE-ROW n attach
+    "doc_length_lognormal_fit",  # ONE-ROW moments × ONE-ROW median attach
+    "events_value_hour_anova",  # broadcast ONE-ROW totals attach
 }
 
 # iterative operator: executes during plan construction; its final plan is

@@ -767,3 +767,77 @@ def test_embedding_residual_energy_identical_vectors(spark, tmp_path):
     assert sum(r["n_vectors"] for r in rows) == 10
     for r in rows:
         assert r["residual_energy_share"] == 0.0
+
+
+def test_embedding_mean_pairwise_cosine_gram_identity(spark, tmp_path):
+    # [1,0], [0,1], [1,0]: ordered-pair cosines sum to 2 -> mean 2/6
+    _plant(
+        spark, tmp_path, "embeddings",
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    [r] = QUERIES["embedding_mean_pairwise_cosine"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r["n_vectors"] == 3
+    assert r["mean_pairwise_cosine"] == 0.333333
+
+
+def test_doc_length_lognormal_fit_geometric(spark, tmp_path):
+    # token counts 2, 4, 8: mu = 2 ln 2, fitted median = 4 = actual ->
+    # ratio exactly 1; sigma = sqrt(2/3) ln 2. Expected values replicate
+    # the query's 1e-9 quantization
+    import math
+
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, "w " * 2), (2, "w " * 4), (3, "w " * 8)],
+        "doc_id long, text string",
+    )
+    lis = [round(math.log(t) * 1e9) for t in (2, 4, 8)]
+    n = 3.0
+    mu = sum(lis) / 1e9 / n
+    var = sum(l * l for l in lis) / 1e18 / n - mu * mu
+    [r] = QUERIES["doc_length_lognormal_fit"](spark, str(tmp_path)).collect()
+    assert r["n_docs"] == 3
+    assert r["mu_log"] == round(mu, 6)
+    assert r["sigma_log"] == round(math.sqrt(var), 6)
+    assert r["actual_median"] == 4
+    assert r["fitted_median"] == round(math.exp(mu), 6)
+    assert r["median_ratio"] == round(4 / math.exp(mu), 6)
+
+
+def test_events_value_hour_anova_closed_form(spark, tmp_path):
+    # hour 1: values 1,3; hour 2: values 5,7 ->
+    # between 16, within 4, F = (16/1)/(4/2) = 8, eta^2 = 0.8
+    rows = [
+        (1, datetime(2024, 1, 1, 1, 5), 1, "b", 1.0),
+        (2, datetime(2024, 1, 1, 1, 25), 1, "b", 3.0),
+        (3, datetime(2024, 1, 1, 2, 5), 2, "b", 5.0),
+        (4, datetime(2024, 1, 1, 2, 25), 2, "b", 7.0),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    [r] = QUERIES["events_value_hour_anova"](spark, str(tmp_path)).collect()
+    assert (r["n_events"], r["n_hours"]) == (4, 2)
+    assert r["f_stat"] == 8.0
+    assert r["eta_sq"] == 0.8
+
+    # degenerate: zero within-variance -> F null, eta exactly 1
+    rows2 = [
+        (1, datetime(2024, 1, 1, 1, 5), 1, "b", 1.0),
+        (2, datetime(2024, 1, 1, 1, 25), 1, "b", 1.0),
+        (3, datetime(2024, 1, 1, 2, 5), 2, "b", 3.0),
+        (4, datetime(2024, 1, 1, 2, 25), 2, "b", 3.0),
+    ]
+    _plant(
+        spark, tmp_path / "flat", "events", rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    [r2] = QUERIES["events_value_hour_anova"](
+        spark, str(tmp_path / "flat")
+    ).collect()
+    assert r2["f_stat"] is None
+    assert r2["eta_sq"] == 1.0
