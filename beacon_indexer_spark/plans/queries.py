@@ -10512,6 +10512,187 @@ FROM agg
 """
 
 
+def q_events_periodicity_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-periodicity strength: Pearson autocorrelation of the hourly
+    volume series at lag 24 h — near 1.0 means traffic repeats its daily
+    shape (safe to capacity-plan on yesterday); near 0 means the heatmap
+    is averaging away real volatility. Hour buckets are epoch-hour
+    integers, the lag pairing is ONE |hours|-bounded self equi-join
+    (t ↔ t+24), and all five correlation sums are exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("__h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a = hourly.select("__h", F.col("__n").alias("__x"))
+    b = hourly.select(
+        (F.col("__h") - 24).alias("__h"), F.col("__n").alias("__y")
+    )
+    pairs = a.join(b, "__h")
+    dec = "decimal(38,0)"
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("__np"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec)).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec)).alias("__syy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(dec)).alias("__sxy"),
+    )
+    n = F.col("__np")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return agg.select(
+        F.col("__np").cast("long").alias("n_hour_pairs"),
+        F.when(den > 0, F.round(num / den, 6)).alias("autocorr_24h"),
+    )
+
+
+ORACLE_EVENTS_PERIODICITY_AUTOCORR = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT a.n AS x, b.n AS y
+  FROM hourly a JOIN hourly b ON b.h = a.h + 24),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sxi, SUM(y) AS syi,
+         SUM(x * x) AS sxxi, SUM(y * y) AS syyi, SUM(x * y) AS sxyi
+  FROM pairs),
+d AS (
+  SELECT n, CAST(sxi AS DOUBLE) AS sx, CAST(syi AS DOUBLE) AS sy,
+         CAST(sxxi AS DOUBLE) AS sxx, CAST(syyi AS DOUBLE) AS syy,
+         CAST(sxyi AS DOUBLE) AS sxy
+  FROM agg)
+SELECT CAST(n AS BIGINT) AS n_hour_pairs,
+       CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy)), 6)
+       END AS autocorr_24h
+FROM d
+"""
+
+
+def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, event volume split into NEW users
+    (first-ever activity that day) vs returning — the
+    acquisition-vs-retention mix a raw DAU line hides. One user-keyed
+    min-date aggregate, an id-keyed join back to the stream, and a
+    |days|-bounded rollup — all exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("__first")
+    )
+    j = ev.select("user_id", F.to_date("ts").alias("__d")).join(first, "user_id")
+    return (
+        j.groupBy(F.date_format("__d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("__d") == F.col("__first")).cast("long"))
+            .cast("long")
+            .alias("n_new_user_events"),
+            F.round(
+                F.sum((F.col("__d") == F.col("__first")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("new_share"),
+        )
+    )
+
+
+ORACLE_EVENTS_NEW_VS_RETURNING = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd FROM events GROUP BY 1),
+j AS (
+  SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+         CASE WHEN CAST(e.ts AS DATE) = f.fd THEN 1 ELSE 0 END AS is_new
+  FROM events e JOIN first f USING (user_id))
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_new) AS BIGINT) AS n_new_user_events,
+       round(CAST(SUM(is_new) AS DOUBLE) / COUNT(*), 6) AS new_share
+FROM j GROUP BY 1
+"""
+
+
+def q_orders_basket_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size/value coupling: Pearson correlation between an
+    order's line count and its total price — high correlation licenses
+    line-count as a cheap value proxy in sampling and fraud screens.
+    Line counts aggregate map-side on the (orderkey) shuffle; prices
+    quantize to exact cents; the five sums are exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    nl = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.count(F.lit(1)).cast("long").alias("__xi")
+    )
+    ov = o.select(
+        F.col("o_orderkey").alias("__ok"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("__yi"),
+    )
+    dec = "decimal(38,0)"
+    agg = nl.join(ov, "__ok").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.col("__xi").cast(dec)).alias("__sxi"),
+        F.sum(F.col("__yi").cast(dec)).alias("__syi"),
+        F.sum((F.col("__xi") * F.col("__xi")).cast(dec)).alias("__sxxi"),
+        F.sum(
+            (F.col("__yi").cast(dec) * F.col("__yi").cast(dec))
+        ).alias("__syyi"),
+        F.sum((F.col("__xi") * F.col("__yi")).cast(dec)).alias("__sxyi"),
+    )
+    n = F.col("__n")
+    sx = F.col("__sxi").cast("double")
+    sy = F.col("__syi").cast("double") / 100
+    sxx = F.col("__sxxi").cast("double")
+    syy = F.col("__syyi").cast("double") / 1e4
+    sxy = F.col("__sxyi").cast("double") / 100
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return agg.select(
+        n.cast("long").alias("n_orders"),
+        F.when(den > 0, F.round(num / den, 6)).alias("lines_value_corr"),
+    )
+
+
+ORACLE_ORDERS_BASKET_VALUE_CORR = """
+WITH nl AS (
+  SELECT l_orderkey AS ok, CAST(COUNT(*) AS BIGINT) AS xi
+  FROM lineitem GROUP BY 1),
+ov AS (
+  SELECT o_orderkey AS ok,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS yi
+  FROM orders),
+a AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(xi) AS sxi, SUM(yi) AS syi,
+         SUM(xi * xi) AS sxxi,
+         SUM(CAST(yi AS HUGEINT) * yi) AS syyi,
+         SUM(xi * yi) AS sxyi
+  FROM nl JOIN ov USING (ok)),
+d AS (
+  SELECT n, CAST(sxi AS DOUBLE) AS sx, CAST(syi AS DOUBLE) / 100 AS sy,
+         CAST(sxxi AS DOUBLE) AS sxx, CAST(syyi AS DOUBLE) / 1e4 AS syy,
+         CAST(sxyi AS DOUBLE) / 100 AS sxy
+  FROM a)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy)), 6)
+       END AS lines_value_corr
+FROM d
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -10708,6 +10889,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_mean_pairwise_cosine": q_embedding_mean_pairwise_cosine,
     "doc_length_lognormal_fit": q_doc_length_lognormal_fit,
     "events_value_hour_anova": q_events_value_hour_anova,
+    "events_periodicity_autocorr": q_events_periodicity_autocorr,
+    "events_new_vs_returning": q_events_new_vs_returning,
+    "orders_basket_value_corr": q_orders_basket_value_corr,
 }
 
 
@@ -10908,4 +11092,7 @@ def oracles() -> dict[str, str]:
         "embedding_mean_pairwise_cosine": ORACLE_EMBEDDING_MEAN_PAIRWISE_COSINE,
         "doc_length_lognormal_fit": ORACLE_DOC_LENGTH_LOGNORMAL_FIT,
         "events_value_hour_anova": ORACLE_EVENTS_VALUE_HOUR_ANOVA,
+        "events_periodicity_autocorr": ORACLE_EVENTS_PERIODICITY_AUTOCORR,
+        "events_new_vs_returning": ORACLE_EVENTS_NEW_VS_RETURNING,
+        "orders_basket_value_corr": ORACLE_ORDERS_BASKET_VALUE_CORR,
     }

@@ -841,3 +841,63 @@ def test_events_value_hour_anova_closed_form(spark, tmp_path):
     ).collect()
     assert r2["f_stat"] is None
     assert r2["eta_sq"] == 1.0
+
+
+def test_events_periodicity_autocorr_perfect_period(spark, tmp_path):
+    # hourly volumes repeat exactly every 24h -> autocorr exactly 1;
+    # counts vary within the day so variance is nonzero
+    from datetime import timedelta
+
+    t0 = datetime(2024, 2, 1, 0, 0)
+    rows, eid = [], 0
+    for day in range(3):
+        for hour in range(24):
+            n = 1 + (hour % 4)  # varying within-day profile
+            for i in range(n):
+                rows.append((eid, t0 + timedelta(days=day, hours=hour, minutes=i)))
+                eid += 1
+    _plant(spark, tmp_path, "events", rows, "event_id long, ts timestamp")
+    [r] = QUERIES["events_periodicity_autocorr"](spark, str(tmp_path)).collect()
+    assert r["n_hour_pairs"] == 48  # 72 hours, 48 have a t+24 partner
+    assert r["autocorr_24h"] == 1.0
+
+
+def test_events_new_vs_returning_split(spark, tmp_path):
+    # day1: users 1,2 debut (all new); day2: user 1 returns (2 events),
+    # user 3 debuts (1 event) -> new share 1/3
+    rows = [
+        (1, datetime(2024, 5, 1, 9), 1, "view"),
+        (2, datetime(2024, 5, 1, 10), 2, "view"),
+        (3, datetime(2024, 5, 2, 9), 1, "view"),
+        (4, datetime(2024, 5, 2, 10), 1, "click"),
+        (5, datetime(2024, 5, 2, 11), 3, "view"),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["day"]: (r["n_events"], r["n_new_user_events"], r["new_share"])
+        for r in QUERIES["events_new_vs_returning"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "2024-05-01": (2, 2, 1.0),
+        "2024-05-02": (3, 1, round(1 / 3, 6)),
+    }
+
+
+def test_orders_basket_value_corr_perfect_linear(spark, tmp_path):
+    # total price exactly 10 * line count -> correlation exactly 1
+    _plant(
+        spark, tmp_path, "lineitem",
+        [(1, 1), (2, 1), (2, 2), (3, 1), (3, 2), (3, 3)],
+        "l_orderkey long, l_linenumber int",
+    )
+    _plant(
+        spark, tmp_path, "orders",
+        [(1, 10.0), (2, 20.0), (3, 30.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    [r] = QUERIES["orders_basket_value_corr"](spark, str(tmp_path)).collect()
+    assert r["n_orders"] == 3
+    assert r["lines_value_corr"] == 1.0
