@@ -10693,6 +10693,228 @@ FROM d
 """
 
 
+def q_doc_lang_length_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the language × length-band
+    contingency table — are short docs disproportionately one language?
+    (If yes, a length filter silently becomes a language filter — the
+    bias check before any length-based curation cut.) Observed counts
+    are exact integers over a |langs|×|bands| table; expected values and
+    the χ² fold combine in (lang, band) order — deterministic at any
+    parallelism."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    band = (
+        F.when(X.token_count("text") < 20, "short")
+        .when(X.token_count("text") < 60, "medium")
+        .otherwise("long")
+    )
+    obs = docs.groupBy(F.col("lang").alias("__l"), band.alias("__b")).agg(
+        F.count(F.lit(1)).cast("long").alias("__o")
+    )
+    rows_m = obs.groupBy("__l").agg(F.sum("__o").alias("__rl"))
+    cols_m = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = obs.agg(F.sum("__o").cast("long").alias("__N"))
+    # the FULL |langs|×|bands| grid, zero cells included — an absent
+    # combination still contributes (0−e)²/e = e to χ² (dropping zero
+    # cells silently halves the statistic on maximally-dependent tables)
+    cells = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .join(obs, ["__l", "__b"], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("__rl").cast("double")
+        * F.col("__cb").cast("double")
+        / F.col("__N").cast("double")
+    )
+    term = (F.col("__o").cast("double") - e) * (
+        F.col("__o").cast("double") - e
+    ) / e
+    per_cell = cells.select(
+        "__N",
+        F.struct(
+            F.col("__l").alias("l"), F.col("__b").alias("b"), term.alias("x")
+        ).alias("__tx"),
+    )
+    agg = per_cell.groupBy("__N").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.aggregate(
+            F.array_sort(F.collect_list("__tx")),
+            F.lit(0.0),
+            lambda a, s: a + s["x"],
+        ).alias("__chi"),
+    )
+    return agg.select(
+        F.col("__N").alias("n_docs"),
+        "n_cells",
+        F.round("__chi", 6).alias("chi_sq"),
+    )
+
+
+ORACLE_DOC_LANG_LENGTH_CHISQ = f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN len({_DD_TOKENS.format(c='text')}) < 20 THEN 'short'
+              WHEN len({_DD_TOKENS.format(c='text')}) < 60 THEN 'medium'
+              ELSE 'long' END AS b
+  FROM documents),
+obs AS (SELECT lang AS l, b, CAST(COUNT(*) AS BIGINT) AS o FROM t GROUP BY 1, 2),
+rm AS (SELECT l, SUM(o) AS rl FROM obs GROUP BY 1),
+cm AS (SELECT b, SUM(o) AS cb FROM obs GROUP BY 1),
+tt AS (SELECT CAST(SUM(o) AS BIGINT) AS N FROM obs),
+cells AS (
+  SELECT rm.l, cm.b, tt.N,
+         (CAST(COALESCE(obs.o, 0) AS DOUBLE)
+          - CAST(rm.rl AS DOUBLE) * CAST(cm.cb AS DOUBLE) / CAST(tt.N AS DOUBLE))
+         * (CAST(COALESCE(obs.o, 0) AS DOUBLE)
+            - CAST(rm.rl AS DOUBLE) * CAST(cm.cb AS DOUBLE) / CAST(tt.N AS DOUBLE))
+         / (CAST(rm.rl AS DOUBLE) * CAST(cm.cb AS DOUBLE) / CAST(tt.N AS DOUBLE))
+           AS x
+  FROM rm CROSS JOIN cm
+  LEFT JOIN obs ON obs.l = rm.l AND obs.b = cm.b, tt)
+SELECT N AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(x ORDER BY l, b)), (a, v) -> a + v), 6) AS chi_sq
+FROM cells GROUP BY N
+"""
+
+
+def q_events_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase survival curve: of users who ever purchase, the
+    share reaching a 2nd, 3rd, … 5th purchase — the retention economics
+    read (a steep drop after the 1st purchase means acquisition is
+    buying one-shot buyers). One user-keyed purchase count, a
+    |users|-free count histogram, and a 5-row suffix rollup — exact
+    integers throughout."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    hist = per.groupBy("__c").agg(F.count(F.lit(1)).alias("__f"))
+    tot = hist.agg(F.sum("__f").cast("long").alias("__n1"))
+    ks = hist.crossJoin(F.broadcast(tot)).select(
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("k"),
+        "__c", "__f", "__n1",
+    )
+    return (
+        ks.groupBy("k", "__n1")
+        .agg(
+            F.sum(F.when(F.col("__c") >= F.col("k"), F.col("__f")).otherwise(0))
+            .cast("long")
+            .alias("n_users"),
+        )
+        .select(
+            "k",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("__n1").cast("double"),
+                6,
+            ).alias("share_of_purchasers"),
+        )
+    )
+
+
+ORACLE_EVENTS_REPEAT_PURCHASE_CURVE = """
+WITH per AS (
+  SELECT user_id, COUNT(*) AS c FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM per GROUP BY 1),
+tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n1 FROM hist),
+ks AS (SELECT unnest(generate_series(1, 5)) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COALESCE(SUM(CASE WHEN hist.c >= ks.k THEN hist.f END), 0)
+            AS BIGINT) AS n_users,
+       round(CAST(COALESCE(SUM(CASE WHEN hist.c >= ks.k THEN hist.f END), 0)
+                  AS DOUBLE) / CAST(tot.n1 AS DOUBLE), 6)
+         AS share_of_purchasers
+FROM ks CROSS JOIN hist, tot
+GROUP BY ks.k, tot.n1
+"""
+
+
+_SIGNATURE_TOP = 3
+
+
+def q_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature terms per source: the top-3 terms by log-lift
+    ln(p_source / p_corpus) with add-1 smoothing and a minimum support
+    of 5 occurrences — the interpretability readout that names WHAT a
+    source is about (and the eyeball check on the JSD/KL divergence
+    numbers). Vocab-bounded frames; top-3 selection is a
+    source-partitioned window over the (source, term) table."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    sc = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("__cs")
+    )
+    cc = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("__cc"))
+    stot = sc.groupBy("source").agg(F.sum("__cs").alias("__ts"))
+    ctot = cc.agg(
+        F.sum("__cc").cast("long").alias("__tc"),
+        F.count(F.lit(1)).cast("long").alias("__V"),
+    )
+    j = (
+        sc.filter(F.col("__cs") >= 5)
+        .join(cc, "t")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+    )
+    ps = (F.col("__cs").cast("double") + 1.0) / (
+        F.col("__ts").cast("double") + F.col("__V")
+    )
+    pc = (F.col("__cc").cast("double") + 1.0) / (
+        F.col("__tc").cast("double") + F.col("__V")
+    )
+    scored = j.select(
+        "source", "t", "__cs", (F.log(ps) - F.log(pc)).alias("__lift")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("__lift"), F.desc("__cs"), "t"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SIGNATURE_TOP)
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("t").alias("term"),
+            F.col("__cs").alias("n_occurrences"),
+            F.round("__lift", 6).alias("log_lift"),
+        )
+    )
+
+
+ORACLE_SOURCE_SIGNATURE_TERMS = rf"""
+WITH tok AS (
+  SELECT source, unnest({_DD_TOKENS.format(c='text')}) AS t
+  FROM (SELECT source, lower(text) AS text FROM documents)),
+sc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cs FROM tok GROUP BY 1, 2),
+cc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ct FROM tok GROUP BY 1),
+st AS (SELECT source, SUM(cs) AS ts FROM sc GROUP BY 1),
+v AS (SELECT CAST(SUM(ct) AS BIGINT) AS tc, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM cc),
+scored AS (
+  SELECT sc.source, sc.t, sc.cs,
+         ln((CAST(sc.cs AS DOUBLE) + 1.0) / (CAST(st.ts AS DOUBLE) + v.nv))
+         - ln((CAST(cc.ct AS DOUBLE) + 1.0) / (CAST(v.tc AS DOUBLE) + v.nv))
+           AS lift
+  FROM sc JOIN cc USING (t) JOIN st USING (source), v
+  WHERE sc.cs >= 5),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY lift DESC, cs DESC, t) AS rank
+  FROM scored)
+SELECT source, CAST(rank AS BIGINT) AS rank, t AS term,
+       cs AS n_occurrences, round(lift, 6) AS log_lift
+FROM ranked WHERE rank <= {_SIGNATURE_TOP}
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -10892,6 +11114,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_periodicity_autocorr": q_events_periodicity_autocorr,
     "events_new_vs_returning": q_events_new_vs_returning,
     "orders_basket_value_corr": q_orders_basket_value_corr,
+    "doc_lang_length_chisq": q_doc_lang_length_chisq,
+    "events_repeat_purchase_curve": q_events_repeat_purchase_curve,
+    "source_signature_terms": q_source_signature_terms,
 }
 
 
@@ -11095,4 +11320,7 @@ def oracles() -> dict[str, str]:
         "events_periodicity_autocorr": ORACLE_EVENTS_PERIODICITY_AUTOCORR,
         "events_new_vs_returning": ORACLE_EVENTS_NEW_VS_RETURNING,
         "orders_basket_value_corr": ORACLE_ORDERS_BASKET_VALUE_CORR,
+        "doc_lang_length_chisq": ORACLE_DOC_LANG_LENGTH_CHISQ,
+        "events_repeat_purchase_curve": ORACLE_EVENTS_REPEAT_PURCHASE_CURVE,
+        "source_signature_terms": ORACLE_SOURCE_SIGNATURE_TERMS,
     }

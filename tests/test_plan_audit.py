@@ -54,6 +54,9 @@ _ALLOWED_CROSS = {
     "embedding_mean_pairwise_cosine",  # broadcast ONE-ROW n attach
     "doc_length_lognormal_fit",  # ONE-ROW moments × ONE-ROW median attach
     "events_value_hour_anova",  # broadcast ONE-ROW totals attach
+    "doc_lang_length_chisq",  # broadcast ONE-ROW grand-total attach
+    "events_repeat_purchase_curve",  # broadcast ONE-ROW purchaser-count attach
+    "source_signature_terms",  # broadcast ONE-ROW corpus-total/vocab attach
 }
 
 # iterative operator: executes during plan construction; its final plan is

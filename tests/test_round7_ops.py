@@ -901,3 +901,78 @@ def test_orders_basket_value_corr_perfect_linear(spark, tmp_path):
     [r] = QUERIES["orders_basket_value_corr"](spark, str(tmp_path)).collect()
     assert r["n_orders"] == 3
     assert r["lines_value_corr"] == 1.0
+
+
+def test_doc_lang_length_chisq_independence_and_bias(spark, tmp_path):
+    # perfectly balanced table -> chi-sq exactly 0; skewed -> positive
+    short, long_ = "w " * 5, "w " * 100
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, short, "en"), (2, long_, "en"),
+            (3, short, "de"), (4, long_, "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    [r] = QUERIES["doc_lang_length_chisq"](spark, str(tmp_path)).collect()
+    assert (r["n_docs"], r["n_cells"], r["chi_sq"]) == (4, 4, 0.0)
+
+    # en only short, de only long -> maximal dependence: chi-sq = N = 4
+    _plant(
+        spark, tmp_path / "skew", "documents",
+        [
+            (1, short, "en"), (2, short, "en"),
+            (3, long_, "de"), (4, long_, "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    [r2] = QUERIES["doc_lang_length_chisq"](
+        spark, str(tmp_path / "skew")
+    ).collect()
+    assert r2["chi_sq"] == 4.0
+
+
+def test_events_repeat_purchase_curve_survival(spark, tmp_path):
+    # purchase counts: u1 -> 1, u2 -> 3, u3 -> 5:
+    # k=1: 3/3, k=2: 2/3, k=3: 2/3, k=4: 1/3, k=5: 1/3
+    rows, eid = [], 0
+    for u, n in ((1, 1), (2, 3), (3, 5)):
+        for i in range(n):
+            rows.append((eid, datetime(2024, 1, 1 + i, 9), u, "purchase"))
+            eid += 1
+    rows.append((eid, datetime(2024, 1, 1, 9), 4, "view"))  # never purchases
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["k"]: (r["n_users"], r["share_of_purchasers"])
+        for r in QUERIES["events_repeat_purchase_curve"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    third = round(1 / 3, 6)
+    assert out == {
+        1: (3, 1.0), 2: (2, round(2 / 3, 6)), 3: (2, round(2 / 3, 6)),
+        4: (1, third), 5: (1, third),
+    }
+
+
+def test_source_signature_terms_lift_ranking(spark, tmp_path):
+    # 'blockchain' dominates source A and is rare in B -> A's top term;
+    # the shared filler word has lift ~0 and must not outrank it
+    filler = " ".join(["the"] * 10)
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, ("blockchain " * 8) + filler, "A"),
+            (2, ("recipes " * 8) + filler, "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source"], r["rank"]): (r["term"], r["n_occurrences"])
+        for r in QUERIES["source_signature_terms"](spark, str(tmp_path)).collect()
+    }
+    assert out[("A", 1)] == ("blockchain", 8)
+    assert out[("B", 1)] == ("recipes", 8)
