@@ -10915,6 +10915,267 @@ FROM ranked WHERE rank <= {_SIGNATURE_TOP}
 """
 
 
+def q_embedding_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label CONFUSION MATRIX on the deterministic sample — which
+    classes bleed into which in embedding space (the per-class agree
+    rate says a class is noisy; this says WHERE its neighbors actually
+    land — merge candidates, mislabeled pockets, duplicated concepts).
+    Same audited brute-force top-k spine as the agreement query;
+    |labels|²-bounded output with row-normalized shares."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    labels = emb.select(F.col("vec_id").alias("__id"), F.col("label").alias("__l"))
+    nn = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 100), k=1)
+    j = (
+        nn.join(
+            labels.select(
+                F.col("__id").alias("query_id"), F.col("__l").alias("__ql")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("__id").alias("neighbor_id"), F.col("__l").alias("__nl")
+            ),
+            "neighbor_id",
+        )
+    )
+    cnt = j.groupBy(
+        F.col("__ql").cast("long").alias("query_label"),
+        F.col("__nl").cast("long").alias("nn_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    row_tot = cnt.groupBy("query_label").agg(F.sum("n_pairs").alias("__rt"))
+    return cnt.join(F.broadcast(row_tot), "query_label").select(
+        "query_label",
+        "nn_label",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs").cast("double") / F.col("__rt").cast("double"), 6
+        ).alias("row_share"),
+    )
+
+
+ORACLE_EMBEDDING_KNN_CONFUSION = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 100),
+v AS (SELECT vec_id AS neighbor_id, embedding AS vv, label AS nl
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, ql, nl,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))), (a,b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a,b) -> a + b))
+      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(vv)), i -> CAST(vv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))), (a,b) -> a + b))) AS cos_sim
+  FROM q, v WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT ql, nl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored),
+cnt AS (
+  SELECT CAST(ql AS BIGINT) AS query_label, CAST(nl AS BIGINT) AS nn_label,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM ranked WHERE rank = 1 GROUP BY 1, 2),
+rt AS (SELECT query_label, SUM(n_pairs) AS t FROM cnt GROUP BY 1)
+SELECT c.query_label, c.nn_label, c.n_pairs,
+       round(CAST(c.n_pairs AS DOUBLE) / CAST(rt.t AS DOUBLE), 6) AS row_share
+FROM cnt c JOIN rt USING (query_label)
+"""
+
+
+def q_supplier_latency_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow-supplier screen: suppliers whose exact p90 order-to-ship
+    latency exceeds the global p90 by more than 2 days — the
+    vendor-management shortlist the priority-level SLA panel can't
+    produce. Both quantiles run on latency-day VALUE HISTOGRAMS
+    (supplier-partitioned cumulative window over distinct-day rows; the
+    global one through the same histogram under a constant key), the
+    rank thresholds compare in int64, and the supplier dim attaches by
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").cast("long").alias("suppkey"),
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("__d"),
+        )
+    )
+    hist = lat.groupBy("suppkey", "__d").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("suppkey")
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = hist.groupBy("suppkey").agg(F.sum("__c").alias("__n"))
+    p90 = (
+        cum.join(F.broadcast(tot), "suppkey")
+        .filter(100 * F.col("__cum") >= 90 * F.col("__n"))
+        .groupBy("suppkey")
+        .agg(
+            F.min("__d").alias("p90_days"),
+            F.max("__n").cast("long").alias("n_items"),
+        )
+    )
+    # GLOBAL p90 through the bounded-fan prefix sum (never an
+    # unpartitioned window), over the same latency histogram re-keyed
+    # by day only. Latencies can be negative in dirty data — shift by
+    # the probed min so prefix keys are nonnegative.
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ghist = hist.groupBy("__d").agg(F.sum("__c").alias("__c"))
+    ghist = ghist.localCheckpoint(eager=False)
+    bounds = ghist.agg(
+        F.min("__d").alias("mn"), F.max("__d").alias("mx")
+    ).first()
+    mn = bounds["mn"] or 0
+    gshift = ghist.select(
+        (F.col("__d") - F.lit(mn)).alias("__k"), "__d", "__c"
+    )
+    gcum = _exclusive_prefix(
+        gshift, "__k", "__c", "__prev", max_key=(bounds["mx"] or 0) - mn
+    ).withColumn("__cum", F.col("__prev") + F.col("__c"))
+    gtot = ghist.agg(F.sum("__c").alias("__gn"))
+    gp90 = (
+        gcum.crossJoin(F.broadcast(gtot))
+        .filter(100 * F.col("__cum") >= 90 * F.col("__gn"))
+        .agg(F.min("__d").alias("__g90"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("suppkey"), "s_name"
+    )
+    return (
+        p90.crossJoin(F.broadcast(gp90))
+        .filter(F.col("p90_days") > F.col("__g90") + 2)
+        .join(F.broadcast(sup), "suppkey")
+        .select(
+            "suppkey",
+            "s_name",
+            "n_items",
+            F.col("p90_days").cast("long").alias("p90_days"),
+            F.col("__g90").cast("long").alias("global_p90_days"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_LATENCY_OUTLIERS = """
+WITH lat AS (
+  SELECT l.l_suppkey AS suppkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS d
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+hist AS (SELECT suppkey, d, COUNT(*) AS c FROM lat GROUP BY 1, 2),
+cum AS (
+  SELECT suppkey, d, c,
+         SUM(c) OVER (PARTITION BY suppkey ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS cu
+  FROM hist),
+tot AS (SELECT suppkey, SUM(c) AS n FROM hist GROUP BY 1),
+p90 AS (
+  SELECT c.suppkey, MIN(c.d) AS p90_days, CAST(MAX(t.n) AS BIGINT) AS n_items
+  FROM cum c JOIN tot t USING (suppkey)
+  WHERE 100 * c.cu >= 90 * t.n
+  GROUP BY 1),
+ghist AS (SELECT d, COUNT(*) AS c FROM lat GROUP BY 1),
+gcum AS (SELECT d, SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cu
+         FROM ghist),
+gtot AS (SELECT SUM(c) AS n FROM ghist),
+g90 AS (SELECT MIN(d) AS g FROM gcum, gtot WHERE 100 * gcum.cu >= 90 * gtot.n)
+SELECT CAST(p.suppkey AS BIGINT) AS suppkey, s.s_name, p.n_items,
+       CAST(p.p90_days AS BIGINT) AS p90_days,
+       CAST(g90.g AS BIGINT) AS global_p90_days
+FROM p90 p JOIN supplier s ON s.s_suppkey = p.suppkey, g90
+WHERE p.p90_days > g90.g + 2
+"""
+
+
+def q_corpus_split_half_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half self-divergence: unigram JSD between the doc_id-parity
+    halves of the SAME corpus — the sampling-noise floor for every
+    between-source divergence number (a source-pair JSD is only
+    meaningful if it clears this floor). Same smoothed-grid JSD
+    machinery as `source_js_divergence`, one pair, term-ordered fold."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        (F.col("doc_id") % 2).cast("long").alias("__half"),
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    sc = tok.groupBy("__half", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    vocab = tok.select("t").distinct()
+    vtot = vocab.agg(F.count(F.lit(1)).cast("double").alias("__V"))
+    stot = sc.groupBy("__half").agg(F.sum("__c").alias("__T"))
+    grid = (
+        stot.crossJoin(vocab)
+        .join(sc, ["__half", "t"], "left")
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            "__half",
+            "t",
+            (
+                (F.coalesce(F.col("__c"), F.lit(0.0)) + 1.0)
+                / (F.col("__T") + F.col("__V"))
+            ).alias("__p"),
+        )
+    )
+    a = grid.filter(F.col("__half") == 0).select("t", F.col("__p").alias("__pa"))
+    b = grid.filter(F.col("__half") == 1).select("t", F.col("__p").alias("__pb"))
+    pairs = a.join(b, "t")
+    m = (F.col("__pa") + F.col("__pb")) / 2.0
+    contrib = 0.5 * F.col("__pa") * (F.log(F.col("__pa")) - F.log(m)) + (
+        0.5 * F.col("__pb") * (F.log(F.col("__pb")) - F.log(m))
+    )
+    per_term = pairs.select(
+        F.struct(F.col("t").alias("t"), contrib.alias("x")).alias("__tx")
+    )
+    return per_term.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("__tx")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            ),
+            6,
+        ).alias("split_half_jsd"),
+    )
+
+
+ORACLE_CORPUS_SPLIT_HALF_JSD = rf"""
+WITH tok AS (
+  SELECT CAST(doc_id % 2 AS BIGINT) AS half,
+         unnest({_DD_TOKENS.format(c='text')}) AS t
+  FROM (SELECT doc_id, lower(text) AS text FROM documents)),
+sc AS (SELECT half, t, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT t FROM tok),
+vt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM vocab),
+st AS (SELECT half, SUM(c) AS ts FROM sc GROUP BY 1),
+grid AS (
+  SELECT st.half, vocab.t,
+         (COALESCE(sc.c, 0.0) + 1.0) / (st.ts + vt.nv) AS p
+  FROM st CROSS JOIN vocab
+  LEFT JOIN sc ON sc.half = st.half AND sc.t = vocab.t, vt),
+pairs AS (
+  SELECT a.t,
+         0.5 * a.p * (ln(a.p) - ln((a.p + b.p) / 2.0))
+         + 0.5 * b.p * (ln(b.p) - ln((a.p + b.p) / 2.0)) AS x
+  FROM grid a JOIN grid b ON a.t = b.t AND a.half = 0 AND b.half = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(x ORDER BY t)), (a, b) -> a + b), 6) AS split_half_jsd
+FROM pairs
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -11117,6 +11378,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_lang_length_chisq": q_doc_lang_length_chisq,
     "events_repeat_purchase_curve": q_events_repeat_purchase_curve,
     "source_signature_terms": q_source_signature_terms,
+    "embedding_knn_confusion": q_embedding_knn_confusion,
+    "supplier_latency_outliers": q_supplier_latency_outliers,
+    "corpus_split_half_jsd": q_corpus_split_half_jsd,
 }
 
 
@@ -11323,4 +11587,7 @@ def oracles() -> dict[str, str]:
         "doc_lang_length_chisq": ORACLE_DOC_LANG_LENGTH_CHISQ,
         "events_repeat_purchase_curve": ORACLE_EVENTS_REPEAT_PURCHASE_CURVE,
         "source_signature_terms": ORACLE_SOURCE_SIGNATURE_TERMS,
+        "embedding_knn_confusion": ORACLE_EMBEDDING_KNN_CONFUSION,
+        "supplier_latency_outliers": ORACLE_SUPPLIER_LATENCY_OUTLIERS,
+        "corpus_split_half_jsd": ORACLE_CORPUS_SPLIT_HALF_JSD,
     }

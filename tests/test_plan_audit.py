@@ -57,6 +57,9 @@ _ALLOWED_CROSS = {
     "doc_lang_length_chisq",  # broadcast ONE-ROW grand-total attach
     "events_repeat_purchase_curve",  # broadcast ONE-ROW purchaser-count attach
     "source_signature_terms",  # broadcast ONE-ROW corpus-total/vocab attach
+    "embedding_knn_confusion",  # broadcast QUERY-SIDE scan (bruteforce)
+    "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach
+    "corpus_split_half_jsd",  # 2×|vocab| grid — dimension-bounded
 }
 
 # iterative operator: executes during plan construction; its final plan is

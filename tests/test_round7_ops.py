@@ -976,3 +976,76 @@ def test_source_signature_terms_lift_ranking(spark, tmp_path):
     }
     assert out[("A", 1)] == ("blockchain", 8)
     assert out[("B", 1)] == ("recipes", 8)
+
+
+def test_embedding_knn_confusion_matrix(spark, tmp_path):
+    # angular clusters {0°,5°} label 0, {80°} label 1, {85°} label 0:
+    # row 0: (0,0)x2 + (0,1)x1; row 1: (1,0)x1
+    import math
+
+    vecs = [(0, 0.0, 0), (1, 5.0, 0), (2, 80.0, 1), (3, 85.0, 0)]
+    _plant(
+        spark, tmp_path, "embeddings",
+        [
+            (i, [math.cos(math.radians(a)), math.sin(math.radians(a))], l)
+            for i, a, l in vecs
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        (r["query_label"], r["nn_label"]): (r["n_pairs"], r["row_share"])
+        for r in QUERIES["embedding_knn_confusion"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        (0, 0): (2, round(2 / 3, 6)),
+        (0, 1): (1, round(1 / 3, 6)),
+        (1, 0): (1, 1.0),
+    }
+
+
+def test_supplier_latency_outliers_flags_slow_vendor(spark, tmp_path):
+    # 20 one-day shipments spread over suppliers 1-4, supplier 9 ships
+    # in 30 days -> global p90 = 1, only supplier 9 exceeds it by > 2
+    li, oid = [], 0
+    orders = []
+    for i in range(20):
+        li.append((oid, 1 + (i % 4), datetime(2024, 1, 2, 12)))
+        orders.append((oid, datetime(2024, 1, 1, 12)))
+        oid += 1
+    for _ in range(2):
+        li.append((oid, 9, datetime(2024, 1, 31, 12)))
+        orders.append((oid, datetime(2024, 1, 1, 12)))
+        oid += 1
+    _plant(
+        spark, tmp_path, "lineitem", li,
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    _plant(
+        spark, tmp_path, "orders", orders,
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    _plant(
+        spark, tmp_path, "supplier",
+        [(k, f"S{k}") for k in (1, 2, 3, 4, 9)],
+        "s_suppkey long, s_name string",
+    )
+    rows = QUERIES["supplier_latency_outliers"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["suppkey"], r["s_name"], r["n_items"]) == (9, "S9", 2)
+    assert (r["p90_days"], r["global_p90_days"]) == (30, 1)
+
+
+def test_corpus_split_half_jsd_identical_halves(spark, tmp_path):
+    # even/odd halves carry identical text -> JSD exactly 0
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"), (3, "epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    [r] = QUERIES["corpus_split_half_jsd"](spark, str(tmp_path)).collect()
+    assert r["n_terms"] == 8
+    assert r["split_half_jsd"] == 0.0
