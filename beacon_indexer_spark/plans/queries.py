@@ -11176,6 +11176,147 @@ FROM pairs
 """
 
 
+def q_events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend traffic lift: events-per-observed-hour on weekends vs
+    weekdays and their ratio — the one-number capacity/staffing signal
+    the hour×dow heatmap summarizes. Exact integer event and
+    distinct-hour counts per segment; a single division at the end.
+    Day numbering follows the repo convention (Spark dayofweek
+    1=Sunday ↔ DuckDB dayofweek+1)."""
+    ev = _t(spark, sf_dir, "events")
+    seg = ev.select(
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("__we"),
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("__h"),
+    )
+    per = seg.groupBy("__we").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.countDistinct("__h").cast("long").alias("__hours"),
+    )
+    rate = F.col("__n").cast("double") / F.col("__hours").cast("double")
+    wide = per.agg(
+        F.max(F.when(F.col("__we") == 1, F.col("__n"))).alias("n_weekend_events"),
+        F.max(F.when(F.col("__we") == 0, F.col("__n"))).alias("n_weekday_events"),
+        F.max(F.when(F.col("__we") == 1, F.round(rate, 6))).alias("weekend_per_hour"),
+        F.max(F.when(F.col("__we") == 0, F.round(rate, 6))).alias("weekday_per_hour"),
+        F.max(F.when(F.col("__we") == 1, rate)).alias("__wr"),
+        F.max(F.when(F.col("__we") == 0, rate)).alias("__dr"),
+    )
+    return wide.select(
+        "n_weekend_events",
+        "n_weekday_events",
+        "weekend_per_hour",
+        "weekday_per_hour",
+        F.when(
+            F.col("__dr") > 0, F.round(F.col("__wr") / F.col("__dr"), 6)
+        ).alias("weekend_lift"),
+    )
+
+
+ORACLE_EVENTS_WEEKEND_LIFT = """
+WITH seg AS (
+  SELECT CASE WHEN (dayofweek(ts) + 1) IN (1, 7) THEN 1 ELSE 0 END AS we,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+  FROM events),
+per AS (
+  SELECT we, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS hours
+  FROM seg GROUP BY 1),
+wide AS (
+  SELECT MAX(CASE WHEN we = 1 THEN n END) AS nw,
+         MAX(CASE WHEN we = 0 THEN n END) AS nd,
+         MAX(CASE WHEN we = 1 THEN CAST(n AS DOUBLE) / CAST(hours AS DOUBLE) END) AS wr,
+         MAX(CASE WHEN we = 0 THEN CAST(n AS DOUBLE) / CAST(hours AS DOUBLE) END) AS dr
+  FROM per)
+SELECT nw AS n_weekend_events, nd AS n_weekday_events,
+       round(wr, 6) AS weekend_per_hour,
+       round(dr, 6) AS weekday_per_hour,
+       CASE WHEN dr > 0 THEN round(wr / dr, 6) END AS weekend_lift
+FROM wide
+"""
+
+
+def q_doc_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token character-length histogram with occurrence shares — the
+    BPE-cost prior (long-token-heavy corpora fragment into more
+    subwords per word; a spike at length 1 flags tokenization debris).
+    Length-bounded aggregate over the token stream; one-row total
+    attach."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("__w")
+    ).select(F.length("__w").cast("long").alias("token_len"))
+    cnt = tok.groupBy("token_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    tot = cnt.agg(F.sum("n_occurrences").cast("double").alias("__t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "token_len",
+        "n_occurrences",
+        F.round(
+            F.col("n_occurrences").cast("double") / F.col("__t"), 6
+        ).alias("share"),
+    )
+
+
+ORACLE_DOC_TOKEN_LENGTH_PROFILE = f"""
+WITH tok AS (
+  SELECT CAST(length(unnest({_DD_TOKENS.format(c='text')})) AS BIGINT)
+           AS token_len
+  FROM (SELECT lower(text) AS text FROM documents)),
+cnt AS (SELECT token_len, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_occurrences) AS DOUBLE) AS t FROM cnt)
+SELECT token_len, n_occurrences,
+       round(CAST(n_occurrences AS DOUBLE) / tot.t, 6) AS share
+FROM cnt CROSS JOIN tot
+"""
+
+
+def q_part_type_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price premium per part type: mean retail price vs the corpus
+    mean, as a percentage — the assortment-pricing read behind the
+    per-brand regression. Cents-exact sums, |types|-bounded, one-row
+    grand-mean attach; both means convert with the same expression
+    shape so the ratio is engine-identical."""
+    p = _t(spark, sf_dir, "part")
+    base = p.select(
+        "p_type",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("__c"),
+    )
+    per = base.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__s"),
+    )
+    tot = base.agg(
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__ts"),
+        F.count(F.lit(1)).cast("long").alias("__tn"),
+    )
+    mean_t = F.col("__s").cast("double") / 100 / F.col("n_parts")
+    mean_all = F.col("__ts").cast("double") / 100 / F.col("__tn")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "p_type",
+        "n_parts",
+        F.round(mean_t, 6).alias("avg_price"),
+        F.round((mean_t / mean_all - 1.0) * 100.0, 6).alias("premium_pct"),
+    )
+
+
+ORACLE_PART_TYPE_PRICE_PREMIUM = """
+WITH base AS (
+  SELECT p_type, CAST(round(p_retailprice * 100) AS BIGINT) AS c FROM part),
+per AS (
+  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts, SUM(c) AS s
+  FROM base GROUP BY 1),
+tot AS (SELECT SUM(c) AS ts, CAST(COUNT(*) AS BIGINT) AS tn FROM base)
+SELECT p_type, n_parts,
+       round(CAST(s AS DOUBLE) / 100 / n_parts, 6) AS avg_price,
+       round((CAST(s AS DOUBLE) / 100 / n_parts
+              / (CAST(ts AS DOUBLE) / 100 / tn) - 1.0) * 100.0, 6)
+         AS premium_pct
+FROM per CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -11381,6 +11522,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_knn_confusion": q_embedding_knn_confusion,
     "supplier_latency_outliers": q_supplier_latency_outliers,
     "corpus_split_half_jsd": q_corpus_split_half_jsd,
+    "events_weekend_lift": q_events_weekend_lift,
+    "doc_token_length_profile": q_doc_token_length_profile,
+    "part_type_price_premium": q_part_type_price_premium,
 }
 
 
@@ -11590,4 +11734,7 @@ def oracles() -> dict[str, str]:
         "embedding_knn_confusion": ORACLE_EMBEDDING_KNN_CONFUSION,
         "supplier_latency_outliers": ORACLE_SUPPLIER_LATENCY_OUTLIERS,
         "corpus_split_half_jsd": ORACLE_CORPUS_SPLIT_HALF_JSD,
+        "events_weekend_lift": ORACLE_EVENTS_WEEKEND_LIFT,
+        "doc_token_length_profile": ORACLE_DOC_TOKEN_LENGTH_PROFILE,
+        "part_type_price_premium": ORACLE_PART_TYPE_PRICE_PREMIUM,
     }

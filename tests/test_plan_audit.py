@@ -60,6 +60,8 @@ _ALLOWED_CROSS = {
     "embedding_knn_confusion",  # broadcast QUERY-SIDE scan (bruteforce)
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach
     "corpus_split_half_jsd",  # 2×|vocab| grid — dimension-bounded
+    "doc_token_length_profile",  # broadcast ONE-ROW total attach
+    "part_type_price_premium",  # broadcast ONE-ROW grand-mean attach
 }
 
 # iterative operator: executes during plan construction; its final plan is

@@ -1049,3 +1049,52 @@ def test_corpus_split_half_jsd_identical_halves(spark, tmp_path):
     [r] = QUERIES["corpus_split_half_jsd"](spark, str(tmp_path)).collect()
     assert r["n_terms"] == 8
     assert r["split_half_jsd"] == 0.0
+
+
+def test_events_weekend_lift_planted(spark, tmp_path):
+    # Sat 2024-06-01: 6 events in 2 hours (3/hr); Mon 2024-06-03: 4
+    # events in 4 hours (1/hr) -> lift 3.0
+    rows, eid = [], 0
+    for h, n in ((9, 3), (10, 3)):
+        for i in range(n):
+            rows.append((eid, datetime(2024, 6, 1, h, i), 1, "view"))
+            eid += 1
+    for h in (9, 10, 11, 12):
+        rows.append((eid, datetime(2024, 6, 3, h, 0), 2, "view"))
+        eid += 1
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    [r] = QUERIES["events_weekend_lift"](spark, str(tmp_path)).collect()
+    assert (r["n_weekend_events"], r["n_weekday_events"]) == (6, 4)
+    assert (r["weekend_per_hour"], r["weekday_per_hour"]) == (3.0, 1.0)
+    assert r["weekend_lift"] == 3.0
+
+
+def test_doc_token_length_profile_shares(spark, tmp_path):
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, "a bb bb ccc")], "doc_id long, text string",
+    )
+    out = {
+        r["token_len"]: (r["n_occurrences"], r["share"])
+        for r in QUERIES["doc_token_length_profile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {1: (1, 0.25), 2: (2, 0.5), 3: (1, 0.25)}
+
+
+def test_part_type_price_premium_planted(spark, tmp_path):
+    # PROMO mean 30, STANDARD mean 10, corpus mean 20 -> +50% / -50%
+    _plant(
+        spark, tmp_path, "part",
+        [(1, "PROMO", 30.0), (2, "STANDARD", 10.0)],
+        "p_partkey long, p_type string, p_retailprice double",
+    )
+    out = {
+        r["p_type"]: (r["n_parts"], r["avg_price"], r["premium_pct"])
+        for r in QUERIES["part_type_price_premium"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"PROMO": (1, 30.0, 50.0), "STANDARD": (1, 10.0, -50.0)}
