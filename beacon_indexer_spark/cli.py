@@ -250,7 +250,8 @@ def main(
             "leakage_split": run.leakage_split,
         }
         extra_tables = []
-        for rep in [r for r in args.reports.split(",") if r]:
+        requested = [r for r in args.reports.split(",") if r]
+        for rep in requested:
             if rep not in report_fns:
                 raise SystemExit(
                     f"unknown --reports entry {rep!r}; "
@@ -258,6 +259,13 @@ def main(
                 )
             lake.write(f"{args.prefix}_{rep}", report_fns[rep](), mode="overwrite")
             extra_tables.append(f"{args.prefix}_{rep}")
+        # a re-run with a narrower --reports set must not leave a prior
+        # run's report tables beside the fresh keep_list/manifest —
+        # downstream readers would pair the new manifest with stale reports
+        dropped_tables = []
+        for rep in report_fns:
+            if rep not in requested and lake.drop(f"{args.prefix}_{rep}"):
+                dropped_tables.append(f"{args.prefix}_{rep}")
         # read the summary from the in-memory frame, not the lake table —
         # a table re-read could pick up a stale row if anything appended
         srow = summary.collect()[0].asDict()
@@ -274,6 +282,7 @@ def main(
                 f"{args.prefix}_summary",
                 *extra_tables,
             ],
+            "dropped_tables": dropped_tables,
             **srow,
         }
 

@@ -9099,7 +9099,9 @@ def q_events_funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFram
         _q(50).cast("long").alias("p50_minutes"),
         _q(90).cast("long").alias("p90_minutes"),
         _q(99).cast("long").alias("p99_minutes"),
-    )
+        # zero-conversion corpora: the oracle's GROUP BY tot.n emits zero
+        # rows, so drop Spark's all-NULL global-agg row to match that shape
+    ).filter(F.col("n_conversions").isNotNull())
 
 
 ORACLE_EVENTS_FUNNEL_CONVERSION_LAG = """
@@ -11317,6 +11319,175 @@ FROM per CROSS JOIN tot
 """
 
 
+_BRACKETS = [
+    # (label, brand, size_lo, size_hi, qty_lo, qty_hi) — the TPC-H Q19
+    # disjunctive-predicate shape adapted to this schema's columns
+    ("small", "Brand#12", 1, 10, 1, 11),
+    ("medium", "Brand#23", 1, 20, 10, 20),
+    ("large", "Brand#15", 1, 30, 20, 30),
+]
+
+
+def q_part_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue inside three disjunctive brand/size/quantity
+    brackets (the TPC-H Q19 shape). The OR-of-ANDs predicate is pushed
+    below the join on both sides' conjuncts Catalyst can isolate
+    (brand/size prune the part scan, the quantity envelope prunes the
+    fact scan), then the 2k-row dim broadcasts — the fact table never
+    shuffles. DECIMAL-exact revenue per bracket."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("__pk"), "l_quantity",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+        ).alias("__rev"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("__pk"), "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), "__pk")
+    bracket = F.lit(None).cast("string")
+    for label, brand, slo, shi, qlo, qhi in reversed(_BRACKETS):
+        cond = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        bracket = F.when(cond, F.lit(label)).otherwise(bracket)
+    return (
+        j.select(bracket.alias("bracket"), "__rev")
+        .filter(F.col("bracket").isNotNull())
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("__rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_PART_BRACKET_REVENUE = """
+WITH j AS (
+  SELECT CASE
+           WHEN p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 1 AND 11 THEN 'small'
+           WHEN p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+                AND l.l_quantity BETWEEN 10 AND 20 THEN 'medium'
+           WHEN p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 30
+                AND l.l_quantity BETWEEN 20 AND 30 THEN 'large'
+         END AS bracket,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+           AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+SELECT bracket, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM j WHERE bracket IS NOT NULL GROUP BY 1
+"""
+
+
+def q_customer_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers (the TPC-H Q22 shape): customers
+    whose account balance beats the mean POSITIVE balance and who have
+    placed no orders, rolled up by market segment. The mean is a
+    ONE-ROW broadcast attach; the no-orders test is a left-anti join
+    against the distinct custkey projection of orders — never a
+    NOT IN materialization. Balance sums are DECIMAL-exact."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast(_DEC).alias("__b")
+    )
+    avg_pos = cust.filter(F.col("__b") > 0).agg(
+        (
+            F.sum("__b").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avg")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    rich = (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("__b").cast("double") > F.col("__avg"))
+        .join(orders, "c_custkey", "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("__b").cast("double").alias("total_acctbal"),
+    )
+
+
+ORACLE_CUSTOMER_SALES_OPPORTUNITY = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS b
+  FROM customer),
+avg_pos AS (
+  SELECT CAST(SUM(b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS a
+  FROM cust WHERE b > 0)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(b) AS DOUBLE) AS total_acctbal
+FROM cust CROSS JOIN avg_pos
+WHERE CAST(b AS DOUBLE) > a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey)
+GROUP BY 1
+"""
+
+
+def q_orders_with_returns_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Orders containing at least one returned line, by order priority
+    (the TPC-H Q4 EXISTS shape): a left-semi join of orders against the
+    distinct orderkeys of 'R'-flagged lineitems, then the per-priority
+    return rate against the full order population. Both sides aggregate
+    to |priorities| rows before the final join — no order-level data
+    crosses the last shuffle."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    with_ret = (
+        orders.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_with_returns"))
+    )
+    total = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return total.join(with_ret, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_orders",
+        F.coalesce("n_with_returns", F.lit(0)).cast("long")
+        .alias("n_with_returns"),
+        F.round(
+            F.coalesce("n_with_returns", F.lit(0)).cast("double")
+            / F.col("n_orders").cast("double") * 100.0,
+            6,
+        ).alias("return_rate_pct"),
+    )
+
+
+ORACLE_ORDERS_WITH_RETURNS_BY_PRIORITY = """
+WITH wr AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_with_returns
+  FROM orders o
+  WHERE EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+  GROUP BY 1),
+tot AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT tot.o_orderpriority, tot.n_orders,
+       CAST(COALESCE(wr.n_with_returns, 0) AS BIGINT) AS n_with_returns,
+       round(CAST(COALESCE(wr.n_with_returns, 0) AS DOUBLE)
+             / CAST(tot.n_orders AS DOUBLE) * 100.0, 6) AS return_rate_pct
+FROM tot LEFT JOIN wr USING (o_orderpriority)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -11525,6 +11696,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_weekend_lift": q_events_weekend_lift,
     "doc_token_length_profile": q_doc_token_length_profile,
     "part_type_price_premium": q_part_type_price_premium,
+    "part_bracket_revenue": q_part_bracket_revenue,
+    "customer_sales_opportunity": q_customer_sales_opportunity,
+    "orders_with_returns_by_priority": q_orders_with_returns_by_priority,
 }
 
 
@@ -11737,4 +11911,8 @@ def oracles() -> dict[str, str]:
         "events_weekend_lift": ORACLE_EVENTS_WEEKEND_LIFT,
         "doc_token_length_profile": ORACLE_DOC_TOKEN_LENGTH_PROFILE,
         "part_type_price_premium": ORACLE_PART_TYPE_PRICE_PREMIUM,
+        "part_bracket_revenue": ORACLE_PART_BRACKET_REVENUE,
+        "customer_sales_opportunity": ORACLE_CUSTOMER_SALES_OPPORTUNITY,
+        "orders_with_returns_by_priority":
+            ORACLE_ORDERS_WITH_RETURNS_BY_PRIORITY,
     }

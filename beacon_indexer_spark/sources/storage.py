@@ -29,6 +29,7 @@ reference's ``ORDER BY (slot, ...)`` sparse index buys it.
 from __future__ import annotations
 
 import os
+import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -128,6 +129,19 @@ class ParquetLake:
 
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.path(table))
+
+    def drop(self, table: str) -> bool:
+        """Remove a table directory entirely. Returns True if it existed.
+
+        Used by report-style writers (e.g. ``curate``) to clear stale
+        outputs from a previous run that the current run did not request,
+        so downstream readers can't pair a fresh manifest with an old
+        report table."""
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        shutil.rmtree(p)
+        return True
 
     # -- write ------------------------------------------------------------
 

@@ -421,6 +421,58 @@ def test_cli_curate_run(spark, capsys, tmp_path):
     assert lake.read("curation_summary").count() == 1
 
 
+def test_cli_curate_rerun_drops_stale_reports(spark, capsys, tmp_path):
+    """A curate re-run with a NARROWER --reports set must not leave the
+    prior run's report tables beside the fresh keep_list/manifest —
+    downstream readers would pair a new manifest with a stale report
+    (ADVICE r7). The re-run drops unrequested report tables and says so."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "web"),
+            (2, "epsilon zeta eta theta", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_path)
+    lake_dir = str(tmp_path / "lake")
+    lake = ParquetLake(spark, lake_dir, GNOSIS)
+
+    out1 = _run(
+        capsys,
+        ["--lake-dir", lake_dir, "curate", "run", "--docs", docs_path,
+         "--reports", "size_dist,token_budget"],
+        spark,
+    )
+    assert "curation_size_dist" in out1["curate"]["tables"]
+    assert lake.exists("curation_size_dist")
+    assert lake.exists("curation_token_budget")
+
+    # narrower re-run: only token_budget requested → size_dist is dropped
+    out2 = _run(
+        capsys,
+        ["--lake-dir", lake_dir, "curate", "run", "--docs", docs_path,
+         "--reports", "token_budget"],
+        spark,
+    )
+    assert not lake.exists("curation_size_dist")
+    assert lake.exists("curation_token_budget")
+    assert out2["curate"]["dropped_tables"] == ["curation_size_dist"]
+    assert "curation_size_dist" not in out2["curate"]["tables"]
+
+    # re-run with NO reports drops the remaining one too
+    out3 = _run(
+        capsys,
+        ["--lake-dir", lake_dir, "curate", "run", "--docs", docs_path],
+        spark,
+    )
+    assert not lake.exists("curation_token_budget")
+    assert out3["curate"]["dropped_tables"] == ["curation_token_budget"]
+    # the core outputs are untouched by the cleanup
+    assert lake.read("curation_keep_list").count() == 2
+    assert lake.read("curation_manifest").count() == 2
+
+
 def test_cli_curate_stages_clusters_once(spark, capsys, tmp_path):
     """The CLI route must go through the staged pipeline: the manifest
     written by `curate run` is derived from checkpoint-backed cluster

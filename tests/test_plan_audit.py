@@ -58,6 +58,7 @@ _ALLOWED_CROSS = {
     "events_repeat_purchase_curve",  # broadcast ONE-ROW purchaser-count attach
     "source_signature_terms",  # broadcast ONE-ROW corpus-total/vocab attach
     "embedding_knn_confusion",  # broadcast QUERY-SIDE scan (bruteforce)
+    "customer_sales_opportunity",  # broadcast ONE-ROW mean-balance attach
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach
     "corpus_split_half_jsd",  # 2×|vocab| grid — dimension-bounded
     "doc_token_length_profile",  # broadcast ONE-ROW total attach

@@ -43,11 +43,22 @@ def _row_sort_key(vals):
     # an in-tolerance result into a positional mismatch
     lead = [repr(v) for (t, v) in vals if t != "f"]
     tail = [
-        repr(round(v, 6)) if isinstance(v, float) else repr(v)
+        # + 0.0 folds -0.0 into 0.0 so a -1e-10 vs +1e-10 disagreement
+        # can't produce different keys ('-0.0' vs '0.0')
+        repr(round(v, 6) + 0.0) if isinstance(v, float) else repr(v)
         for (t, v) in vals
         if t == "f"
     ]
-    return (lead, tail)
+    # full-precision tie-break: rows equal at the 1e-6 key but separated by
+    # more than the 1e-9 compare tolerance sort the same way in both engines
+    # (per-row cross-engine deltas < 1e-9 can't flip an inter-row gap > 1e-9),
+    # instead of falling back to engine-dependent pre-sort order
+    tie = [
+        repr(v + 0.0) if isinstance(v, float) else repr(v)
+        for (t, v) in vals
+        if t == "f"
+    ]
+    return (lead, tail, tie)
 
 
 def _normalize(rows, cols):
@@ -108,6 +119,14 @@ def main() -> None:
         )
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    only = [
+        s for s in os.environ.get("SPARK_GRAFT_GATE_ONLY", "").split(",") if s
+    ]
+    if only:
+        missing = [n for n in only if n not in qs]
+        if missing:
+            raise SystemExit(f"unknown query names in GATE_ONLY: {missing}")
+        qs = {n: qs[n] for n in only}
     results: dict[str, dict] = {}
     t_start = time.time()
     for name, fn in qs.items():
