@@ -11488,6 +11488,271 @@ FROM tot LEFT JOIN wr USING (o_orderpriority)
 """
 
 
+def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume (the TPC-H Q7 shape): discounted
+    revenue between supplier nation and customer nation per ship year,
+    for the NATION_1 <-> NATION_2 pair in 1995-1996, both directions.
+    The fact table joins two broadcast dimension spines (supplier->
+    nation, orders->customer->nation); the nation filter reaches both
+    dim scans before the broadcast, so the fact rows that survive are
+    only those touching the two nations."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate").between(1995, 1996))
+        .select(
+            "l_orderkey", "l_suppkey",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+            ).alias("__rev"),
+        )
+    )
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__rev").cast("double").alias("revenue"),
+    )
+
+
+ORACLE_NATION_TRADE_FLOW = """
+WITH supp AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2')),
+cust AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2')),
+li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS rev
+  FROM lineitem WHERE year(l_shipdate) BETWEEN 1995 AND 1996)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM li
+JOIN supp ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN cust ON c_custkey = o_custkey
+WHERE supp_nation <> cust_nation
+GROUP BY 1, 2, 3
+"""
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of supplier revenue into the EUROPE customer
+    market per order year (the TPC-H Q8 shape). The denominator and
+    numerator come out of ONE aggregation pass (conditional sum), so
+    the 5-table join runs once; customer-side region and supplier-side
+    nation are broadcast spines over the fact scan."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select(F.col("n_nationkey").alias("__ck_nat"))
+            ),
+            F.col("c_nationkey") == F.col("__ck_nat"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+        ).alias("__rev"),
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("__rev"))
+        ).alias("__n"),
+        F.sum("__rev").alias("__t"),
+    )
+    return agg.select(
+        "o_year",
+        F.coalesce(F.col("__n"), F.lit(0).cast(_DEC))
+        .cast("double")
+        .alias("nation_revenue"),
+        F.col("__t").cast("double").alias("market_revenue"),
+        F.round(
+            F.coalesce(F.col("__n"), F.lit(0).cast(_DEC)).cast("double")
+            / F.col("__t").cast("double") * 100.0,
+            6,
+        ).alias("mkt_share_pct"),
+    )
+
+
+ORACLE_NATION_MARKET_SHARE = """
+WITH cust AS (
+  SELECT c_custkey
+  FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+supp AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey),
+j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         s.supp_nation,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+           AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN cust ON cust.c_custkey = o.o_custkey
+  JOIN supp s ON s.s_suppkey = l.l_suppkey),
+a AS (
+  SELECT o_year,
+         SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev END) AS n,
+         SUM(rev) AS t
+  FROM j GROUP BY 1)
+SELECT o_year,
+       CAST(COALESCE(n, 0) AS DOUBLE) AS nation_revenue,
+       CAST(t AS DOUBLE) AS market_revenue,
+       round(CAST(COALESCE(n, 0) AS DOUBLE) / CAST(t AS DOUBLE) * 100.0, 6)
+         AS mkt_share_pct
+FROM a
+"""
+
+
+def q_part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket part affinity: pairs of distinct parts co-occurring
+    in the same order, top 20 by support with lift against independent
+    part frequencies. The self-join is keyed on l_orderkey, so the pair
+    explosion is bounded by basket size (TPC-H baskets are ~4 lines) —
+    per-order quadratic, never corpus-quadratic; part marginals attach
+    via broadcast and the order total is a ONE-ROW attach. Determinism:
+    ties in support break on (part_a, part_b)."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "__o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    marg = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    tot = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n_orders")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("__m").alias("__ma"),
+            )),
+            "part_a",
+        )
+        .join(
+            F.broadcast(marg.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("__m").alias("__mb"),
+            )),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a", "part_b", "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("__n_orders").cast("double")
+                / (F.col("__ma").cast("double") * F.col("__mb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("n_pair"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+
+
+ORACLE_PART_BASKET_PAIRS = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+marg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS m FROM op GROUP BY 1),
+tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op)
+SELECT part_a, part_b, n_pair,
+       round(CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.l_partkey = part_a
+JOIN marg mb ON mb.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY n_pair DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -11699,6 +11964,9 @@ QUERIES: dict[str, QueryFn] = {
     "part_bracket_revenue": q_part_bracket_revenue,
     "customer_sales_opportunity": q_customer_sales_opportunity,
     "orders_with_returns_by_priority": q_orders_with_returns_by_priority,
+    "nation_trade_flow": q_nation_trade_flow,
+    "nation_market_share": q_nation_market_share,
+    "part_basket_pairs": q_part_basket_pairs,
 }
 
 
@@ -11915,4 +12183,7 @@ def oracles() -> dict[str, str]:
         "customer_sales_opportunity": ORACLE_CUSTOMER_SALES_OPPORTUNITY,
         "orders_with_returns_by_priority":
             ORACLE_ORDERS_WITH_RETURNS_BY_PRIORITY,
+        "nation_trade_flow": ORACLE_NATION_TRADE_FLOW,
+        "nation_market_share": ORACLE_NATION_MARKET_SHARE,
+        "part_basket_pairs": ORACLE_PART_BASKET_PAIRS,
     }

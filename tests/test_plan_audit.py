@@ -59,6 +59,7 @@ _ALLOWED_CROSS = {
     "source_signature_terms",  # broadcast ONE-ROW corpus-total/vocab attach
     "embedding_knn_confusion",  # broadcast QUERY-SIDE scan (bruteforce)
     "customer_sales_opportunity",  # broadcast ONE-ROW mean-balance attach
+    "part_basket_pairs",  # broadcast ONE-ROW order-total attach
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach
     "corpus_split_half_jsd",  # 2×|vocab| grid — dimension-bounded
     "doc_token_length_profile",  # broadcast ONE-ROW total attach

@@ -133,6 +133,115 @@ def test_orders_with_returns_by_priority_semi_join(spark, tmp_path):
     }
 
 
+def test_nation_trade_flow_directions_and_filters(spark, tmp_path):
+    """Q7 shape: both shipping directions appear as separate rows,
+    same-nation trade is excluded, and ship years outside 1995-1996
+    are pruned."""
+    _plant(spark, tmp_path, "nation",
+           [(1, "NATION_1"), (2, "NATION_2"), (3, "NATION_3")],
+           "n_nationkey int, n_name string")
+    _plant(spark, tmp_path, "supplier",
+           [(10, 1), (20, 2), (30, 3)],
+           "s_suppkey long, s_nationkey int")
+    _plant(spark, tmp_path, "customer",
+           [(100, 1), (200, 2)],
+           "c_custkey long, c_nationkey int")
+    _plant(spark, tmp_path, "orders",
+           [(1000, 100), (2000, 200)],
+           "o_orderkey long, o_custkey long")
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            # supp N1 -> cust N2: 100 * (1-0) = 100
+            (2000, 10, datetime(1995, 3, 1), 100.0, 0.0),
+            # supp N2 -> cust N1: 200 * (1-0.5) = 100
+            (1000, 20, datetime(1996, 3, 1), 200.0, 0.5),
+            # same nation (N1 -> N1): excluded
+            (1000, 10, datetime(1995, 3, 1), 999.0, 0.0),
+            # year out of range: excluded
+            (2000, 10, datetime(1994, 3, 1), 999.0, 0.0),
+            # supplier nation outside the pair: excluded
+            (2000, 30, datetime(1995, 3, 1), 999.0, 0.0),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp,"
+        " l_extendedprice double, l_discount double",
+    )
+    out = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]):
+            (r["n_items"], r["revenue"])
+        for r in QUERIES["nation_trade_flow"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("NATION_1", "NATION_2", 1995): (1, 100.0),
+        ("NATION_2", "NATION_1", 1996): (1, 100.0),
+    }
+
+
+def test_nation_market_share_numerator_denominator(spark, tmp_path):
+    """Q8 shape: denominator is ALL supplier revenue into EUROPE
+    customers; numerator only NATION_3 suppliers; non-EUROPE customers
+    never enter either."""
+    _plant(spark, tmp_path, "region",
+           [(1, "EUROPE"), (2, "ASIA")],
+           "r_regionkey int, r_name string")
+    _plant(spark, tmp_path, "nation",
+           [(1, "NATION_1", 1), (3, "NATION_3", 1), (5, "NATION_5", 2)],
+           "n_nationkey int, n_name string, n_regionkey int")
+    _plant(spark, tmp_path, "supplier",
+           [(10, 3), (20, 1)],
+           "s_suppkey long, s_nationkey int")
+    _plant(spark, tmp_path, "customer",
+           [(100, 1), (200, 5)],  # 100 in EUROPE, 200 in ASIA
+           "c_custkey long, c_nationkey int")
+    _plant(spark, tmp_path, "orders",
+           [(1000, 100, datetime(1995, 6, 1)),
+            (2000, 200, datetime(1995, 6, 1))],
+           "o_orderkey long, o_custkey long, o_orderdate timestamp")
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1000, 10, 60.0, 0.0),   # NATION_3 supp -> EUROPE cust
+            (1000, 20, 40.0, 0.0),   # NATION_1 supp -> EUROPE cust
+            (2000, 10, 999.0, 0.0),  # ASIA customer: excluded entirely
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double,"
+        " l_discount double",
+    )
+    [r] = QUERIES["nation_market_share"](spark, str(tmp_path)).collect()
+    assert (r["o_year"], r["nation_revenue"], r["market_revenue"],
+            r["mkt_share_pct"]) == (1995, 60.0, 100.0, 60.0)
+
+
+def test_part_basket_pairs_dedup_and_lift(spark, tmp_path):
+    """Basket pairs: duplicate lines of the same part in one order count
+    ONCE; lift = n_pair * n_orders / (m_a * m_b)."""
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            # order 1: parts {1, 2} (part 1 twice -> dedup)
+            (1, 1), (1, 1), (1, 2),
+            # order 2: parts {1, 2, 3}
+            (2, 1), (2, 2), (2, 3),
+            # order 3: part {3} alone -> no pair
+            (3, 3),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = QUERIES["part_basket_pairs"](spark, str(tmp_path)).collect()
+    out = {(r["part_a"], r["part_b"]): (r["n_pair"], r["lift"]) for r in rows}
+    # marginals: m1=2, m2=2, m3=2; n_orders=3
+    # (1,2): n=2 -> lift 2*3/(2*2)=1.5 ; (1,3) and (2,3): n=1 -> 0.75
+    assert out == {
+        (1, 2): (2, 1.5),
+        (1, 3): (1, 0.75),
+        (2, 3): (1, 0.75),
+    }
+    # deterministic ordering: support desc, then (part_a, part_b)
+    assert [(r["part_a"], r["part_b"]) for r in rows] == [
+        (1, 2), (1, 3), (2, 3)
+    ]
+
+
 def test_oracle_gate_sort_key_negative_zero_and_tiebreak():
     """_row_sort_key must (a) give -0.0 and 0.0 the same key so a
     -1e-10 vs +1e-10 engine disagreement can't flip row order, and
