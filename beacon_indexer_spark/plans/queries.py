@@ -11753,6 +11753,245 @@ LIMIT 20
 """
 
 
+def q_events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate over the top-100 purchase values — the
+    heavy-tail diagnostic behind winsorize/anomaly thresholds (alpha
+    near 1-2 means whale purchases dominate any mean). TakeOrdered
+    pulls k+1 = 101 order statistics (no full sort survives the plan);
+    log-ratios quantize to 1e-9 fixed-point before the sum so the
+    101-row reduction is an exact integer fold; the threshold is a
+    ONE-ROW broadcast attach."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    )
+    top = ev.select("event_id", "value").orderBy(
+        F.desc("value"), F.asc("event_id")
+    ).limit(101)
+    thr = top.agg(F.min("value").alias("__xk"))
+    j = top.crossJoin(F.broadcast(thr))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(
+            F.round((F.log("value") - F.log("__xk")) * 1e9, 0).cast("long")
+        ).alias("__s"),
+        F.min("value").alias("x_threshold"),
+    )
+    return agg.filter(F.col("__s") > 0).select(
+        (F.col("__n") - 1).cast("long").alias("n_tail"),
+        "x_threshold",
+        F.round(
+            (F.col("__n") - 1).cast("double")
+            / (F.col("__s").cast("double") / 1e9),
+            6,
+        ).alias("hill_alpha"),
+    )
+
+
+ORACLE_EVENTS_HILL_TAIL_INDEX = """
+WITH top AS (
+  SELECT event_id, value FROM events
+  WHERE event_type = 'purchase' AND value > 0
+  ORDER BY value DESC, event_id LIMIT 101),
+thr AS (SELECT MIN(value) AS xk FROM top),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(round((ln(value) - ln(xk)) * 1e9) AS BIGINT)) AS s,
+         MIN(value) AS x_threshold
+  FROM top CROSS JOIN thr)
+SELECT CAST(n - 1 AS BIGINT) AS n_tail, x_threshold,
+       round(CAST(n - 1 AS DOUBLE) / (CAST(s AS DOUBLE) / 1e9), 6)
+         AS hill_alpha
+FROM a WHERE s > 0
+"""
+
+
+def q_corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the token-frequency distribution — the
+    vocabulary-concentration companion to the Zipf fit (how much of the
+    corpus the head owns). Same closed-form rank trick as the user Gini:
+    tokens with count c occupy a contiguous rank block, so Σ rank·c
+    collapses on the (count -> #tokens) HISTOGRAM — the shuffle is
+    bounded by distinct frequency LEVELS, not vocabulary. All
+    intermediates are exact integers (DECIMAL(38,0) — rank·count sums
+    overflow int64 at corpus scale)."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    per_tok = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    hist = per_tok.groupBy("__c").agg(F.count(F.lit(1)).alias("__f"))
+    h = _exclusive_prefix(hist, "__c", "__f", "__cum")
+    dec = "decimal(38,0)"
+    s1 = (
+        F.col("__c").cast(dec)
+        * (
+            F.col("__f").cast(dec) * F.col("__cum").cast(dec)
+            + F.expr("__f * (__f + 1) div 2").cast(dec)
+        )
+    )
+    agg = h.agg(
+        F.sum("__f").cast("long").alias("vocab_size"),
+        F.sum(F.col("__c") * F.col("__f")).cast("long").alias("total_tokens"),
+        F.sum(s1).alias("__s1"),
+    )
+    n = F.col("vocab_size").cast("double")
+    t = F.col("total_tokens").cast("double")
+    return agg.select(
+        "vocab_size",
+        "total_tokens",
+        F.round(
+            2.0 * F.col("__s1").cast("double") / (n * t) - (n + 1.0) / n, 6
+        ).alias("gini"),
+    )
+
+
+ORACLE_CORPUS_TOKEN_GINI = r"""
+WITH pt AS (
+  SELECT token, COUNT(*) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents)
+  GROUP BY 1),
+hist AS (SELECT c, COUNT(*) AS f FROM pt GROUP BY 1),
+cum AS (
+  SELECT c, f,
+         COALESCE(SUM(f) OVER (ORDER BY c
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cu
+  FROM hist),
+a AS (
+  SELECT SUM(f) AS n, SUM(c * f) AS t,
+         SUM(c * (f * cu + (f * (f + 1)) // 2)) AS s1
+  FROM cum)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       CAST(t AS BIGINT) AS total_tokens,
+       round(2.0 * CAST(s1 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM a
+"""
+
+
+def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean silhouette score per label on the deterministic vec_id < 100
+    sample — the cluster-separation grade for the label space (s near 1:
+    tight and separated; near 0: overlapping). Distances are cosine on
+    1e-9-quantized UNIT vectors, so every pairwise dot is a ratio of
+    exact integers (no float fold anywhere); the sample broadcasts over
+    ONE corpus scan (the audited brute-force shape) and per-(point,
+    label) distance sums are integer folds. a = mean own-label distance
+    (self excluded), b = min other-label mean, s = (b-a)/max(a,b)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    uq = F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
+    base = emb.filter(nrm > 0)
+    samp = base.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("__qid"),
+        F.col("label").alias("__ql"),
+        uq.alias("__qu"),
+    )
+    corp = base.select(
+        F.col("vec_id").alias("__cid"),
+        F.col("label").alias("__cl"),
+        uq.alias("__cu"),
+    )
+    dec = "decimal(38,0)"
+    dot = F.aggregate(
+        F.zip_with(F.col("__qu"), F.col("__cu"), lambda a, b: a * b),
+        F.lit(0).cast(dec),
+        lambda acc, x: acc + x.cast(dec),
+    )
+    pairs = (
+        corp.crossJoin(F.broadcast(samp))
+        .filter(F.col("__cid") != F.col("__qid"))
+        .select(
+            "__qid", "__ql", "__cl",
+            F.round(
+                (F.lit(1.0) - dot.cast("double") / 1e18) * 1e9, 0
+            ).cast("long").alias("__dq"),
+        )
+    )
+    m = pairs.groupBy("__qid", "__ql", "__cl").agg(
+        F.sum(F.col("__dq").cast(dec)).alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    mean_d = F.col("__s").cast("double") / 1e9 / F.col("__n").cast("double")
+    ab = m.groupBy("__qid", "__ql").agg(
+        F.max(F.when(F.col("__cl") == F.col("__ql"), mean_d)).alias("__a"),
+        F.min(F.when(F.col("__cl") != F.col("__ql"), mean_d)).alias("__b"),
+    )
+    s = (
+        ab.filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .filter(F.greatest("__a", "__b") > 0)
+        .select(
+            "__ql",
+            F.round(
+                (F.col("__b") - F.col("__a"))
+                / F.greatest("__a", "__b") * 1e9,
+                0,
+            ).cast("long").alias("__sq"),
+        )
+    )
+    return s.groupBy(F.col("__ql").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(
+            F.sum("__sq").cast("double") / 1e9
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_silhouette"),
+    )
+
+
+ORACLE_EMBEDDING_SILHOUETTE = """
+WITH nv AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+u AS (
+  SELECT vec_id, label, s.i - 1 AS dim,
+         CAST(round(CAST(embedding[s.i] AS DOUBLE) / nrm * 1e9) AS BIGINT)
+           AS ui
+  FROM nv,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+  WHERE nrm > 0),
+dots AS (
+  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS cid, c.label AS cl,
+         SUM(q.ui * c.ui) AS dot
+  FROM u q JOIN u c USING (dim)
+  WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2, 3, 4),
+d AS (
+  SELECT qid, ql, cl,
+         CAST(round((1.0 - CAST(dot AS DOUBLE) / 1e18) * 1e9) AS BIGINT)
+           AS dq
+  FROM dots),
+m AS (SELECT qid, ql, cl, SUM(dq) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2, 3),
+ab AS (
+  SELECT qid, ql,
+         MAX(CASE WHEN cl = ql
+                  THEN CAST(s AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) END) AS a,
+         MIN(CASE WHEN cl <> ql
+                  THEN CAST(s AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) END) AS b
+  FROM m GROUP BY 1, 2),
+sv AS (
+  SELECT ql,
+         CAST(round((b - a) / GREATEST(a, b) * 1e9) AS BIGINT) AS sq
+  FROM ab
+  WHERE a IS NOT NULL AND b IS NOT NULL AND GREATEST(a, b) > 0)
+SELECT ql AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+       round(CAST(SUM(sq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_silhouette
+FROM sv GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -11967,6 +12206,9 @@ QUERIES: dict[str, QueryFn] = {
     "nation_trade_flow": q_nation_trade_flow,
     "nation_market_share": q_nation_market_share,
     "part_basket_pairs": q_part_basket_pairs,
+    "events_hill_tail_index": q_events_hill_tail_index,
+    "corpus_token_gini": q_corpus_token_gini,
+    "embedding_silhouette": q_embedding_silhouette,
 }
 
 
@@ -12186,4 +12428,7 @@ def oracles() -> dict[str, str]:
         "nation_trade_flow": ORACLE_NATION_TRADE_FLOW,
         "nation_market_share": ORACLE_NATION_MARKET_SHARE,
         "part_basket_pairs": ORACLE_PART_BASKET_PAIRS,
+        "events_hill_tail_index": ORACLE_EVENTS_HILL_TAIL_INDEX,
+        "corpus_token_gini": ORACLE_CORPUS_TOKEN_GINI,
+        "embedding_silhouette": ORACLE_EMBEDDING_SILHOUETTE,
     }

@@ -242,6 +242,66 @@ def test_part_basket_pairs_dedup_and_lift(spark, tmp_path):
     ]
 
 
+def test_events_hill_tail_index_closed_form(spark, tmp_path):
+    """Hill alpha on planted e^k purchase values: with values
+    {e^3, e^2, e^1, e^0} the threshold is e^0 = 1 and the log-ratio sum
+    is 3 + 2 + 1 = 6, so alpha = 3/6 = 0.5 exactly."""
+    import math
+
+    t0 = datetime(2024, 6, 1)
+    rows = [
+        (1, t0, 1, "purchase", math.exp(3)),
+        (2, t0, 1, "purchase", math.exp(2)),
+        (3, t0, 1, "purchase", math.exp(1)),
+        (4, t0, 1, "purchase", 1.0),
+        (5, t0, 1, "view", 999.0),        # wrong type: excluded
+        (6, t0, 1, "purchase", 0.0),      # non-positive: excluded
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    [r] = QUERIES["events_hill_tail_index"](spark, str(tmp_path)).collect()
+    assert (r["n_tail"], r["x_threshold"], r["hill_alpha"]) == (3, 1.0, 0.5)
+
+
+def test_corpus_token_gini_closed_form(spark, tmp_path):
+    """Token counts {a:3, b:1, c:1}: ranks ascending give
+    s1 = 1*1 + 2*1 + 3*3 = 12, gini = 2*12/(3*5) - 4/3 = 0.266667."""
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, "a a a b"), (2, "c")],
+        "doc_id long, text string",
+    )
+    [r] = QUERIES["corpus_token_gini"](spark, str(tmp_path)).collect()
+    assert (r["vocab_size"], r["total_tokens"]) == (3, 5)
+    assert r["gini"] == round(2 * 12 / (3 * 5) - 4 / 3, 6)
+
+
+def test_embedding_silhouette_separated_clusters(spark, tmp_path):
+    """Two orthogonal 2-point clusters: every point has a = 0 (own-label
+    twin identical) and b = 1 (cosine distance to the other axis), so
+    s = 1 for all; a single-member label has no own-label distance and
+    is excluded."""
+    _plant(
+        spark, tmp_path, "embeddings",
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.0, 1.0], 1),
+            (4, [0.6, 0.8], 2),  # singleton label: excluded
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r["label"]: (r["n_points"], r["mean_silhouette"])
+        for r in QUERIES["embedding_silhouette"](spark, str(tmp_path)).collect()
+    }
+    assert out == {0: (2, 1.0), 1: (2, 1.0)}
+
+
 def test_oracle_gate_sort_key_negative_zero_and_tiebreak():
     """_row_sort_key must (a) give -0.0 and 0.0 the same key so a
     -1e-10 vs +1e-10 engine disagreement can't flip row order, and
