@@ -11992,6 +11992,282 @@ FROM sv GROUP BY 1
 """
 
 
+def q_embedding_knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local density profile: the 5th-nearest-neighbor cosine distance
+    of each vec_id < 100 sample point, rolled up per label (mean/min/max
+    radius). Small radii = dense regions (dedup candidates, easy ANN);
+    large = sparse tails that IVF probes miss. Unit vectors quantize to
+    1e-9 ints so every pairwise dot is exact; the sample broadcasts over
+    ONE corpus scan and the k-th order statistic comes from a window
+    partitioned BY SAMPLE POINT (never unpartitioned)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    uq = F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
+    base = emb.filter(nrm > 0)
+    samp = base.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("__qid"),
+        F.col("label").alias("__ql"),
+        uq.alias("__qu"),
+    )
+    corp = base.select(
+        F.col("vec_id").alias("__cid"), uq.alias("__cu")
+    )
+    dec = "decimal(38,0)"
+    dot = F.aggregate(
+        F.zip_with(F.col("__qu"), F.col("__cu"), lambda a, b: a * b),
+        F.lit(0).cast(dec),
+        lambda acc, x: acc + x.cast(dec),
+    )
+    pairs = (
+        corp.crossJoin(F.broadcast(samp))
+        .filter(F.col("__cid") != F.col("__qid"))
+        .select(
+            "__qid", "__ql", "__cid",
+            F.round(
+                (F.lit(1.0) - dot.cast("double") / 1e18) * 1e9, 0
+            ).cast("long").alias("__dq"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.asc("__dq"), F.asc("__cid")
+    )
+    kth = pairs.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 5
+    )
+    return kth.groupBy(F.col("__ql").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(
+            F.sum(F.col("__dq").cast(dec)).cast("double") / 1e9
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_radius"),
+        F.round(F.min("__dq").cast("double") / 1e9, 6).alias("min_radius"),
+        F.round(F.max("__dq").cast("double") / 1e9, 6).alias("max_radius"),
+    )
+
+
+ORACLE_EMBEDDING_KNN_RADIUS = """
+WITH nv AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+u AS (
+  SELECT vec_id, label, s.i - 1 AS dim,
+         CAST(round(CAST(embedding[s.i] AS DOUBLE) / nrm * 1e9) AS BIGINT)
+           AS ui
+  FROM nv,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+  WHERE nrm > 0),
+dots AS (
+  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS cid,
+         SUM(q.ui * c.ui) AS dot
+  FROM u q JOIN u c USING (dim)
+  WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2, 3),
+d AS (
+  SELECT qid, ql, cid,
+         CAST(round((1.0 - CAST(dot AS DOUBLE) / 1e18) * 1e9) AS BIGINT)
+           AS dq,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(round((1.0 - CAST(dot AS DOUBLE) / 1e18) * 1e9)
+                         AS BIGINT), cid) AS rk
+  FROM dots)
+SELECT ql AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+       round(CAST(SUM(dq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_radius,
+       round(CAST(MIN(dq) AS DOUBLE) / 1e9, 6) AS min_radius,
+       round(CAST(MAX(dq) AS DOUBLE) / 1e9, 6) AS max_radius
+FROM d WHERE rk = 5 GROUP BY 1
+"""
+
+
+def q_source_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-SOURCE embedding centroids
+    (documents joined to embeddings on doc_id = vec_id) — 'which sources
+    say the same thing in vector space', the embedding-side companion to
+    the vocabulary-overlap matrix for mixture planning. Centroids are
+    per-dim exact integer sums of 1e-9-quantized unit vectors, so the
+    centroid dot/norms are ratios of exact integers; everything after
+    the per-(source, dim) aggregation is |sources|-bounded."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("__id"), "source"
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("__id"), "embedding"
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    uq = F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
+    j = (
+        docs.join(emb, "__id")
+        .filter(nrm > 0)
+        .select("source", F.posexplode(uq).alias("dim", "__ui"))
+    )
+    dec = "decimal(38,0)"
+    per = j.groupBy("source", "dim").agg(
+        F.sum(F.col("__ui").cast(dec)).alias("__sd")
+    )
+    norms = per.groupBy("source").agg(
+        F.sum(F.col("__sd") * F.col("__sd")).alias("__nn")
+    )
+    a = per.select(
+        F.col("source").alias("source_a"), "dim", F.col("__sd").alias("__sa")
+    )
+    b = per.select(
+        F.col("source").alias("source_b"), "dim", F.col("__sd").alias("__sb")
+    )
+    num = (
+        a.join(b, "dim")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("__sa") * F.col("__sb")).alias("__dot"))
+    )
+    out = (
+        num.join(
+            F.broadcast(norms.select(
+                F.col("source").alias("source_a"), F.col("__nn").alias("__na")
+            )),
+            "source_a",
+        )
+        .join(
+            F.broadcast(norms.select(
+                F.col("source").alias("source_b"), F.col("__nn").alias("__nb")
+            )),
+            "source_b",
+        )
+    )
+    return out.select(
+        "source_a", "source_b",
+        F.round(
+            F.col("__dot").cast("double")
+            / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+            6,
+        ).alias("centroid_cosine"),
+    )
+
+
+ORACLE_SOURCE_EMBEDDING_CENTROIDS = """
+WITH nv AS (
+  SELECT d.source, e.embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+u AS (
+  SELECT source, s.i - 1 AS dim,
+         CAST(round(CAST(embedding[s.i] AS DOUBLE) / nrm * 1e9) AS BIGINT)
+           AS ui
+  FROM nv,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+  WHERE nrm > 0),
+per AS (SELECT source, dim, SUM(ui) AS sd FROM u GROUP BY 1, 2),
+norms AS (SELECT source, SUM(sd * sd) AS nn FROM per GROUP BY 1),
+num AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(a.sd * b.sd) AS dot
+  FROM per a JOIN per b USING (dim)
+  WHERE a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b,
+       round(CAST(dot AS DOUBLE)
+             / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)), 6)
+         AS centroid_cosine
+FROM num
+JOIN norms na ON na.source = source_a
+JOIN norms nb ON nb.source = source_b
+"""
+
+
+def q_events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on daily purchase revenue: the day
+    where the cumulative deviation from the overall daily mean peaks —
+    the changepoint screen that catches a sustained shift the per-day
+    z-score misses. Values quantize to 1e-6 ints; the running sum uses
+    the bounded-fan-in prefix over DAYS (|days|-bounded, no
+    unpartitioned window); cusum_d = prefix_d·D − d·T stays an exact
+    integer (scaled by D), and the argmax breaks ties on earliest day."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("__day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("__x")
+    )
+    dec = "decimal(38,0)"
+    # rank days by date with the same histogram-free prefix machinery:
+    # key on day ordinal (days since epoch) so the prefix is over dates
+    keyed = daily.select(
+        F.datediff(F.col("__day"), F.lit("1970-01-01")).alias("__k"),
+        "__day", "__x",
+    )
+    pre = _exclusive_prefix(keyed, "__k", "__x", "__pre")
+    cnt = _exclusive_prefix(
+        keyed.withColumn("__one", F.lit(1)), "__k", "__one", "__d0"
+    ).select("__k", (F.col("__d0") + 1).alias("__d"))
+    tot = daily.agg(
+        F.sum("__x").cast(dec).alias("__t"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    j = (
+        pre.join(cnt, "__k")
+        .withColumn("__prefix", F.col("__pre") + F.col("__x"))
+        .crossJoin(F.broadcast(tot))
+    )
+    c = (
+        F.col("__prefix").cast(dec) * F.col("n_days").cast(dec)
+        - F.col("__d").cast(dec) * F.col("__t")
+    )
+    scored = j.select(
+        "__day", "n_days",
+        c.alias("__c"),
+        F.abs(c).alias("__ac"),
+    )
+    top = scored.orderBy(F.desc("__ac"), F.asc("__day")).limit(1)
+    scale = F.col("n_days").cast("double") * 1e6
+    return top.select(
+        "n_days",
+        F.date_format("__day", "yyyy-MM-dd").alias("changepoint_day"),
+        F.round(F.col("__ac").cast("double") / scale, 6).alias(
+            "max_abs_cusum"
+        ),
+        F.signum(F.col("__c").cast("double")).cast("long").alias("direction"),
+    )
+
+
+ORACLE_EVENTS_VALUE_CUSUM = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(round(value * 1e6) AS BIGINT)) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+tot AS (SELECT SUM(x) AS t, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+cum AS (
+  SELECT day,
+         SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prefix,
+         ROW_NUMBER() OVER (ORDER BY day) AS d
+  FROM daily),
+scored AS (
+  SELECT day, n_days, prefix * n_days - d * t AS c
+  FROM cum CROSS JOIN tot)
+SELECT n_days, strftime(day, '%Y-%m-%d') AS changepoint_day,
+       round(CAST(abs(c) AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1e6), 6)
+         AS max_abs_cusum,
+       CAST(CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS direction
+FROM scored
+ORDER BY abs(c) DESC, day ASC
+LIMIT 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -12209,6 +12485,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_hill_tail_index": q_events_hill_tail_index,
     "corpus_token_gini": q_corpus_token_gini,
     "embedding_silhouette": q_embedding_silhouette,
+    "embedding_knn_radius": q_embedding_knn_radius,
+    "source_embedding_centroids": q_source_embedding_centroids,
+    "events_value_cusum": q_events_value_cusum,
 }
 
 
@@ -12431,4 +12710,7 @@ def oracles() -> dict[str, str]:
         "events_hill_tail_index": ORACLE_EVENTS_HILL_TAIL_INDEX,
         "corpus_token_gini": ORACLE_CORPUS_TOKEN_GINI,
         "embedding_silhouette": ORACLE_EMBEDDING_SILHOUETTE,
+        "embedding_knn_radius": ORACLE_EMBEDDING_KNN_RADIUS,
+        "source_embedding_centroids": ORACLE_SOURCE_EMBEDDING_CENTROIDS,
+        "events_value_cusum": ORACLE_EVENTS_VALUE_CUSUM,
     }

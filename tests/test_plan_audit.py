@@ -62,6 +62,8 @@ _ALLOWED_CROSS = {
     "part_basket_pairs",  # broadcast ONE-ROW order-total attach
     "events_hill_tail_index",  # broadcast ONE-ROW threshold attach
     "embedding_silhouette",  # broadcast SAMPLE-SIDE scan (bruteforce shape)
+    "embedding_knn_radius",  # broadcast SAMPLE-SIDE scan (bruteforce shape)
+    "events_value_cusum",  # broadcast ONE-ROW total attach
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach
     "corpus_split_half_jsd",  # 2×|vocab| grid — dimension-bounded
     "doc_token_length_profile",  # broadcast ONE-ROW total attach

@@ -302,6 +302,81 @@ def test_embedding_silhouette_separated_clusters(spark, tmp_path):
     assert out == {0: (2, 1.0), 1: (2, 1.0)}
 
 
+def test_embedding_knn_radius_orthogonal_plant(spark, tmp_path):
+    """Sample point e1 with one exact duplicate and five orthogonal
+    corpus vectors: NN distances are (0, 1, 1, 1, 1, 1), so the 5th-NN
+    radius is exactly 1.0; corpus ids >= 100 never enter the sample."""
+
+    def e(i):
+        v = [0.0] * 6
+        v[i] = 1.0
+        return v
+
+    rows = [(0, e(0), 0)]  # the only sampled point
+    rows += [(200 + k, e(k + 1), 0) for k in range(5)]  # orthogonal corpus
+    rows += [(205, e(0), 0)]  # exact duplicate -> distance 0 is rank 1
+    _plant(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    [r] = QUERIES["embedding_knn_radius"](spark, str(tmp_path)).collect()
+    assert (r["label"], r["n_points"], r["mean_radius"], r["min_radius"],
+            r["max_radius"]) == (0, 1, 1.0, 1.0, 1.0)
+
+
+def test_source_embedding_centroids_orthogonal_sources(spark, tmp_path):
+    """Centroids: srcA = mean of two e1 vectors, srcB = e2, srcC = e1.
+    cos(A,B) = 0, cos(A,C) = 1, cos(B,C) = 0; pairs are emitted once
+    with source_a < source_b."""
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, "srcA"), (2, "srcA"), (3, "srcB"), (4, "srcC")],
+        "doc_id long, source string",
+    )
+    _plant(
+        spark, tmp_path, "embeddings",
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 1.0], 0),
+            (4, [1.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["centroid_cosine"]
+        for r in QUERIES["source_embedding_centroids"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        ("srcA", "srcB"): 0.0,
+        ("srcA", "srcC"): 1.0,
+        ("srcB", "srcC"): 0.0,
+    }
+
+
+def test_events_value_cusum_level_shift(spark, tmp_path):
+    """Daily purchase totals (1, 1, 1, 5): mean 2, cusum peaks at day 3
+    with |prefix - d*mean| = 3, direction negative (running below the
+    mean before the jump)."""
+    rows = [
+        (1, datetime(2024, 6, 1, 10), 1, "purchase", 1.0),
+        (2, datetime(2024, 6, 2, 10), 1, "purchase", 1.0),
+        (3, datetime(2024, 6, 3, 10), 1, "purchase", 1.0),
+        (4, datetime(2024, 6, 4, 10), 1, "purchase", 5.0),
+        (5, datetime(2024, 6, 2, 11), 1, "view", 99.0),  # excluded
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    [r] = QUERIES["events_value_cusum"](spark, str(tmp_path)).collect()
+    assert (r["n_days"], r["changepoint_day"], r["max_abs_cusum"],
+            r["direction"]) == (4, "2024-06-03", 3.0, -1)
+
+
 def test_oracle_gate_sort_key_negative_zero_and_tiebreak():
     """_row_sort_key must (a) give -0.0 and 0.0 the same key so a
     -1e-10 vs +1e-10 engine disagreement can't flip row order, and
