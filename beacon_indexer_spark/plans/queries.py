@@ -12268,6 +12268,1159 @@ LIMIT 1
 """
 
 
+def q_events_props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over the semi-structured props column: every
+    JSON key with its presence rate and distinct-value cardinality — the
+    first query anyone runs against an untyped event payload before
+    promoting keys to real columns. from_json to map<string,string>
+    keeps the scan single-pass and JVM-side; the shuffle is bounded by
+    |keys| x |values|, the total is a ONE-ROW attach."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(
+            F.from_json("props", "map<string,string>")
+        ).alias("key", "__val")
+    )
+    per = kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.countDistinct("__val").cast("long").alias("n_distinct_values"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n_present",
+        F.round(
+            F.col("n_present").cast("double") * 100.0
+            / F.col("__n").cast("double"),
+            6,
+        ).alias("presence_pct"),
+        "n_distinct_values",
+    )
+
+
+ORACLE_EVENTS_PROPS_KEY_PROFILE = """
+WITH kv AS (
+  SELECT k.key AS key,
+         json_extract_string(e.props, '$.' || k.key) AS val
+  FROM events e,
+       LATERAL (SELECT unnest(json_keys(e.props)) AS key) k),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
+       round(CAST(COUNT(*) AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 6)
+         AS presence_pct,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct_values
+FROM kv CROSS JOIN tot GROUP BY key, n
+"""
+
+
+def q_lineitem_order_date_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table temporal integrity: lineitems shipped BEFORE their
+    order was placed, per order year — the referential screen that
+    catches clock skew or backfill bugs between fact tables (the
+    single-table constraint gate can't see it). One shuffle join on
+    orderkey; violations aggregate map-side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderdate",
+    )
+    j = li.join(orders, "l_orderkey")
+    return j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+        ).cast("long").alias("n_violations"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") < F.col("o_orderdate"), 1
+                ).otherwise(0)
+            ).cast("double")
+            * 100.0
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("violation_pct"),
+    )
+
+
+ORACLE_LINEITEM_ORDER_DATE_INTEGRITY = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       round(CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                           THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+             / CAST(COUNT(*) AS DOUBLE), 6) AS violation_pct
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+def q_doc_hapax_burden_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Junk-document screen: the 20 docs carrying the highest share of
+    corpus-hapax tokens (tokens occurring exactly once in the whole
+    corpus — OCR noise, mangled encodings, random ids). Hapax share per
+    doc needs only the (doc, token) postings joined to the token-count
+    vocabulary — both shuffles vocabulary-bounded; each hapax occurs in
+    exactly one doc, so the join output is bounded by hapax count.
+    Top-k ties break on doc_id."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    hapax = vocab.filter(F.col("__c") == 1).select("token")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    hap_doc = (
+        toks.join(hapax, "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hapax"))
+    )
+    out = per_doc.join(hap_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
+        F.round(
+            F.coalesce("n_hapax", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double") * 100.0,
+            6,
+        ).alias("hapax_pct"),
+    )
+    return out.orderBy(
+        F.desc("hapax_pct"), F.asc("doc_id")
+    ).limit(20)
+
+
+ORACLE_DOC_HAPAX_BURDEN_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents),
+vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY 1),
+hap AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hapax
+  FROM toks JOIN vocab USING (token)
+  WHERE c = 1 GROUP BY 1)
+SELECT p.doc_id, p.n_tokens,
+       CAST(COALESCE(h.n_hapax, 0) AS BIGINT) AS n_hapax,
+       round(CAST(COALESCE(h.n_hapax, 0) AS DOUBLE)
+             / CAST(p.n_tokens AS DOUBLE) * 100.0, 6) AS hapax_pct
+FROM per_doc p LEFT JOIN hap h USING (doc_id)
+ORDER BY hapax_pct DESC, p.doc_id ASC
+LIMIT 20
+"""
+
+
+def q_embedding_knn_purity_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-NN label purity swept over k in {1, 3, 5} on the vec_id < 100
+    sample — the eval that tells you whether label structure is a
+    1-NN-deep skin or survives wider neighborhoods (guides the k for
+    any kNN-based relabel/filter). ONE corpus scan produces the rank-5
+    neighbor lists; the three k's reuse them (the swept table is
+    |sample| x 5 rows, driver-free). Majority ties break on the
+    smaller label."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    uq = F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
+    base = emb.filter(nrm > 0)
+    samp = base.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("__qid"),
+        F.col("label").alias("__ql"),
+        uq.alias("__qu"),
+    )
+    corp = base.select(
+        F.col("vec_id").alias("__cid"),
+        F.col("label").alias("__cl"),
+        uq.alias("__cu"),
+    )
+    dec = "decimal(38,0)"
+    dot = F.aggregate(
+        F.zip_with(F.col("__qu"), F.col("__cu"), lambda a, b: a * b),
+        F.lit(0).cast(dec),
+        lambda acc, x: acc + x.cast(dec),
+    )
+    pairs = (
+        corp.crossJoin(F.broadcast(samp))
+        .filter(F.col("__cid") != F.col("__qid"))
+        .select(
+            "__qid", "__ql", "__cl", "__cid",
+            F.round(
+                (F.lit(1.0) - dot.cast("double") / 1e18) * 1e9, 0
+            ).cast("long").alias("__dq"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.asc("__dq"), F.asc("__cid"))
+    nn5 = pairs.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= 5
+    )
+    ks = spark.createDataFrame([(1,), (3,), (5,)], "k int").select(
+        F.col("k").cast("long").alias("k")
+    )
+    votes = (
+        nn5.crossJoin(F.broadcast(ks))
+        .filter(F.col("__rk") <= F.col("k"))
+        .groupBy("k", "__qid", "__ql", "__cl")
+        .agg(F.count(F.lit(1)).alias("__votes"))
+    )
+    wm = Window.partitionBy("k", "__qid").orderBy(
+        F.desc("__votes"), F.asc("__cl")
+    )
+    maj = votes.withColumn("__mrk", F.row_number().over(wm)).filter(
+        F.col("__mrk") == 1
+    )
+    return maj.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(
+            F.when(F.col("__cl") == F.col("__ql"), 1).otherwise(0)
+        ).cast("long").alias("n_match"),
+        F.round(
+            F.sum(
+                F.when(F.col("__cl") == F.col("__ql"), 1).otherwise(0)
+            ).cast("double")
+            * 100.0
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("purity_pct"),
+    )
+
+
+ORACLE_EMBEDDING_KNN_PURITY_SWEEP = """
+WITH nv AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+u AS (
+  SELECT vec_id, label, s.i - 1 AS dim,
+         CAST(round(CAST(embedding[s.i] AS DOUBLE) / nrm * 1e9) AS BIGINT)
+           AS ui
+  FROM nv,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+  WHERE nrm > 0),
+dots AS (
+  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS cid, c.label AS cl,
+         SUM(q.ui * c.ui) AS dot
+  FROM u q JOIN u c USING (dim)
+  WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2, 3, 4),
+nn AS (
+  SELECT qid, ql, cl, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(round((1.0 - CAST(dot AS DOUBLE) / 1e18) * 1e9)
+                         AS BIGINT), cid) AS rk
+  FROM dots),
+ks AS (SELECT CAST(unnest([1, 3, 5]) AS BIGINT) AS k),
+votes AS (
+  SELECT k, qid, ql, cl, COUNT(*) AS v
+  FROM nn CROSS JOIN ks WHERE rk <= k
+  GROUP BY 1, 2, 3, 4),
+maj AS (
+  SELECT k, qid, ql, cl,
+         ROW_NUMBER() OVER (PARTITION BY k, qid
+                            ORDER BY v DESC, cl ASC) AS mrk
+  FROM votes)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       round(CAST(SUM(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS DOUBLE)
+             * 100.0 / CAST(COUNT(*) AS DOUBLE), 6) AS purity_pct
+FROM maj WHERE mrk = 1 GROUP BY 1
+"""
+
+
+def q_customer_segment_revenue_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closed-form OLS of monthly order revenue on month index, per
+    market segment — 'which segments are growing'. Two shuffles total:
+    orders x broadcast(customer-segment projection... itself shuffled
+    once to |customers| rows) then a |segments x months|-bounded
+    aggregation; the regression is five exact integer sums (cents, month
+    ordinals) per segment, divisions deferred to the last row."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("__mx"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("__c"),
+    )
+    monthly = (
+        orders.join(cust, "c_custkey")
+        .groupBy("c_mktsegment", "__mx")
+        .agg(F.sum(F.col("__c").cast("decimal(38,0)")).alias("__y"))
+    )
+    dec = "decimal(38,0)"
+    agg = monthly.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum(F.col("__mx").cast(dec)).alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__mx").cast(dec) * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__mx").cast(dec) * F.col("__mx").cast(dec)).alias(
+            "__sxx"
+        ),
+    )
+    n = F.col("n_months").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double") / 100.0
+    sxy = F.col("__sxy").cast("double") / 100.0
+    sxx = F.col("__sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.filter(F.col("n_months") > 1).select(
+        "c_mktsegment",
+        "n_months",
+        F.round(slope, 6).alias("monthly_trend"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+ORACLE_CUSTOMER_SEGMENT_REVENUE_TREND = """
+WITH o AS (
+  SELECT c.c_mktsegment,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+              AS BIGINT) AS mx,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cts
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+monthly AS (
+  SELECT c_mktsegment, mx, SUM(cts) AS y FROM o GROUP BY 1, 2),
+a AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_months,
+         SUM(mx) AS sx, SUM(y) AS sy, SUM(mx * y) AS sxy,
+         SUM(mx * mx) AS sxx
+  FROM monthly GROUP BY 1)
+SELECT c_mktsegment, n_months,
+       round((n_months * (CAST(sxy AS DOUBLE) / 100.0)
+              - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 100.0))
+             / (n_months * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS monthly_trend,
+       round((CAST(sy AS DOUBLE) / 100.0
+              - ((n_months * (CAST(sxy AS DOUBLE) / 100.0)
+                  - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 100.0))
+                 / (n_months * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE))
+             / n_months, 6) AS intercept
+FROM a WHERE n_months > 1
+"""
+
+
+def q_events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-event rate with a 95% Wilson score interval — the
+    SRE view with honest uncertainty on thin hours (a raw rate of 0/3
+    and 0/3000 look identical without the interval). 24-row output from
+    one map-side-combined aggregation; the interval arithmetic runs on
+    exact integer counts, identical in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(F.hour("ts").cast("long").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("n_errors"),
+    )
+    z = F.lit(1.96)
+    n = F.col("n_events").cast("double")
+    p = F.col("n_errors").cast("double") / n
+    denom = 1.0 + z * z / n
+    center = p + z * z / (2.0 * n)
+    spread = z * F.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+    return agg.select(
+        "hour",
+        "n_events",
+        "n_errors",
+        F.round(p * 100.0, 6).alias("error_pct"),
+        F.round((center - spread) / denom * 100.0, 6).alias("wilson_lo_pct"),
+        F.round((center + spread) / denom * 100.0, 6).alias("wilson_hi_pct"),
+    )
+
+
+ORACLE_EVENTS_ERROR_RATE_WILSON = """
+WITH a AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1),
+c AS (
+  SELECT hour, n_events, n_errors,
+         CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS p,
+         CAST(n_events AS DOUBLE) AS n
+  FROM a)
+SELECT hour, n_events, n_errors,
+       round(p * 100.0, 6) AS error_pct,
+       round((p + 1.96 * 1.96 / (2.0 * n)
+              - 1.96 * sqrt(p * (1.0 - p) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1.0 + 1.96 * 1.96 / n) * 100.0, 6) AS wilson_lo_pct,
+       round((p + 1.96 * 1.96 / (2.0 * n)
+              + 1.96 * sqrt(p * (1.0 - p) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1.0 + 1.96 * 1.96 / n) * 100.0, 6) AS wilson_hi_pct
+FROM c
+"""
+
+
+def q_supplier_assortment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 suppliers by revenue with assortment breadth (distinct
+    parts) and order reach (distinct orders) — the supplier-ops
+    dashboard rollup. One fact-table aggregation (two exact distincts +
+    a DECIMAL revenue sum), then a broadcast name attach; ties break on
+    suppkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.sum(
+            (
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+            )
+        ).cast("double").alias("revenue"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.join(F.broadcast(supp), "s_suppkey")
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(10)
+        .select("s_suppkey", "s_name", "n_parts", "n_orders", "revenue")
+    )
+
+
+ORACLE_SUPPLIER_ASSORTMENT = """
+WITH per AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+  FROM lineitem GROUP BY 1)
+SELECT per.s_suppkey, s.s_name, n_parts, n_orders, revenue
+FROM per JOIN supplier s ON s.s_suppkey = per.s_suppkey
+ORDER BY revenue DESC, per.s_suppkey ASC
+LIMIT 10
+"""
+
+
+def q_part_brand_price_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact price quartiles (p25/p50/p75) and IQR per brand, computed
+    on the per-brand (cents -> count) VALUE HISTOGRAM with a window
+    partitioned BY BRAND — the shuffle is bounded by distinct price
+    points per brand, not part count, and the quantile thresholds are
+    integer comparisons (4*cum >= k*n), never float ranks."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("__c"),
+    )
+    hist = p.groupBy("p_brand", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__f")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("__c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__f").over(w))
+    tot = hist.groupBy("p_brand").agg(
+        F.sum("__f").cast("long").alias("__n")
+    )
+    j = cum.join(tot, "p_brand")
+
+    def _q(k: int) -> Column:
+        return (
+            F.min(
+                F.when(4 * F.col("__cum") >= k * F.col("__n"), F.col("__c"))
+            ).cast("double")
+            / 100.0
+        )
+
+    return j.groupBy("p_brand").agg(
+        F.max("__n").alias("n_parts"),
+        F.round(_q(1), 6).alias("p25"),
+        F.round(_q(2), 6).alias("p50"),
+        F.round(_q(3), 6).alias("p75"),
+        F.round(_q(3) - _q(1), 6).alias("iqr"),
+    )
+
+
+ORACLE_PART_BRAND_PRICE_IQR = """
+WITH h AS (
+  SELECT p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS f
+  FROM part GROUP BY 1, 2),
+cum AS (
+  SELECT p_brand, c, f,
+         SUM(f) OVER (PARTITION BY p_brand ORDER BY c
+                      ROWS UNBOUNDED PRECEDING) AS cu
+  FROM h),
+tot AS (SELECT p_brand, SUM(f) AS n FROM h GROUP BY 1)
+SELECT cum.p_brand, CAST(MAX(n) AS BIGINT) AS n_parts,
+       round(CAST(MIN(CASE WHEN 4 * cu >= 1 * n THEN c END) AS DOUBLE)
+             / 100.0, 6) AS p25,
+       round(CAST(MIN(CASE WHEN 4 * cu >= 2 * n THEN c END) AS DOUBLE)
+             / 100.0, 6) AS p50,
+       round(CAST(MIN(CASE WHEN 4 * cu >= 3 * n THEN c END) AS DOUBLE)
+             / 100.0, 6) AS p75,
+       round(CAST(MIN(CASE WHEN 4 * cu >= 3 * n THEN c END) AS DOUBLE)
+             / 100.0
+             - CAST(MIN(CASE WHEN 4 * cu >= 1 * n THEN c END) AS DOUBLE)
+             / 100.0, 6) AS iqr
+FROM cum JOIN tot USING (p_brand)
+GROUP BY 1
+"""
+
+
+def q_events_bot_burst_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot screen: the 10 users with the highest single-minute event
+    burst (max events in any calendar minute), with their totals and
+    the burst share. Two bounded aggregations — (user, minute) then
+    user — both map-side combined; ties break on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id",
+        F.date_trunc("minute", F.col("ts")).alias("__m"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__k"))
+    per_user = per_min.groupBy("user_id").agg(
+        F.max("__k").cast("long").alias("max_per_minute"),
+        F.sum("__k").cast("long").alias("n_events"),
+    )
+    return (
+        per_user.select(
+            "user_id", "max_per_minute", "n_events",
+            F.round(
+                F.col("max_per_minute").cast("double") * 100.0
+                / F.col("n_events").cast("double"),
+                6,
+            ).alias("burst_share_pct"),
+        )
+        .orderBy(F.desc("max_per_minute"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+ORACLE_EVENTS_BOT_BURST_SCREEN = """
+WITH pm AS (
+  SELECT user_id, date_trunc('minute', ts) AS m,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2),
+pu AS (
+  SELECT user_id, CAST(MAX(k) AS BIGINT) AS max_per_minute,
+         CAST(SUM(k) AS BIGINT) AS n_events
+  FROM pm GROUP BY 1)
+SELECT user_id, max_per_minute, n_events,
+       round(CAST(max_per_minute AS DOUBLE) * 100.0
+             / CAST(n_events AS DOUBLE), 6) AS burst_share_pct
+FROM pu
+ORDER BY max_per_minute DESC, user_id ASC
+LIMIT 10
+"""
+
+
+def q_orders_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth: the |quarters|-bounded
+    rollup joined to itself on quarter_index - 1 — LAG semantics without
+    any unpartitioned window (the self-join key is exact, so a missing
+    quarter yields NULL growth rather than silently lagging across the
+    gap). Cents-exact sums; growth only where a previous quarter
+    exists."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1)
+        .cast("long")
+        .alias("__qi"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("__c"),
+    )
+    per = o.groupBy("__qi").agg(
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    prev = per.select(
+        (F.col("__qi") + 1).alias("__qi"), F.col("__s").alias("__ps")
+    )
+    j = per.join(prev, "__qi", "left")
+    quarter = F.concat(
+        (F.col("__qi") / 4).cast("long").cast("string"),
+        F.lit("-Q"),
+        (F.col("__qi") % 4 + 1).cast("string"),
+    )
+    rev = F.col("__s").cast("double") / 100.0
+    prev_rev = F.col("__ps").cast("double") / 100.0
+    return j.select(
+        quarter.alias("quarter"),
+        "n_orders",
+        F.round(rev, 6).alias("revenue"),
+        F.round(prev_rev, 6).alias("prev_revenue"),
+        F.round((rev - prev_rev) / prev_rev * 100.0, 6).alias("qoq_pct"),
+    )
+
+
+ORACLE_ORDERS_QOQ_GROWTH = """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS BIGINT)
+           AS qi,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+per AS (
+  SELECT qi, SUM(c) AS s, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM o GROUP BY 1)
+SELECT CAST(cur.qi // 4 AS VARCHAR) || '-Q'
+         || CAST(cur.qi % 4 + 1 AS VARCHAR) AS quarter,
+       cur.n_orders,
+       round(CAST(cur.s AS DOUBLE) / 100.0, 6) AS revenue,
+       round(CAST(prev.s AS DOUBLE) / 100.0, 6) AS prev_revenue,
+       round((CAST(cur.s AS DOUBLE) / 100.0 - CAST(prev.s AS DOUBLE) / 100.0)
+             / (CAST(prev.s AS DOUBLE) / 100.0) * 100.0, 6) AS qoq_pct
+FROM per cur LEFT JOIN per prev ON prev.qi = cur.qi - 1
+"""
+
+
+def q_customer_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer base split into four quadrants by median account balance
+    x median lifetime spend (customers without orders spend 0) — the
+    segmentation grid behind collections/upsell targeting. Both medians
+    come from cents-histogram prefix sums (integer thresholds
+    2*cum >= n, never float ranks, no unpartitioned window) and attach
+    as ONE-ROW broadcasts; the output is exactly 4 rows."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("__bal"),
+    )
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("__sp")
+        )
+    )
+    base = cust.join(spend, "c_custkey", "left").select(
+        "c_custkey", "__bal",
+        F.coalesce("__sp", F.lit(0)).cast("long").alias("__sp"),
+    )
+
+    def _median(col: str):
+        hist = base.groupBy(F.col(col).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__f")
+        )
+        h = _exclusive_prefix(hist, "__k", "__f", "__cum")
+        tot = hist.agg(F.sum("__f").alias("__n"))
+        return (
+            h.crossJoin(F.broadcast(tot))
+            .filter(2 * (F.col("__cum") + F.col("__f")) >= F.col("__n"))
+            .agg(F.min("__k").alias("__med"))
+        )
+    med_bal = _median("__bal").select(F.col("__med").alias("__mb"))
+    med_sp = _median("__sp").select(F.col("__med").alias("__ms"))
+    labeled = (
+        base.crossJoin(F.broadcast(med_bal))
+        .crossJoin(F.broadcast(med_sp))
+        .select(
+            F.concat(
+                F.when(F.col("__bal") > F.col("__mb"), F.lit("hi_bal"))
+                .otherwise(F.lit("lo_bal")),
+                F.lit("/"),
+                F.when(F.col("__sp") > F.col("__ms"), F.lit("hi_spend"))
+                .otherwise(F.lit("lo_spend")),
+            ).alias("quadrant")
+        )
+    )
+    per = labeled.groupBy("quadrant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "quadrant",
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double") * 100.0
+            / F.col("__n").cast("double"),
+            6,
+        ).alias("share_pct"),
+    )
+
+
+ORACLE_CUSTOMER_VALUE_QUADRANTS = """
+WITH base AS (
+  SELECT c.c_custkey,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal,
+         CAST(COALESCE(s.sp, 0) AS BIGINT) AS sp
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey,
+                    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp
+             FROM orders GROUP BY 1) s ON s.o_custkey = c.c_custkey),
+hb AS (SELECT bal AS k, COUNT(*) AS f FROM base GROUP BY 1),
+cb AS (SELECT k, SUM(f) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum
+       FROM hb),
+nb AS (SELECT SUM(f) AS n FROM hb),
+mb AS (SELECT MIN(k) AS m FROM cb CROSS JOIN nb WHERE 2 * cum >= n),
+hs AS (SELECT sp AS k, COUNT(*) AS f FROM base GROUP BY 1),
+cs AS (SELECT k, SUM(f) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum
+       FROM hs),
+ns AS (SELECT SUM(f) AS n FROM hs),
+ms AS (SELECT MIN(k) AS m FROM cs CROSS JOIN ns WHERE 2 * cum >= n),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+lab AS (
+  SELECT (CASE WHEN bal > mb.m THEN 'hi_bal' ELSE 'lo_bal' END
+          || '/' ||
+          CASE WHEN sp > ms.m THEN 'hi_spend' ELSE 'lo_spend' END)
+           AS quadrant
+  FROM base CROSS JOIN mb CROSS JOIN ms)
+SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(COUNT(*) AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 6)
+         AS share_pct
+FROM lab CROSS JOIN tot GROUP BY quadrant, n
+"""
+
+
+def q_orders_line_status_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table status invariant audit: an order marked F should have
+    only F lines, O only O lines, P a mix — counts how much of each
+    status class actually honors its definition (the lineitem-side
+    companion to the date-integrity screen). One per-order profile
+    aggregation, then a |statuses|-bounded rollup."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linestatus"
+    )
+    prof = li.groupBy("o_orderkey").agg(
+        F.sum(
+            F.when(F.col("l_linestatus") == "O", 1).otherwise(0)
+        ).alias("__n_open"),
+        F.count(F.lit(1)).alias("__n_lines"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    j = orders.join(prof, "o_orderkey", "left").select(
+        "o_orderstatus",
+        F.coalesce("__n_open", F.lit(0)).alias("__n_open"),
+        F.coalesce("__n_lines", F.lit(0)).alias("__n_lines"),
+    )
+    consistent = (
+        (
+            (F.col("o_orderstatus") == "F")
+            & (F.col("__n_open") == 0)
+            & (F.col("__n_lines") > 0)
+        )
+        | (
+            (F.col("o_orderstatus") == "O")
+            & (F.col("__n_open") == F.col("__n_lines"))
+            & (F.col("__n_lines") > 0)
+        )
+        | (
+            (F.col("o_orderstatus") == "P")
+            & (F.col("__n_open") > 0)
+            & (F.col("__n_open") < F.col("__n_lines"))
+        )
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(consistent, 1).otherwise(0)).cast("long").alias(
+            "n_consistent"
+        ),
+        F.round(
+            F.sum(F.when(consistent, 1).otherwise(0)).cast("double")
+            * 100.0
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("consistency_pct"),
+    )
+
+
+ORACLE_ORDERS_LINE_STATUS_CONSISTENCY = """
+WITH prof AS (
+  SELECT l_orderkey AS o_orderkey,
+         SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o.o_orderstatus,
+         COALESCE(p.n_open, 0) AS n_open,
+         COALESCE(p.n_lines, 0) AS n_lines
+  FROM orders o LEFT JOIN prof p USING (o_orderkey)),
+c AS (
+  SELECT o_orderstatus,
+         CASE WHEN (o_orderstatus = 'F' AND n_open = 0 AND n_lines > 0)
+                OR (o_orderstatus = 'O' AND n_open = n_lines
+                    AND n_lines > 0)
+                OR (o_orderstatus = 'P' AND n_open > 0
+                    AND n_open < n_lines)
+              THEN 1 ELSE 0 END AS ok
+  FROM j)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(ok) AS BIGINT) AS n_consistent,
+       round(CAST(SUM(ok) AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE), 6)
+         AS consistency_pct
+FROM c GROUP BY 1
+"""
+
+
+def q_events_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between purchase
+    and click value distributions — 'did the spend distribution shift',
+    resolved on the full data rather than a sampled approximation. Both
+    ECDFs live on ONE combined cents-histogram (shuffle bounded by
+    distinct value points); the sup-distance numerator |cumA*nB -
+    cumB*nA| is an exact integer at every step (DECIMAL — cum*n
+    overflows int64 at corpus scale), so the argmax is engine-exact;
+    prefix sums run through the bounded-fan-in machinery, never an
+    unpartitioned window."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    h = ev.groupBy(
+        F.round(F.col("value") * 100, 0).cast("long").alias("__k")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("__fa"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("__fb"),
+    )
+    h = _exclusive_prefix(h, "__k", "__fa", "__pa")
+    h = _exclusive_prefix(h, "__k", "__fb", "__pb")
+    tot = h.agg(
+        F.sum("__fa").cast("long").alias("__na"),
+        F.sum("__fb").cast("long").alias("__nb"),
+    )
+    dec = "decimal(38,0)"
+    ca = (F.col("__pa") + F.col("__fa")).cast(dec)
+    cb = (F.col("__pb") + F.col("__fb")).cast(dec)
+    scored = h.crossJoin(F.broadcast(tot)).select(
+        "__k", "__na", "__nb",
+        F.abs(
+            ca * F.col("__nb").cast(dec) - cb * F.col("__na").cast(dec)
+        ).alias("__num"),
+    )
+    top = scored.orderBy(F.desc("__num"), F.asc("__k")).limit(1)
+    return top.select(
+        F.col("__na").alias("n_purchase"),
+        F.col("__nb").alias("n_click"),
+        F.round(
+            F.col("__num").cast("double")
+            / (F.col("__na").cast("double") * F.col("__nb").cast("double")),
+            6,
+        ).alias("ks_stat"),
+        F.round(F.col("__k").cast("double") / 100.0, 6).alias("ks_at_value"),
+    )
+
+
+ORACLE_EVENTS_VALUE_KS_TEST = """
+WITH h AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS k,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fa,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fb
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+  GROUP BY 1),
+cum AS (
+  SELECT k,
+         SUM(fa) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(fb) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cb
+  FROM h),
+tot AS (SELECT CAST(SUM(fa) AS BIGINT) AS na,
+               CAST(SUM(fb) AS BIGINT) AS nb FROM h),
+scored AS (
+  SELECT k, na, nb, abs(ca * nb - cb * na) AS num
+  FROM cum CROSS JOIN tot)
+SELECT na AS n_purchase, nb AS n_click,
+       round(CAST(num AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_stat,
+       round(CAST(k AS DOUBLE) / 100.0, 6) AS ks_at_value
+FROM scored
+ORDER BY num DESC, k ASC
+LIMIT 1
+"""
+
+
+def q_corpus_source_token_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl concentration of the training corpus over SOURCES,
+    measured in tokens (the unit the model actually trains on) — plus
+    the effective-source count 1/HHI. One vocabulary-free aggregation
+    (per-source token totals), exact integer squares (DECIMAL), ONE-ROW
+    total attach."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    per = docs.groupBy("source").agg(
+        F.sum(
+            F.size(X.tokens(F.lower(F.col("text"))))
+        ).cast("long").alias("__c")
+    )
+    dec = "decimal(38,0)"
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("__c").cast(dec)).alias("__t"),
+        F.sum(F.col("__c").cast(dec) * F.col("__c").cast(dec)).alias("__s2"),
+    )
+    hhi = F.col("__s2").cast("double") / (
+        F.col("__t").cast("double") * F.col("__t").cast("double")
+    )
+    return agg.select(
+        "n_sources",
+        F.col("__t").cast("long").alias("total_tokens"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(1.0 / hhi, 6).alias("effective_sources"),
+    )
+
+
+ORACLE_CORPUS_SOURCE_TOKEN_HHI = r"""
+WITH per AS (
+  SELECT source,
+         SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> ''))) AS c
+  FROM documents GROUP BY 1),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         SUM(c) AS t, SUM(c * c) AS s2
+  FROM per)
+SELECT n_sources, CAST(t AS BIGINT) AS total_tokens,
+       round(CAST(s2 AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+         AS hhi,
+       round(1.0 / (CAST(s2 AS DOUBLE)
+                    / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))), 6)
+         AS effective_sources
+FROM a
+"""
+
+
+def q_events_hour_entropy_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy of each event type's hour-of-day histogram — the
+    behavioral fingerprint that separates human traffic (low entropy,
+    diurnal) from automated traffic (near-uniform, H -> ln 24).
+    H = ln T − Σ c·ln c / T over 24 bins per type; ln c quantizes to
+    1e-9 fixed-point so the Σ c·ln c reduction is an exact integer
+    fold; the rollup is |types| x 24 rows."""
+    ev = _t(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("__h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    dec = "decimal(38,0)"
+    lnq = F.round(F.log(F.col("__c").cast("double")) * 1e9, 0).cast("long")
+    agg = bins.groupBy("event_type").agg(
+        F.sum("__c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_active_hours"),
+        F.sum((F.col("__c") * lnq).cast(dec)).alias("__s"),
+    )
+    t = F.col("n_events").cast("double")
+    h = F.log(t) - F.col("__s").cast("double") / 1e9 / t
+    import math
+
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_active_hours",
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(h / F.lit(math.log(24.0)), 6).alias("entropy_norm"),
+    )
+
+
+ORACLE_EVENTS_HOUR_ENTROPY_BY_TYPE = """
+WITH bins AS (
+  SELECT event_type, hour(ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+a AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+         SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS s
+  FROM bins GROUP BY 1)
+SELECT event_type, n_events, n_active_hours,
+       round(ln(CAST(n_events AS DOUBLE))
+             - CAST(s AS DOUBLE) / 1e9 / CAST(n_events AS DOUBLE), 6)
+         AS entropy_nats,
+       round((ln(CAST(n_events AS DOUBLE))
+              - CAST(s AS DOUBLE) / 1e9 / CAST(n_events AS DOUBLE))
+             / ln(24.0), 6) AS entropy_norm
+FROM a
+"""
+
+
+def q_events_weekly_retention_triangle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classic weekly retention triangle: users cohorted by first-seen
+    week, each later week's active share against the cohort size. The
+    heavy lifting is two user-keyed aggregations (first week, then
+    distinct active weeks); the triangle itself is |weeks|²-bounded.
+    Weeks are epoch-day // 7 — no locale/ISO-week ambiguity between
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7
+    ).cast("long")
+    user_weeks = ev.select(
+        "user_id", wk.alias("__wk")
+    ).distinct()
+    cohort = user_weeks.groupBy("user_id").agg(
+        F.min("__wk").alias("__cwk")
+    )
+    j = user_weeks.join(cohort, "user_id").select(
+        "__cwk", (F.col("__wk") - F.col("__cwk")).alias("week_offset"),
+        "user_id",
+    )
+    tri = j.groupBy("__cwk", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    size = tri.filter(F.col("week_offset") == 0).select(
+        "__cwk", F.col("n_active").alias("cohort_size")
+    )
+    out = tri.join(size, "__cwk")
+    return out.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01"), (F.col("__cwk") * 7).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") * 100.0
+            / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention_pct"),
+    )
+
+
+ORACLE_EVENTS_WEEKLY_RETENTION_TRIANGLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS wk
+  FROM events),
+cohort AS (SELECT user_id, MIN(wk) AS cwk FROM uw GROUP BY 1),
+tri AS (
+  SELECT c.cwk, CAST(u.wk - c.cwk AS BIGINT) AS week_offset,
+         CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active
+  FROM uw u JOIN cohort c USING (user_id)
+  GROUP BY 1, 2),
+size_ AS (SELECT cwk, n_active AS cohort_size FROM tri
+          WHERE week_offset = 0)
+SELECT strftime(DATE '1970-01-01' + INTERVAL (t.cwk * 7) DAY, '%Y-%m-%d')
+         AS cohort_week,
+       t.week_offset, t.n_active, s.cohort_size,
+       round(CAST(t.n_active AS DOUBLE) * 100.0
+             / CAST(s.cohort_size AS DOUBLE), 6) AS retention_pct
+FROM tri t JOIN size_ s USING (cwk)
+"""
+
+
+def q_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pipeline integrity: per source, how many documents
+    actually have an embedding row (doc_id = vec_id) — the coverage
+    audit run before any embedding-gated curation step silently drops
+    the un-embedded tail. Left-semi join on id, |sources|-bounded
+    rollup."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    with_vec = docs.join(emb, "doc_id", "left_semi").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_with_vec")
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return per.join(with_vec, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_with_vec", F.lit(0)).cast("long").alias("n_with_vec"),
+        F.round(
+            F.coalesce("n_with_vec", F.lit(0)).cast("double") * 100.0
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("coverage_pct"),
+    )
+
+
+ORACLE_DOC_EMBEDDING_COVERAGE = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY 1),
+wv AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_with_vec
+  FROM documents d
+  WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+  GROUP BY 1)
+SELECT per.source, n_docs,
+       CAST(COALESCE(n_with_vec, 0) AS BIGINT) AS n_with_vec,
+       round(CAST(COALESCE(n_with_vec, 0) AS DOUBLE) * 100.0
+             / CAST(n_docs AS DOUBLE), 6) AS coverage_pct
+FROM per LEFT JOIN wv USING (source)
+"""
+
+
+def q_orders_basket_size_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-size economics: for each basket size (lineitems per order),
+    how many orders and what they're worth on average — the fulfillment-
+    cost planning histogram. Per-order line counts shuffle once on
+    orderkey; the profile is |basket sizes|-bounded; means are
+    cents-exact sums divided at the end."""
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(F.count(F.lit(1)).cast("long").alias("basket_size"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("__c"),
+    )
+    j = orders.join(li, "o_orderkey")
+    dec = "decimal(38,0)"
+    return j.groupBy("basket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("__c").cast(dec)).cast("double") / 100.0
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_order_value"),
+        (F.sum(F.col("__c").cast(dec)).cast("double") / 100.0).alias(
+            "total_value"
+        ),
+    )
+
+
+ORACLE_ORDERS_BASKET_SIZE_PROFILE = """
+WITH li AS (
+  SELECT l_orderkey AS o_orderkey, CAST(COUNT(*) AS BIGINT) AS basket_size
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT li.basket_size, CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+  FROM orders o JOIN li USING (o_orderkey))
+SELECT basket_size, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(c) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_order_value,
+       CAST(SUM(c) AS DOUBLE) / 100.0 AS total_value
+FROM j GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -12488,6 +13641,24 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_knn_radius": q_embedding_knn_radius,
     "source_embedding_centroids": q_source_embedding_centroids,
     "events_value_cusum": q_events_value_cusum,
+    "events_props_key_profile": q_events_props_key_profile,
+    "lineitem_order_date_integrity": q_lineitem_order_date_integrity,
+    "doc_hapax_burden_topk": q_doc_hapax_burden_topk,
+    "embedding_knn_purity_sweep": q_embedding_knn_purity_sweep,
+    "customer_segment_revenue_trend": q_customer_segment_revenue_trend,
+    "events_error_rate_wilson": q_events_error_rate_wilson,
+    "supplier_assortment": q_supplier_assortment,
+    "part_brand_price_iqr": q_part_brand_price_iqr,
+    "events_bot_burst_screen": q_events_bot_burst_screen,
+    "orders_qoq_growth": q_orders_qoq_growth,
+    "customer_value_quadrants": q_customer_value_quadrants,
+    "orders_line_status_consistency": q_orders_line_status_consistency,
+    "events_value_ks_test": q_events_value_ks_test,
+    "corpus_source_token_hhi": q_corpus_source_token_hhi,
+    "events_hour_entropy_by_type": q_events_hour_entropy_by_type,
+    "events_weekly_retention_triangle": q_events_weekly_retention_triangle,
+    "doc_embedding_coverage": q_doc_embedding_coverage,
+    "orders_basket_size_profile": q_orders_basket_size_profile,
 }
 
 
@@ -12713,4 +13884,26 @@ def oracles() -> dict[str, str]:
         "embedding_knn_radius": ORACLE_EMBEDDING_KNN_RADIUS,
         "source_embedding_centroids": ORACLE_SOURCE_EMBEDDING_CENTROIDS,
         "events_value_cusum": ORACLE_EVENTS_VALUE_CUSUM,
+        "events_props_key_profile": ORACLE_EVENTS_PROPS_KEY_PROFILE,
+        "lineitem_order_date_integrity":
+            ORACLE_LINEITEM_ORDER_DATE_INTEGRITY,
+        "doc_hapax_burden_topk": ORACLE_DOC_HAPAX_BURDEN_TOPK,
+        "embedding_knn_purity_sweep": ORACLE_EMBEDDING_KNN_PURITY_SWEEP,
+        "customer_segment_revenue_trend":
+            ORACLE_CUSTOMER_SEGMENT_REVENUE_TREND,
+        "events_error_rate_wilson": ORACLE_EVENTS_ERROR_RATE_WILSON,
+        "supplier_assortment": ORACLE_SUPPLIER_ASSORTMENT,
+        "part_brand_price_iqr": ORACLE_PART_BRAND_PRICE_IQR,
+        "events_bot_burst_screen": ORACLE_EVENTS_BOT_BURST_SCREEN,
+        "orders_qoq_growth": ORACLE_ORDERS_QOQ_GROWTH,
+        "customer_value_quadrants": ORACLE_CUSTOMER_VALUE_QUADRANTS,
+        "orders_line_status_consistency":
+            ORACLE_ORDERS_LINE_STATUS_CONSISTENCY,
+        "events_value_ks_test": ORACLE_EVENTS_VALUE_KS_TEST,
+        "corpus_source_token_hhi": ORACLE_CORPUS_SOURCE_TOKEN_HHI,
+        "events_hour_entropy_by_type": ORACLE_EVENTS_HOUR_ENTROPY_BY_TYPE,
+        "events_weekly_retention_triangle":
+            ORACLE_EVENTS_WEEKLY_RETENTION_TRIANGLE,
+        "doc_embedding_coverage": ORACLE_DOC_EMBEDDING_COVERAGE,
+        "orders_basket_size_profile": ORACLE_ORDERS_BASKET_SIZE_PROFILE,
     }

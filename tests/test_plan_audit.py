@@ -64,6 +64,11 @@ _ALLOWED_CROSS = {
     "embedding_silhouette",  # broadcast SAMPLE-SIDE scan (bruteforce shape)
     "embedding_knn_radius",  # broadcast SAMPLE-SIDE scan (bruteforce shape)
     "events_value_cusum",  # broadcast ONE-ROW total attach
+    "events_props_key_profile",  # broadcast ONE-ROW total attach
+    "embedding_knn_purity_sweep",  # broadcast SAMPLE scan + 3-ROW k attach
+    "customer_value_quadrants",  # broadcast ONE-ROW median/total attaches
+    "events_value_ks_test",  # broadcast ONE-ROW totals attach
+    "corpus_source_token_hhi",  # broadcast ONE-ROW total attach
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach
     "corpus_split_half_jsd",  # 2×|vocab| grid — dimension-bounded
     "doc_token_length_profile",  # broadcast ONE-ROW total attach

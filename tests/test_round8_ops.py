@@ -377,6 +377,497 @@ def test_events_value_cusum_level_shift(spark, tmp_path):
             r["direction"]) == (4, "2024-06-03", 3.0, -1)
 
 
+def test_events_props_key_profile_mixed_keys(spark, tmp_path):
+    """Key profile over heterogeneous JSON payloads: presence rate and
+    value cardinality per key; values compare as strings."""
+    t0 = datetime(2024, 6, 1)
+    rows = [
+        (1, t0, 1, "view", '{"k": 1, "device": "ios"}'),
+        (2, t0, 1, "view", '{"k": 2}'),
+        (3, t0, 1, "view", '{"k": 2, "device": "android"}'),
+        (4, t0, 1, "view", '{"other": "x"}'),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " props string",
+    )
+    out = {
+        r["key"]: (r["n_present"], r["presence_pct"], r["n_distinct_values"])
+        for r in QUERIES["events_props_key_profile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "k": (3, 75.0, 2),
+        "device": (2, 50.0, 2),
+        "other": (1, 25.0, 1),
+    }
+
+
+def test_lineitem_order_date_integrity_violations(spark, tmp_path):
+    """Ship-before-order violations counted per order year; equal dates
+    are NOT violations."""
+    _plant(
+        spark, tmp_path, "orders",
+        [(1, datetime(1995, 5, 10)), (2, datetime(1996, 5, 10))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, datetime(1995, 5, 1)),   # violation (ship < order)
+            (1, datetime(1995, 5, 10)),  # equal: not a violation
+            (1, datetime(1995, 6, 1)),   # fine
+            (2, datetime(1996, 7, 1)),   # fine
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    out = {
+        r["o_year"]: (r["n_items"], r["n_violations"], r["violation_pct"])
+        for r in QUERIES["lineitem_order_date_integrity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        1995: (3, 1, round(100 / 3, 6)),
+        1996: (1, 0, 0.0),
+    }
+
+
+def test_doc_hapax_burden_topk_shares(spark, tmp_path):
+    """Corpus tokens: 'common' appears in all docs; doc 1 is pure hapax
+    (2/2), doc 2 half (1/2... of 3), doc 3 none."""
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, "zzz yyy"),                 # both hapax -> 100%
+            (2, "common xxx common"),       # 1 of 3 -> 33.33%
+            (3, "common common"),           # 0%
+        ],
+        "doc_id long, text string",
+    )
+    rows = QUERIES["doc_hapax_burden_topk"](spark, str(tmp_path)).collect()
+    got = [
+        (r["doc_id"], r["n_tokens"], r["n_hapax"], r["hapax_pct"])
+        for r in rows
+    ]
+    assert got == [
+        (1, 2, 2, 100.0),
+        (2, 3, 1, round(100 / 3, 6)),
+        (3, 2, 0, 0.0),
+    ]
+
+
+def test_embedding_knn_purity_sweep_majority_and_ties(spark, tmp_path):
+    """Three axis clusters; majority vote at k in {1,3,5} with ties
+    breaking on the SMALLER label (qid 0's k=5 vote ties 2-2 between
+    label 0 and 1 -> label 0 wins -> match; qid 2's ties 2-2 between
+    5 and 9 -> label 5 wins -> mismatch)."""
+
+    def e(i):
+        v = [0.0] * 3
+        v[i] = 1.0
+        return v
+
+    rows = [
+        (0, e(0), 0), (200, e(0), 0), (201, e(0), 0),
+        (1, e(1), 1), (300, e(1), 1), (301, e(1), 1), (302, e(1), 1),
+        (2, e(2), 9), (400, e(2), 5), (401, e(2), 5),
+        (402, e(2), 9), (403, e(2), 9),
+    ]
+    _plant(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r["k"]: (r["n_points"], r["n_match"], r["purity_pct"])
+        for r in QUERIES["embedding_knn_purity_sweep"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    third = round(200 / 3, 6)
+    assert out == {1: (3, 2, third), 3: (3, 2, third), 5: (3, 2, third)}
+
+
+def test_customer_segment_revenue_trend_exact_slope(spark, tmp_path):
+    """Two months of segment-A revenue (100 then 200) give slope exactly
+    100/month in closed form; a single-month segment is dropped
+    (n_months > 1)."""
+    _plant(
+        spark, tmp_path, "customer",
+        [(1, "A"), (2, "B")],
+        "c_custkey long, c_mktsegment string",
+    )
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (10, 1, datetime(1995, 1, 15), 100.0),
+            (11, 1, datetime(1995, 2, 15), 200.0),
+            (12, 2, datetime(1995, 1, 20), 999.0),  # one month only
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    rows = QUERIES["customer_segment_revenue_trend"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["c_mktsegment"], r["n_months"], r["monthly_trend"],
+            r["intercept"]) == ("A", 2, 100.0, -2393900.0)
+
+
+def test_events_error_rate_wilson_interval(spark, tmp_path):
+    """Wilson bounds replicated in python for 1 error of 4 events and
+    0 of 2 (zero-rate hour still gets a positive upper bound)."""
+    import math
+
+    def wilson(e, n):
+        z, p = 1.96, e / n
+        center = p + z * z / (2 * n)
+        spread = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        den = 1 + z * z / n
+        return (round((center - spread) / den * 100, 6),
+                round((center + spread) / den * 100, 6))
+
+    rows = [
+        (1, datetime(2024, 6, 1, 10, 5), 1, "error"),
+        (2, datetime(2024, 6, 1, 10, 10), 1, "view"),
+        (3, datetime(2024, 6, 1, 10, 20), 1, "view"),
+        (4, datetime(2024, 6, 1, 10, 30), 1, "view"),
+        (5, datetime(2024, 6, 1, 11, 5), 1, "view"),
+        (6, datetime(2024, 6, 1, 11, 10), 1, "view"),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["hour"]: (r["n_events"], r["n_errors"], r["error_pct"],
+                    r["wilson_lo_pct"], r["wilson_hi_pct"])
+        for r in QUERIES["events_error_rate_wilson"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    lo10, hi10 = wilson(1, 4)
+    lo11, hi11 = wilson(0, 2)
+    assert out == {
+        10: (4, 1, 25.0, lo10, hi10),
+        11: (2, 0, 0.0, lo11, hi11),
+    }
+    assert out[11][4] > 0  # zero-rate hour keeps a positive upper bound
+
+
+def test_supplier_assortment_distincts_and_order(spark, tmp_path):
+    """Distinct parts/orders per supplier; revenue-desc ordering with
+    suppkey tiebreak."""
+    _plant(
+        spark, tmp_path, "supplier",
+        [(1, "S1"), (2, "S2")],
+        "s_suppkey long, s_name string",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            # supp 1: parts {7, 7, 8} -> 2 distinct; orders {100, 101}
+            (100, 1, 7, 100.0, 0.0),
+            (100, 1, 7, 100.0, 0.0),
+            (101, 1, 8, 100.0, 0.0),
+            # supp 2: one line, revenue 400 -> ranks first
+            (102, 2, 9, 400.0, 0.0),
+        ],
+        "l_orderkey long, l_suppkey long, l_partkey long,"
+        " l_extendedprice double, l_discount double",
+    )
+    rows = QUERIES["supplier_assortment"](spark, str(tmp_path)).collect()
+    got = [
+        (r["s_suppkey"], r["s_name"], r["n_parts"], r["n_orders"],
+         r["revenue"])
+        for r in rows
+    ]
+    assert got == [(2, "S2", 1, 1, 400.0), (1, "S1", 2, 2, 300.0)]
+
+
+def test_part_brand_price_iqr_exact_quartiles(spark, tmp_path):
+    """Four prices 10, 20, 30, 40: thresholds 4*cum >= k*n give
+    p25 = 10, p50 = 20, p75 = 30, iqr = 20."""
+    _plant(
+        spark, tmp_path, "part",
+        [(1, "B1", 10.0), (2, "B1", 20.0), (3, "B1", 30.0),
+         (4, "B1", 40.0), (5, "B2", 7.5)],
+        "p_partkey long, p_brand string, p_retailprice double",
+    )
+    out = {
+        r["p_brand"]: (r["n_parts"], r["p25"], r["p50"], r["p75"], r["iqr"])
+        for r in QUERIES["part_brand_price_iqr"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "B1": (4, 10.0, 20.0, 30.0, 20.0),
+        "B2": (1, 7.5, 7.5, 7.5, 0.0),
+    }
+
+
+def test_events_bot_burst_screen_max_minute(spark, tmp_path):
+    """User 1 fires 3 events in one minute (of 4 total); user 2 is
+    spread out; ordering by burst desc."""
+    rows = [
+        (1, datetime(2024, 6, 1, 10, 5, 1), 1, "view"),
+        (2, datetime(2024, 6, 1, 10, 5, 20), 1, "view"),
+        (3, datetime(2024, 6, 1, 10, 5, 59), 1, "view"),
+        (4, datetime(2024, 6, 1, 11, 0, 0), 1, "view"),
+        (5, datetime(2024, 6, 1, 10, 5, 1), 2, "view"),
+        (6, datetime(2024, 6, 1, 10, 6, 1), 2, "view"),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = [
+        (r["user_id"], r["max_per_minute"], r["n_events"],
+         r["burst_share_pct"])
+        for r in QUERIES["events_bot_burst_screen"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [(1, 3, 4, 75.0), (2, 1, 2, 50.0)]
+
+
+def test_orders_qoq_growth_gap_aware_lag(spark, tmp_path):
+    """QoQ growth joins on quarter_index - 1: Q1->Q2 computes growth,
+    and after a missing Q3 the Q4 row has NULL prev (no silent lag
+    across the gap)."""
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, datetime(1995, 1, 10), 100.0),
+            (2, datetime(1995, 2, 10), 100.0),   # Q1 total 200
+            (3, datetime(1995, 4, 10), 300.0),   # Q2 total 300
+            (4, datetime(1995, 10, 10), 500.0),  # Q4 (Q3 missing)
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    out = {
+        r["quarter"]: (r["n_orders"], r["revenue"], r["prev_revenue"],
+                       r["qoq_pct"])
+        for r in QUERIES["orders_qoq_growth"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "1995-Q1": (2, 200.0, None, None),
+        "1995-Q2": (1, 300.0, 200.0, 50.0),
+        "1995-Q4": (1, 500.0, None, None),
+    }
+
+
+def test_customer_value_quadrants_medians(spark, tmp_path):
+    """Four customers, balances (10, 20, 30, 40), spends (0, 5, 50, 100):
+    median bal = 20, median spend = 5 (strictly-above splits hi);
+    customer 4 has no orders -> spend 0."""
+    _plant(
+        spark, tmp_path, "customer",
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)],
+        "c_custkey long, c_acctbal double",
+    )
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (10, 1, 5.0),
+            (11, 2, 50.0),
+            (12, 3, 100.0),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    out = {
+        r["quadrant"]: (r["n_customers"], r["share_pct"])
+        for r in QUERIES["customer_value_quadrants"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # bal median 20, spend median 5: c1 (10, 5) lo/lo; c2 (20, 50) lo/hi;
+    # c3 (30, 100) hi/hi; c4 (40, 0) hi/lo
+    assert out == {
+        "lo_bal/lo_spend": (1, 25.0),
+        "lo_bal/hi_spend": (1, 25.0),
+        "hi_bal/hi_spend": (1, 25.0),
+        "hi_bal/lo_spend": (1, 25.0),
+    }
+
+
+def test_orders_line_status_consistency_classes(spark, tmp_path):
+    """F with only F lines = consistent; O with a mixed profile =
+    inconsistent; P with a mix = consistent; an order without lines is
+    never consistent."""
+    _plant(
+        spark, tmp_path, "orders",
+        [(1, "F"), (2, "O"), (3, "P"), (4, "F")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, "F"), (1, "F"),        # order 1: all F -> consistent
+            (2, "O"), (2, "F"),        # order 2: mixed under O -> bad
+            (3, "O"), (3, "F"),        # order 3: mixed under P -> ok
+            # order 4: NO lines -> inconsistent
+        ],
+        "l_orderkey long, l_linestatus string",
+    )
+    out = {
+        r["o_orderstatus"]: (r["n_orders"], r["n_consistent"],
+                             r["consistency_pct"])
+        for r in QUERIES["orders_line_status_consistency"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "F": (2, 1, 50.0),
+        "O": (1, 0, 0.0),
+        "P": (1, 1, 100.0),
+    }
+
+
+def test_events_value_ks_exact_sup_distance(spark, tmp_path):
+    """Purchases {1, 2} vs clicks {2, 3}: ECDF gap peaks at 0.5, first
+    reached at value 1.0 (argmax ties break on the smaller value)."""
+    t0 = datetime(2024, 6, 1)
+    rows = [
+        (1, t0, 1, "purchase", 1.0),
+        (2, t0, 1, "purchase", 2.0),
+        (3, t0, 1, "click", 2.0),
+        (4, t0, 1, "click", 3.0),
+        (5, t0, 1, "view", 99.0),  # other types excluded
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    [r] = QUERIES["events_value_ks_test"](spark, str(tmp_path)).collect()
+    assert (r["n_purchase"], r["n_click"], r["ks_stat"],
+            r["ks_at_value"]) == (2, 2, 0.5, 1.0)
+
+
+def test_corpus_source_token_hhi_two_sources(spark, tmp_path):
+    """Token totals A=3, B=1: HHI = (9+1)/16 = 0.625, effective
+    sources = 1.6."""
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, "x y z", "A"), (2, "w", "B")],
+        "doc_id long, text string, source string",
+    )
+    [r] = QUERIES["corpus_source_token_hhi"](spark, str(tmp_path)).collect()
+    assert (r["n_sources"], r["total_tokens"], r["hhi"],
+            r["effective_sources"]) == (2, 4, 0.625, 1.6)
+
+
+def test_events_hour_entropy_uniform_two_bins(spark, tmp_path):
+    """Two equal hour bins give H = ln 2 (replicated with the same 1e-9
+    log quantization the query uses)."""
+    import math
+
+    rows = [
+        (1, datetime(2024, 6, 1, 10, 0), 1, "view"),
+        (2, datetime(2024, 6, 1, 10, 30), 1, "view"),
+        (3, datetime(2024, 6, 1, 11, 0), 1, "view"),
+        (4, datetime(2024, 6, 1, 11, 30), 1, "view"),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    [r] = QUERIES["events_hour_entropy_by_type"](
+        spark, str(tmp_path)
+    ).collect()
+    lnq2 = round(math.log(2.0) * 1e9)
+    expected = math.log(4.0) - (4 * lnq2) / 1e9 / 4.0
+    assert (r["event_type"], r["n_events"], r["n_active_hours"]) == (
+        "view", 4, 2
+    )
+    assert r["entropy_nats"] == round(expected, 6)
+    assert r["entropy_norm"] == round(expected / math.log(24.0), 6)
+
+
+def test_events_weekly_retention_triangle_cohorts(spark, tmp_path):
+    """Users 1,2 first seen in week W (1970-01-01 is day 0, so Jan 1-7
+    1970-anchored weeks); user 1 returns in W+1; user 3 starts in W+1.
+    Retention: W cohort size 2, 50% at offset 1."""
+    rows = [
+        (1, datetime(2024, 6, 3), 1, "view"),    # week A
+        (2, datetime(2024, 6, 4), 2, "view"),    # week A
+        (3, datetime(2024, 6, 10), 1, "view"),   # week A+1 (user 1 back)
+        (4, datetime(2024, 6, 11), 3, "view"),   # week A+1 (new cohort)
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r["cohort_week"], r["week_offset"]):
+            (r["n_active"], r["cohort_size"], r["retention_pct"])
+        for r in QUERIES["events_weekly_retention_triangle"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # 2024-06-03 is a Monday; epoch-day//7 week containing it starts
+    # 2024-05-30 (Thursday-anchored weeks from 1970-01-01)
+    weeks = sorted({k[0] for k in out})
+    assert len(weeks) == 2
+    wa, wb = weeks
+    assert out[(wa, 0)] == (2, 2, 100.0)
+    assert out[(wa, 1)] == (1, 2, 50.0)
+    assert out[(wb, 0)] == (1, 1, 100.0)
+
+
+def test_doc_embedding_coverage_missing_vectors(spark, tmp_path):
+    """Source A: 2 of 3 docs embedded; source B: none."""
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B")],
+        "doc_id long, source string",
+    )
+    _plant(
+        spark, tmp_path, "embeddings",
+        [(1, [1.0], 0), (2, [1.0], 0), (99, [1.0], 0)],  # 99 is an orphan
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r["source"]: (r["n_docs"], r["n_with_vec"], r["coverage_pct"])
+        for r in QUERIES["doc_embedding_coverage"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "A": (3, 2, round(200 / 3, 6)),
+        "B": (1, 0, 0.0),
+    }
+
+
+def test_orders_basket_size_profile_means(spark, tmp_path):
+    """Baskets of size 1 (orders 1, 2: values 10, 30 -> avg 20) and
+    size 2 (order 3: value 100)."""
+    _plant(
+        spark, tmp_path, "orders",
+        [(1, 10.0), (2, 30.0), (3, 100.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [(1,), (2,), (3,), (3,)],
+        "l_orderkey long",
+    )
+    out = {
+        r["basket_size"]: (r["n_orders"], r["avg_order_value"],
+                           r["total_value"])
+        for r in QUERIES["orders_basket_size_profile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        1: (2, 20.0, 40.0),
+        2: (1, 100.0, 100.0),
+    }
+
+
 def test_oracle_gate_sort_key_negative_zero_and_tiebreak():
     """_row_sort_key must (a) give -0.0 and 0.0 the same key so a
     -1e-10 vs +1e-10 engine disagreement can't flip row order, and
