@@ -13421,6 +13421,782 @@ FROM j GROUP BY 1
 """
 
 
+def q_lineitem_price_qty_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-log demand curve across parts: OLS slope of ln(total
+    quantity) on ln(average unit price) — the price-elasticity read.
+    Per-part sums are exact integers (cents, centi-units); the two logs
+    are taken once per part and quantized to 1e-9 before the six OLS
+    sums (DECIMAL — squared log-quanta overflow int64), so the global
+    reduction is partition-order-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    per = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("__pc"),
+        F.sum(
+            F.round(F.col("l_quantity") * 100, 0).cast("long")
+        ).alias("__qc"),
+    )
+    xi = F.round(
+        F.log(F.col("__pc").cast("double") / F.col("__qc").cast("double"))
+        * 1e9,
+        0,
+    ).cast("long")
+    yi = F.round(
+        F.log(F.col("__qc").cast("double") / 100.0) * 1e9, 0
+    ).cast("long")
+    dec = "decimal(38,0)"
+    pts = per.select(xi.alias("__x"), yi.alias("__y"))
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__y").cast(dec)).alias("__sxy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__x").cast(dec)).alias("__sxx"),
+        F.sum(F.col("__y").cast(dec) * F.col("__y").cast(dec)).alias("__syy"),
+    )
+    n = F.col("n_parts").cast("double")
+    sx = F.col("__sx").cast("double") / 1e9
+    sy = F.col("__sy").cast("double") / 1e9
+    sxy = F.col("__sxy").cast("double") / 1e18
+    sxx = F.col("__sxx").cast("double") / 1e18
+    syy = F.col("__syy").cast("double") / 1e18
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return agg.filter(F.col("n_parts") > 1).select(
+        "n_parts",
+        F.round(cov / vx, 6).alias("elasticity"),
+        F.round((sy - (cov / vx) * sx) / n, 6).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"),
+    )
+
+
+ORACLE_LINEITEM_PRICE_QTY_ELASTICITY = """
+WITH per AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pc,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qc
+  FROM lineitem WHERE l_quantity > 0 GROUP BY 1),
+pts AS (
+  SELECT CAST(round(ln(CAST(pc AS DOUBLE) / CAST(qc AS DOUBLE)) * 1e9)
+              AS BIGINT) AS x,
+         CAST(round(ln(CAST(qc AS DOUBLE) / 100.0) * 1e9) AS BIGINT) AS y
+  FROM per),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts)
+SELECT n AS n_parts,
+       round((n * (CAST(sxy AS DOUBLE) / 1e18)
+              - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+             / (n * (CAST(sxx AS DOUBLE) / 1e18)
+                - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)),
+             6) AS elasticity,
+       round(((CAST(sy AS DOUBLE) / 1e9)
+              - ((n * (CAST(sxy AS DOUBLE) / 1e18)
+                  - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+                 / (n * (CAST(sxx AS DOUBLE) / 1e18)
+                    - (CAST(sx AS DOUBLE) / 1e9)
+                      * (CAST(sx AS DOUBLE) / 1e9)))
+                * (CAST(sx AS DOUBLE) / 1e9)) / n, 6) AS intercept,
+       round(((n * (CAST(sxy AS DOUBLE) / 1e18)
+               - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+              * (n * (CAST(sxy AS DOUBLE) / 1e18)
+                 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9)))
+             / ((n * (CAST(sxx AS DOUBLE) / 1e18)
+                 - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+                * (n * (CAST(syy AS DOUBLE) / 1e18)
+                   - (CAST(sy AS DOUBLE) / 1e9)
+                     * (CAST(sy AS DOUBLE) / 1e9))), 6) AS r2
+FROM a WHERE n > 1
+"""
+
+
+def q_nation_revenue_rank_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Year-over-year movement in the national revenue league table
+    (customer nation, order revenue): rank per year plus the delta vs
+    the previous year — 'who is gaining'. Ranks come from a window
+    partitioned BY YEAR over the |years| x |nations| rollup; the
+    year-over-year join is on exact (year-1, nation) keys."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("__c"),
+    )
+    j = (
+        orders.join(
+            F.broadcast(
+                cust.join(
+                    F.broadcast(nation),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                ).select("c_custkey", "n_name")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    per = j.groupBy("o_year", "n_name").agg(
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__s")
+    )
+    w = Window.partitionBy("o_year").orderBy(
+        F.desc("__s"), F.asc("n_name")
+    )
+    ranked = per.withColumn("rank", F.row_number().over(w).cast("long"))
+    prev = ranked.select(
+        (F.col("o_year") + 1).alias("o_year"),
+        "n_name",
+        F.col("rank").alias("prev_rank"),
+    )
+    out = ranked.join(prev, ["o_year", "n_name"], "left")
+    return out.select(
+        "o_year",
+        "n_name",
+        "rank",
+        "prev_rank",
+        (F.col("prev_rank") - F.col("rank")).cast("long").alias("rank_gain"),
+        (F.col("__s").cast("double") / 100.0).alias("revenue"),
+    )
+
+
+ORACLE_NATION_REVENUE_RANK_SHIFT = """
+WITH per AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, n.n_name,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT o_year, n_name,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_year
+                                 ORDER BY s DESC, n_name ASC) AS BIGINT)
+           AS rank,
+         s
+  FROM per)
+SELECT cur.o_year, cur.n_name, cur.rank, prev.rank AS prev_rank,
+       CAST(prev.rank - cur.rank AS BIGINT) AS rank_gain,
+       CAST(cur.s AS DOUBLE) / 100.0 AS revenue
+FROM ranked cur
+LEFT JOIN ranked prev
+  ON prev.o_year = cur.o_year - 1 AND prev.n_name = cur.n_name
+"""
+
+
+def q_customer_concentration_by_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue dependence on the top-10 customers, per year — the 'key
+    account risk' trendline. Per-(year, customer) cents roll up once;
+    the top-10 cut is a window partitioned BY YEAR; totals join back on
+    the year key (|years| rows, no cross join)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("__c"),
+    )
+    dec = "decimal(38,0)"
+    per = orders.groupBy("o_year", "o_custkey").agg(
+        F.sum(F.col("__c").cast(dec)).alias("__s")
+    )
+    w = Window.partitionBy("o_year").orderBy(
+        F.desc("__s"), F.asc("o_custkey")
+    )
+    top10 = (
+        per.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 10)
+        .groupBy("o_year")
+        .agg(F.sum("__s").alias("__t10"))
+    )
+    tot = per.groupBy("o_year").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.sum("__s").alias("__t"),
+    )
+    return tot.join(top10, "o_year").select(
+        "o_year",
+        "n_customers",
+        (F.col("__t10").cast("double") / 100.0).alias("top10_revenue"),
+        (F.col("__t").cast("double") / 100.0).alias("total_revenue"),
+        F.round(
+            F.col("__t10").cast("double") * 100.0
+            / F.col("__t").cast("double"),
+            6,
+        ).alias("top10_share_pct"),
+    )
+
+
+ORACLE_CUSTOMER_CONCENTRATION_BY_YEAR = """
+WITH per AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders GROUP BY 1, 2),
+t10 AS (
+  SELECT o_year, SUM(s) AS t10
+  FROM (SELECT o_year, s,
+               ROW_NUMBER() OVER (PARTITION BY o_year
+                                  ORDER BY s DESC, o_custkey ASC) AS rk
+        FROM per)
+  WHERE rk <= 10 GROUP BY 1),
+tot AS (
+  SELECT o_year, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         SUM(s) AS t
+  FROM per GROUP BY 1)
+SELECT tot.o_year, n_customers,
+       CAST(t10 AS DOUBLE) / 100.0 AS top10_revenue,
+       CAST(t AS DOUBLE) / 100.0 AS total_revenue,
+       round(CAST(t10 AS DOUBLE) * 100.0 / CAST(t AS DOUBLE), 6)
+         AS top10_share_pct
+FROM tot JOIN t10 USING (o_year)
+"""
+
+
+def q_events_type_trigrams_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 behavioral trigrams (three consecutive event types per
+    user stream) — the sequence-mining step past the Markov bigram
+    matrix. lead() windows are partitioned BY USER (each partition is
+    one user's stream); the trigram rollup is |types|³-bounded; ties
+    break lexically."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("__t1"),
+            F.lead("event_type", 1).over(w).alias("__t2"),
+            F.lead("event_type", 2).over(w).alias("__t3"),
+        )
+        .filter(F.col("__t2").isNotNull() & F.col("__t3").isNotNull())
+        .select(
+            F.concat_ws(">", "__t1", "__t2", "__t3").alias("trigram")
+        )
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(10)
+    )
+
+
+ORACLE_EVENTS_TYPE_TRIGRAMS_TOPK = """
+WITH s AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events)
+SELECT t1 || '>' || t2 || '>' || t3 AS trigram,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 10
+"""
+
+
+def q_lineitem_return_rate_by_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Return rate per discount percentage point with relative risk
+    against the overall rate — 'do discounted items come back more'.
+    |bands|-bounded rollup from one fact scan; the base rate is a
+    ONE-ROW attach; everything up to the final ratios is exact
+    integers."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias(
+            "discount_pct"
+        ),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("__r"),
+    )
+    per = li.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__r").cast("long").alias("n_returns"),
+    )
+    tot = li.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__r").cast("long").alias("__r_tot"),
+    )
+    rate = F.col("n_returns").cast("double") / F.col("n_items").cast("double")
+    base = F.col("__r_tot").cast("double") / F.col("__n").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "discount_pct",
+        "n_items",
+        "n_returns",
+        F.round(rate * 100.0, 6).alias("return_pct"),
+        F.round(rate / base, 6).alias("relative_risk"),
+    )
+
+
+ORACLE_LINEITEM_RETURN_RATE_BY_DISCOUNT = """
+WITH li AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem),
+per AS (
+  SELECT discount_pct, CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(r) AS BIGINT) AS n_returns
+  FROM li GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS rt FROM li)
+SELECT discount_pct, n_items, n_returns,
+       round(CAST(n_returns AS DOUBLE) / CAST(n_items AS DOUBLE)
+             * 100.0, 6) AS return_pct,
+       round((CAST(n_returns AS DOUBLE) / CAST(n_items AS DOUBLE))
+             / (CAST(rt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS relative_risk
+FROM per CROSS JOIN tot
+"""
+
+
+def q_doc_ingestion_drift_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus drift across ingestion order: documents bucketed into ten
+    doc_id-range deciles, with mean token count and mean quality score
+    per decile — the monitor that catches a scraper change or source
+    mix shift mid-ingest. The id range is a ONE-ROW attach; both means
+    are exact integer sums (tokens, 1e-6-quantized quality) divided at
+    the end."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.size(X.tokens(F.lower(F.col("text")))).cast("long").alias("__nt"),
+        F.round(X.quality_score("text") * 1e6, 0).cast("long").alias("__q"),
+    )
+    rng = docs.agg(
+        F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
+    )
+    dec = "decimal(38,0)"
+    bucketed = docs.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("doc_id") - F.col("__lo")) * 10
+                / (F.col("__hi") - F.col("__lo") + 1)
+            ),
+        ).cast("long").alias("decile"),
+        "__nt", "__q",
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("__nt").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_tokens"),
+        F.round(
+            F.sum(F.col("__q").cast(dec)).cast("double") / 1e6
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_quality"),
+    )
+
+
+def _oracle_doc_ingestion_drift_deciles_sql() -> str:
+    # same 1e-6 quality quantization and double-division decile bucket
+    # expression as the Spark side
+    return f"""
+WITH {_ORACLE_Q6_CTES},
+q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS nt,
+             CAST(round({_ORACLE_Q_RAW_EXPR} * 1e6) AS BIGINT) AS qi
+      FROM m),
+rng AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM q),
+b AS (
+  SELECT least(9, CAST(floor((doc_id - lo) * 10.0 / (hi - lo + 1))
+                       AS BIGINT)) AS decile,
+         nt, qi
+  FROM q CROSS JOIN rng)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+       round(CAST(SUM(qi) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean_quality
+FROM b GROUP BY 1
+"""
+
+
+def q_supplier_customer_repeat_affinity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat trading relationships: (supplier, customer) pairs doing
+    business across 2+ DISTINCT orders, top-15 by order count — the
+    relationship-mining read. The fact side pre-distincts to (order,
+    supplier) before touching orders, so the join carries no line-level
+    fanout; the pair rollup is bounded by active relationships."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    pairs = li.join(orders, "l_orderkey").groupBy(
+        "l_suppkey", "o_custkey"
+    ).agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    return (
+        pairs.filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), F.asc("l_suppkey"), F.asc("o_custkey"))
+        .limit(15)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("o_custkey").alias("c_custkey"),
+            "n_orders",
+        )
+    )
+
+
+ORACLE_SUPPLIER_CUSTOMER_REPEAT_AFFINITY = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT li.l_suppkey AS s_suppkey, o.o_custkey AS c_custkey,
+         CAST(COUNT(DISTINCT li.l_orderkey) AS BIGINT) AS n_orders
+  FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+  GROUP BY 1, 2)
+SELECT s_suppkey, c_custkey, n_orders
+FROM pairs WHERE n_orders >= 2
+ORDER BY n_orders DESC, s_suppkey ASC, c_custkey ASC
+LIMIT 15
+"""
+
+
+def q_customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 spend-class migration matrix: customers classed hi/lo
+    against the median spender of each HALF of the order timeline,
+    counted over customers active in BOTH halves — 'are my big spenders
+    staying big'. The timeline midpoint and the two per-half medians are
+    ONE-ROW attaches; medians come from cents-histogram prefix sums
+    (integer 2*cum >= n thresholds)."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("__c"),
+    )
+    span = orders.agg(
+        F.min("o_orderdate").alias("__lo"), F.max("o_orderdate").alias("__hi")
+    )
+    halved = orders.crossJoin(F.broadcast(span)).select(
+        "o_custkey", "__c",
+        F.when(
+            F.unix_timestamp("o_orderdate") * 2
+            <= F.unix_timestamp("__lo") + F.unix_timestamp("__hi"),
+            F.lit(1),
+        ).otherwise(F.lit(2)).alias("__half"),
+    )
+    per = halved.groupBy("o_custkey", "__half").agg(
+        F.sum("__c").cast("long").alias("__sp")
+    )
+
+    def _median(half: int):
+        hist = per.filter(F.col("__half") == half).groupBy(
+            F.col("__sp").alias("__k")
+        ).agg(F.count(F.lit(1)).alias("__f"))
+        h = _exclusive_prefix(hist, "__k", "__f", "__cum")
+        tot = hist.agg(F.sum("__f").alias("__n"))
+        return (
+            h.crossJoin(F.broadcast(tot))
+            .filter(2 * (F.col("__cum") + F.col("__f")) >= F.col("__n"))
+            .agg(F.min("__k").alias(f"__m{half}"))
+        )
+
+    h1 = per.filter(F.col("__half") == 1).select(
+        "o_custkey", F.col("__sp").alias("__s1")
+    )
+    h2 = per.filter(F.col("__half") == 2).select(
+        "o_custkey", F.col("__sp").alias("__s2")
+    )
+    both = (
+        h1.join(h2, "o_custkey")
+        .crossJoin(F.broadcast(_median(1)))
+        .crossJoin(F.broadcast(_median(2)))
+        .select(
+            F.when(F.col("__s1") > F.col("__m1"), F.lit("hi"))
+            .otherwise(F.lit("lo")).alias("from_class"),
+            F.when(F.col("__s2") > F.col("__m2"), F.lit("hi"))
+            .otherwise(F.lit("lo")).alias("to_class"),
+        )
+    )
+    mat = both.groupBy("from_class", "to_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    tot = both.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return mat.crossJoin(F.broadcast(tot)).select(
+        "from_class", "to_class", "n_customers",
+        F.round(
+            F.col("n_customers").cast("double") * 100.0
+            / F.col("__n").cast("double"),
+            6,
+        ).alias("share_pct"),
+    )
+
+
+ORACLE_CUSTOMER_SPEND_MIGRATION = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders),
+span AS (SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM o),
+halved AS (
+  SELECT o_custkey, c,
+         CASE WHEN CAST(floor(epoch(o_orderdate)) AS BIGINT) * 2
+                   <= CAST(floor(epoch(lo)) AS BIGINT)
+                      + CAST(floor(epoch(hi)) AS BIGINT)
+              THEN 1 ELSE 2 END AS half
+  FROM o CROSS JOIN span),
+per AS (SELECT o_custkey, half, SUM(c) AS sp FROM halved GROUP BY 1, 2),
+m1 AS (
+  SELECT MIN(k) AS m FROM (
+    SELECT sp AS k,
+           SUM(COUNT(*)) OVER (ORDER BY sp ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(COUNT(*)) OVER () AS n
+    FROM per WHERE half = 1 GROUP BY sp)
+  WHERE 2 * cum >= n),
+m2 AS (
+  SELECT MIN(k) AS m FROM (
+    SELECT sp AS k,
+           SUM(COUNT(*)) OVER (ORDER BY sp ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(COUNT(*)) OVER () AS n
+    FROM per WHERE half = 2 GROUP BY sp)
+  WHERE 2 * cum >= n),
+both_ AS (
+  SELECT CASE WHEN a.sp > m1.m THEN 'hi' ELSE 'lo' END AS from_class,
+         CASE WHEN b.sp > m2.m THEN 'hi' ELSE 'lo' END AS to_class
+  FROM per a
+  JOIN per b ON b.o_custkey = a.o_custkey AND b.half = 2
+  CROSS JOIN m1 CROSS JOIN m2
+  WHERE a.half = 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM both_)
+SELECT from_class, to_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(COUNT(*) AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 6)
+         AS share_pct
+FROM both_ CROSS JOIN tot GROUP BY from_class, to_class, n
+"""
+
+
+def q_orders_fulfillment_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-shipment economics: per order priority, how long the ship
+    window runs (max - min lineitem shipdate, in days), the share of
+    multi-day orders, and the worst case. Per-order spans aggregate
+    once on orderkey; the rollup is |priorities|-bounded; means are
+    exact integer day-sums."""
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(
+        F.datediff(
+            F.max(F.to_date("l_shipdate")), F.min(F.to_date("l_shipdate"))
+        ).cast("long").alias("__span")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = orders.join(li, "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.sum("__span").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_span_days"),
+        F.round(
+            F.sum(F.when(F.col("__span") >= 1, 1).otherwise(0))
+            .cast("double") * 100.0
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("multi_day_pct"),
+        F.max("__span").cast("long").alias("max_span_days"),
+    )
+
+
+ORACLE_ORDERS_FULFILLMENT_SPAN = """
+WITH li AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(date_diff('day', MIN(CAST(l_shipdate AS DATE)),
+                        MAX(CAST(l_shipdate AS DATE))) AS BIGINT) AS span
+  FROM lineitem GROUP BY 1)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(span) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_span_days,
+       round(CAST(SUM(CASE WHEN span >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             * 100.0 / CAST(COUNT(*) AS DOUBLE), 6) AS multi_day_pct,
+       CAST(MAX(span) AS BIGINT) AS max_span_days
+FROM orders o JOIN li USING (o_orderkey)
+GROUP BY 1
+"""
+
+
+def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sample (Duffield-Lund-Thorup):
+    each doc gets priority w/u with w = token count and u a
+    md5-derived uniform in (0, 1] — the top-20 by priority is a
+    size-biased sample that is REPRODUCIBLE across runs and engines (no
+    RNG state), the right shape for audit-grade corpus sampling at any
+    scale: one map pass + TakeOrdered, no shuffle of the corpus."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    w = F.size(X.tokens(F.lower(F.col("text")))).cast("long")
+    u_long = D._md5_long(F.col("doc_id").cast("string"), 77)
+    base = docs.select(
+        "doc_id",
+        w.alias("n_tokens"),
+        (
+            w.cast("double")
+            / ((u_long.cast("double") + 1.0) / F.lit(2.0 ** 60))
+        ).alias("__p"),
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        base.orderBy(F.desc("__p"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_tokens", F.round("__p", 6).alias("priority"))
+    )
+
+
+def _oracle_doc_priority_sample_sql() -> str:
+    u = _dd_md5_long("concat('77:', CAST(doc_id AS VARCHAR))")
+    toks = _DD_TOKENS.format(c="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(len({toks}) AS DOUBLE)
+           / ((CAST({u} AS DOUBLE) + 1.0) / 1152921504606846976.0) AS p
+  FROM documents)
+SELECT doc_id, n_tokens, round(p, 6) AS priority
+FROM base WHERE n_tokens > 0
+ORDER BY p DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def q_events_value_equidepth_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-depth (decile) histogram boundaries for the event value
+    column — the optimizer-statistics artifact behind selectivity
+    estimates and AQP stratification. Boundaries come off the cents
+    VALUE HISTOGRAM with bounded-fan-in prefix sums and integer
+    thresholds (10*cum >= b*n) — never a full sort, never a float
+    rank; the 10 bucket ids attach as a tiny broadcast."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hist = ev.groupBy(
+        F.round(F.col("value") * 100, 0).cast("long").alias("__k")
+    ).agg(F.count(F.lit(1)).alias("__f"))
+    h = _exclusive_prefix(hist, "__k", "__f", "__cum")
+    tot = hist.agg(F.sum("__f").alias("__n"))
+    bs = spark.createDataFrame(
+        [(b,) for b in range(1, 11)], "decile int"
+    ).select(F.col("decile").cast("long").alias("decile"))
+    j = (
+        h.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bs))
+        .filter(
+            10 * (F.col("__cum") + F.col("__f"))
+            >= F.col("decile") * F.col("__n")
+        )
+    )
+    return j.groupBy("decile").agg(
+        (F.min("__k").cast("double") / 100.0).alias("upper_value")
+    )
+
+
+ORACLE_EVENTS_VALUE_EQUIDEPTH_HIST = """
+WITH h AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS k, COUNT(*) AS f
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT k, SUM(f) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cu
+  FROM h),
+tot AS (SELECT SUM(f) AS n FROM h),
+bs AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS decile)
+SELECT decile, CAST(MIN(k) AS DOUBLE) / 100.0 AS upper_value
+FROM cum CROSS JOIN tot CROSS JOIN bs
+WHERE 10 * cu >= decile * n
+GROUP BY 1
+"""
+
+
+def q_corpus_df_truncation_impact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-pruning planner: what a document-frequency floor of 1/2/5
+    would delete from the inverted index — vocabulary terms and postings
+    removed, as shares. Everything runs on the (df -> term count)
+    HISTOGRAM (bounded by distinct df levels); the three thresholds and
+    the totals attach as tiny broadcasts."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
+    ).distinct()
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    hist = vocab.groupBy("__df").agg(
+        F.count(F.lit(1)).cast("long").alias("__nt")
+    )
+    dec = "decimal(38,0)"
+    tot = hist.agg(
+        F.sum(F.col("__nt").cast(dec)).alias("__t_tokens"),
+        F.sum((F.col("__df") * F.col("__nt")).cast(dec)).alias("__t_post"),
+    )
+    ts = spark.createDataFrame(
+        [(1,), (2,), (5,)], "threshold int"
+    ).select(F.col("threshold").cast("long").alias("threshold"))
+    j = hist.crossJoin(F.broadcast(ts)).filter(
+        F.col("__df") <= F.col("threshold")
+    )
+    per = j.groupBy("threshold").agg(
+        F.sum(F.col("__nt").cast(dec)).alias("__r_tokens"),
+        F.sum((F.col("__df") * F.col("__nt")).cast(dec)).alias("__r_post"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        F.col("__r_tokens").cast("long").alias("n_tokens_removed"),
+        F.col("__r_post").cast("long").alias("n_postings_removed"),
+        F.round(
+            F.col("__r_tokens").cast("double") * 100.0
+            / F.col("__t_tokens").cast("double"),
+            6,
+        ).alias("token_share_pct"),
+        F.round(
+            F.col("__r_post").cast("double") * 100.0
+            / F.col("__t_post").cast("double"),
+            6,
+        ).alias("postings_share_pct"),
+    )
+
+
+ORACLE_CORPUS_DF_TRUNCATION_IMPACT = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS token
+    FROM documents)),
+vocab AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY 1),
+hist AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS nt FROM vocab GROUP BY 1),
+tot AS (SELECT SUM(nt) AS tt, SUM(df * nt) AS tp FROM hist),
+ts AS (SELECT CAST(unnest([1, 2, 5]) AS BIGINT) AS threshold),
+per AS (
+  SELECT threshold, SUM(nt) AS rt, SUM(df * nt) AS rp
+  FROM hist CROSS JOIN ts WHERE df <= threshold
+  GROUP BY 1)
+SELECT threshold,
+       CAST(rt AS BIGINT) AS n_tokens_removed,
+       CAST(rp AS BIGINT) AS n_postings_removed,
+       round(CAST(rt AS DOUBLE) * 100.0 / CAST(tt AS DOUBLE), 6)
+         AS token_share_pct,
+       round(CAST(rp AS DOUBLE) * 100.0 / CAST(tp AS DOUBLE), 6)
+         AS postings_share_pct
+FROM per CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -13659,6 +14435,18 @@ QUERIES: dict[str, QueryFn] = {
     "events_weekly_retention_triangle": q_events_weekly_retention_triangle,
     "doc_embedding_coverage": q_doc_embedding_coverage,
     "orders_basket_size_profile": q_orders_basket_size_profile,
+    "lineitem_price_qty_elasticity": q_lineitem_price_qty_elasticity,
+    "nation_revenue_rank_shift": q_nation_revenue_rank_shift,
+    "customer_concentration_by_year": q_customer_concentration_by_year,
+    "events_type_trigrams_topk": q_events_type_trigrams_topk,
+    "lineitem_return_rate_by_discount": q_lineitem_return_rate_by_discount,
+    "doc_ingestion_drift_deciles": q_doc_ingestion_drift_deciles,
+    "supplier_customer_repeat_affinity": q_supplier_customer_repeat_affinity,
+    "customer_spend_migration": q_customer_spend_migration,
+    "orders_fulfillment_span": q_orders_fulfillment_span,
+    "doc_priority_sample": q_doc_priority_sample,
+    "events_value_equidepth_hist": q_events_value_equidepth_hist,
+    "corpus_df_truncation_impact": q_corpus_df_truncation_impact,
 }
 
 
@@ -13906,4 +14694,21 @@ def oracles() -> dict[str, str]:
             ORACLE_EVENTS_WEEKLY_RETENTION_TRIANGLE,
         "doc_embedding_coverage": ORACLE_DOC_EMBEDDING_COVERAGE,
         "orders_basket_size_profile": ORACLE_ORDERS_BASKET_SIZE_PROFILE,
+        "lineitem_price_qty_elasticity":
+            ORACLE_LINEITEM_PRICE_QTY_ELASTICITY,
+        "nation_revenue_rank_shift": ORACLE_NATION_REVENUE_RANK_SHIFT,
+        "customer_concentration_by_year":
+            ORACLE_CUSTOMER_CONCENTRATION_BY_YEAR,
+        "events_type_trigrams_topk": ORACLE_EVENTS_TYPE_TRIGRAMS_TOPK,
+        "lineitem_return_rate_by_discount":
+            ORACLE_LINEITEM_RETURN_RATE_BY_DISCOUNT,
+        "doc_ingestion_drift_deciles":
+            _oracle_doc_ingestion_drift_deciles_sql(),
+        "supplier_customer_repeat_affinity":
+            ORACLE_SUPPLIER_CUSTOMER_REPEAT_AFFINITY,
+        "customer_spend_migration": ORACLE_CUSTOMER_SPEND_MIGRATION,
+        "orders_fulfillment_span": ORACLE_ORDERS_FULFILLMENT_SPAN,
+        "doc_priority_sample": _oracle_doc_priority_sample_sql(),
+        "events_value_equidepth_hist": ORACLE_EVENTS_VALUE_EQUIDEPTH_HIST,
+        "corpus_df_truncation_impact": ORACLE_CORPUS_DF_TRUNCATION_IMPACT,
     }

@@ -69,6 +69,11 @@ _ALLOWED_CROSS = {
     "customer_value_quadrants",  # broadcast ONE-ROW median/total attaches
     "events_value_ks_test",  # broadcast ONE-ROW totals attach
     "corpus_source_token_hhi",  # broadcast ONE-ROW total attach
+    "lineitem_return_rate_by_discount",  # broadcast ONE-ROW base-rate attach
+    "doc_ingestion_drift_deciles",  # broadcast ONE-ROW id-range attach
+    "customer_spend_migration",  # broadcast ONE-ROW midpoint/median attaches
+    "events_value_equidepth_hist",  # broadcast ONE-ROW total + 10-ROW deciles
+    "corpus_df_truncation_impact",  # broadcast ONE-ROW totals + 3-ROW sweep
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach
     "corpus_split_half_jsd",  # 2×|vocab| grid — dimension-bounded
     "doc_token_length_profile",  # broadcast ONE-ROW total attach

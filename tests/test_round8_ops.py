@@ -868,6 +868,290 @@ def test_orders_basket_size_profile_means(spark, tmp_path):
     }
 
 
+def test_lineitem_price_qty_elasticity_perfect_line(spark, tmp_path):
+    """Two parts on an exact log-log line with slope -2 (unit price 1 ->
+    qty 100; unit price 10 -> qty 1): elasticity -2, r2 = 1, intercept
+    ln(100)."""
+    import math
+
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, 100.0, 100.0),  # unit price 1
+            (2, 1.0, 10.0),     # unit price 10
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    [r] = QUERIES["lineitem_price_qty_elasticity"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["n_parts"], r["elasticity"], r["r2"]) == (2, -2.0, 1.0)
+    assert r["intercept"] == round(math.log(100.0), 6)
+
+
+def test_nation_revenue_rank_shift_swap(spark, tmp_path):
+    """A and B swap the #1 spot between 1995 and 1996: rank_gain +1 for
+    the climber, -1 for the faller, NULL prev in the first year."""
+    _plant(spark, tmp_path, "nation",
+           [(1, "A"), (2, "B")], "n_nationkey int, n_name string")
+    _plant(spark, tmp_path, "customer",
+           [(10, 1), (20, 2)], "c_custkey long, c_nationkey int")
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, 10, datetime(1995, 3, 1), 200.0),
+            (2, 20, datetime(1995, 3, 1), 100.0),
+            (3, 10, datetime(1996, 3, 1), 100.0),
+            (4, 20, datetime(1996, 3, 1), 200.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    out = {
+        (r["o_year"], r["n_name"]): (r["rank"], r["prev_rank"],
+                                     r["rank_gain"], r["revenue"])
+        for r in QUERIES["nation_revenue_rank_shift"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        (1995, "A"): (1, None, None, 200.0),
+        (1995, "B"): (2, None, None, 100.0),
+        (1996, "A"): (2, 1, -1, 100.0),
+        (1996, "B"): (1, 2, 1, 200.0),
+    }
+
+
+def test_customer_concentration_by_year_top10_cut(spark, tmp_path):
+    """12 customers: eleven worth 1.0 and one whale worth 100 -> top-10
+    revenue = 100 + 9*1 = 109 of 111."""
+    rows = [
+        (i, i, datetime(1995, 3, 1), 1.0) for i in range(1, 12)
+    ] + [(12, 12, datetime(1995, 3, 1), 100.0)]
+    _plant(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    [r] = QUERIES["customer_concentration_by_year"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["o_year"], r["n_customers"], r["top10_revenue"],
+            r["total_revenue"]) == (1995, 12, 109.0, 111.0)
+    assert r["top10_share_pct"] == round(109 / 111 * 100, 6)
+
+
+def test_events_type_trigrams_topk_user_streams(spark, tmp_path):
+    """Trigrams never cross user boundaries: user 1's stream
+    v>c>p, c>p>v; user 2's two events yield none."""
+    rows = [
+        (1, datetime(2024, 6, 1, 10, 0), 1, "view"),
+        (2, datetime(2024, 6, 1, 10, 1), 1, "click"),
+        (3, datetime(2024, 6, 1, 10, 2), 1, "purchase"),
+        (4, datetime(2024, 6, 1, 10, 3), 1, "view"),
+        (5, datetime(2024, 6, 1, 10, 0), 2, "view"),
+        (6, datetime(2024, 6, 1, 10, 1), 2, "click"),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["trigram"]: r["n"]
+        for r in QUERIES["events_type_trigrams_topk"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {"view>click>purchase": 1, "click>purchase>view": 1}
+
+
+def test_lineitem_return_rate_by_discount_relative_risk(spark, tmp_path):
+    """Band 0%: 1 of 2 returned; band 10%: 1 of 1; base rate 2/3 ->
+    relative risks 0.75 and 1.5."""
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, 0.0, "R"), (2, 0.0, "N"),
+            (3, 0.10, "R"),
+        ],
+        "l_orderkey long, l_discount double, l_returnflag string",
+    )
+    out = {
+        r["discount_pct"]: (r["n_items"], r["n_returns"], r["return_pct"],
+                            r["relative_risk"])
+        for r in QUERIES["lineitem_return_rate_by_discount"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        0: (2, 1, 50.0, 0.75),
+        10: (1, 1, 100.0, 1.5),
+    }
+
+
+def test_doc_ingestion_drift_deciles_buckets(spark, tmp_path):
+    """Ids 0..9 with 10 buckets: one doc per decile; token counts 1..10
+    so mean_tokens per decile equals the planted count."""
+    rows = [(i, "tok " * (i + 1)) for i in range(10)]
+    _plant(
+        spark, tmp_path, "documents",
+        [(i, t.strip()) for i, t in rows],
+        "doc_id long, text string",
+    )
+    out = {
+        r["decile"]: (r["n_docs"], r["mean_tokens"])
+        for r in QUERIES["doc_ingestion_drift_deciles"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {i: (1, float(i + 1)) for i in range(10)}
+
+
+def test_supplier_customer_repeat_affinity_threshold(spark, tmp_path):
+    """(supp 1, cust 10) trades in 2 distinct orders -> kept; multiple
+    lines inside one order count once; single-order pairs drop."""
+    _plant(
+        spark, tmp_path, "orders",
+        [(100, 10), (101, 10), (102, 20)],
+        "o_orderkey long, o_custkey long",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (100, 1), (100, 1),  # same order: one distinct
+            (101, 1),
+            (102, 1),            # cust 20: only one order -> dropped
+        ],
+        "l_orderkey long, l_suppkey long",
+    )
+    rows = QUERIES["supplier_customer_repeat_affinity"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r["s_suppkey"], r["c_custkey"], r["n_orders"])
+            for r in rows] == [(1, 10, 2)]
+
+
+def test_customer_spend_migration_matrix(spark, tmp_path):
+    """Two customers active in both halves: c1 spends 100 then 10,
+    c2 spends 10 then 100 -> medians 10/10 per half (min of the two
+    survives the 2*cum >= n threshold), so c1 migrates hi->lo and c2
+    lo->hi; a customer active only in H1 is excluded."""
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, 1, datetime(1995, 1, 1), 100.0),
+            (2, 2, datetime(1995, 1, 2), 10.0),
+            (3, 3, datetime(1995, 1, 3), 5.0),    # H1 only
+            (4, 1, datetime(1996, 12, 1), 10.0),
+            (5, 2, datetime(1996, 12, 2), 100.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    out = {
+        (r["from_class"], r["to_class"]): (r["n_customers"], r["share_pct"])
+        for r in QUERIES["customer_spend_migration"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        ("hi", "lo"): (1, 50.0),
+        ("lo", "hi"): (1, 50.0),
+    }
+
+
+def test_orders_fulfillment_span_days(spark, tmp_path):
+    """Order 1 ships over 3 days (span 2), order 2 same-day (span 0):
+    mean 1.0, 50% multi-day, max 2."""
+    _plant(
+        spark, tmp_path, "orders",
+        [(1, "1-URGENT"), (2, "1-URGENT")],
+        "o_orderkey long, o_orderpriority string",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, datetime(1995, 5, 1)),
+            (1, datetime(1995, 5, 3)),
+            (2, datetime(1995, 6, 1)),
+            (2, datetime(1995, 6, 1)),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    [r] = QUERIES["orders_fulfillment_span"](spark, str(tmp_path)).collect()
+    assert (r["o_orderpriority"], r["n_orders"], r["mean_span_days"],
+            r["multi_day_pct"], r["max_span_days"]) == (
+        "1-URGENT", 2, 1.0, 50.0, 2
+    )
+
+
+def test_doc_priority_sample_deterministic_and_size_biased(spark, tmp_path):
+    """Priority sampling is reproducible (same md5-derived priorities on
+    every run) and size-biased: with equal uniforms impossible, we just
+    pin the contract — top-20 of 5 docs returns all 5, ordered by
+    priority, and two runs agree exactly."""
+    docs = [(i, "tok " * (i + 1)) for i in range(5)]
+    _plant(
+        spark, tmp_path, "documents",
+        [(i, t.strip()) for i, t in docs],
+        "doc_id long, text string",
+    )
+    r1 = QUERIES["doc_priority_sample"](spark, str(tmp_path)).collect()
+    r2 = QUERIES["doc_priority_sample"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    assert len(r1) == 5
+    ps = [r["priority"] for r in r1]
+    assert ps == sorted(ps, reverse=True)
+    # every priority >= its weight (u <= 1 always)
+    assert all(r["priority"] >= r["n_tokens"] for r in r1)
+
+
+def test_events_value_equidepth_hist_boundaries(spark, tmp_path):
+    """Values 1..10: decile b's boundary is the smallest v with
+    10*cum >= b*10 -> exactly v = b."""
+    t0 = datetime(2024, 6, 1)
+    rows = [(i, t0, 1, "purchase", float(i)) for i in range(1, 11)]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = {
+        r["decile"]: r["upper_value"]
+        for r in QUERIES["events_value_equidepth_hist"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {b: float(b) for b in range(1, 11)}
+
+
+def test_corpus_df_truncation_impact_sweep(spark, tmp_path):
+    """Vocab dfs: a=3 docs, b=2, c=1, d=1 -> threshold 1 removes 2
+    terms / 2 postings; threshold 2 removes 3 / 4; threshold 5 all
+    4 / 7."""
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, "a b c"),
+            (2, "a b d"),
+            (3, "a a"),  # duplicate within doc counts once for df
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["threshold"]: (r["n_tokens_removed"], r["n_postings_removed"],
+                         r["token_share_pct"], r["postings_share_pct"])
+        for r in QUERIES["corpus_df_truncation_impact"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        1: (2, 2, 50.0, round(2 / 7 * 100, 6)),
+        2: (3, 4, 75.0, round(4 / 7 * 100, 6)),
+        5: (4, 7, 100.0, 100.0),
+    }
+
+
 def test_oracle_gate_sort_key_negative_zero_and_tiebreak():
     """_row_sort_key must (a) give -0.0 and 0.0 the same key so a
     -1e-10 vs +1e-10 engine disagreement can't flip row order, and
