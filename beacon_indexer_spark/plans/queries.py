@@ -14197,6 +14197,554 @@ FROM per CROSS JOIN tot
 """
 
 
+def q_part_size_ladder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-completeness audit: per part type, which sizes inside
+    the observed [min, max] ladder are missing (assortment holes /
+    ingestion drops). The expected ladder generates per type via
+    sequence+explode (|types| x |size range| bounded) and anti-joins the
+    observed distinct sizes — the dim-table form of the event-gap
+    sequence anti-join."""
+    p = _t(spark, sf_dir, "part").select("p_type", "p_size").distinct()
+    rng = p.groupBy("p_type").agg(
+        F.min("p_size").alias("__lo"),
+        F.max("p_size").alias("__hi"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_sizes"),
+    )
+    ladder = rng.select(
+        "p_type", "__lo", "__hi", "n_distinct_sizes",
+        F.explode(F.sequence("__lo", "__hi")).alias("p_size"),
+    )
+    missing = ladder.join(p, ["p_type", "p_size"], "left_anti")
+    miss_agg = missing.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missing"),
+        F.min("p_size").cast("long").alias("first_missing"),
+    )
+    return rng.join(miss_agg, "p_type", "left").select(
+        "p_type",
+        F.col("__lo").cast("long").alias("min_size"),
+        F.col("__hi").cast("long").alias("max_size"),
+        "n_distinct_sizes",
+        F.coalesce("n_missing", F.lit(0)).cast("long").alias("n_missing"),
+        "first_missing",
+    )
+
+
+ORACLE_PART_SIZE_LADDER_GAPS = """
+WITH p AS (SELECT DISTINCT p_type, p_size FROM part),
+rng AS (
+  SELECT p_type, MIN(p_size) AS lo, MAX(p_size) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_sizes
+  FROM p GROUP BY 1),
+ladder AS (
+  SELECT r.p_type, s.sz
+  FROM rng r, LATERAL (SELECT unnest(generate_series(r.lo, r.hi)) AS sz) s),
+miss AS (
+  SELECT l.p_type, CAST(COUNT(*) AS BIGINT) AS n_missing,
+         CAST(MIN(l.sz) AS BIGINT) AS first_missing
+  FROM ladder l
+  WHERE NOT EXISTS (SELECT 1 FROM p
+                    WHERE p.p_type = l.p_type AND p.p_size = l.sz)
+  GROUP BY 1)
+SELECT rng.p_type, CAST(lo AS BIGINT) AS min_size,
+       CAST(hi AS BIGINT) AS max_size, n_distinct_sizes,
+       CAST(COALESCE(m.n_missing, 0) AS BIGINT) AS n_missing,
+       m.first_missing
+FROM rng LEFT JOIN miss m USING (p_type)
+"""
+
+
+def q_events_user_type_entropy_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral-diversity census: each user's event-type entropy,
+    banded into 0.5-nat buckets — one number separating single-action
+    drones (H = 0) from diverse real users. Per-user entropies come
+    from |users x types| integer counts with 1e-9-quantized log folds;
+    the band histogram is 5 rows."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    dec = "decimal(38,0)"
+    lnq = F.round(F.log(F.col("__c").cast("double")) * 1e9, 0).cast("long")
+    per_user = cnt.groupBy("user_id").agg(
+        F.sum("__c").cast("long").alias("__t"),
+        F.sum((F.col("__c") * lnq).cast(dec)).alias("__s"),
+    )
+    h = (
+        F.log(F.col("__t").cast("double"))
+        - F.col("__s").cast("double") / 1e9 / F.col("__t").cast("double")
+    )
+    hq = F.round(h * 1e9, 0).cast("long")
+    band = F.least(F.floor(hq * 2 / 1e9), F.lit(4)).cast("long")
+    bands = per_user.select(band.alias("__b"))
+    per = bands.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    tot = bands.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        (F.col("__b").cast("double") / 2.0).alias("entropy_band_lo"),
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") * 100.0
+            / F.col("__n").cast("double"),
+            6,
+        ).alias("share_pct"),
+    )
+
+
+ORACLE_EVENTS_USER_TYPE_ENTROPY_PROFILE = """
+WITH cnt AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+pu AS (
+  SELECT user_id, SUM(c) AS t,
+         SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS s
+  FROM cnt GROUP BY 1),
+b AS (
+  SELECT LEAST(CAST(floor(CAST(round((ln(CAST(t AS DOUBLE))
+                    - CAST(s AS DOUBLE) / 1e9 / CAST(t AS DOUBLE)) * 1e9)
+                    AS BIGINT) * 2 / 1e9) AS BIGINT), 4) AS band
+  FROM pu),
+per AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users FROM b GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+SELECT CAST(band AS DOUBLE) / 2.0 AS entropy_band_lo, n_users,
+       round(CAST(n_users AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 6)
+         AS share_pct
+FROM per CROSS JOIN tot
+"""
+
+
+def q_events_session_concurrency_peak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrent sessions (capacity planning): the sweep-line over
+    session [start, end] intervals — +1/−1 boundary deltas on a MINUTE
+    histogram, running sum via the bounded-fan-in prefix, argmax with
+    earliest-minute ties. Sessions are the repo's 30-min-gap definition
+    (user-partitioned windows); everything after the per-session
+    aggregate is |active minutes|-bounded."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "__sid",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "__sid").agg(
+        F.floor(F.unix_timestamp(F.min("ts")) / 60).alias("__sm"),
+        (F.floor(F.unix_timestamp(F.max("ts")) / 60) + 1).alias("__em"),
+    ).localCheckpoint(eager=False)  # two delta branches + the count reuse it
+    ns = per_sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    deltas = per_sess.select(
+        F.col("__sm").alias("__m"), F.lit(1).alias("__d")
+    ).unionAll(
+        per_sess.select(F.col("__em").alias("__m"), F.lit(-1).alias("__d"))
+    )
+    hist = deltas.groupBy("__m").agg(F.sum("__d").alias("__nd"))
+    pre = _exclusive_prefix(hist, "__m", "__nd", "__p")
+    scored = pre.select(
+        "__m", (F.col("__p") + F.col("__nd")).alias("__conc")
+    )
+    top = scored.orderBy(F.desc("__conc"), F.asc("__m")).limit(1)
+    return top.crossJoin(F.broadcast(ns)).select(
+        "n_sessions",
+        F.col("__conc").cast("long").alias("peak_concurrency"),
+        F.date_format(
+            F.timestamp_seconds(F.col("__m") * 60), "yyyy-MM-dd HH:mm"
+        ).alias("peak_minute"),
+    )
+
+
+ORACLE_EVENTS_SESSION_CONCURRENCY_PEAK = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags),
+per_sess AS (
+  SELECT user_id, sid,
+         CAST(floor(CAST(floor(epoch(MIN(ts))) AS BIGINT) / 60.0)
+              AS BIGINT) AS sm,
+         CAST(floor(CAST(floor(epoch(MAX(ts))) AS BIGINT) / 60.0)
+              AS BIGINT) + 1 AS em
+  FROM sess GROUP BY 1, 2),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM per_sess),
+deltas AS (
+  SELECT sm AS m, 1 AS d FROM per_sess
+  UNION ALL
+  SELECT em AS m, -1 AS d FROM per_sess),
+hist AS (SELECT m, SUM(d) AS nd FROM deltas GROUP BY 1),
+cum AS (
+  SELECT m, SUM(nd) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS conc
+  FROM hist)
+SELECT ns.n_sessions, CAST(conc AS BIGINT) AS peak_concurrency,
+       strftime(to_timestamp(m * 60), '%Y-%m-%d %H:%M') AS peak_minute
+FROM cum CROSS JOIN ns
+ORDER BY conc DESC, m ASC
+LIMIT 1
+"""
+
+
+def q_customer_order_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Overdispersion test on orders-per-customer: the variance/mean
+    ratio (Poisson arrivals give 1; > 1 means bursty repeat buyers,
+    < 1 means a quota-like cap) — the distributional sanity check
+    behind any per-customer rate model. Zero-order customers count
+    (left join); everything is three exact integer sums."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    base = cust.join(per, "c_custkey", "left").select(
+        F.coalesce("__c", F.lit(0)).cast("long").alias("__c")
+    )
+    dec = "decimal(38,0)"
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("__c").cast(dec)).alias("__s"),
+        F.sum((F.col("__c") * F.col("__c")).cast(dec)).alias("__s2"),
+    )
+    n = F.col("n_customers").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = F.col("__s2").cast("double") / n - mean * mean
+    return agg.select(
+        "n_customers",
+        F.round(mean, 6).alias("mean_orders"),
+        F.round(var, 6).alias("variance"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+    )
+
+
+ORACLE_CUSTOMER_ORDER_DISPERSION = """
+WITH per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+base AS (
+  SELECT CAST(COALESCE(per.c, 0) AS BIGINT) AS c
+  FROM customer LEFT JOIN per ON per.o_custkey = customer.c_custkey),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS s, SUM(c * c) AS s2
+  FROM base)
+SELECT n AS n_customers,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_orders,
+       round(CAST(s2 AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6)
+         AS variance,
+       round((CAST(s2 AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / (CAST(s AS DOUBLE) / n), 6) AS dispersion_index
+FROM a
+"""
+
+
+def q_events_km_conversion_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier time-to-conversion with CENSORING: users who viewed
+    but never purchased are censored at their last observed event
+    instead of silently dropped (the funnel-lag quantiles condition on
+    conversion; this is the unconditional survival curve). Day-level
+    risk sets come off a |days|-bounded histogram; the product
+    Π(1 − d/n) folds as 1e-9-quantized log terms through the
+    bounded-fan-in prefix, so S(t) and the median crossing are
+    engine-exact."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("__tv"),
+        F.max("ts").alias("__last"),
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__tp"))
+    )
+    cohort = (
+        per_user.filter(F.col("__tv").isNotNull())
+        .join(first_purchase, "user_id", "left")
+        .select(
+            F.when(
+                F.col("__tp").isNotNull() & (F.col("__tp") >= F.col("__tv")),
+                F.floor(
+                    (F.unix_timestamp("__tp") - F.unix_timestamp("__tv"))
+                    / 86400
+                ),
+            ).alias("__ed"),
+            F.floor(
+                (F.unix_timestamp("__last") - F.unix_timestamp("__tv"))
+                / 86400
+            ).alias("__cd"),
+        )
+        .select(
+            F.coalesce("__ed", "__cd").cast("long").alias("__day"),
+            F.when(F.col("__ed").isNotNull(), 1).otherwise(0).alias("__e"),
+        )
+    )
+    hist = cohort.groupBy("__day").agg(
+        F.sum("__e").cast("long").alias("__d"),
+        F.count(F.lit(1)).cast("long").alias("__a"),
+    ).localCheckpoint(eager=False)
+    # risk set n_i = total - (all subjects leaving strictly before day i)
+    pre = _exclusive_prefix(hist, "__day", "__a", "__left")
+    tot = hist.agg(F.sum("__a").cast("long").alias("__n_tot"))
+    withn = pre.crossJoin(F.broadcast(tot)).select(
+        "__day", "__d",
+        (F.col("__n_tot") - F.col("__left")).alias("__n_risk"),
+    )
+    lnq = F.when(
+        F.col("__d") > 0,
+        F.round(
+            F.log(
+                1.0
+                - F.col("__d").cast("double") / F.col("__n_risk").cast("double")
+            ) * 1e9,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    terms = withn.select("__day", lnq.alias("__l"))
+    cum = _exclusive_prefix(terms, "__day", "__l", "__pl")
+    curve = cum.select(
+        "__day", (F.col("__pl") + F.col("__l")).alias("__cl")
+    ).localCheckpoint(eager=False)
+
+    def _s_at(day: int) -> Column:
+        # __cl is monotone non-increasing in __day (each term ≤ 0), so the
+        # curve value at the LAST day ≤ t is MIN over the prefix.
+        return F.exp(
+            F.min(F.when(F.col("__day") <= day, F.col("__cl"))).cast("double")
+            / 1e9
+        )
+
+    import math
+
+    half = int(round(math.log(0.5) * 1e9))
+    med = F.min(F.when(F.col("__cl") <= half, F.col("__day")))
+    agg = curve.agg(
+        F.round(F.coalesce(_s_at(1), F.lit(1.0)), 6).alias("s_day1"),
+        F.round(F.coalesce(_s_at(3), F.lit(1.0)), 6).alias("s_day3"),
+        F.round(F.coalesce(_s_at(7), F.lit(1.0)), 6).alias("s_day7"),
+        med.cast("long").alias("median_day"),
+    )
+    n = cohort.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    return agg.crossJoin(F.broadcast(n)).select(
+        "n_users", "s_day1", "s_day3", "s_day7", "median_day"
+    )
+
+
+ORACLE_EVENTS_KM_CONVERSION_SURVIVAL = """
+WITH pu AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY 1),
+fp AS (
+  SELECT user_id, MIN(ts) AS tp FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+cohort AS (
+  SELECT CAST(COALESCE(
+           CASE WHEN fp.tp IS NOT NULL AND fp.tp >= pu.tv
+                THEN (CAST(floor(epoch(fp.tp)) AS BIGINT)
+                      - CAST(floor(epoch(pu.tv)) AS BIGINT)) // 86400 END,
+           (CAST(floor(epoch(pu.last_ts)) AS BIGINT)
+            - CAST(floor(epoch(pu.tv)) AS BIGINT)) // 86400)
+         AS BIGINT) AS day,
+         CASE WHEN fp.tp IS NOT NULL AND fp.tp >= pu.tv
+              THEN 1 ELSE 0 END AS e
+  FROM pu LEFT JOIN fp USING (user_id)
+  WHERE pu.tv IS NOT NULL),
+hist AS (
+  SELECT day, CAST(SUM(e) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS a
+  FROM cohort GROUP BY 1),
+tot AS (SELECT SUM(a) AS n_tot FROM hist),
+withn AS (
+  SELECT day, d,
+         n_tot - COALESCE(SUM(a) OVER (ORDER BY day
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS n_risk
+  FROM hist CROSS JOIN tot),
+terms AS (
+  SELECT day,
+         CASE WHEN d > 0
+              THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+              ELSE 0 END AS l
+  FROM withn),
+curve AS (
+  SELECT day,
+         SUM(l) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cl
+  FROM terms),
+n_u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM cohort)
+SELECT n_users,
+       round(COALESCE(exp(CAST((SELECT MIN(cl) FROM curve WHERE day <= 1)
+                               AS DOUBLE) / 1e9), 1.0), 6) AS s_day1,
+       round(COALESCE(exp(CAST((SELECT MIN(cl) FROM curve WHERE day <= 3)
+                               AS DOUBLE) / 1e9), 1.0), 6) AS s_day3,
+       round(COALESCE(exp(CAST((SELECT MIN(cl) FROM curve WHERE day <= 7)
+                               AS DOUBLE) / 1e9), 1.0), 6) AS s_day7,
+       (SELECT CAST(MIN(day) AS BIGINT) FROM curve
+        WHERE cl <= CAST(round(ln(0.5) * 1e9) AS BIGINT)) AS median_day
+FROM n_u
+"""
+
+
+def q_embedding_dim_ablation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dimension-ablation eval: recall@10 of top-variance-32-dim cosine
+    retrieval against the full 64-dim ground truth, on the vec_id < 20
+    query sample — 'can I halve my vector storage'. Per-dim variances
+    are exact integer sums over 1e-9-quantized units (ties on dim
+    index); both retrievals rank with (distance, cid) determinism; the
+    intersection is an exact pair join."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    uq = F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
+    base = emb.filter(nrm > 0).select(
+        F.col("vec_id").alias("__id"), uq.alias("__u")
+    ).localCheckpoint(eager=False)
+    dims = base.select(F.posexplode("__u").alias("dim", "__ui"))
+    dec = "decimal(38,0)"
+    var = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__ui").cast(dec)).alias("__s"),
+        F.sum((F.col("__ui") * F.col("__ui")).cast(dec)).alias("__s2"),
+    )
+    # integer-exact variance ORDER: n*s2 - s^2 (scale-free for ranking)
+    score = var.select(
+        "dim",
+        (
+            F.col("__n").cast(dec) * F.col("__s2")
+            - F.col("__s") * F.col("__s")
+        ).alias("__v"),
+    )
+    # |dims| = 64 rows: TakeOrdered, not a global window
+    sel = score.orderBy(F.desc("__v"), F.asc("dim")).limit(32).select("dim")
+    q = base.filter(F.col("__id") < 20).select(
+        F.col("__id").alias("__qid"), F.posexplode("__u").alias("dim", "__qu")
+    )
+    c = base.select(
+        F.col("__id").alias("__cid"), F.posexplode("__u").alias("dim", "__cu")
+    )
+    pairs = q.join(c, "dim").filter(F.col("__qid") != F.col("__cid"))
+    full = pairs.groupBy("__qid", "__cid").agg(
+        F.sum((F.col("__qu") * F.col("__cu")).cast(dec)).alias("__dot")
+    )
+    trunc = (
+        pairs.join(F.broadcast(sel), "dim")
+        .groupBy("__qid", "__cid")
+        .agg(F.sum((F.col("__qu") * F.col("__cu")).cast(dec)).alias("__dot"))
+    )
+    wq = Window.partitionBy("__qid").orderBy(
+        F.desc("__dot"), F.asc("__cid")
+    )
+    top_full = full.withColumn("__rk", F.row_number().over(wq)).filter(
+        F.col("__rk") <= 10
+    ).select("__qid", "__cid")
+    top_trunc = trunc.withColumn("__rk", F.row_number().over(wq)).filter(
+        F.col("__rk") <= 10
+    ).select("__qid", "__cid")
+    hits = top_full.join(top_trunc, ["__qid", "__cid"]).groupBy(
+        "__qid"
+    ).agg(F.count(F.lit(1)).alias("__h"))
+    per_q = top_full.select("__qid").distinct().join(
+        hits, "__qid", "left"
+    ).select(F.coalesce("__h", F.lit(0)).alias("__h"))
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("__h").cast("double") * 10.0
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall_at10_pct"),
+    )
+
+
+ORACLE_EMBEDDING_DIM_ABLATION_RECALL = """
+WITH nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+u AS (
+  SELECT vec_id, s.i - 1 AS dim,
+         CAST(round(CAST(embedding[s.i] AS DOUBLE) / nrm * 1e9) AS BIGINT)
+           AS ui
+  FROM nv,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+  WHERE nrm > 0),
+var_ AS (
+  SELECT dim, COUNT(*) AS n, SUM(ui) AS s,
+         SUM(CAST(ui AS HUGEINT) * ui) AS s2
+  FROM u GROUP BY 1),
+sel AS (
+  SELECT dim FROM (
+    SELECT dim, ROW_NUMBER() OVER (
+      ORDER BY n * s2 - CAST(s AS HUGEINT) * s DESC, dim ASC) AS rk
+    FROM var_)
+  WHERE rk <= 32),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, q.dim,
+         CAST(q.ui AS HUGEINT) * c.ui AS prod
+  FROM u q JOIN u c USING (dim)
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+full_ AS (
+  SELECT qid, cid, SUM(prod) AS dot FROM pairs GROUP BY 1, 2),
+trunc_ AS (
+  SELECT qid, cid, SUM(prod) AS dot
+  FROM pairs JOIN sel USING (dim) GROUP BY 1, 2),
+tf AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rk FROM full_)
+  WHERE rk <= 10),
+tt AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rk FROM trunc_)
+  WHERE rk <= 10),
+hits AS (
+  SELECT tf.qid, COUNT(*) AS h
+  FROM tf JOIN tt ON tt.qid = tf.qid AND tt.cid = tf.cid
+  GROUP BY 1),
+per_q AS (
+  SELECT COALESCE(h.h, 0) AS h
+  FROM (SELECT DISTINCT qid FROM tf) q LEFT JOIN hits h USING (qid))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(CAST(SUM(h) AS DOUBLE) * 10.0 / CAST(COUNT(*) AS DOUBLE), 6)
+         AS recall_at10_pct
+FROM per_q
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -14447,6 +14995,12 @@ QUERIES: dict[str, QueryFn] = {
     "doc_priority_sample": q_doc_priority_sample,
     "events_value_equidepth_hist": q_events_value_equidepth_hist,
     "corpus_df_truncation_impact": q_corpus_df_truncation_impact,
+    "part_size_ladder_gaps": q_part_size_ladder_gaps,
+    "events_user_type_entropy_profile": q_events_user_type_entropy_profile,
+    "events_session_concurrency_peak": q_events_session_concurrency_peak,
+    "customer_order_dispersion": q_customer_order_dispersion,
+    "events_km_conversion_survival": q_events_km_conversion_survival,
+    "embedding_dim_ablation_recall": q_embedding_dim_ablation_recall,
 }
 
 
@@ -14711,4 +15265,14 @@ def oracles() -> dict[str, str]:
         "doc_priority_sample": _oracle_doc_priority_sample_sql(),
         "events_value_equidepth_hist": ORACLE_EVENTS_VALUE_EQUIDEPTH_HIST,
         "corpus_df_truncation_impact": ORACLE_CORPUS_DF_TRUNCATION_IMPACT,
+        "part_size_ladder_gaps": ORACLE_PART_SIZE_LADDER_GAPS,
+        "events_user_type_entropy_profile":
+            ORACLE_EVENTS_USER_TYPE_ENTROPY_PROFILE,
+        "events_session_concurrency_peak":
+            ORACLE_EVENTS_SESSION_CONCURRENCY_PEAK,
+        "customer_order_dispersion": ORACLE_CUSTOMER_ORDER_DISPERSION,
+        "events_km_conversion_survival":
+            ORACLE_EVENTS_KM_CONVERSION_SURVIVAL,
+        "embedding_dim_ablation_recall":
+            ORACLE_EMBEDDING_DIM_ABLATION_RECALL,
     }

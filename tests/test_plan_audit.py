@@ -74,6 +74,9 @@ _ALLOWED_CROSS = {
     "customer_spend_migration",  # broadcast ONE-ROW midpoint/median attaches
     "events_value_equidepth_hist",  # broadcast ONE-ROW total + 10-ROW deciles
     "corpus_df_truncation_impact",  # broadcast ONE-ROW totals + 3-ROW sweep
+    "events_user_type_entropy_profile",  # broadcast ONE-ROW total attach
+    "events_session_concurrency_peak",  # broadcast ONE-ROW session count
+    "events_km_conversion_survival",  # broadcast ONE-ROW total/count attaches
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach
     "corpus_split_half_jsd",  # 2×|vocab| grid — dimension-bounded
     "doc_token_length_profile",  # broadcast ONE-ROW total attach

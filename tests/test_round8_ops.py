@@ -1152,6 +1152,145 @@ def test_corpus_df_truncation_impact_sweep(spark, tmp_path):
     }
 
 
+def test_part_size_ladder_gaps_holes(spark, tmp_path):
+    """Type A observes sizes {1, 2, 5}: ladder 1..5 misses {3, 4};
+    type B is complete."""
+    _plant(
+        spark, tmp_path, "part",
+        [(1, "A", 1), (2, "A", 2), (3, "A", 5), (4, "A", 5),
+         (5, "B", 7), (6, "B", 8)],
+        "p_partkey long, p_type string, p_size int",
+    )
+    out = {
+        r["p_type"]: (r["min_size"], r["max_size"], r["n_distinct_sizes"],
+                      r["n_missing"], r["first_missing"])
+        for r in QUERIES["part_size_ladder_gaps"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "A": (1, 5, 3, 2, 3),
+        "B": (7, 8, 2, 0, None),
+    }
+
+
+def test_events_user_type_entropy_profile_bands(spark, tmp_path):
+    """User 1: one type only -> H = 0 -> band 0.0; user 2: two equal
+    types -> H = ln 2 ~ 0.693 -> band 0.5."""
+    t0 = datetime(2024, 6, 1)
+    rows = [
+        (1, t0, 1, "view"), (2, t0, 1, "view"),
+        (3, t0, 2, "view"), (4, t0, 2, "click"),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["entropy_band_lo"]: (r["n_users"], r["share_pct"])
+        for r in QUERIES["events_user_type_entropy_profile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {0.0: (1, 50.0), 0.5: (1, 50.0)}
+
+
+def test_events_session_concurrency_peak_sweep_line(spark, tmp_path):
+    """Three single-user sessions: u1 10:00-10:05, u2 10:03-10:04,
+    u3 11:00 — peak concurrency 2 at 10:03; u1's second burst at 12:00
+    (31-min gap from 10:05... actually new session) makes 4 sessions."""
+    rows = [
+        (1, datetime(2024, 6, 1, 10, 0), 1, "view"),
+        (2, datetime(2024, 6, 1, 10, 5), 1, "view"),
+        (3, datetime(2024, 6, 1, 10, 3), 2, "view"),
+        (4, datetime(2024, 6, 1, 10, 4), 2, "view"),
+        (5, datetime(2024, 6, 1, 11, 0), 3, "view"),
+        (6, datetime(2024, 6, 1, 12, 0), 1, "view"),  # gap > 30min: new
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    [r] = QUERIES["events_session_concurrency_peak"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["n_sessions"], r["peak_concurrency"], r["peak_minute"]) == (
+        4, 2, "2024-06-01 10:03"
+    )
+
+
+def test_customer_order_dispersion_closed_form(spark, tmp_path):
+    """Counts (0, 1, 3) including the zero-order customer: mean 4/3,
+    var 14/9, dispersion 7/6."""
+    _plant(
+        spark, tmp_path, "customer",
+        [(1,), (2,), (3,)],
+        "c_custkey long",
+    )
+    _plant(
+        spark, tmp_path, "orders",
+        [(10, 2), (11, 3), (12, 3), (13, 3)],
+        "o_orderkey long, o_custkey long",
+    )
+    [r] = QUERIES["customer_order_dispersion"](spark, str(tmp_path)).collect()
+    assert (r["n_customers"], r["mean_orders"], r["variance"],
+            r["dispersion_index"]) == (
+        3, round(4 / 3, 6), round(14 / 9, 6), round(7 / 6, 6)
+    )
+
+
+def test_events_km_conversion_survival_censoring(spark, tmp_path):
+    """Three viewers: conversions at day 1 and 3, one censored at day 5
+    (never purchased). KM: S(1) = 2/3, S(3) = 1/3, median day 3; a
+    purchase-only user never enters the cohort."""
+    import math
+
+    d0 = datetime(2024, 6, 1, 12)
+
+    def at(days):
+        from datetime import timedelta
+        return d0 + timedelta(days=days)
+
+    rows = [
+        (1, d0, 1, "view"), (2, at(1), 1, "purchase"),
+        (3, d0, 2, "view"), (4, at(3), 2, "purchase"),
+        (5, d0, 3, "view"), (6, at(5), 3, "click"),   # censored
+        (7, d0, 4, "purchase"),                        # no view: excluded
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    [r] = QUERIES["events_km_conversion_survival"](
+        spark, str(tmp_path)
+    ).collect()
+    l1 = round(math.log(2 / 3) * 1e9)
+    l3 = round(math.log(1 / 2) * 1e9)
+    assert r["n_users"] == 3
+    assert r["s_day1"] == round(math.exp(l1 / 1e9), 6)
+    assert r["s_day3"] == round(math.exp((l1 + l3) / 1e9), 6)
+    assert r["s_day7"] == r["s_day3"]
+    assert r["median_day"] == 3
+
+
+def test_embedding_dim_ablation_recall_zero_tail(spark, tmp_path):
+    """Vectors whose upper 32 dims are all zero: the top-variance-32
+    selection is exactly the signal half, truncated retrieval equals the
+    full ground truth, recall@10 = 100."""
+    rows = []
+    for i in range(25):
+        v = [1.0 + ((i + j) % 5) * 0.1 for j in range(32)] + [0.0] * 32
+        rows.append((i, v, 0))
+    _plant(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    [r] = QUERIES["embedding_dim_ablation_recall"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["n_queries"], r["recall_at10_pct"]) == (20, 100.0)
+
+
 def test_oracle_gate_sort_key_negative_zero_and_tiebreak():
     """_row_sort_key must (a) give -0.0 and 0.0 the same key so a
     -1e-10 vs +1e-10 engine disagreement can't flip row order, and

@@ -177,12 +177,26 @@ def main() -> None:
         1 for r in results.values()
         if r["rows_match"] and r["schema_match"] and r["values_match"]
     )
+    merged = dict(results)
+    if only and os.path.exists(out_path):
+        # Scoped runs refresh only the named queries; merge into the
+        # existing artifact so the on-disk gate stays full-surface.
+        try:
+            with open(out_path) as f:
+                prior = json.load(f).get("results", {})
+            merged = {**prior, **results}
+        except (json.JSONDecodeError, OSError):
+            pass
+    n_ok_merged = sum(
+        1 for r in merged.values()
+        if r["rows_match"] and r["schema_match"] and r["values_match"]
+    )
     artifact = {
         "sf_dir": sf_dir,
-        "n_queries": len(results),
-        "n_match": n_ok,
+        "n_queries": len(merged),
+        "n_match": n_ok_merged,
         "elapsed_sec": round(time.time() - t_start, 1),
-        "results": results,
+        "results": merged,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
