@@ -14745,6 +14745,364 @@ FROM per_q
 """
 
 
+# ===========================================================================
+# Round-8 wave 15: Poisson-bootstrap CI, Mann-Kendall/Theil-Sen robust
+# trend, dup-graph triangle census
+# ===========================================================================
+
+_BOOT_B = 40
+
+
+def _pois_thresholds() -> tuple:
+    """Poisson(1) inverse-CDF thresholds on the 60-bit md5 uniform: the
+    replicate weight is the first k with u_long < T_k (else 9; tail mass
+    ~1.1e-7). Integer literals shared by the Spark CASE and the DuckDB
+    oracle, so both engines draw bit-identical weights."""
+    import math
+
+    cum, out = 0.0, []
+    for k in range(9):
+        cum += math.exp(-1.0) / math.factorial(k)
+        out.append(int(math.floor(cum * 2**60)))
+    return tuple(out)
+
+
+_POIS_T = _pois_thresholds()
+
+
+def q_events_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value — uncertainty
+    quantification that actually scales: classic resampling needs n draws
+    per replicate from a global RNG; the Poisson(1) trick (Chamandy et
+    al., 'Estimating Uncertainty for Massive Data Streams') gives each
+    row an INDEPENDENT md5-derived weight per replicate, so the whole
+    bootstrap is one map pass + a B-row aggregation (map-side combined —
+    the shuffle carries B partial sums per partition, never rows).
+    Deterministic across runs AND engines: no RNG state, weights come
+    from shared integer thresholds on the 60-bit md5 uniform."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,0)"
+    base = ev.select(
+        F.col("event_id").cast("long").alias("__eid"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("__vc"),
+    ).localCheckpoint(eager=False)
+    rep = base.select(
+        "__vc",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("__b"),
+        F.col("__eid"),
+    )
+    u = D._md5_long(
+        F.concat(
+            F.col("__eid").cast("string"),
+            F.lit(":"),
+            F.col("__b").cast("string"),
+        ),
+        91,
+    )
+    w = None
+    for k, t in enumerate(_POIS_T):
+        cond = u < F.lit(t)
+        w = F.when(cond, k) if w is None else w.when(cond, k)
+    w = w.otherwise(F.lit(9)).cast("long")
+    per = (
+        rep.select("__b", w.alias("__w"), "__vc")
+        .groupBy("__b")
+        .agg(
+            F.sum(F.col("__w").cast(dec)).alias("__sw"),
+            F.sum((F.col("__w") * F.col("__vc")).cast(dec)).alias("__swv"),
+        )
+        .filter(F.col("__sw") > 0)
+        .select(
+            (
+                F.col("__swv").cast("double")
+                / F.col("__sw").cast("double")
+                / 100.0
+            ).alias("__m")
+        )
+    )
+    boot = per.agg(
+        F.sort_array(F.collect_list("__m")).alias("__ms"),
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+    ).select(
+        "n_boot",
+        "__ms",
+        F.round(0.025 * (F.col("n_boot") - 1).cast("double"), 0)
+        .cast("int")
+        .alias("__ilo"),
+        F.round(0.975 * (F.col("n_boot") - 1).cast("double"), 0)
+        .cast("int")
+        .alias("__ihi"),
+    )
+    bootrow = boot.select(
+        "n_boot",
+        F.round(F.get(F.col("__ms"), F.col("__ilo")), 6).alias("boot_ci_lo"),
+        F.round(F.get(F.col("__ms"), F.col("__ihi")), 6).alias("boot_ci_hi"),
+    )
+    pt = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("__vc").cast(dec)).cast("double")
+            / 100.0
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_value"),
+    )
+    return pt.crossJoin(F.broadcast(bootrow)).select(
+        "n_events", "mean_value", "n_boot", "boot_ci_lo", "boot_ci_hi"
+    )
+
+
+def _oracle_events_value_bootstrap_ci_sql() -> str:
+    u = _dd_md5_long(
+        "concat('91:', CAST(event_id AS VARCHAR), ':', CAST(b AS VARCHAR))"
+    )
+    case = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL),
+rep AS (
+  SELECT vc, b, CAST(CASE {case} ELSE 9 END AS BIGINT) AS w
+  FROM base CROSS JOIN (
+    SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)),
+perb AS (
+  SELECT b, SUM(w) AS sw, SUM(w * vc) AS swv
+  FROM rep GROUP BY 1),
+means AS (
+  SELECT CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0 AS m
+  FROM perb WHERE sw > 0),
+boot AS (
+  SELECT list_sort(list(m)) AS ms, CAST(COUNT(*) AS BIGINT) AS n_boot
+  FROM means),
+pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         round(CAST(SUM(vc) AS DOUBLE) / 100.0
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
+  FROM base)
+SELECT n_events, mean_value, n_boot,
+       round(ms[CAST(round(0.025 * (n_boot - 1)) AS BIGINT) + 1], 6)
+         AS boot_ci_lo,
+       round(ms[CAST(round(0.975 * (n_boot - 1)) AS BIGINT) + 1], 6)
+         AS boot_ci_hi
+FROM pt CROSS JOIN boot
+"""
+
+
+def q_orders_revenue_trend_robust(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust monthly-revenue trend: Mann-Kendall S with the
+    tie-corrected normal z (monotonic-trend test immune to outliers and
+    level shifts) plus the Theil-Sen slope (median of all pairwise
+    slopes). The pair grid is |months|²-bounded — at ANY corpus scale the
+    fact table reduces to one ~80-row monthly frame first, so the
+    quadratic part never touches data volume; revenue compares are exact
+    integer cents, and the median slope is an order statistic over the
+    sorted pair list (no float accumulation)."""
+    dec = "decimal(38,0)"
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("__mx")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast(dec))
+            .cast("long")
+            .alias("__c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    diff = F.col("b.__c") - F.col("a.__c")
+    pairs = a.join(b, F.col("a.__mx") < F.col("b.__mx")).select(
+        F.when(diff > 0, 1).when(diff < 0, -1).otherwise(0).alias("__sg"),
+        (
+            diff.cast("double")
+            / 100.0
+            / (F.col("b.__mx") - F.col("a.__mx")).cast("double")
+        ).alias("__sl"),
+    )
+    pa = pairs.agg(
+        F.sum("__sg").cast("long").alias("mk_s"),
+        F.sort_array(F.collect_list("__sl")).alias("__sls"),
+        F.count(F.lit(1)).cast("long").alias("__np"),
+    )
+    nm = monthly.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    ties = monthly.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__tie")
+    )
+    j = pa.crossJoin(F.broadcast(nm)).crossJoin(F.broadcast(ties))
+    n = F.col("n_months")
+    var = (
+        (n * (n - 1) * (2 * n + 5) - F.col("__tie")).cast("double") / 18.0
+    )
+    s = F.col("mk_s").cast("double")
+    z = F.when(var <= 0, 0.0).otherwise(
+        F.when(s > 0, (s - 1) / F.sqrt(var))
+        .when(s < 0, (s + 1) / F.sqrt(var))
+        .otherwise(0.0)
+    )
+    half = (F.col("__np") / 2).cast("int")
+    sen = F.when(
+        F.col("__np") % 2 == 1, F.get(F.col("__sls"), half)
+    ).otherwise(
+        (
+            F.get(F.col("__sls"), half - 1) + F.get(F.col("__sls"), half)
+        )
+        / 2.0
+    )
+    return j.select(
+        "n_months",
+        "mk_s",
+        F.round(z, 6).alias("mk_z"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+        F.round(sen, 6).alias("sen_slope"),
+    )
+
+
+ORACLE_ORDERS_REVENUE_TREND_ROBUST = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS mx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg,
+         CAST(b.c - a.c AS DOUBLE) / 100.0
+           / CAST(b.mx - a.mx AS DOUBLE) AS sl
+  FROM monthly a JOIN monthly b ON a.mx < b.mx),
+pa AS (
+  SELECT CAST(SUM(sg) AS BIGINT) AS mk_s,
+         list_sort(list(sl)) AS sls,
+         CAST(COUNT(*) AS BIGINT) AS np FROM pairs),
+nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie
+  FROM (SELECT COUNT(*) AS t FROM monthly GROUP BY c)),
+j AS (
+  SELECT *,
+    CAST(n_months * (n_months - 1) * (2 * n_months + 5) - tie AS DOUBLE)
+      / 18.0 AS var
+  FROM pa CROSS JOIN nm CROSS JOIN ties),
+z AS (
+  SELECT *,
+    CASE WHEN var <= 0 THEN 0.0
+         WHEN mk_s > 0 THEN (CAST(mk_s AS DOUBLE) - 1) / sqrt(var)
+         WHEN mk_s < 0 THEN (CAST(mk_s AS DOUBLE) + 1) / sqrt(var)
+         ELSE 0.0 END AS zv
+  FROM j)
+SELECT n_months, mk_s, round(zv, 6) AS mk_z,
+       CASE WHEN zv > 1.96 THEN 'increasing'
+            WHEN zv < -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend,
+       round(CASE WHEN np % 2 = 1 THEN sls[CAST(np // 2 AS BIGINT) + 1]
+                  ELSE (sls[CAST(np // 2 AS BIGINT)]
+                        + sls[CAST(np // 2 AS BIGINT) + 1]) / 2.0 END, 6)
+         AS sen_slope
+FROM z
+"""
+
+
+def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the LSH candidate-pair graph: triangle count,
+    wedge count, and the global clustering coefficient 3T/W — the
+    transitivity health metric that separates 'chains of borderline
+    matches' (low transitivity → LSH threshold too loose) from genuine
+    duplicate cliques (high transitivity). Edges are canonical
+    (id_a < id_b), so the e1(a,b)⋈e2(b,c)⋈e3(a,c) equi-join enumerates
+    each triangle exactly once; the edge list is materialized once and
+    every join is on edge keys — the classic distributed triangle count,
+    bounded by the dup-pair graph, never the corpus."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    edges = (
+        D.minhash_lsh_candidates(
+            docs, "doc_id", "text",
+            k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3,
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.id_a") == F.col("e1.id_b"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    nodes = edges.select(F.col("id_a").alias("__n")).unionAll(
+        edges.select(F.col("id_b").alias("__n"))
+    )
+    deg = nodes.groupBy("__n").agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    wed = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(F.expr("sum(__d * (__d - 1)) div 2"), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    ec = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    out = wed.crossJoin(F.broadcast(ec)).crossJoin(F.broadcast(tri))
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        (3.0 * F.col("n_triangles").cast("double"))
+        / F.col("n_wedges").cast("double"),
+    ).otherwise(0.0)
+    return out.select(
+        "n_nodes", "n_edges", "n_triangles", "n_wedges",
+        F.round(cc, 6).alias("global_clustering"),
+    )
+
+
+def _oracle_dup_graph_triangles_sql() -> str:
+    pairs = _oracle_minhash_lsh_sql().strip().rstrip(";")
+    return f"""
+WITH e AS ({pairs}),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.id_a = e1.id_b
+  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT id_a AS n FROM e UNION ALL SELECT id_b FROM e)
+  GROUP BY 1),
+w AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM(d * (d - 1)) // 2, 0) AS BIGINT) AS n_wedges
+  FROM deg),
+ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * CAST(n_triangles AS DOUBLE)
+                       / CAST(n_wedges AS DOUBLE)
+                  ELSE 0.0 END, 6) AS global_clustering
+FROM w CROSS JOIN ec CROSS JOIN tri
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -15001,6 +15359,9 @@ QUERIES: dict[str, QueryFn] = {
     "customer_order_dispersion": q_customer_order_dispersion,
     "events_km_conversion_survival": q_events_km_conversion_survival,
     "embedding_dim_ablation_recall": q_embedding_dim_ablation_recall,
+    "events_value_bootstrap_ci": q_events_value_bootstrap_ci,
+    "orders_revenue_trend_robust": q_orders_revenue_trend_robust,
+    "dup_graph_triangles": q_dup_graph_triangles,
 }
 
 
@@ -15275,4 +15636,7 @@ def oracles() -> dict[str, str]:
             ORACLE_EVENTS_KM_CONVERSION_SURVIVAL,
         "embedding_dim_ablation_recall":
             ORACLE_EMBEDDING_DIM_ABLATION_RECALL,
+        "events_value_bootstrap_ci": _oracle_events_value_bootstrap_ci_sql(),
+        "orders_revenue_trend_robust": ORACLE_ORDERS_REVENUE_TREND_ROBUST,
+        "dup_graph_triangles": _oracle_dup_graph_triangles_sql(),
     }

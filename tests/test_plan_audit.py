@@ -77,6 +77,9 @@ _ALLOWED_CROSS = {
     "events_user_type_entropy_profile",  # broadcast ONE-ROW total attach
     "events_session_concurrency_peak",  # broadcast ONE-ROW session count
     "events_km_conversion_survival",  # broadcast ONE-ROW total/count attaches
+    "events_value_bootstrap_ci",  # broadcast ONE-ROW bootstrap-CI attach
+    "orders_revenue_trend_robust",  # |months|² pair grid — dimension-bounded
+    "dup_graph_triangles",  # cross of three ONE-ROW graph aggregates
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach
     "corpus_split_half_jsd",  # 2×|vocab| grid — dimension-bounded
     "doc_token_length_profile",  # broadcast ONE-ROW total attach

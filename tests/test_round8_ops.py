@@ -1319,3 +1319,97 @@ def test_oracle_gate_sort_key_negative_zero_and_tiebreak():
     x = _row_sort_key([("s", "a"), ("f", 9.9)])
     y = _row_sort_key([("s", "b"), ("f", 0.1)])
     assert x < y
+
+
+def test_events_value_bootstrap_ci_python_replica(spark, tmp_path):
+    """The Poisson-bootstrap CI must be bit-reproducible: a pure-Python
+    replica of the md5 weight draws and replicate means predicts the
+    exact output (no RNG state anywhere)."""
+    import hashlib
+    import math
+
+    from beacon_indexer_spark.plans.queries import _BOOT_B, _POIS_T
+
+    t0 = datetime(2024, 6, 1, 10, 0)
+    vals = [5.0, 7.25, 9.5, 12.0, 3.75, 20.0, 1.0, 15.5, 8.0, 11.25]
+    rows = [(i + 1, t0, 1, "view", v) for i, v in enumerate(vals)]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+
+    def u60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def pois_w(eid, b):
+        u = u60(f"91:{eid}:{b}")
+        for k, t in enumerate(_POIS_T):
+            if u < t:
+                return k
+        return 9
+
+    cents = [round(v * 100) for v in vals]
+    means = []
+    for b in range(_BOOT_B):
+        ws = [pois_w(i + 1, b) for i in range(len(vals))]
+        sw = sum(ws)
+        if sw > 0:
+            means.append(sum(w * c for w, c in zip(ws, cents)) / sw / 100.0)
+    means.sort()
+    nb = len(means)
+    ilo = int(math.floor(0.025 * (nb - 1) + 0.5))
+    ihi = int(math.floor(0.975 * (nb - 1) + 0.5))
+    [r] = QUERIES["events_value_bootstrap_ci"](spark, str(tmp_path)).collect()
+    assert r["n_events"] == len(vals)
+    assert r["n_boot"] == nb
+    assert abs(r["mean_value"] - round(sum(cents) / 100.0 / len(vals), 6)) < 1e-9
+    assert abs(r["boot_ci_lo"] - round(means[ilo], 6)) < 1e-9
+    assert abs(r["boot_ci_hi"] - round(means[ihi], 6)) < 1e-9
+    assert r["boot_ci_lo"] <= r["mean_value"] <= r["boot_ci_hi"]
+
+
+def test_orders_revenue_trend_robust_monotone(spark, tmp_path):
+    """Five strictly increasing months: MK S = C(5,2) = 10, tie term 0,
+    var = 5*4*15/18, z = 9/sqrt(var) > 1.96 -> 'increasing'; linear
+    revenue makes every pairwise slope exactly 10.0/month."""
+    import math
+
+    from datetime import date
+
+    rows = [
+        (i + 1, date(2024, m, 15), 10.0 * m)
+        for i, m in enumerate(range(1, 6))
+    ]
+    _plant(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    [r] = QUERIES["orders_revenue_trend_robust"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["n_months"], r["mk_s"]) == (5, 10)
+    var = (5 * 4 * 15) / 18.0
+    assert abs(r["mk_z"] - round(9 / math.sqrt(var), 6)) < 1e-9
+    assert r["trend"] == "increasing"
+    assert r["sen_slope"] == 10.0
+
+
+def test_dup_graph_triangles_planted(spark, tmp_path):
+    """Three identical docs form one triangle (3 edges, clustering 1.0);
+    a separate identical pair adds an edge but no wedge; a unique doc
+    adds nothing. 3*T/W = 3*1/3 = 1.0 overall."""
+    tri_text = "the quick brown fox jumps over the lazy dog tonight"
+    pair_text = "pack my box with five dozen liquor jugs right now"
+    rows = [
+        (1, tri_text), (2, tri_text), (3, tri_text),
+        (10, pair_text), (11, pair_text),
+        (20, "completely unrelated singleton document text body here"),
+    ]
+    _plant(spark, tmp_path, "documents", rows, "doc_id long, text string")
+    [r] = QUERIES["dup_graph_triangles"](spark, str(tmp_path)).collect()
+    assert r["n_nodes"] == 5
+    assert r["n_edges"] == 4
+    assert r["n_triangles"] == 1
+    assert r["n_wedges"] == 3
+    assert r["global_clustering"] == 1.0
