@@ -15103,6 +15103,241 @@ FROM w CROSS JOIN ec CROSS JOIN tri
 """
 
 
+# ===========================================================================
+# Round-8 wave 16: shuffle-skew salting audit, bloom-join sizing planner,
+# converter-activity enrichment
+# ===========================================================================
+
+
+def q_orders_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew audit for the orders⋈customer shuffle: the top-10
+    heaviest join keys with their ratio to the mean key load and the
+    salt factor (ceil of the ratio) a skew-salting rewrite would need —
+    the planner artifact behind 'do I enable AQE skew-join or pre-salt
+    this key'. One |keys|-bounded aggregation; the mean attaches as a
+    ONE-ROW broadcast; top-10 via TakeOrdered, never a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").cast("long").alias("o_custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("__nk"),
+        F.sum("n_rows").cast("long").alias("__tot"),
+    )
+    top = per.orderBy(F.desc("n_rows"), F.asc("o_custkey")).limit(10)
+    ratio = (
+        F.col("n_rows").cast("double")
+        * F.col("__nk").cast("double")
+        / F.col("__tot").cast("double")
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "n_rows",
+        F.round(ratio, 6).alias("ratio_to_mean"),
+        F.ceil(ratio).cast("long").alias("salt_factor"),
+    )
+
+
+ORACLE_ORDERS_JOIN_SKEW_AUDIT = """
+WITH per AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(n_rows) AS BIGINT) AS tot FROM per),
+top AS (
+  SELECT * FROM per ORDER BY n_rows DESC, o_custkey ASC LIMIT 10)
+SELECT o_custkey, n_rows,
+       round(CAST(n_rows AS DOUBLE) * CAST(nk AS DOUBLE)
+             / CAST(tot AS DOUBLE), 6) AS ratio_to_mean,
+       CAST(ceil(CAST(n_rows AS DOUBLE) * CAST(nk AS DOUBLE)
+                 / CAST(tot AS DOUBLE)) AS BIGINT) AS salt_factor
+FROM top CROSS JOIN tot
+"""
+
+_BLOOM_FPP = 0.01
+_BLOOM_PRICE_CUTOFF = 150000.0
+
+
+def q_lineitem_bloom_join_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter sizing for the semi-join pushdown 'lineitem rows of
+    high-value orders': from the exact build-side key count, the optimal
+    bit count m = ceil(-n·ln p / ln²2) and hash count k = round(m/n·ln 2)
+    for a 1% target fpp, the achieved fpp at those (m, k), and the
+    expected false-positive rows the probe scan would still pass — the
+    numbers behind runtime-filter pushdown at 100 TB, where shipping a
+    few-MB filter saves a full fact-table shuffle. Three exact COUNT
+    aggregates (build keys, probe rows, true matches) + closed-form
+    doubles; the formula constants are shared literals."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _BLOOM_PRICE_CUTOFF
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    build = o.agg(F.count(F.lit(1)).cast("long").alias("n_build_keys"))
+    probe = li.agg(F.count(F.lit(1)).cast("long").alias("probe_rows"))
+    match = (
+        li.join(
+            o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey"
+        ).agg(F.count(F.lit(1)).cast("long").alias("match_rows"))
+    )
+    j = build.crossJoin(F.broadcast(probe)).crossJoin(F.broadcast(match))
+    nd = F.col("n_build_keys").cast("double")
+    ln2 = float(__import__("math").log(2.0))
+    lnp = float(__import__("math").log(_BLOOM_FPP))
+    mb = F.ceil(-(nd * F.lit(lnp)) / F.lit(ln2 * ln2)).cast("long")
+    out = j.select(
+        "n_build_keys", "probe_rows", "match_rows", mb.alias("bloom_bits")
+    )
+    kh = F.greatest(
+        F.lit(1),
+        F.round(F.col("bloom_bits").cast("double") / nd * F.lit(ln2), 0)
+        .cast("long"),
+    )
+    out = out.select("*", kh.alias("bloom_hashes"))
+    fpp = F.pow(
+        1.0
+        - F.exp(
+            -(
+                F.col("bloom_hashes").cast("double") * nd
+            )
+            / F.col("bloom_bits").cast("double")
+        ),
+        F.col("bloom_hashes").cast("double"),
+    )
+    return out.select(
+        "n_build_keys", "probe_rows", "match_rows", "bloom_bits",
+        "bloom_hashes",
+        F.round(F.col("bloom_bits").cast("double") / 8192.0, 3)
+        .alias("bloom_kib"),
+        F.round(fpp, 9).alias("achieved_fpp"),
+        F.round(
+            (F.col("probe_rows") - F.col("match_rows")).cast("double") * fpp,
+            3,
+        ).alias("est_false_pass_rows"),
+    )
+
+
+def _oracle_lineitem_bloom_join_planner_sql() -> str:
+    import math
+
+    ln2, lnp = math.log(2.0), math.log(_BLOOM_FPP)
+    return f"""
+WITH hv AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE_CUTOFF}),
+build AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_build_keys FROM hv),
+probe AS (SELECT CAST(COUNT(*) AS BIGINT) AS probe_rows FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS match_rows
+  FROM lineitem l JOIN hv ON hv.o_orderkey = l.l_orderkey),
+j AS (SELECT * FROM build CROSS JOIN probe CROSS JOIN m),
+bits AS (
+  SELECT *,
+    CAST(ceil(-(CAST(n_build_keys AS DOUBLE) * {lnp!r})
+              / {ln2 * ln2!r}) AS BIGINT) AS bloom_bits
+  FROM j),
+hashes AS (
+  SELECT *,
+    GREATEST(1, CAST(round(CAST(bloom_bits AS DOUBLE)
+                           / CAST(n_build_keys AS DOUBLE) * {ln2!r})
+                     AS BIGINT)) AS bloom_hashes
+  FROM bits),
+fp AS (
+  SELECT *,
+    pow(1.0 - exp(-(CAST(bloom_hashes AS DOUBLE)
+                    * CAST(n_build_keys AS DOUBLE))
+                  / CAST(bloom_bits AS DOUBLE)),
+        CAST(bloom_hashes AS DOUBLE)) AS fpp
+  FROM hashes)
+SELECT n_build_keys, probe_rows, match_rows, bloom_bits, bloom_hashes,
+       round(CAST(bloom_bits AS DOUBLE) / 8192.0, 3) AS bloom_kib,
+       round(fpp, 9) AS achieved_fpp,
+       round(CAST(probe_rows - match_rows AS DOUBLE) * fpp, 3)
+         AS est_false_pass_rows
+FROM fp
+"""
+
+
+def q_events_converter_type_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which activities are over-represented among users who eventually
+    purchase: per non-purchase event type, the Haldane-corrected log
+    odds ratio of 'user did this type' vs converter status. The 2×2
+    cells come off ONE (user, type)-distinct pass joined to a per-user
+    converter flag; the converter/non-converter totals attach as a
+    ONE-ROW broadcast, so the shuffle is |users × types|-bounded and the
+    output |types| rows."""
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("__cv")
+    )
+    ut = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"), "event_type"
+        )
+        .distinct()
+        .join(conv, "user_id")
+    )
+    cells = ut.groupBy("event_type").agg(
+        F.sum("__cv").cast("long").alias("n_conv_with"),
+        F.sum(1 - F.col("__cv")).cast("long").alias("n_nonconv_with"),
+    )
+    tot = conv.agg(
+        F.sum("__cv").cast("long").alias("__nc"),
+        F.sum(1 - F.col("__cv")).cast("long").alias("__nn"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    a = F.col("n_conv_with").cast("double") + 0.5
+    b = F.col("n_nonconv_with").cast("double") + 0.5
+    c = (F.col("__nc") - F.col("n_conv_with")).cast("double") + 0.5
+    d = (F.col("__nn") - F.col("n_nonconv_with")).cast("double") + 0.5
+    log_or = F.log((a * d) / (b * c))
+    return j.select(
+        "event_type", "n_conv_with", "n_nonconv_with",
+        F.round(log_or, 6).alias("log_odds_ratio"),
+        F.when(log_or > 0, "enriched").otherwise("depleted").alias(
+            "direction"
+        ),
+    )
+
+
+ORACLE_EVENTS_CONVERTER_TYPE_ENRICHMENT = """
+WITH conv AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+  FROM events GROUP BY 1),
+ut AS (
+  SELECT DISTINCT CAST(e.user_id AS BIGINT) AS user_id, e.event_type
+  FROM events e WHERE e.event_type <> 'purchase'),
+cells AS (
+  SELECT ut.event_type,
+         CAST(SUM(c.cv) AS BIGINT) AS n_conv_with,
+         CAST(SUM(1 - c.cv) AS BIGINT) AS n_nonconv_with
+  FROM ut JOIN conv c USING (user_id) GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cv) AS BIGINT) AS nc,
+         CAST(SUM(1 - cv) AS BIGINT) AS nn FROM conv)
+SELECT event_type, n_conv_with, n_nonconv_with,
+       round(ln(((CAST(n_conv_with AS DOUBLE) + 0.5)
+                 * (CAST(nn - n_nonconv_with AS DOUBLE) + 0.5))
+                / ((CAST(n_nonconv_with AS DOUBLE) + 0.5)
+                   * (CAST(nc - n_conv_with AS DOUBLE) + 0.5))), 6)
+         AS log_odds_ratio,
+       CASE WHEN ln(((CAST(n_conv_with AS DOUBLE) + 0.5)
+                 * (CAST(nn - n_nonconv_with AS DOUBLE) + 0.5))
+                / ((CAST(n_nonconv_with AS DOUBLE) + 0.5)
+                   * (CAST(nc - n_conv_with AS DOUBLE) + 0.5))) > 0
+            THEN 'enriched' ELSE 'depleted' END AS direction
+FROM cells CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -15362,6 +15597,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_value_bootstrap_ci": q_events_value_bootstrap_ci,
     "orders_revenue_trend_robust": q_orders_revenue_trend_robust,
     "dup_graph_triangles": q_dup_graph_triangles,
+    "orders_join_skew_audit": q_orders_join_skew_audit,
+    "lineitem_bloom_join_planner": q_lineitem_bloom_join_planner,
+    "events_converter_type_enrichment": q_events_converter_type_enrichment,
 }
 
 
@@ -15639,4 +15877,9 @@ def oracles() -> dict[str, str]:
         "events_value_bootstrap_ci": _oracle_events_value_bootstrap_ci_sql(),
         "orders_revenue_trend_robust": ORACLE_ORDERS_REVENUE_TREND_ROBUST,
         "dup_graph_triangles": _oracle_dup_graph_triangles_sql(),
+        "orders_join_skew_audit": ORACLE_ORDERS_JOIN_SKEW_AUDIT,
+        "lineitem_bloom_join_planner":
+            _oracle_lineitem_bloom_join_planner_sql(),
+        "events_converter_type_enrichment":
+            ORACLE_EVENTS_CONVERTER_TYPE_ENRICHMENT,
     }

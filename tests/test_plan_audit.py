@@ -78,6 +78,9 @@ _ALLOWED_CROSS = {
     "events_session_concurrency_peak",  # broadcast ONE-ROW session count
     "events_km_conversion_survival",  # broadcast ONE-ROW total/count attaches
     "events_value_bootstrap_ci",  # broadcast ONE-ROW bootstrap-CI attach
+    "orders_join_skew_audit",  # broadcast ONE-ROW mean-load attach
+    "lineitem_bloom_join_planner",  # cross of three ONE-ROW counts
+    "events_converter_type_enrichment",  # broadcast ONE-ROW totals attach
     "orders_revenue_trend_robust",  # |months|² pair grid — dimension-bounded
     "dup_graph_triangles",  # cross of three ONE-ROW graph aggregates
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach

@@ -1413,3 +1413,108 @@ def test_dup_graph_triangles_planted(spark, tmp_path):
     assert r["n_triangles"] == 1
     assert r["n_wedges"] == 3
     assert r["global_clustering"] == 1.0
+
+
+def test_orders_join_skew_audit_hot_key(spark, tmp_path):
+    """One customer holds 8 of 12 orders across 5 keys: mean load is
+    12/5 = 2.4, so the hot key's ratio is 8/2.4 = 10/3 and its salt
+    factor ceil(10/3) = 4; a uniform key gets ratio 1/2.4 and salt 1."""
+    from datetime import date
+
+    rows = [(i + 1, 100, date(2024, 1, 1), 10.0) for i in range(8)] + [
+        (9, 200, date(2024, 1, 1), 10.0),
+        (10, 300, date(2024, 1, 1), 10.0),
+        (11, 400, date(2024, 1, 1), 10.0),
+        (12, 500, date(2024, 1, 1), 10.0),
+    ]
+    _plant(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    out = {
+        r["o_custkey"]: r
+        for r in QUERIES["orders_join_skew_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 5
+    hot = out[100]
+    assert hot["n_rows"] == 8
+    assert abs(hot["ratio_to_mean"] - round(8 * 5 / 12.0, 6)) < 1e-9
+    assert hot["salt_factor"] == 4
+    assert out[200]["salt_factor"] == 1
+
+
+def test_lineitem_bloom_join_planner_formulas(spark, tmp_path):
+    """Two high-value build keys: m = ceil(2·ln(100)/ln²2) = 20 bits,
+    k = round(20/2·ln2) = 7 hashes; match_rows counts only lineitems of
+    those orders; false-pass estimate is (probe − match)·fpp."""
+    import math
+
+    from datetime import date
+
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, 1, date(2024, 1, 1), 200000.0),
+            (2, 1, date(2024, 1, 1), 300000.0),
+            (3, 1, date(2024, 1, 1), 50000.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [(1, 1.0), (1, 2.0), (2, 1.0), (3, 1.0), (3, 2.0), (3, 3.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    [r] = QUERIES["lineitem_bloom_join_planner"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["n_build_keys"], r["probe_rows"], r["match_rows"]) == (2, 6, 3)
+    ln2 = math.log(2.0)
+    m = math.ceil(-(2 * math.log(0.01)) / (ln2 * ln2))
+    assert r["bloom_bits"] == m
+    k = max(1, round(m / 2 * ln2))
+    assert r["bloom_hashes"] == k
+    fpp = (1.0 - math.exp(-(k * 2.0) / m)) ** k
+    assert abs(r["achieved_fpp"] - round(fpp, 9)) < 1e-12
+    assert abs(r["est_false_pass_rows"] - round(3 * fpp, 3)) < 1e-9
+
+
+def test_events_converter_type_enrichment_log_odds(spark, tmp_path):
+    """Converters u1, u2 both clicked; non-converters u3, u4 did not
+    (u3 viewed): click log-OR = ln((2.5·2.5)/(0.5·0.5)) (enriched),
+    view log-OR = ln((1.5·1.5)/(1.5·1.5)) = 0 (depleted by the > 0
+    tie-break)."""
+    import math
+
+    t0 = datetime(2024, 6, 1, 10, 0)
+    rows = [
+        (1, t0, 1, "click"), (2, t0, 1, "purchase"), (3, t0, 1, "view"),
+        (4, t0, 2, "click"), (5, t0, 2, "purchase"),
+        (6, t0, 3, "view"),
+        (7, t0, 4, "idle"),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["events_converter_type_enrichment"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    click = out["click"]
+    assert (click["n_conv_with"], click["n_nonconv_with"]) == (2, 0)
+    assert abs(
+        click["log_odds_ratio"]
+        - round(math.log((2.5 * 2.5) / (0.5 * 0.5)), 6)
+    ) < 1e-9
+    assert click["direction"] == "enriched"
+    view = out["view"]
+    assert (view["n_conv_with"], view["n_nonconv_with"]) == (1, 1)
+    assert view["log_odds_ratio"] == 0.0
+    assert view["direction"] == "depleted"
