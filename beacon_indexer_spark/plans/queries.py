@@ -15338,6 +15338,326 @@ FROM cells CROSS JOIN tot
 """
 
 
+# ===========================================================================
+# Round-8 wave 17: Simpson's-paradox audit, Neyman sampling allocation,
+# Wald-Wolfowitz runs test
+# ===========================================================================
+
+
+def q_lineitem_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit on 'do high discounts associate with
+    returns': the aggregate high-vs-low-discount return-rate gap next to
+    the same gap within each ship-year stratum, flagging strata whose
+    direction REVERSES the aggregate — the confounding check every
+    observational metric readout needs before anyone acts on it. One
+    |years × 2|-bounded aggregation; the aggregate gap attaches as a
+    ONE-ROW broadcast; rates are exact-integer divisions."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("__hi"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("__r"),
+    )
+    cells = li.groupBy("ship_year").agg(
+        F.sum(F.col("__hi") * F.col("__r")).cast("long").alias("__rh"),
+        F.sum("__hi").cast("long").alias("__nh"),
+        F.sum((1 - F.col("__hi")) * F.col("__r")).cast("long").alias("__rl"),
+        F.sum(1 - F.col("__hi")).cast("long").alias("__nl"),
+    )
+    overall = cells.agg(
+        (
+            F.sum("__rh").cast("double") / F.sum("__nh").cast("double")
+            - F.sum("__rl").cast("double") / F.sum("__nl").cast("double")
+        ).alias("__od")
+    )
+    j = cells.filter(
+        (F.col("__nh") > 0) & (F.col("__nl") > 0)
+    ).crossJoin(F.broadcast(overall))
+    diff = (
+        F.col("__rh").cast("double") / F.col("__nh").cast("double")
+        - F.col("__rl").cast("double") / F.col("__nl").cast("double")
+    )
+    rev = (
+        (diff > 0) & (F.col("__od") < 0)
+        | (diff < 0) & (F.col("__od") > 0)
+    )
+    return j.select(
+        "ship_year",
+        F.round(
+            F.col("__rh").cast("double") / F.col("__nh").cast("double"), 6
+        ).alias("hi_disc_return_rate"),
+        F.round(
+            F.col("__rl").cast("double") / F.col("__nl").cast("double"), 6
+        ).alias("lo_disc_return_rate"),
+        F.round(diff, 6).alias("stratum_gap"),
+        F.round(F.col("__od"), 6).alias("aggregate_gap"),
+        F.when(rev, 1).otherwise(0).cast("long").alias("reversed"),
+    )
+
+
+ORACLE_LINEITEM_SIMPSONS_CHECK = """
+WITH li AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS hi,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem),
+cells AS (
+  SELECT ship_year,
+         CAST(SUM(hi * r) AS BIGINT) AS rh,
+         CAST(SUM(hi) AS BIGINT) AS nh,
+         CAST(SUM((1 - hi) * r) AS BIGINT) AS rl,
+         CAST(SUM(1 - hi) AS BIGINT) AS nl
+  FROM li GROUP BY 1),
+overall AS (
+  SELECT CAST(SUM(rh) AS DOUBLE) / CAST(SUM(nh) AS DOUBLE)
+         - CAST(SUM(rl) AS DOUBLE) / CAST(SUM(nl) AS DOUBLE) AS od
+  FROM cells)
+SELECT ship_year,
+       round(CAST(rh AS DOUBLE) / CAST(nh AS DOUBLE), 6)
+         AS hi_disc_return_rate,
+       round(CAST(rl AS DOUBLE) / CAST(nl AS DOUBLE), 6)
+         AS lo_disc_return_rate,
+       round(CAST(rh AS DOUBLE) / CAST(nh AS DOUBLE)
+             - CAST(rl AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS stratum_gap,
+       round(od, 6) AS aggregate_gap,
+       CAST(CASE WHEN (CAST(rh AS DOUBLE) / CAST(nh AS DOUBLE)
+                       - CAST(rl AS DOUBLE) / CAST(nl AS DOUBLE) > 0
+                       AND od < 0)
+                   OR (CAST(rh AS DOUBLE) / CAST(nh AS DOUBLE)
+                       - CAST(rl AS DOUBLE) / CAST(nl AS DOUBLE) < 0
+                       AND od > 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS reversed
+FROM cells CROSS JOIN overall
+WHERE nh > 0 AND nl > 0
+"""
+
+_NEYMAN_BUDGET = 10000
+
+
+def q_events_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sampling allocation over event types: a
+    10k-row sample budget split ∝ N_h·S_h (stratum size × value stddev)
+    vs the proportional split — the design artifact that makes a
+    downstream value estimate minimum-variance for the same budget. Per
+    stratum: exact DECIMAL sums of cents and squared cents, the sample
+    stddev from integer moments; each N_h·S_h is quantized to 1e-6 units
+    so the Σ(N_h·S_h) normalizer is an ORDER-FREE integer sum (the
+    cross-engine determinism convention for float reductions)."""
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long").cast(dec)).alias(
+            "__s"
+        ),
+        F.sum(
+            (
+                F.round(F.col("value") * 100, 0).cast("long")
+                * F.round(F.col("value") * 100, 0).cast("long")
+            ).cast(dec)
+        ).alias("__s2"),
+    ).filter(F.col("n_rows") > 1)
+    n = F.col("n_rows").cast("double")
+    var = (
+        (
+            F.col("n_rows").cast(dec) * F.col("__s2")
+            - F.col("__s") * F.col("__s")
+        ).cast("double")
+        / (n * (n - 1.0))
+        / 10000.0
+    )
+    sd = F.sqrt(var)
+    wq = F.round(n * sd * 1e6, 0).cast("long")
+    pq_ = per.select("event_type", "n_rows", sd.alias("__sd"), wq.alias("__w"))
+    tot = pq_.agg(
+        F.sum("__w").cast("long").alias("__wt"),
+        F.sum("n_rows").cast("long").alias("__nt"),
+    )
+    j = pq_.crossJoin(F.broadcast(tot))
+    return j.select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("__sd"), 6).alias("value_stddev"),
+        F.round(
+            F.lit(float(_NEYMAN_BUDGET))
+            * F.col("__w").cast("double")
+            / F.col("__wt").cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("neyman_n"),
+        F.round(
+            F.lit(float(_NEYMAN_BUDGET))
+            * F.col("n_rows").cast("double")
+            / F.col("__nt").cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("proportional_n"),
+    )
+
+
+ORACLE_EVENTS_NEYMAN_ALLOCATION = f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(round(value * 100) AS HUGEINT)) AS s,
+         SUM(CAST(round(value * 100) AS HUGEINT)
+             * CAST(round(value * 100) AS HUGEINT)) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+  HAVING COUNT(*) > 1),
+sdq AS (
+  SELECT event_type, n_rows,
+         sqrt(CAST(n_rows * s2 - s * s AS DOUBLE)
+              / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0))
+              / 10000.0) AS sd
+  FROM per),
+w AS (
+  SELECT event_type, n_rows, sd,
+         CAST(round(CAST(n_rows AS DOUBLE) * sd * 1e6) AS BIGINT) AS wq
+  FROM sdq),
+tot AS (
+  SELECT CAST(SUM(wq) AS BIGINT) AS wt,
+         CAST(SUM(n_rows) AS BIGINT) AS nt FROM w)
+SELECT event_type, n_rows, round(sd, 6) AS value_stddev,
+       CAST(round({float(_NEYMAN_BUDGET)!r} * CAST(wq AS DOUBLE)
+                  / CAST(wt AS DOUBLE)) AS BIGINT) AS neyman_n,
+       CAST(round({float(_NEYMAN_BUDGET)!r} * CAST(n_rows AS DOUBLE)
+                  / CAST(nt AS DOUBLE)) AS BIGINT) AS proportional_n
+FROM w CROSS JOIN tot
+"""
+
+
+def q_events_daily_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily event-volume series: are
+    above/below-median days randomly interleaved, or do they cluster
+    (regime shifts, ramps) / alternate (oscillation)? The day spine is
+    gap-filled from the ONE-ROW min/max (missing days count 0), sides
+    dichotomize STRICTLY ABOVE the exact histogram lower median (ties
+    fall below, keeping the day spine unbroken), and runs come off a
+    day → day+1 self-equi-join — LAG semantics with no unpartitioned
+    window. Everything after the |days|-bounded histogram is exact
+    integer arithmetic; E[R] and Var[R] are closed-form."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("__d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    bounds = daily.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__d")
+    )
+    filled = spine.join(daily, "__d", "left").select(
+        "__d", F.coalesce("__c", F.lit(0)).alias("__c")
+    ).localCheckpoint(eager=False)
+    hist = filled.groupBy("__c").agg(F.count(F.lit(1)).alias("__f"))
+    h = _exclusive_prefix(hist, "__c", "__f", "__cum")
+    nd = filled.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    med = (
+        h.crossJoin(F.broadcast(nd))
+        .filter(2 * (F.col("__cum") + F.col("__f")) >= F.col("__n"))
+        .agg(F.min("__c").alias("__med"))
+    )
+    sided = filled.crossJoin(F.broadcast(med)).select(
+        "__d",
+        F.when(F.col("__c") > F.col("__med"), 1).otherwise(0).alias("__s"),
+    ).localCheckpoint(eager=False)
+    nxt = sided.select(
+        (F.col("__d") - 1).alias("__d"), F.col("__s").alias("__s2")
+    )
+    changes = sided.join(nxt, "__d").agg(
+        F.sum(
+            F.when(F.col("__s") != F.col("__s2"), 1).otherwise(0)
+        ).cast("long").alias("__ch")
+    )
+    counts = sided.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__s").cast("long").alias("n_above"),
+        F.sum(1 - F.col("__s")).cast("long").alias("n_below"),
+    )
+    j = counts.crossJoin(F.broadcast(changes))
+    n1, n2 = F.col("n_above").cast("double"), F.col("n_below").cast("double")
+    r = (F.col("__ch") + 1).cast("long")
+    er = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    vr = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = F.when(vr > 0, (r.cast("double") - er) / F.sqrt(vr)).otherwise(0.0)
+    return j.select(
+        "n_days", "n_above", "n_below",
+        r.alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z"),
+        F.when(z < -1.96, "clustered")
+        .when(z > 1.96, "oscillating")
+        .otherwise("random")
+        .alias("verdict"),
+    )
+
+
+ORACLE_EVENTS_DAILY_RUNS_TEST = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+spine AS (
+  SELECT unnest(generate_series(lo, hi)) AS d FROM bounds),
+filled AS (
+  SELECT s.d, COALESCE(dl.c, 0) AS c
+  FROM spine s LEFT JOIN daily dl ON dl.d = s.d),
+hist AS (SELECT c, COUNT(*) AS f FROM filled GROUP BY 1),
+cum AS (
+  SELECT c, SUM(f) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cu
+  FROM hist),
+nd AS (SELECT COUNT(*) AS n FROM filled),
+med AS (
+  SELECT MIN(c) AS med FROM cum CROSS JOIN nd WHERE 2 * cu >= n),
+sided AS (
+  SELECT d, CASE WHEN c > med THEN 1 ELSE 0 END AS s
+  FROM filled CROSS JOIN med),
+changes AS (
+  SELECT CAST(SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS BIGINT) AS ch
+  FROM sided a JOIN sided b ON b.d = a.d + 1),
+counts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(s) AS BIGINT) AS n_above,
+         CAST(SUM(1 - s) AS BIGINT) AS n_below
+  FROM sided),
+j AS (
+  SELECT *,
+    1.0 + 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) AS er,
+    2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+         - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))
+      / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+         * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+         * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0)) AS vr
+  FROM counts CROSS JOIN changes),
+zc AS (
+  SELECT *,
+    CASE WHEN vr > 0
+         THEN (CAST(ch + 1 AS DOUBLE) - er) / sqrt(vr)
+         ELSE 0.0 END AS zv
+  FROM j)
+SELECT n_days, n_above, n_below,
+       CAST(ch + 1 AS BIGINT) AS n_runs,
+       round(er, 6) AS expected_runs,
+       round(zv, 6) AS z,
+       CASE WHEN zv < -1.96 THEN 'clustered'
+            WHEN zv > 1.96 THEN 'oscillating'
+            ELSE 'random' END AS verdict
+FROM zc
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -15600,6 +15920,9 @@ QUERIES: dict[str, QueryFn] = {
     "orders_join_skew_audit": q_orders_join_skew_audit,
     "lineitem_bloom_join_planner": q_lineitem_bloom_join_planner,
     "events_converter_type_enrichment": q_events_converter_type_enrichment,
+    "lineitem_simpsons_check": q_lineitem_simpsons_check,
+    "events_neyman_allocation": q_events_neyman_allocation,
+    "events_daily_runs_test": q_events_daily_runs_test,
 }
 
 
@@ -15882,4 +16205,7 @@ def oracles() -> dict[str, str]:
             _oracle_lineitem_bloom_join_planner_sql(),
         "events_converter_type_enrichment":
             ORACLE_EVENTS_CONVERTER_TYPE_ENRICHMENT,
+        "lineitem_simpsons_check": ORACLE_LINEITEM_SIMPSONS_CHECK,
+        "events_neyman_allocation": ORACLE_EVENTS_NEYMAN_ALLOCATION,
+        "events_daily_runs_test": ORACLE_EVENTS_DAILY_RUNS_TEST,
     }

@@ -81,6 +81,9 @@ _ALLOWED_CROSS = {
     "orders_join_skew_audit",  # broadcast ONE-ROW mean-load attach
     "lineitem_bloom_join_planner",  # cross of three ONE-ROW counts
     "events_converter_type_enrichment",  # broadcast ONE-ROW totals attach
+    "lineitem_simpsons_check",  # broadcast ONE-ROW aggregate-gap attach
+    "events_neyman_allocation",  # broadcast ONE-ROW normalizer attach
+    "events_daily_runs_test",  # broadcast ONE-ROW median/changes attaches
     "orders_revenue_trend_robust",  # |months|² pair grid — dimension-bounded
     "dup_graph_triangles",  # cross of three ONE-ROW graph aggregates
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach

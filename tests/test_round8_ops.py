@@ -1518,3 +1518,118 @@ def test_events_converter_type_enrichment_log_odds(spark, tmp_path):
     assert (view["n_conv_with"], view["n_nonconv_with"]) == (1, 1)
     assert view["log_odds_ratio"] == 0.0
     assert view["direction"] == "depleted"
+
+
+def test_lineitem_simpsons_check_reversal(spark, tmp_path):
+    """Classic paradox plant: within EACH year high-discount lines
+    return LESS, but high-discount volume concentrates in the high-
+    return year, so the aggregate gap is positive — both strata must
+    flag reversed = 1."""
+    from datetime import date
+
+    rows = []
+    kid = [0]
+
+    def add(year, hi, returned, n):
+        for _ in range(n):
+            kid[0] += 1
+            rows.append(
+                (
+                    kid[0], 1,
+                    0.06 if hi else 0.0,
+                    "R" if returned else "N",
+                    date(year, 6, 1),
+                )
+            )
+
+    # 2023: base return rate 50%; hi-discount 40% (lower), mostly hi rows
+    add(2023, True, True, 40), add(2023, True, False, 60)    # hi: 40%
+    add(2023, False, True, 5), add(2023, False, False, 5)    # lo: 50%
+    # 2024: base return rate 5%; hi-discount 2% (lower), mostly lo rows
+    add(2024, True, True, 1), add(2024, True, False, 49)     # hi: 2%
+    add(2024, False, True, 5), add(2024, False, False, 95)   # lo: 5%
+    _plant(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_discount double,"
+        " l_returnflag string, l_shipdate date",
+    )
+    out = {
+        r["ship_year"]: r
+        for r in QUERIES["lineitem_simpsons_check"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # aggregate: hi 41/150 vs lo 10/110 -> positive gap
+    agg = 41 / 150.0 - 10 / 110.0
+    assert agg > 0
+    for y, hi_rate, lo_rate in [(2023, 0.4, 0.5), (2024, 0.02, 0.05)]:
+        r = out[y]
+        assert r["hi_disc_return_rate"] == hi_rate
+        assert r["lo_disc_return_rate"] == lo_rate
+        assert r["stratum_gap"] < 0
+        assert r["reversed"] == 1
+        assert abs(r["aggregate_gap"] - round(agg, 6)) < 1e-9
+
+
+def test_events_neyman_allocation_closed_form(spark, tmp_path):
+    """Two strata with equal size but 3x the stddev: Neyman gives the
+    noisy stratum 3/4 of the budget while proportional splits 50/50."""
+    t0 = datetime(2024, 6, 1, 10, 0)
+    rows = []
+    eid = [0]
+
+    def add(tp, vals):
+        for v in vals:
+            eid[0] += 1
+            rows.append((eid[0], t0, 1, tp, v))
+
+    add("calm", [10.0, 12.0] * 50)      # sd of {10,12} pattern
+    add("noisy", [10.0, 16.0] * 50)     # 3x the deviation
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["events_neyman_allocation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["calm"]["n_rows"] == 100 and out["noisy"]["n_rows"] == 100
+    assert abs(
+        out["noisy"]["value_stddev"] - 3 * out["calm"]["value_stddev"]
+    ) < 1e-4
+    assert out["calm"]["proportional_n"] == 5000
+    assert out["noisy"]["proportional_n"] == 5000
+    assert out["calm"]["neyman_n"] == 2500
+    assert out["noisy"]["neyman_n"] == 7500
+
+
+def test_events_daily_runs_test_clustered(spark, tmp_path):
+    """Ten days: five busy (2 events) then five quiet (1 event) — a
+    maximally clustered series has R = 2 runs vs E[R] = 6, z < 0; sides
+    split 5/5 at the strictly-above-lower-median dichotomy."""
+    import math
+
+    from datetime import timedelta
+
+    t0 = datetime(2024, 6, 1, 10, 0)
+    rows = []
+    eid = [0]
+    for d in range(10):
+        n = 2 if d < 5 else 1
+        for _ in range(n):
+            eid[0] += 1
+            rows.append((eid[0], t0 + timedelta(days=d), 1, "view"))
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    [r] = QUERIES["events_daily_runs_test"](spark, str(tmp_path)).collect()
+    assert (r["n_days"], r["n_above"], r["n_below"]) == (10, 5, 5)
+    assert r["n_runs"] == 2
+    assert r["expected_runs"] == 6.0
+    var = 2 * 5 * 5 * (2 * 5 * 5 - 10) / (100.0 * 9.0)
+    assert abs(r["z"] - round((2 - 6.0) / math.sqrt(var), 6)) < 1e-9
+    assert r["verdict"] == "clustered"
