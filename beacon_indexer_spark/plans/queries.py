@@ -15658,6 +15658,299 @@ FROM zc
 """
 
 
+# ===========================================================================
+# Round-8 wave 18: DOW seasonality strength, exact midrank AUC, expected
+# shortfall
+# ===========================================================================
+
+
+def q_events_dow_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much of daily-volume variance is day-of-week: the η² variance
+    decomposition (SS_between/SS_total) plus the one-way F statistic of
+    the DOW model on daily counts. Day-of-week is epoch_day % 7 — pure
+    integer, immune to engine locale/week-start conventions. Grand
+    moments are exact DECIMAL sums; the 7 per-group S_g²/n_g terms are
+    1e-6-quantized before summing so the between-group SS is an
+    ORDER-FREE integer reduction."""
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("__d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    glob = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("__c").cast(dec)).cast("long").alias("__s"),
+        F.sum((F.col("__c") * F.col("__c")).cast(dec)).alias("__s2"),
+    )
+    per = daily.groupBy((F.col("__d") % 7).alias("__dw")).agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum(F.col("__c").cast(dec)).cast("long").alias("__sg"),
+    )
+    terms = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dows"),
+        F.sum(
+            F.round(
+                F.col("__sg").cast("double")
+                * F.col("__sg").cast("double")
+                / F.col("__ng").cast("double")
+                * 1e6,
+                0,
+            ).cast("long")
+        ).cast("long").alias("__tq"),
+    )
+    j = glob.crossJoin(F.broadcast(terms))
+    n = F.col("n_days").cast("double")
+    s = F.col("__s").cast("double")
+    corr = s * s / n
+    ss_tot = F.col("__s2").cast("double") - corr
+    ss_b = F.col("__tq").cast("double") / 1e6 - corr
+    k = F.col("n_dows").cast("double")
+    eta = F.when(ss_tot > 0, ss_b / ss_tot).otherwise(0.0)
+    fstat = F.when(
+        (F.col("n_dows") > 1)
+        & (F.col("n_days") > F.col("n_dows"))
+        & (ss_tot - ss_b > 0),
+        (ss_b / (k - 1.0)) / ((ss_tot - ss_b) / (n - k)),
+    ).otherwise(0.0)
+    return j.select(
+        "n_days", "n_dows",
+        F.round(eta, 6).alias("eta_sq"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+
+
+ORACLE_EVENTS_DOW_SEASONALITY_STRENGTH = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+gm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS s,
+         SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM daily),
+per AS (
+  SELECT d % 7 AS dw, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(c) AS BIGINT) AS sg
+  FROM daily GROUP BY 1),
+terms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dows,
+         CAST(SUM(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                             / CAST(ng AS DOUBLE) * 1e6) AS BIGINT))
+              AS BIGINT) AS tq
+  FROM per),
+j AS (
+  SELECT *,
+    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS corr,
+    CAST(s2 AS DOUBLE) AS s2d
+  FROM gm CROSS JOIN terms)
+SELECT n_days, n_dows,
+       round(CASE WHEN s2d - corr > 0
+                  THEN (CAST(tq AS DOUBLE) / 1e6 - corr) / (s2d - corr)
+                  ELSE 0.0 END, 6) AS eta_sq,
+       round(CASE WHEN n_dows > 1 AND n_days > n_dows
+                       AND (s2d - corr) - (CAST(tq AS DOUBLE) / 1e6 - corr)
+                           > 0
+                  THEN ((CAST(tq AS DOUBLE) / 1e6 - corr)
+                        / (CAST(n_dows AS DOUBLE) - 1.0))
+                       / (((s2d - corr)
+                           - (CAST(tq AS DOUBLE) / 1e6 - corr))
+                          / (CAST(n_days AS DOUBLE)
+                             - CAST(n_dows AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS f_stat
+FROM j
+"""
+
+
+def q_embedding_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the embedding L2 norm as a one-vs-rest score for
+    the dominant label — 'does vector magnitude leak the class', the
+    representation-quality probe run before anyone trusts
+    cosine-distance semantics. AUC is the Mann-Whitney statistic with
+    midrank tie handling, computed EXACTLY on the 1e-9-quantized norm
+    histogram: Σ pos_k·(2·neg_below_k + neg_k) / (2·P·N) — integer
+    arithmetic end-to-end, one |distinct norms| shuffle, no per-row
+    ranking window."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    scored = emb.select(
+        F.col("label").cast("long").alias("__lab"),
+        F.round(nrm * 1e9, 0).cast("long").alias("__q"),
+    ).localCheckpoint(eager=False)
+    top = (
+        scored.groupBy("__lab")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__lab"))
+        .limit(1)
+        .select(F.col("__lab").alias("__pos"))
+    )
+    flagged = scored.crossJoin(F.broadcast(top)).select(
+        "__q",
+        F.when(F.col("__lab") == F.col("__pos"), 1).otherwise(0).alias(
+            "__y"
+        ),
+    )
+    hist = flagged.groupBy("__q").agg(
+        F.sum("__y").cast("long").alias("__p"),
+        F.sum(1 - F.col("__y")).cast("long").alias("__g"),
+    )
+    h = _exclusive_prefix(hist, "__q", "__g", "__gb")
+    dec = "decimal(38,0)"
+    agg = h.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__g").cast("long").alias("n_neg"),
+        F.sum(
+            (
+                F.col("__p") * (2 * F.col("__gb") + F.col("__g"))
+            ).cast(dec)
+        ).alias("__num"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("__num").cast("double")
+        / (
+            2.0
+            * F.col("n_pos").cast("double")
+            * F.col("n_neg").cast("double")
+        ),
+    ).otherwise(0.5)
+    return agg.select(
+        "n_pos", "n_neg", F.round(auc, 6).alias("auc"),
+        F.when(auc >= 0.5, "norm-higher-for-class")
+        .otherwise("norm-lower-for-class")
+        .alias("direction"),
+    )
+
+
+ORACLE_EMBEDDING_LABEL_AUC = """
+WITH nv AS (
+  SELECT CAST(label AS BIGINT) AS lab,
+         CAST(round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) * 1e9) AS BIGINT) AS q
+  FROM embeddings),
+top AS (
+  SELECT lab AS pos FROM (
+    SELECT lab, COUNT(*) AS n FROM nv GROUP BY 1
+    ORDER BY n DESC, lab ASC LIMIT 1)),
+flagged AS (
+  SELECT q, CASE WHEN lab = pos THEN 1 ELSE 0 END AS y
+  FROM nv CROSS JOIN top),
+hist AS (
+  SELECT q, CAST(SUM(y) AS BIGINT) AS p, CAST(SUM(1 - y) AS BIGINT) AS g
+  FROM flagged GROUP BY 1),
+h AS (
+  SELECT *,
+    COALESCE(SUM(g) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS gb
+  FROM hist),
+agg AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(g) AS BIGINT) AS n_neg,
+         SUM(CAST(p AS HUGEINT) * (2 * gb + g)) AS num
+  FROM h)
+SELECT n_pos, n_neg,
+       round(CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN CAST(num AS DOUBLE)
+                       / (2.0 * CAST(n_pos AS DOUBLE)
+                          * CAST(n_neg AS DOUBLE))
+                  ELSE 0.5 END, 6) AS auc,
+       CASE WHEN (CASE WHEN n_pos > 0 AND n_neg > 0
+                       THEN CAST(num AS DOUBLE)
+                            / (2.0 * CAST(n_pos AS DOUBLE)
+                               * CAST(n_neg AS DOUBLE))
+                       ELSE 0.5 END) >= 0.5
+            THEN 'norm-higher-for-class'
+            ELSE 'norm-lower-for-class' END AS direction
+FROM agg
+"""
+
+
+def q_events_value_expected_shortfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tail risk of the value column: the exact 95% VaR (smallest value
+    with cumulative mass ≥ 0.95) and the expected shortfall E[X | X ≥
+    VaR] — the coherent tail metric that p95 alone understates. Both
+    come off the cents VALUE HISTOGRAM with integer thresholds
+    (20·cum ≥ 19·n) and exact integer tail sums; no sort, no float
+    rank."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hist = ev.groupBy(
+        F.round(F.col("value") * 100, 0).cast("long").alias("__k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__f"))
+    h = _exclusive_prefix(hist, "__k", "__f", "__cum").localCheckpoint(
+        eager=False
+    )
+    tot = hist.agg(F.sum("__f").cast("long").alias("__n"))
+    var_ = (
+        h.crossJoin(F.broadcast(tot))
+        .filter(20 * (F.col("__cum") + F.col("__f")) >= 19 * F.col("__n"))
+        .agg(F.min("__k").alias("__vk"))
+    )
+    dec = "decimal(38,0)"
+    tail = (
+        h.crossJoin(F.broadcast(var_))
+        .filter(F.col("__k") >= F.col("__vk"))
+        .agg(
+            F.sum("__f").cast("long").alias("__tn"),
+            F.sum((F.col("__k") * F.col("__f")).cast(dec)).alias("__ts"),
+            F.min("__vk").alias("__vk"),
+        )
+    )
+    j = tail.crossJoin(F.broadcast(tot))
+    return j.select(
+        F.col("__n").alias("n_events"),
+        (F.col("__vk").cast("double") / 100.0).alias("var_95"),
+        F.round(
+            F.col("__ts").cast("double")
+            / F.col("__tn").cast("double")
+            / 100.0,
+            6,
+        ).alias("es_95"),
+        F.col("__tn").alias("tail_n"),
+        F.round(
+            F.col("__tn").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("tail_share"),
+    )
+
+
+ORACLE_EVENTS_VALUE_EXPECTED_SHORTFALL = """
+WITH hist AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS f
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT k, f, SUM(f) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cu
+  FROM hist),
+tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM hist),
+v AS (
+  SELECT MIN(k) AS vk FROM cum CROSS JOIN tot WHERE 20 * cu >= 19 * n),
+tail AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS tn,
+         SUM(CAST(k AS HUGEINT) * f) AS ts,
+         MIN(vk) AS vk
+  FROM hist CROSS JOIN v WHERE k >= vk)
+SELECT n AS n_events,
+       CAST(vk AS DOUBLE) / 100.0 AS var_95,
+       round(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) / 100.0, 6) AS es_95,
+       tn AS tail_n,
+       round(CAST(tn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS tail_share
+FROM tail CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -15923,6 +16216,9 @@ QUERIES: dict[str, QueryFn] = {
     "lineitem_simpsons_check": q_lineitem_simpsons_check,
     "events_neyman_allocation": q_events_neyman_allocation,
     "events_daily_runs_test": q_events_daily_runs_test,
+    "events_dow_seasonality_strength": q_events_dow_seasonality_strength,
+    "embedding_label_auc": q_embedding_label_auc,
+    "events_value_expected_shortfall": q_events_value_expected_shortfall,
 }
 
 
@@ -16208,4 +16504,9 @@ def oracles() -> dict[str, str]:
         "lineitem_simpsons_check": ORACLE_LINEITEM_SIMPSONS_CHECK,
         "events_neyman_allocation": ORACLE_EVENTS_NEYMAN_ALLOCATION,
         "events_daily_runs_test": ORACLE_EVENTS_DAILY_RUNS_TEST,
+        "events_dow_seasonality_strength":
+            ORACLE_EVENTS_DOW_SEASONALITY_STRENGTH,
+        "embedding_label_auc": ORACLE_EMBEDDING_LABEL_AUC,
+        "events_value_expected_shortfall":
+            ORACLE_EVENTS_VALUE_EXPECTED_SHORTFALL,
     }

@@ -84,6 +84,9 @@ _ALLOWED_CROSS = {
     "lineitem_simpsons_check",  # broadcast ONE-ROW aggregate-gap attach
     "events_neyman_allocation",  # broadcast ONE-ROW normalizer attach
     "events_daily_runs_test",  # broadcast ONE-ROW median/changes attaches
+    "events_dow_seasonality_strength",  # broadcast ONE-ROW moments attach
+    "embedding_label_auc",  # broadcast ONE-ROW dominant-label attach
+    "events_value_expected_shortfall",  # broadcast ONE-ROW VaR/total attaches
     "orders_revenue_trend_robust",  # |months|² pair grid — dimension-bounded
     "dup_graph_triangles",  # cross of three ONE-ROW graph aggregates
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach

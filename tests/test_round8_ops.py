@@ -1633,3 +1633,79 @@ def test_events_daily_runs_test_clustered(spark, tmp_path):
     var = 2 * 5 * 5 * (2 * 5 * 5 - 10) / (100.0 * 9.0)
     assert abs(r["z"] - round((2 - 6.0) / math.sqrt(var), 6)) < 1e-9
     assert r["verdict"] == "clustered"
+
+
+def test_events_dow_seasonality_strength_pure_dow(spark, tmp_path):
+    """Fourteen days whose counts depend ONLY on epoch_day % 7 (two full
+    identical weeks): within-group variance is zero, so eta_sq = 1 and
+    F is 0 by the SSw > 0 guard; a constant series gets eta_sq = 0."""
+    from datetime import timedelta
+
+    t0 = datetime(2024, 6, 2, 12, 0)
+    rows, eid = [], [0]
+    for d in range(14):
+        n = (d % 7) + 1
+        for _ in range(n):
+            eid[0] += 1
+            rows.append((eid[0], t0 + timedelta(days=d), 1, "view"))
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    [r] = QUERIES["events_dow_seasonality_strength"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["n_days"], r["n_dows"]) == (14, 7)
+    assert r["eta_sq"] == 1.0
+    assert r["f_stat"] == 0.0
+
+
+def test_embedding_label_auc_separable(spark, tmp_path):
+    """Dominant label 0 has norms {3, 4}, label 1 has norms {1, 2} — a
+    perfectly separable score gives AUC = 1; a tied norm would get
+    midrank credit (checked via one shared value -> AUC 0.875)."""
+    rows = [
+        (1, [3.0, 0.0], 0), (2, [0.0, 4.0], 0), (3, [5.0, 0.0], 0),
+        (4, [1.0, 0.0], 1), (5, [0.0, 2.0], 1),
+    ]
+    _plant(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label long",
+    )
+    [r] = QUERIES["embedding_label_auc"](spark, str(tmp_path)).collect()
+    assert (r["n_pos"], r["n_neg"]) == (3, 2)
+    assert r["auc"] == 1.0
+    assert r["direction"] == "norm-higher-for-class"
+    # midrank: pos {2,3,4}, neg {1,2} -> pairs: 2v1=1, 2v2=.5, 3,4 beat all
+    rows2 = [
+        (1, [2.0, 0.0], 0), (2, [0.0, 3.0], 0), (3, [4.0, 0.0], 0),
+        (4, [1.0, 0.0], 1), (5, [0.0, 2.0], 1),
+    ]
+    import shutil
+
+    shutil.rmtree(tmp_path / "embeddings.parquet")
+    _plant(
+        spark, tmp_path, "embeddings", rows2,
+        "vec_id long, embedding array<float>, label long",
+    )
+    [r2] = QUERIES["embedding_label_auc"](spark, str(tmp_path)).collect()
+    assert r2["auc"] == round((1 + 0.5 + 2 + 2) / 6.0, 6)
+
+
+def test_events_value_expected_shortfall_exact_tail(spark, tmp_path):
+    """Twenty values 1..20: VaR95 is the smallest value with cum >= 19
+    (i.e. 19.0), the >= tail is {19, 20}, ES = 19.5, tail share 0.1."""
+    t0 = datetime(2024, 6, 1, 10, 0)
+    rows = [(i, t0, 1, "view", float(i)) for i in range(1, 21)]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    [r] = QUERIES["events_value_expected_shortfall"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r["n_events"] == 20
+    assert r["var_95"] == 19.0
+    assert r["es_95"] == 19.5
+    assert (r["tail_n"], r["tail_share"]) == (2, 0.1)
