@@ -15951,6 +15951,404 @@ FROM tail CROSS JOIN tot
 """
 
 
+# ===========================================================================
+# Round-8 wave 19: top principal component via distributed Gramian + power
+# iteration, seasonal-naive forecast backtest, lang x source NMI
+# ===========================================================================
+
+_PCA_D = 64
+
+
+def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud — eigenvalue,
+    share of total variance, and the dominant coordinate — via the
+    scalable two-phase shape: ONE distributed pass builds the d²
+    Gramian/covariance (per-row outer products map-side combined into
+    4096 cells — the only n-dependent work), then THREE power-iteration
+    steps run as array arithmetic on the constant-size matrix, each
+    re-normalized and 1e-9-quantized so every float fold is a
+    deterministic left-to-right sequence in both engines. The 'is my
+    embedding space one-dimensional' red flag for representation
+    collapse."""
+    dec = "decimal(38,0)"
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
+    )
+    ex = emb.select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    q, lambda qi: F.transform(q, lambda qj: qi * qj)
+                )
+            )
+        ).alias("__p", "__v")
+    )
+    sij = ex.groupBy("__p").agg(F.sum(F.col("__v").cast(dec)).alias("__s"))
+    di = emb.select(F.posexplode(q).alias("__i", "__qi"))
+    si = di.groupBy("__i").agg(F.sum(F.col("__qi").cast(dec)).alias("__si"))
+    cnt = emb.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    covdf = (
+        sij.withColumn("__i", F.expr(f"__p div {_PCA_D}"))
+        .withColumn("__j", F.col("__p") % _PCA_D)
+        .join(F.broadcast(si), "__i")
+        .join(
+            F.broadcast(
+                si.select(
+                    F.col("__i").alias("__j"), F.col("__si").alias("__sj")
+                )
+            ),
+            "__j",
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "__p",
+            (
+                (
+                    F.col("__s").cast("double")
+                    - F.col("__si").cast("double")
+                    * F.col("__sj").cast("double")
+                    / F.col("__n").cast("double")
+                )
+                / F.col("__n").cast("double")
+            ).alias("__cov"),
+            F.col("__n"),
+        )
+    )
+    one = covdf.agg(
+        F.sort_array(F.collect_list(F.struct("__p", "__cov"))).alias("__e"),
+        F.max("__n").alias("n_vectors"),
+    ).select(
+        F.transform(F.col("__e"), lambda s: s["__cov"]).alias("__fl"),
+        "n_vectors",
+    )
+    d = _PCA_D
+    seq = F.sequence(F.lit(0), F.lit(d - 1))
+
+    def matvec(fl: Column, v: Column) -> Column:
+        return F.transform(
+            seq,
+            lambda i: F.aggregate(
+                seq,
+                F.lit(0.0),
+                lambda acc, j: acc + F.get(fl, i * d + j) * F.get(v, j),
+            ),
+        )
+
+    def norm_q(w: Column) -> Column:
+        nrm = F.sqrt(F.aggregate(w, F.lit(0.0), lambda a, x: a + x * x))
+        return F.transform(w, lambda x: F.round(x / nrm * 1e9, 0) / 1e9)
+
+    fl = F.col("__fl")
+    v = F.array(*([F.lit(0.125)] * d))
+    st = one
+    for step in range(3):
+        st = st.select(
+            "__fl", "n_vectors", matvec(fl, v if step == 0 else F.col("__v")).alias("__w")
+        ).select("__fl", "n_vectors", norm_q(F.col("__w")).alias("__v"))
+    final = st.select(
+        "__fl", "n_vectors", "__v", matvec(fl, F.col("__v")).alias("__w")
+    )
+    lam = F.aggregate(
+        seq,
+        F.lit(0.0),
+        lambda a, i: a + F.get(F.col("__v"), i) * F.get(F.col("__w"), i),
+    )
+    trace = F.aggregate(
+        seq, F.lit(0.0), lambda a, i: a + F.get(fl, i * (d + 1))
+    )
+    absv = F.transform(F.col("__v"), F.abs)
+    top_dim = (
+        F.array_position(absv, F.array_max(absv)).cast("long") - 1
+    )
+    return final.select(
+        "n_vectors",
+        F.round(lam / 1e12, 6).alias("top_eigenvalue"),
+        F.round(
+            F.when(trace > 0, lam / trace).otherwise(0.0), 6
+        ).alias("top_var_share"),
+        top_dim.alias("top_dim"),
+    )
+
+
+def _oracle_embedding_top_component_sql() -> str:
+    d = _PCA_D
+
+    def mv(fl: str, v: str) -> str:
+        return (
+            f"list_transform(range(0, {d}), i -> list_reduce("
+            f"list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, {d}),"
+            f" j -> {fl}[i * {d} + j + 1] * {v}[j + 1])), (a, b) -> a + b))"
+        )
+
+    nq = (
+        "list_transform(w, x -> round(x / sqrt(list_reduce(list_prepend("
+        "CAST(0.0 AS DOUBLE), list_transform(w, y -> y * y)),"
+        " (a, b) -> a + b)) * 1e9) / 1e9)"
+    )
+    return f"""
+WITH qv AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+  FROM embeddings),
+ex AS (
+  SELECT (i - 1) * {d} + (j - 1) AS p,
+         CAST(q[i] AS HUGEINT) * q[j] AS v
+  FROM qv,
+       LATERAL (SELECT unnest(generate_series(1, {d})) AS i) a,
+       LATERAL (SELECT unnest(generate_series(1, {d})) AS j) b),
+sij AS (SELECT p, SUM(v) AS s FROM ex GROUP BY 1),
+di AS (
+  SELECT i - 1 AS i, q[i] AS qi
+  FROM qv, LATERAL (SELECT unnest(generate_series(1, {d})) AS i) a),
+si AS (SELECT i, SUM(qi) AS sv FROM di GROUP BY 1),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qv),
+cov AS (
+  SELECT p,
+         (CAST(s AS DOUBLE)
+          - CAST(a.sv AS DOUBLE) * CAST(b.sv AS DOUBLE)
+            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS c
+  FROM sij
+  JOIN si a ON a.i = p // {d}
+  JOIN si b ON b.i = p % {d}
+  CROSS JOIN cnt),
+one AS (
+  SELECT list(c ORDER BY p) AS fl, (SELECT n FROM cnt) AS n_vectors
+  FROM cov),
+w1 AS (SELECT fl, n_vectors,
+         {mv('fl', f"list_transform(range(0, {d}), x -> 0.125)")} AS w
+       FROM one),
+v1 AS (SELECT fl, n_vectors, {nq} AS v FROM w1),
+w2 AS (SELECT fl, n_vectors, {mv('fl', 'v')} AS w FROM v1),
+v2 AS (SELECT fl, n_vectors, {nq} AS v FROM w2),
+w3 AS (SELECT fl, n_vectors, {mv('fl', 'v')} AS w FROM v2),
+v3 AS (SELECT fl, n_vectors, {nq} AS v FROM w3),
+fin AS (SELECT fl, n_vectors, v, {mv('fl', 'v')} AS w FROM v3),
+lamt AS (
+  SELECT fl, n_vectors, v,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(0, {d}), i -> v[i + 1] * w[i + 1])),
+      (a, b) -> a + b) AS lam,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(0, {d}), i -> fl[i * {d + 1} + 1])),
+      (a, b) -> a + b) AS tr
+  FROM fin)
+SELECT n_vectors,
+       round(lam / 1e12, 6) AS top_eigenvalue,
+       round(CASE WHEN tr > 0 THEN lam / tr ELSE 0.0 END, 6)
+         AS top_var_share,
+       CAST(list_position(list_transform(v, x -> abs(x)),
+                          list_max(list_transform(v, x -> abs(x)))) - 1
+            AS BIGINT) AS top_dim
+FROM lamt
+"""
+
+
+def q_orders_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast-model backtest on monthly revenue: mean absolute error
+    of the seasonal-naive forecast (same month last year) vs the naive
+    forecast (previous month), evaluated on every month where BOTH lags
+    exist — the MASE-style read that says whether the series is
+    seasonal enough to deserve a seasonal model. LAG semantics via
+    month-index self-equi-joins (gap-aware, no unpartitioned window);
+    errors are exact integer cents."""
+    dec = "decimal(38,0)"
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("__mx")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast(dec))
+            .cast("long")
+            .alias("__c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    lag1 = monthly.select(
+        (F.col("__mx") + 1).alias("__mx"), F.col("__c").alias("__c1")
+    )
+    lag12 = monthly.select(
+        (F.col("__mx") + 12).alias("__mx"), F.col("__c").alias("__c12")
+    )
+    ev = monthly.join(lag1, "__mx").join(lag12, "__mx")
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_months"),
+        F.sum(F.abs(F.col("__c") - F.col("__c1")).cast(dec))
+        .cast("long")
+        .alias("__e1"),
+        F.sum(F.abs(F.col("__c") - F.col("__c12")).cast(dec))
+        .cast("long")
+        .alias("__e12"),
+    )
+    n = F.col("n_eval_months").cast("double")
+    mae1 = F.col("__e1").cast("double") / n / 100.0
+    mae12 = F.col("__e12").cast("double") / n / 100.0
+    return agg.select(
+        "n_eval_months",
+        F.round(mae1, 6).alias("mae_naive"),
+        F.round(mae12, 6).alias("mae_seasonal"),
+        F.round(
+            F.when(F.col("__e1") > 0, mae12 / mae1).otherwise(0.0), 6
+        ).alias("seasonal_to_naive_ratio"),
+        F.when(F.col("__e12") < F.col("__e1"), "seasonal")
+        .when(F.col("__e12") > F.col("__e1"), "naive")
+        .otherwise("tie")
+        .alias("winner"),
+    )
+
+
+ORACLE_ORDERS_SEASONAL_NAIVE_BACKTEST = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS mx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM orders GROUP BY 1),
+ev AS (
+  SELECT m.c, l1.c AS c1, l12.c AS c12
+  FROM monthly m
+  JOIN monthly l1 ON l1.mx = m.mx - 1
+  JOIN monthly l12 ON l12.mx = m.mx - 12),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_months,
+         CAST(SUM(abs(c - c1)) AS BIGINT) AS e1,
+         CAST(SUM(abs(c - c12)) AS BIGINT) AS e12
+  FROM ev)
+SELECT n_eval_months,
+       round(CAST(e1 AS DOUBLE) / CAST(n_eval_months AS DOUBLE) / 100.0, 6)
+         AS mae_naive,
+       round(CAST(e12 AS DOUBLE) / CAST(n_eval_months AS DOUBLE) / 100.0, 6)
+         AS mae_seasonal,
+       round(CASE WHEN e1 > 0
+                  THEN (CAST(e12 AS DOUBLE) / CAST(n_eval_months AS DOUBLE)
+                        / 100.0)
+                       / (CAST(e1 AS DOUBLE) / CAST(n_eval_months AS DOUBLE)
+                          / 100.0)
+                  ELSE 0.0 END, 6) AS seasonal_to_naive_ratio,
+       CASE WHEN e12 < e1 THEN 'seasonal'
+            WHEN e12 > e1 THEN 'naive'
+            ELSE 'tie' END AS winner
+FROM agg
+"""
+
+
+def q_corpus_lang_source_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between document language and
+    source — 'are my sources language silos' (NMI→1) or well-mixed
+    (NMI→0), the stratification check before per-source sampling caps.
+    All Σ p·ln p terms run over the |langs × sources| contingency table
+    as 1e-9-quantized integer sums (order-free); margins attach as
+    broadcast joins, the grand total as a ONE-ROW broadcast."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    ).localCheckpoint(eager=False)
+    ml = cells.groupBy("lang").agg(F.sum("__c").cast("long").alias("__nl"))
+    ms = cells.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("__ns")
+    )
+    tot = cells.agg(F.sum("__c").cast("long").alias("__n"))
+    j = (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_t = F.round(
+        F.col("__c").cast("double")
+        * F.log(
+            F.col("__n").cast("double")
+            * F.col("__c").cast("double")
+            / (F.col("__nl").cast("double") * F.col("__ns").cast("double"))
+        )
+        * 1e9,
+        0,
+    ).cast("long")
+    mi_q = j.agg(F.sum(mi_t).cast("long").alias("__miq"))
+
+    def _ent(m: DataFrame, c: str) -> DataFrame:
+        t = F.round(
+            F.col(c).cast("double")
+            * F.log(F.col(c).cast("double") / F.col("__n").cast("double"))
+            * 1e9,
+            0,
+        ).cast("long")
+        return m.crossJoin(F.broadcast(tot)).agg(
+            F.sum(t).cast("long").alias(f"__h{c}"),
+            F.count(F.lit(1)).cast("long").alias(f"__k{c}"),
+        )
+
+    hl = _ent(ml, "__nl")
+    hs = _ent(ms, "__ns")
+    out = (
+        mi_q.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+    )
+    n = F.col("__n").cast("double")
+    mi = F.col("__miq").cast("double") / 1e9 / n
+    entl = -(F.col("__h__nl").cast("double") / 1e9) / n
+    ents = -(F.col("__h__ns").cast("double") / 1e9) / n
+    nmi = F.when(
+        (entl > 0) & (ents > 0), mi / F.sqrt(entl * ents)
+    ).otherwise(0.0)
+    return out.select(
+        F.col("__k__nl").alias("n_langs"),
+        F.col("__k__ns").alias("n_sources"),
+        F.round(mi, 6).alias("mutual_info_nats"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
+ORACLE_CORPUS_LANG_SOURCE_NMI = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+ml AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nl FROM cells GROUP BY 1),
+ms AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+miq AS (
+  SELECT CAST(SUM(CAST(round(CAST(c.c AS DOUBLE)
+           * ln(CAST(n AS DOUBLE) * CAST(c.c AS DOUBLE)
+                / (CAST(nl AS DOUBLE) * CAST(ns AS DOUBLE))) * 1e9)
+           AS BIGINT)) AS BIGINT) AS q
+  FROM cells c JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot),
+hl AS (
+  SELECT CAST(SUM(CAST(round(CAST(nl AS DOUBLE)
+           * ln(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+           AS BIGINT) AS hq,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM ml CROSS JOIN tot),
+hs AS (
+  SELECT CAST(SUM(CAST(round(CAST(ns AS DOUBLE)
+           * ln(CAST(ns AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+           AS BIGINT) AS hq,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM ms CROSS JOIN tot),
+j AS (
+  SELECT n, miq.q AS miq, hl.hq AS hlq, hl.k AS n_langs,
+         hs.hq AS hsq, hs.k AS n_sources
+  FROM miq CROSS JOIN tot CROSS JOIN hl CROSS JOIN hs)
+SELECT n_langs, n_sources,
+       round(CAST(miq AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6)
+         AS mutual_info_nats,
+       round(CASE WHEN -(CAST(hlq AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) > 0
+                   AND -(CAST(hsq AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) > 0
+                  THEN (CAST(miq AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+                       / sqrt((-(CAST(hlq AS DOUBLE) / 1e9)
+                               / CAST(n AS DOUBLE))
+                              * (-(CAST(hsq AS DOUBLE) / 1e9)
+                                 / CAST(n AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS nmi
+FROM j
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -16219,6 +16617,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_dow_seasonality_strength": q_events_dow_seasonality_strength,
     "embedding_label_auc": q_embedding_label_auc,
     "events_value_expected_shortfall": q_events_value_expected_shortfall,
+    "embedding_top_component": q_embedding_top_component,
+    "orders_seasonal_naive_backtest": q_orders_seasonal_naive_backtest,
+    "corpus_lang_source_nmi": q_corpus_lang_source_nmi,
 }
 
 
@@ -16509,4 +16910,8 @@ def oracles() -> dict[str, str]:
         "embedding_label_auc": ORACLE_EMBEDDING_LABEL_AUC,
         "events_value_expected_shortfall":
             ORACLE_EVENTS_VALUE_EXPECTED_SHORTFALL,
+        "embedding_top_component": _oracle_embedding_top_component_sql(),
+        "orders_seasonal_naive_backtest":
+            ORACLE_ORDERS_SEASONAL_NAIVE_BACKTEST,
+        "corpus_lang_source_nmi": ORACLE_CORPUS_LANG_SOURCE_NMI,
     }

@@ -87,6 +87,8 @@ _ALLOWED_CROSS = {
     "events_dow_seasonality_strength",  # broadcast ONE-ROW moments attach
     "embedding_label_auc",  # broadcast ONE-ROW dominant-label attach
     "events_value_expected_shortfall",  # broadcast ONE-ROW VaR/total attaches
+    "embedding_top_component",  # broadcast ONE-ROW count attach (d² Gramian)
+    "corpus_lang_source_nmi",  # broadcast ONE-ROW total/entropy attaches
     "orders_revenue_trend_robust",  # |months|² pair grid — dimension-bounded
     "dup_graph_triangles",  # cross of three ONE-ROW graph aggregates
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach

@@ -1709,3 +1709,85 @@ def test_events_value_expected_shortfall_exact_tail(spark, tmp_path):
     assert r["var_95"] == 19.0
     assert r["es_95"] == 19.5
     assert (r["tail_n"], r["tail_share"]) == (2, 0.1)
+
+
+def test_embedding_top_component_axis_aligned(spark, tmp_path):
+    """All variance on dim 0 (values 1..4, every other dim constant):
+    the population covariance has one nonzero entry 1.25, so the top
+    eigenvalue is 1.25, the variance share 1.0, and power iteration
+    locks onto dim 0."""
+    def vec(a):
+        v = [0.0] * 64
+        v[0] = a
+        v[1] = 5.0  # constant -> zero variance
+        return v
+
+    rows = [(i, vec(float(i)), 0) for i in range(1, 5)]
+    _plant(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label long",
+    )
+    [r] = QUERIES["embedding_top_component"](spark, str(tmp_path)).collect()
+    assert r["n_vectors"] == 4
+    assert r["top_eigenvalue"] == 1.25
+    assert r["top_var_share"] == 1.0
+    assert r["top_dim"] == 0
+
+
+def test_orders_seasonal_naive_backtest_pure_seasonal(spark, tmp_path):
+    """Two years with an identical month profile: the seasonal-naive
+    forecast is perfect (MAE 0) while the naive one is not, so the
+    seasonal model wins on the 12 evaluable months."""
+    from datetime import date
+
+    profile = [100.0, 200.0, 150.0, 300.0, 250.0, 120.0,
+               180.0, 220.0, 160.0, 280.0, 140.0, 260.0]
+    rows = []
+    k = 0
+    for y in (2023, 2024):
+        for m in range(12):
+            k += 1
+            rows.append((k, date(y, m + 1, 10), profile[m]))
+    _plant(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    [r] = QUERIES["orders_seasonal_naive_backtest"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r["n_eval_months"] == 12
+    assert r["mae_seasonal"] == 0.0
+    assert r["mae_naive"] > 0
+    assert r["seasonal_to_naive_ratio"] == 0.0
+    assert r["winner"] == "seasonal"
+
+
+def test_corpus_lang_source_nmi_silos(spark, tmp_path):
+    """Perfect silos (each language exclusive to one source): MI equals
+    the marginal entropy ln 2 and NMI = 1; a fully mixed grid drives
+    NMI to 0."""
+    import shutil
+
+    rows = [
+        (1, "x", "en", "a"), (2, "y", "en", "a"),
+        (3, "z", "fr", "b"), (4, "w", "fr", "b"),
+    ]
+    _plant(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string",
+    )
+    [r] = QUERIES["corpus_lang_source_nmi"](spark, str(tmp_path)).collect()
+    assert (r["n_langs"], r["n_sources"]) == (2, 2)
+    assert abs(r["mutual_info_nats"] - 0.693147) < 1e-6
+    assert abs(r["nmi"] - 1.0) < 1e-6
+    shutil.rmtree(tmp_path / "documents.parquet")
+    rows2 = [
+        (1, "x", "en", "a"), (2, "y", "en", "b"),
+        (3, "z", "fr", "a"), (4, "w", "fr", "b"),
+    ]
+    _plant(
+        spark, tmp_path, "documents", rows2,
+        "doc_id long, text string, lang string, source string",
+    )
+    [r2] = QUERIES["corpus_lang_source_nmi"](spark, str(tmp_path)).collect()
+    assert r2["nmi"] == 0.0
