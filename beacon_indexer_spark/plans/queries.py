@@ -16349,6 +16349,478 @@ FROM j
 """
 
 
+# ===========================================================================
+# Round-8 wave 20: cross-modal dup agreement, A/A-test validator, Markov
+# stationary distribution
+# ===========================================================================
+
+
+def q_doc_text_embedding_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal dedup agreement: do LSH TEXT near-dup pairs also sit
+    close in EMBEDDING space? Mean exact cosine over the candidate
+    pairs vs the corpus-wide mean pairwise cosine (Gram identity — no
+    pair join for the baseline), and the lift between them. A healthy
+    pipeline shows a large lift; lift ≈ 0 means the embeddings don't
+    see what the shingles see. Pair dots are exact integer folds of
+    1e-9 unit components; the pair join is bounded by the dup graph."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    dec = "decimal(38,0)"
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    uq = emb.filter(nrm > 0).select(
+        F.col("vec_id"),
+        F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
+        .alias("__u"),
+    ).localCheckpoint(eager=False)
+    pairs = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
+        shingle_n=3,
+    )
+    dots = (
+        pairs.join(
+            uq.select(F.col("vec_id").alias("id_a"), F.col("__u").alias("__ua")),
+            "id_a",
+        )
+        .join(
+            uq.select(F.col("vec_id").alias("id_b"), F.col("__u").alias("__ub")),
+            "id_b",
+        )
+        .select(
+            F.aggregate(
+                F.zip_with(F.col("__ua"), F.col("__ub"), lambda x, y: x * y),
+                F.lit(0).cast(dec),
+                lambda a, x: a + x.cast(dec),
+            ).alias("__dot")
+        )
+    )
+    dup = dots.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.sum("__dot").alias("__ds"),
+    )
+    per_dim = uq.select(F.posexplode("__u").alias("dim", "__ui")).groupBy(
+        "dim"
+    ).agg(
+        F.sum(F.col("__ui").cast(dec)).alias("__sd"),
+        F.sum((F.col("__ui") * F.col("__ui")).cast(dec)).alias("__sq"),
+    )
+    nv = uq.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    allp = per_dim.agg(
+        F.sum(F.col("__sd") * F.col("__sd")).alias("__S2"),
+        F.sum("__sq").alias("__Q"),
+    ).crossJoin(F.broadcast(nv))
+    j = dup.crossJoin(F.broadcast(allp))
+    n = F.col("__n").cast("double")
+    mean_all = (
+        (F.col("__S2").cast("double") / 1e18 - F.col("__Q").cast("double") / 1e18)
+        / (n * (n - 1.0))
+    )
+    mean_dup = F.when(
+        F.col("n_dup_pairs") > 0,
+        F.col("__ds").cast("double")
+        / 1e18
+        / F.col("n_dup_pairs").cast("double"),
+    ).otherwise(0.0)
+    return j.select(
+        "n_dup_pairs",
+        F.round(mean_dup, 6).alias("mean_dup_cosine"),
+        F.round(mean_all, 6).alias("mean_all_cosine"),
+        F.round(mean_dup - mean_all, 6).alias("cosine_lift"),
+    )
+
+
+def _oracle_doc_text_embedding_agreement_sql() -> str:
+    pairs = _oracle_minhash_lsh_sql().strip().rstrip(";")
+    return f"""
+WITH pairs AS ({pairs}),
+nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+uq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / nrm * 1e9) AS BIGINT)) AS u
+  FROM nv WHERE nrm > 0),
+dots AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           list_transform(range(1, len(a.u) + 1),
+             i -> CAST(a.u[i] AS HUGEINT) * b.u[i])),
+           (x, y) -> x + y) AS dot
+  FROM pairs p
+  JOIN uq a ON a.vec_id = p.id_a
+  JOIN uq b ON b.vec_id = p.id_b),
+dup AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs, SUM(dot) AS ds
+  FROM dots),
+per_dim AS (
+  SELECT s.i AS dim,
+         SUM(CAST(u[s.i] AS HUGEINT)) AS sd,
+         SUM(CAST(u[s.i] AS HUGEINT) * u[s.i]) AS sq
+  FROM uq, LATERAL (SELECT unnest(generate_series(1, len(u))) AS i) s
+  GROUP BY 1),
+allp AS (
+  SELECT SUM(sd * sd) AS s2, SUM(sq) AS q FROM per_dim),
+nvn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uq),
+j AS (SELECT * FROM dup CROSS JOIN allp CROSS JOIN nvn)
+SELECT n_dup_pairs,
+       round(CASE WHEN n_dup_pairs > 0
+                  THEN CAST(ds AS DOUBLE) / 1e18
+                       / CAST(n_dup_pairs AS DOUBLE)
+                  ELSE 0.0 END, 6) AS mean_dup_cosine,
+       round((CAST(s2 AS DOUBLE) / 1e18 - CAST(q AS DOUBLE) / 1e18)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+         AS mean_all_cosine,
+       round((CASE WHEN n_dup_pairs > 0
+                   THEN CAST(ds AS DOUBLE) / 1e18
+                        / CAST(n_dup_pairs AS DOUBLE)
+                   ELSE 0.0 END)
+             - (CAST(s2 AS DOUBLE) / 1e18 - CAST(q AS DOUBLE) / 1e18)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+         AS cosine_lift
+FROM j
+"""
+
+
+def q_events_aa_test_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A-test harness validation: split users into two arms by a
+    md5-derived coin (the same deterministic hash an experimentation
+    system would use), compare per-user total value with a Welch
+    z-test — a |z| > 1.96 on a null split means the assignment or the
+    metric pipeline is biased BEFORE any real experiment runs. Per-user
+    totals are exact cents; arm moments are exact DECIMAL sums folded
+    into the closed-form z."""
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    users = ev.groupBy(F.col("user_id").cast("long").alias("__uid")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long").cast(dec))
+        .cast("long")
+        .alias("__c")
+    )
+    arm = D._md5_long(F.col("__uid").cast("string"), 73) % 2
+    stats = users.select(arm.alias("__arm"), "__c").agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_a"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_b"),
+        F.sum(
+            F.when(F.col("__arm") == 0, F.col("__c")).otherwise(0).cast(dec)
+        ).alias("__sa"),
+        F.sum(
+            F.when(F.col("__arm") == 1, F.col("__c")).otherwise(0).cast(dec)
+        ).alias("__sb"),
+        F.sum(
+            F.when(F.col("__arm") == 0, F.col("__c") * F.col("__c"))
+            .otherwise(0)
+            .cast(dec)
+        ).alias("__qa"),
+        F.sum(
+            F.when(F.col("__arm") == 1, F.col("__c") * F.col("__c"))
+            .otherwise(0)
+            .cast(dec)
+        ).alias("__qb"),
+    )
+    na = F.col("n_users_a").cast("double")
+    nb = F.col("n_users_b").cast("double")
+    ma = F.col("__sa").cast("double") / na / 100.0
+    mb = F.col("__sb").cast("double") / nb / 100.0
+    va = (
+        (na * F.col("__qa").cast("double") - F.col("__sa").cast("double")
+         * F.col("__sa").cast("double"))
+        / (na * (na - 1.0))
+        / 10000.0
+    )
+    vb = (
+        (nb * F.col("__qb").cast("double") - F.col("__sb").cast("double")
+         * F.col("__sb").cast("double"))
+        / (nb * (nb - 1.0))
+        / 10000.0
+    )
+    z = F.when(
+        (F.col("n_users_a") > 1) & (F.col("n_users_b") > 1)
+        & (va / na + vb / nb > 0),
+        (mb - ma) / F.sqrt(va / na + vb / nb),
+    ).otherwise(0.0)
+    return stats.select(
+        "n_users_a", "n_users_b",
+        F.round(ma, 6).alias("mean_value_a"),
+        F.round(mb, 6).alias("mean_value_b"),
+        F.round(z, 6).alias("welch_z"),
+        F.when(F.abs(z) <= 1.96, "healthy").otherwise("biased").alias(
+            "verdict"
+        ),
+    )
+
+
+def _oracle_events_aa_test_validator_sql() -> str:
+    u = _dd_md5_long("concat('73:', CAST(uid AS VARCHAR))")
+    return f"""
+WITH users AS (
+  SELECT CAST(user_id AS BIGINT) AS uid,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+armed AS (
+  SELECT ({u}) % 2 AS arm, c FROM users),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_users_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_users_b,
+         SUM(CASE WHEN arm = 0 THEN CAST(c AS HUGEINT) ELSE 0 END) AS sa,
+         SUM(CASE WHEN arm = 1 THEN CAST(c AS HUGEINT) ELSE 0 END) AS sb,
+         SUM(CASE WHEN arm = 0 THEN CAST(c AS HUGEINT) * c ELSE 0 END)
+           AS qa,
+         SUM(CASE WHEN arm = 1 THEN CAST(c AS HUGEINT) * c ELSE 0 END)
+           AS qb
+  FROM armed),
+calc AS (
+  SELECT *,
+    CAST(sa AS DOUBLE) / CAST(n_users_a AS DOUBLE) / 100.0 AS ma,
+    CAST(sb AS DOUBLE) / CAST(n_users_b AS DOUBLE) / 100.0 AS mb,
+    (CAST(n_users_a AS DOUBLE) * CAST(qa AS DOUBLE)
+     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      / (CAST(n_users_a AS DOUBLE) * (CAST(n_users_a AS DOUBLE) - 1.0))
+      / 10000.0 AS va,
+    (CAST(n_users_b AS DOUBLE) * CAST(qb AS DOUBLE)
+     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+      / (CAST(n_users_b AS DOUBLE) * (CAST(n_users_b AS DOUBLE) - 1.0))
+      / 10000.0 AS vb
+  FROM stats),
+zc AS (
+  SELECT *,
+    CASE WHEN n_users_a > 1 AND n_users_b > 1
+              AND va / CAST(n_users_a AS DOUBLE)
+                  + vb / CAST(n_users_b AS DOUBLE) > 0
+         THEN (mb - ma) / sqrt(va / CAST(n_users_a AS DOUBLE)
+                               + vb / CAST(n_users_b AS DOUBLE))
+         ELSE 0.0 END AS zv
+  FROM calc)
+SELECT n_users_a, n_users_b,
+       round(ma, 6) AS mean_value_a,
+       round(mb, 6) AS mean_value_b,
+       round(zv, 6) AS welch_z,
+       CASE WHEN abs(zv) <= 1.96 THEN 'healthy' ELSE 'biased' END
+         AS verdict
+FROM zc
+"""
+
+
+_MARKOV_ITERS = 8
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    user behavior settles in the long run — next to the empirical
+    next-state share, per state. The |types|²-bounded transition matrix
+    (dangling rows patched to uniform) folds through eight quantized
+    power-iteration steps as constant-size array arithmetic: every
+    inner product is a deterministic left-to-right fold and every
+    iterate is 1e-9-quantized, so the fixed point is engine-exact. The
+    n-dependent work is ONE pass building the transition counts."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("__a"),
+            F.col("event_type").alias("__b"),
+        )
+        .filter(F.col("__a").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = trans.groupBy("__a").agg(F.sum("__n").alias("__t"))
+    probs = trans.join(F.broadcast(tot), "__a").select(
+        "__a", "__b",
+        (F.col("__n").cast("double") / F.col("__t").cast("double")).alias(
+            "__p"
+        ),
+    )
+    sarr = (
+        trans.select(F.col("__a").alias("__s"))
+        .unionAll(trans.select(F.col("__b").alias("__s")))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("__s")).alias("__sa"))
+    )
+    cells = probs.crossJoin(F.broadcast(sarr)).select(
+        (
+            (F.expr("array_position(__sa, __a)") - 1) * F.size("__sa")
+            + F.expr("array_position(__sa, __b)")
+            - 1
+        ).cast("int").alias("__i"),
+        "__p",
+    )
+    one = cells.agg(
+        F.sort_array(F.collect_list(F.struct("__i", "__p"))).alias("__e")
+    ).crossJoin(F.broadcast(sarr))
+    kk = F.size("__sa")
+    grid = F.sequence(F.lit(0), kk * kk - 1)
+    rows_seq = F.sequence(F.lit(0), kk - 1)
+    raw = F.transform(
+        grid,
+        lambda c: F.coalesce(
+            F.get(
+                F.filter(F.col("__e"), lambda s: s["__i"] == c), 0
+            )["__p"],
+            F.lit(0.0),
+        ),
+    )
+    one = one.select("__sa", raw.alias("__m0")).localCheckpoint(eager=False)
+    kk = F.size("__sa")
+    rows_seq = F.sequence(F.lit(0), kk - 1)
+    rs = F.transform(
+        rows_seq,
+        lambda i: F.aggregate(
+            rows_seq,
+            F.lit(0.0),
+            lambda a, j: a + F.get(F.col("__m0"), i * kk + j),
+        ),
+    )
+    one = one.select("__sa", "__m0", rs.alias("__rs")).localCheckpoint(
+        eager=False
+    )
+    kk = F.size("__sa")
+    grid = F.sequence(F.lit(0), kk * kk - 1)
+    m = F.transform(
+        grid,
+        lambda c: F.when(
+            F.get(F.col("__rs"), F.floor(c / kk).cast("int")) > 0,
+            F.get(F.col("__m0"), c),
+        ).otherwise(1.0 / kk.cast("double")),
+    )
+    st = one.select("__sa", m.alias("__m")).localCheckpoint(eager=False)
+    kk = F.size("__sa")
+    rows_seq = F.sequence(F.lit(0), kk - 1)
+    pi0 = F.transform(rows_seq, lambda i: 1.0 / kk.cast("double"))
+    st = st.select("__sa", "__m", pi0.alias("__pi"))
+    for _it in range(_MARKOV_ITERS):
+        nxt = F.transform(
+            rows_seq,
+            lambda j: F.round(
+                F.aggregate(
+                    rows_seq,
+                    F.lit(0.0),
+                    lambda a, i: a
+                    + F.get(F.col("__pi"), i) * F.get(F.col("__m"), i * kk + j),
+                )
+                * 1e9,
+                0,
+            )
+            / 1e9,
+        )
+        # plan barrier per step: without it Catalyst collapses the eight
+        # projections into one exponentially-substituted expression tree
+        # (k² references to __pi per step) and analysis never returns.
+        st = st.select("__sa", "__m", nxt.alias("__pi")).localCheckpoint(
+            eager=False
+        )
+    stat = st.select(
+        F.posexplode(F.arrays_zip("__sa", "__pi")).alias("__pos", "__z")
+    ).select(
+        F.col("__z.__sa").alias("state"), F.col("__z.__pi").alias("__sp")
+    )
+    emp = trans.groupBy(F.col("__b").alias("state")).agg(
+        F.sum("__n").cast("long").alias("__c")
+    )
+    tt = trans.agg(F.sum("__n").cast("long").alias("__tt"))
+    out = stat.join(F.broadcast(emp), "state", "left").crossJoin(
+        F.broadcast(tt)
+    )
+    share = F.coalesce(
+        F.col("__c").cast("double") / F.col("__tt").cast("double"),
+        F.lit(0.0),
+    )
+    return out.select(
+        "state",
+        F.round(F.col("__sp"), 6).alias("stationary_prob"),
+        F.round(share, 6).alias("empirical_next_share"),
+        F.round(F.col("__sp") - share, 6).alias("gap"),
+    )
+
+
+def _oracle_events_markov_stationary_sql() -> str:
+    fold = "(a, b) -> a + b"
+    z = "CAST(0.0 AS DOUBLE)"
+    step = (
+        "list_transform(range(0, len(sa)), j -> round(list_reduce("
+        f"list_prepend({z}, list_transform(range(0, len(sa)),"
+        " i -> pi[i + 1] * m[i * len(sa) + j + 1])),"
+        f" {fold}) * 1e9) / 1e9)"
+    )
+    its = "\n".join(
+        f"p{k} AS (SELECT sa, m, {step} AS pi FROM p{k - 1}),"
+        for k in range(1, _MARKOV_ITERS + 1)
+    )
+    return f"""
+WITH s AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS a,
+         event_type AS b
+  FROM events),
+trans AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE a IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT a, SUM(n) AS t FROM trans GROUP BY 1),
+probs AS (
+  SELECT trans.a, trans.b,
+         CAST(trans.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS p
+  FROM trans JOIN tot ON trans.a = tot.a),
+sa AS (
+  SELECT list_sort(list(DISTINCT st)) AS sa
+  FROM (SELECT a AS st FROM trans UNION ALL SELECT b FROM trans)),
+cells AS (
+  SELECT (list_position(sa, a) - 1) * len(sa)
+           + list_position(sa, b) - 1 AS i, p
+  FROM probs CROSS JOIN sa),
+grid AS (
+  SELECT gs.c AS i, COALESCE(cells.p, 0.0) AS p
+  FROM (SELECT unnest(range(0, (SELECT len(sa) * len(sa) FROM sa))) AS c)
+       gs
+  LEFT JOIN cells ON cells.i = gs.c),
+m0 AS (
+  SELECT (SELECT sa FROM sa) AS sa, list(p ORDER BY i) AS m FROM grid),
+rs AS (
+  SELECT sa, m,
+    list_transform(range(0, len(sa)), i -> list_reduce(
+      list_prepend({z}, list_transform(range(0, len(sa)),
+        j -> m[i * len(sa) + j + 1])), {fold})) AS rsum
+  FROM m0),
+mf AS (
+  SELECT sa,
+    list_transform(range(0, len(sa) * len(sa)),
+      c -> CASE WHEN rsum[c // len(sa) + 1] > 0 THEN m[c + 1]
+                ELSE 1.0 / len(sa) END) AS m
+  FROM rs),
+p0 AS (
+  SELECT sa, m,
+    list_transform(range(0, len(sa)), i -> 1.0 / len(sa)) AS pi
+  FROM mf),
+{its}
+stat AS (
+  SELECT sa[u.i] AS state, pi[u.i] AS sp
+  FROM p{_MARKOV_ITERS},
+       LATERAL (SELECT unnest(generate_series(1, len(sa))) AS i) u),
+emp AS (SELECT b AS state, CAST(SUM(n) AS BIGINT) AS c
+        FROM trans GROUP BY 1),
+tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM trans)
+SELECT state,
+       round(sp, 6) AS stationary_prob,
+       round(COALESCE(CAST(c AS DOUBLE) / t, 0.0), 6)
+         AS empirical_next_share,
+       round(sp - COALESCE(CAST(c AS DOUBLE) / t, 0.0), 6) AS gap
+FROM stat LEFT JOIN emp USING (state) CROSS JOIN tt
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -16620,6 +17092,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_top_component": q_embedding_top_component,
     "orders_seasonal_naive_backtest": q_orders_seasonal_naive_backtest,
     "corpus_lang_source_nmi": q_corpus_lang_source_nmi,
+    "doc_text_embedding_agreement": q_doc_text_embedding_agreement,
+    "events_aa_test_validator": q_events_aa_test_validator,
+    "events_markov_stationary": q_events_markov_stationary,
 }
 
 
@@ -16914,4 +17389,8 @@ def oracles() -> dict[str, str]:
         "orders_seasonal_naive_backtest":
             ORACLE_ORDERS_SEASONAL_NAIVE_BACKTEST,
         "corpus_lang_source_nmi": ORACLE_CORPUS_LANG_SOURCE_NMI,
+        "doc_text_embedding_agreement":
+            _oracle_doc_text_embedding_agreement_sql(),
+        "events_aa_test_validator": _oracle_events_aa_test_validator_sql(),
+        "events_markov_stationary": _oracle_events_markov_stationary_sql(),
     }

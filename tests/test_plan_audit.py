@@ -89,6 +89,8 @@ _ALLOWED_CROSS = {
     "events_value_expected_shortfall",  # broadcast ONE-ROW VaR/total attaches
     "embedding_top_component",  # broadcast ONE-ROW count attach (d² Gramian)
     "corpus_lang_source_nmi",  # broadcast ONE-ROW total/entropy attaches
+    "doc_text_embedding_agreement",  # broadcast ONE-ROW Gram-baseline attach
+    "events_markov_stationary",  # broadcast ONE-ROW state-list/total attaches
     "orders_revenue_trend_robust",  # |months|² pair grid — dimension-bounded
     "dup_graph_triangles",  # cross of three ONE-ROW graph aggregates
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach

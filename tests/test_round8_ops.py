@@ -1791,3 +1791,85 @@ def test_corpus_lang_source_nmi_silos(spark, tmp_path):
     )
     [r2] = QUERIES["corpus_lang_source_nmi"](spark, str(tmp_path)).collect()
     assert r2["nmi"] == 0.0
+
+
+def test_doc_text_embedding_agreement_planted(spark, tmp_path):
+    """Two identical texts (ids 1, 2) whose embeddings are identical
+    unit-ish vectors -> mean dup cosine 1.0; the corpus baseline over
+    {e0, e0, e1} pairs is (2*0 + 1)/3 = 1/3, so the lift is 2/3."""
+    txt = "the quick brown fox jumps over the lazy dog tonight"
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, txt), (2, txt), (3, "another unrelated piece of text body")],
+        "doc_id long, text string",
+    )
+    _plant(
+        spark, tmp_path, "embeddings",
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    [r] = QUERIES["doc_text_embedding_agreement"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r["n_dup_pairs"] == 1
+    assert r["mean_dup_cosine"] == 1.0
+    assert abs(r["mean_all_cosine"] - round(1 / 3.0, 6)) < 1e-9
+    assert abs(r["cosine_lift"] - round(1 - 1 / 3.0, 6)) < 1e-9
+
+
+def test_events_aa_test_validator_python_replica(spark, tmp_path):
+    """A deterministic md5 replica of the arm assignment predicts the
+    arm sizes and means exactly; a symmetric value layout across many
+    users should read 'healthy'."""
+    import hashlib
+
+    t0 = datetime(2024, 6, 1, 10, 0)
+    rows = []
+    for uid in range(1, 41):
+        rows.append((uid, t0, uid, "view", float(10 + (uid % 7))))
+
+    def arm(uid):
+        h = hashlib.md5(f"73:{uid}".encode()).hexdigest()[:15]
+        return int(h, 16) % 2
+
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    [r] = QUERIES["events_aa_test_validator"](spark, str(tmp_path)).collect()
+    a = [10 + (u % 7) for u in range(1, 41) if arm(u) == 0]
+    b = [10 + (u % 7) for u in range(1, 41) if arm(u) == 1]
+    assert (r["n_users_a"], r["n_users_b"]) == (len(a), len(b))
+    assert abs(r["mean_value_a"] - round(sum(a) / len(a), 6)) < 1e-6
+    assert abs(r["mean_value_b"] - round(sum(b) / len(b), 6)) < 1e-6
+    assert r["verdict"] == "healthy"
+
+
+def test_events_markov_stationary_two_state(spark, tmp_path):
+    """An alternating A/B stream gives the doubly stochastic permutation
+    chain whose stationary distribution is exactly uniform; power
+    iteration from the uniform start stays at (0.5, 0.5) every step."""
+    from datetime import timedelta
+
+    t0 = datetime(2024, 6, 1, 10, 0)
+    rows = []
+    for i in range(20):
+        rows.append((i + 1, t0 + timedelta(minutes=i), 1,
+                     "alpha" if i % 2 == 0 else "beta"))
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["state"]: r
+        for r in QUERIES["events_markov_stationary"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {"alpha", "beta"}
+    assert out["alpha"]["stationary_prob"] == 0.5
+    assert out["beta"]["stationary_prob"] == 0.5
+    # 19 transitions: 10 into beta, 9 into alpha
+    assert abs(out["beta"]["empirical_next_share"] - round(10 / 19, 6)) < 1e-9
+    assert abs(out["alpha"]["gap"] - round(0.5 - 9 / 19, 6)) < 1e-9
