@@ -16821,6 +16821,296 @@ FROM stat LEFT JOIN emp USING (state) CROSS JOIN tt
 """
 
 
+# ===========================================================================
+# Round-8 wave 21: PSI drift monitor, dual-sourcing audit, kNN-graph
+# reciprocity
+# ===========================================================================
+
+
+def q_doc_length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the document token-length
+    distribution between the first and second ingestion half (doc_id
+    midpoint split) — THE model-monitoring drift score: bins are the
+    REFERENCE half's exact deciles (equidepth thresholds off the length
+    histogram), both halves are binned against them, and
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with 0.5-Laplace smoothing
+    runs as ten 1e-9-quantized integer terms. Everything after the
+    |distinct lengths| histogram is 10-row arithmetic."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    w = F.size(X.tokens(F.lower(F.col("text")))).cast("long")
+    base = docs.select(F.col("doc_id").cast("long").alias("__id"), w.alias("__w"))
+    mid = base.agg(
+        F.floor((F.min("__id") + F.max("__id")) / 2).cast("long").alias("__mid")
+    )
+    halves = base.crossJoin(F.broadcast(mid)).select(
+        "__w", (F.col("__id") <= F.col("__mid")).alias("__ref")
+    ).localCheckpoint(eager=False)
+    rhist = halves.filter("__ref").groupBy("__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__f")
+    )
+    rh = _exclusive_prefix(rhist, "__w", "__f", "__cum")
+    rtot = rhist.agg(F.sum("__f").cast("long").alias("__nr"))
+    bins = spark.createDataFrame(
+        [(b,) for b in range(1, 11)], "bin int"
+    ).select(F.col("bin").cast("long").alias("bin"))
+    edges = (
+        rh.crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(bins))
+        .filter(
+            10 * (F.col("__cum") + F.col("__f"))
+            >= F.col("bin") * F.col("__nr")
+        )
+        .groupBy("bin")
+        .agg(F.min("__w").alias("__edge"))
+    )
+    hist2 = halves.groupBy("__w", "__ref").agg(
+        F.count(F.lit(1)).cast("long").alias("__f")
+    )
+    assigned = (
+        hist2.crossJoin(F.broadcast(edges))
+        .filter(
+            (F.col("__w") <= F.col("__edge")) | (F.col("bin") == 10)
+        )
+        .groupBy("__w", "__ref", "__f")
+        .agg(F.min("bin").alias("bin"))
+    )
+    per_bin = assigned.groupBy("bin").agg(
+        F.sum(F.when(F.col("__ref"), F.col("__f")).otherwise(0))
+        .cast("long")
+        .alias("__r"),
+        F.sum(F.when(~F.col("__ref"), F.col("__f")).otherwise(0))
+        .cast("long")
+        .alias("__c"),
+    )
+    dense = bins.join(F.broadcast(per_bin), "bin", "left").select(
+        "bin",
+        F.coalesce("__r", F.lit(0)).alias("__r"),
+        F.coalesce("__c", F.lit(0)).alias("__c"),
+    )
+    tots = halves.agg(
+        F.sum(F.when(F.col("__ref"), 1).otherwise(0)).cast("long").alias(
+            "n_ref"
+        ),
+        F.sum(F.when(~F.col("__ref"), 1).otherwise(0)).cast("long").alias(
+            "n_cur"
+        ),
+    )
+    jd = dense.crossJoin(F.broadcast(tots))
+    pr = (F.col("__r").cast("double") + 0.5) / (
+        F.col("n_ref").cast("double") + 5.0
+    )
+    pc = (F.col("__c").cast("double") + 0.5) / (
+        F.col("n_cur").cast("double") + 5.0
+    )
+    term = F.round((pc - pr) * F.log(pc / pr) * 1e9, 0).cast("long")
+    psiq = jd.agg(F.sum(term).cast("long").alias("__pq"))
+    out = psiq.crossJoin(F.broadcast(tots))
+    psi = F.col("__pq").cast("double") / 1e9
+    return out.select(
+        "n_ref", "n_cur",
+        F.round(psi, 6).alias("psi"),
+        F.when(psi < 0.1, "stable")
+        .when(psi < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    )
+
+
+def _oracle_doc_length_psi_drift_sql() -> str:
+    toks = _DD_TOKENS.format(c="text")
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST(len({toks}) AS BIGINT) AS w
+  FROM documents),
+mid AS (
+  SELECT CAST(floor((MIN(id) + MAX(id)) / 2) AS BIGINT) AS m FROM base),
+halves AS (
+  SELECT w, id <= m AS ref FROM base CROSS JOIN mid),
+rhist AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM halves WHERE ref GROUP BY 1),
+rcum AS (
+  SELECT w, SUM(f) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) AS cu
+  FROM rhist),
+rtot AS (SELECT CAST(SUM(f) AS BIGINT) AS nr FROM rhist),
+bins AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS bin),
+edges AS (
+  SELECT bin, MIN(w) AS edge
+  FROM rcum CROSS JOIN rtot CROSS JOIN bins
+  WHERE 10 * cu >= bin * nr GROUP BY 1),
+hist2 AS (
+  SELECT w, ref, CAST(COUNT(*) AS BIGINT) AS f
+  FROM halves GROUP BY 1, 2),
+assigned AS (
+  SELECT w, ref, f, MIN(bin) AS bin
+  FROM hist2 CROSS JOIN edges
+  WHERE w <= edge OR bin = 10
+  GROUP BY 1, 2, 3),
+per_bin AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN ref THEN f ELSE 0 END) AS BIGINT) AS r,
+         CAST(SUM(CASE WHEN NOT ref THEN f ELSE 0 END) AS BIGINT) AS c
+  FROM assigned GROUP BY 1),
+dense AS (
+  SELECT bins.bin, COALESCE(r, 0) AS r, COALESCE(c, 0) AS c
+  FROM bins LEFT JOIN per_bin ON per_bin.bin = bins.bin),
+tots AS (
+  SELECT CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM halves),
+psiq AS (
+  SELECT CAST(SUM(CAST(round(((CAST(c AS DOUBLE) + 0.5)
+                / (CAST(n_cur AS DOUBLE) + 5.0)
+                - (CAST(r AS DOUBLE) + 0.5)
+                  / (CAST(n_ref AS DOUBLE) + 5.0))
+               * ln(((CAST(c AS DOUBLE) + 0.5)
+                     / (CAST(n_cur AS DOUBLE) + 5.0))
+                    / ((CAST(r AS DOUBLE) + 0.5)
+                       / (CAST(n_ref AS DOUBLE) + 5.0))) * 1e9)
+               AS BIGINT)) AS BIGINT) AS pq
+  FROM dense CROSS JOIN tots)
+SELECT n_ref, n_cur,
+       round(CAST(pq AS DOUBLE) / 1e9, 6) AS psi,
+       CASE WHEN CAST(pq AS DOUBLE) / 1e9 < 0.1 THEN 'stable'
+            WHEN CAST(pq AS DOUBLE) / 1e9 < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict
+FROM psiq CROSS JOIN tots
+"""
+
+
+def q_part_dual_sourcing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain redundancy audit: of the parts that actually traded,
+    how many are single-sourced (one observed supplier — the resilience
+    risk), the multi-source share, and the mean/max suppliers per part.
+    ONE (part, supplier)-distinct pass, |parts|-bounded rollup, exact
+    integer ratios."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").cast("long").alias("__p"),
+        F.col("l_suppkey").cast("long").alias("__s"),
+    ).distinct()
+    per = ps.groupBy("__p").agg(F.count(F.lit(1)).cast("long").alias("__ns"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_traded"),
+        F.sum(F.when(F.col("__ns") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("single_sourced"),
+        F.round(
+            F.sum(F.when(F.col("__ns") >= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("multi_source_share"),
+        F.round(
+            F.sum("__ns").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_suppliers"),
+        F.max("__ns").alias("max_suppliers"),
+    )
+
+
+ORACLE_PART_DUAL_SOURCING = """
+WITH ps AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+                  CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem),
+per AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS ns FROM ps GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_traded,
+       CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS single_sourced,
+       round(CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS multi_source_share,
+       round(CAST(SUM(ns) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_suppliers,
+       MAX(ns) AS max_suppliers
+FROM per
+"""
+
+
+def q_embedding_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the k=5 NN graph on the deterministic vec_id < 100
+    sample: the share of directed kNN edges whose reverse edge also
+    exists — low reciprocity marks hubness (a few vectors appear in
+    everyone's neighbor list while their own lists look elsewhere), the
+    known failure mode of high-dimensional kNN before trusting
+    kNN-based clustering or dedup. One audited brute-force pass
+    (broadcast query side), then an edge self-equi-join."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    sample = emb.filter(F.col("vec_id") < 100)
+    edges = (
+        S.brute_force_topk(sample, sample, k=5)
+        .select(
+            F.col("query_id").cast("long").alias("__q"),
+            F.col("neighbor_id").cast("long").alias("__n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rev = edges.select(
+        F.col("__n").alias("__q"), F.col("__q").alias("__n")
+    )
+    mutual = edges.join(rev, ["__q", "__n"]).agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    tot = edges.agg(
+        F.countDistinct("__q").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    )
+    j = tot.crossJoin(F.broadcast(mutual))
+    return j.select(
+        "n_nodes", "n_edges",
+        F.col("__m").alias("n_mutual_edges"),
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("__m").cast("double") / F.col("n_edges").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+ORACLE_EMBEDDING_KNN_RECIPROCITY = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 100),
+v AS (SELECT vec_id AS neighbor_id, embedding AS vv FROM embeddings
+      WHERE vec_id < 100),
+scored AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(qv)),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))),
+      (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(qv)),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+        (a, b) -> a + b))
+      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(generate_series(1, len(vv)),
+            i -> CAST(vv[i] AS DOUBLE) * CAST(vv[i] AS DOUBLE))),
+          (a, b) -> a + b))) AS cos_sim
+  FROM q, v WHERE query_id <> neighbor_id),
+edges AS (
+  SELECT CAST(query_id AS BIGINT) AS q, CAST(neighbor_id AS BIGINT) AS n
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id ASC) AS rk FROM scored)
+  WHERE rk <= 5),
+mutual AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m
+  FROM edges e1 JOIN edges e2 ON e2.q = e1.n AND e2.n = e1.q),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT q) AS BIGINT) AS n_nodes,
+         CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM edges)
+SELECT n_nodes, n_edges, m AS n_mutual_edges,
+       round(CASE WHEN n_edges > 0
+                  THEN CAST(m AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                  ELSE 0.0 END, 6) AS reciprocity
+FROM tot CROSS JOIN mutual
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -17095,6 +17385,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_text_embedding_agreement": q_doc_text_embedding_agreement,
     "events_aa_test_validator": q_events_aa_test_validator,
     "events_markov_stationary": q_events_markov_stationary,
+    "doc_length_psi_drift": q_doc_length_psi_drift,
+    "part_dual_sourcing": q_part_dual_sourcing,
+    "embedding_knn_reciprocity": q_embedding_knn_reciprocity,
 }
 
 
@@ -17393,4 +17686,7 @@ def oracles() -> dict[str, str]:
             _oracle_doc_text_embedding_agreement_sql(),
         "events_aa_test_validator": _oracle_events_aa_test_validator_sql(),
         "events_markov_stationary": _oracle_events_markov_stationary_sql(),
+        "doc_length_psi_drift": _oracle_doc_length_psi_drift_sql(),
+        "part_dual_sourcing": ORACLE_PART_DUAL_SOURCING,
+        "embedding_knn_reciprocity": ORACLE_EMBEDDING_KNN_RECIPROCITY,
     }

@@ -91,6 +91,8 @@ _ALLOWED_CROSS = {
     "corpus_lang_source_nmi",  # broadcast ONE-ROW total/entropy attaches
     "doc_text_embedding_agreement",  # broadcast ONE-ROW Gram-baseline attach
     "events_markov_stationary",  # broadcast ONE-ROW state-list/total attaches
+    "doc_length_psi_drift",  # broadcast ONE-ROW midpoint/totals + 10-ROW bins
+    "embedding_knn_reciprocity",  # bruteforce sample scan + ONE-ROW attach
     "orders_revenue_trend_robust",  # |months|² pair grid — dimension-bounded
     "dup_graph_triangles",  # cross of three ONE-ROW graph aggregates
     "supplier_latency_outliers",  # broadcast ONE-ROW global-p90 attach

@@ -1873,3 +1873,70 @@ def test_events_markov_stationary_two_state(spark, tmp_path):
     # 19 transitions: 10 into beta, 9 into alpha
     assert abs(out["beta"]["empirical_next_share"] - round(10 / 19, 6)) < 1e-9
     assert abs(out["alpha"]["gap"] - round(0.5 - 9 / 19, 6)) < 1e-9
+
+
+def test_doc_length_psi_drift_shifted(spark, tmp_path):
+    """Reference half has short docs, current half long docs — every
+    current doc lands in the top reference bin, PSI blows past 0.25 and
+    the verdict reads 'shifted'; an identical-distribution corpus reads
+    'stable'."""
+    import shutil
+
+    short = "a b c"
+    long_ = " ".join(["tok"] * 40)
+    rows = [(i, short) for i in range(1, 21)] + [
+        (i, long_) for i in range(21, 41)
+    ]
+    _plant(spark, tmp_path, "documents", rows, "doc_id long, text string")
+    [r] = QUERIES["doc_length_psi_drift"](spark, str(tmp_path)).collect()
+    assert (r["n_ref"], r["n_cur"]) == (20, 20)
+    assert r["psi"] > 0.25
+    assert r["verdict"] == "shifted"
+    shutil.rmtree(tmp_path / "documents.parquet")
+    rows2 = [(i, short if i % 2 == 0 else long_) for i in range(1, 41)]
+    _plant(spark, tmp_path, "documents", rows2, "doc_id long, text string")
+    [r2] = QUERIES["doc_length_psi_drift"](spark, str(tmp_path)).collect()
+    assert r2["verdict"] == "stable"
+
+
+def test_part_dual_sourcing_counts(spark, tmp_path):
+    """Part 1 ships from two suppliers (dedup across repeat lines),
+    parts 2 and 3 from one each: 1/3 multi-sourced, mean 4/3, max 2."""
+    _plant(
+        spark, tmp_path, "lineitem",
+        [(1, 1, 10), (1, 1, 10), (2, 1, 20), (3, 2, 10), (4, 3, 30)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    [r] = QUERIES["part_dual_sourcing"](spark, str(tmp_path)).collect()
+    assert (r["n_parts_traded"], r["single_sourced"]) == (3, 2)
+    assert abs(r["multi_source_share"] - round(1 / 3, 6)) < 1e-9
+    assert abs(r["mean_suppliers"] - round(4 / 3, 6)) < 1e-9
+    assert r["max_suppliers"] == 2
+
+
+def test_embedding_knn_reciprocity_two_cliques(spark, tmp_path):
+    """Six vectors in two tight orthogonal triples with k=2: every kNN
+    edge stays inside its triple and every edge is mutual —
+    reciprocity would be 1.0 at k=2; at the query's k=5 each node must
+    also reach the other clique, and those cross edges stay mutual by
+    symmetry, so reciprocity is still 1.0."""
+    rows = []
+    for i in range(3):
+        v = [0.0] * 4
+        v[0] = 1.0
+        v[1] = 0.01 * i
+        rows.append((i, v, 0))
+    for i in range(3):
+        v = [0.0] * 4
+        v[2] = 1.0
+        v[3] = 0.01 * i
+        rows.append((3 + i, v, 1))
+    _plant(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label long",
+    )
+    [r] = QUERIES["embedding_knn_reciprocity"](spark, str(tmp_path)).collect()
+    assert r["n_nodes"] == 6
+    assert r["n_edges"] == 30  # 6 nodes x k=5 on a 6-point sample
+    assert r["n_mutual_edges"] == 30
+    assert r["reciprocity"] == 1.0
