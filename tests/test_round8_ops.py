@@ -1323,8 +1323,8 @@ def test_oracle_gate_sort_key_negative_zero_and_tiebreak():
 
 def test_events_value_bootstrap_ci_python_replica(spark, tmp_path):
     """The Poisson-bootstrap CI must be bit-reproducible: a pure-Python
-    replica of the md5 weight draws and replicate means predicts the
-    exact output (no RNG state anywhere)."""
+    replica of the one-md5 + universal-hash weight draws and replicate
+    means predicts the exact output (no RNG state anywhere)."""
     import hashlib
     import math
 
@@ -1339,13 +1339,20 @@ def test_events_value_bootstrap_ci_python_replica(spark, tmp_path):
         " value double",
     )
 
-    def u60(s):
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    from beacon_indexer_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(_BOOT_B)
 
     def pois_w(eid, b):
-        u = u60(f"91:{eid}:{b}")
+        u = int(hashlib.md5(f"91:{eid}".encode()).hexdigest()[:15], 16) \
+            % MINHASH_P
+        a, c = coeffs[b]
+        ub = (a * u + c) % MINHASH_P
         for k, t in enumerate(_POIS_T):
-            if u < t:
+            if ub < t:
                 return k
         return 9
 
