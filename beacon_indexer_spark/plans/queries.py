@@ -17119,6 +17119,271 @@ FROM tot CROSS JOIN mutual
 """
 
 
+# ===========================================================================
+# Round-8 wave 22: chunk-dedup savings planner, price-dispersion audit,
+# audit-sample-size planner
+# ===========================================================================
+
+_CHUNK_SIZES = (16, 32, 64)
+
+
+def q_corpus_chunk_dedup_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-data chunking planner: at chunk sizes of 16/32/64
+    tokens, how many non-overlapping chunks exist, how many are
+    distinct, and how many tokens exact-chunk dedup would delete — the
+    'pick the chunk size before the packing run' sweep (smaller chunks
+    catch more boilerplate but fragment documents). One token pass;
+    chunks hash with a size-salted md5 so the only shuffle carries
+    (size, hash) with map-side combine; the tail chunk keeps its true
+    token count so savings are token-exact."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = X.tokens(F.lower(F.col("text")))
+    base = docs.select(toks.alias("__tk")).filter(
+        F.size("__tk") > 0
+    ).localCheckpoint(eager=False)
+    def _chunker(size: int):
+        # closure factory, NOT a default arg: a two-arg HOF lambda would
+        # receive the element index as its second parameter
+        return lambda i: F.slice(F.col("__tk"), i * size + 1, size)
+
+    branches = []
+    for s in _CHUNK_SIZES:
+        nchunks = F.ceil(F.size("__tk") / F.lit(s)).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), nchunks - 1), _chunker(s)
+        )
+        branches.append(
+            base.select(F.explode(chunks).alias("__c")).select(
+                F.lit(s).cast("long").alias("chunk_size"),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.concat(F.array(F.lit(f"{s}:")), F.col("__c"))
+                    )
+                ).alias("__h"),
+                F.size("__c").cast("long").alias("__n"),
+            )
+        )
+    allc = branches[0]
+    for b in branches[1:]:
+        allc = allc.unionAll(b)
+    per_hash = allc.groupBy("chunk_size", "__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.max("__n").alias("__tok"),
+    )
+    return per_hash.groupBy("chunk_size").agg(
+        F.sum("__cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            1.0
+            - F.count(F.lit(1)).cast("double")
+            / F.sum("__cnt").cast("double"),
+            6,
+        ).alias("dup_share"),
+        F.sum((F.col("__cnt") - 1) * F.col("__tok"))
+        .cast("long")
+        .alias("tokens_saved"),
+    )
+
+
+def _oracle_corpus_chunk_dedup_planner_sql() -> str:
+    toks = _DD_TOKENS.format(c="text")
+    parts = []
+    for s in _CHUNK_SIZES:
+        parts.append(f"""
+  SELECT CAST({s} AS BIGINT) AS chunk_size,
+         md5('{s}: ' || array_to_string(
+           list_slice(tk, ci * {s} + 1, ci * {s} + {s}), ' ')) AS h,
+         CAST(len(list_slice(tk, ci * {s} + 1, ci * {s} + {s}))
+              AS BIGINT) AS n
+  FROM base,
+       LATERAL (SELECT unnest(range(0,
+         CAST(ceil(len(tk) / {s}.0) AS BIGINT))) AS ci) c""")
+    union = "\nUNION ALL".join(parts)
+    return f"""
+WITH base AS (
+  SELECT {toks} AS tk FROM documents WHERE len({toks}) > 0),
+allc AS ({union}),
+per_hash AS (
+  SELECT chunk_size, h, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MAX(n) AS tok
+  FROM allc GROUP BY 1, 2)
+SELECT chunk_size,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+         AS dup_share,
+       CAST(SUM((cnt - 1) * tok) AS BIGINT) AS tokens_saved
+FROM per_hash GROUP BY 1
+"""
+
+
+def q_part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procurement-arbitrage audit: the top-10 multi-supplier parts by
+    coefficient of variation of per-supplier unit price (Σ extended
+    price / Σ quantity per supplier). Supplier prices quantize to 1e-6
+    units so the per-part moments are exact integers; two bounded
+    rollups, TakeOrdered output."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    per_supp = li.groupBy(
+        F.col("l_partkey").cast("long").alias("part"),
+        F.col("l_suppkey").cast("long").alias("supp"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast(dec))
+        .cast("long")
+        .alias("__ec"),
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long"))
+        .cast("long")
+        .alias("__q"),
+    ).filter(F.col("__q") > 0)
+    pq_ = per_supp.select(
+        "part",
+        F.round(
+            F.col("__ec").cast("double")
+            / F.col("__q").cast("double")
+            / 100.0
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("__p6"),
+    )
+    per_part = pq_.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.col("__p6").cast(dec)).alias("__s"),
+        # decimal BEFORE the square: p6 reaches ~1e11 and p6² overflows
+        # int64 under ANSI
+        F.sum(F.col("__p6").cast(dec) * F.col("__p6").cast(dec)).alias(
+            "__s2"
+        ),
+        F.min("__p6").alias("__lo"),
+        F.max("__p6").alias("__hi"),
+    ).filter(F.col("n_suppliers") >= 2)
+    n = F.col("n_suppliers").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = (
+        (
+            F.col("n_suppliers").cast(dec) * F.col("__s2")
+            - F.col("__s") * F.col("__s")
+        ).cast("double")
+        / (n * (n - 1.0))
+    )
+    cv = F.when(mean > 0, F.sqrt(var) / mean).otherwise(0.0)
+    scored = per_part.select(
+        "part", "n_suppliers",
+        F.round(F.col("__lo").cast("double") / 1e6, 6).alias("min_price"),
+        F.round(F.col("__hi").cast("double") / 1e6, 6).alias("max_price"),
+        F.round(cv, 6).alias("price_cv"),
+    )
+    return scored.orderBy(F.desc("price_cv"), F.asc("part")).limit(10)
+
+
+ORACLE_PART_PRICE_DISPERSION = """
+WITH per_supp AS (
+  SELECT CAST(l_partkey AS BIGINT) AS part,
+         CAST(l_suppkey AS BIGINT) AS supp,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT))
+              AS BIGINT) AS ec,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+pq AS (
+  SELECT part,
+         CAST(round(CAST(ec AS DOUBLE) / CAST(q AS DOUBLE) / 100.0 * 1e6)
+              AS BIGINT) AS p6
+  FROM per_supp),
+per_part AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         SUM(CAST(p6 AS HUGEINT)) AS s,
+         SUM(CAST(p6 AS HUGEINT) * p6) AS s2,
+         MIN(p6) AS lo, MAX(p6) AS hi
+  FROM pq GROUP BY 1 HAVING COUNT(*) >= 2),
+scored AS (
+  SELECT part, n_suppliers,
+         round(CAST(lo AS DOUBLE) / 1e6, 6) AS min_price,
+         round(CAST(hi AS DOUBLE) / 1e6, 6) AS max_price,
+         round(CASE WHEN CAST(s AS DOUBLE) / CAST(n_suppliers AS DOUBLE) > 0
+                    THEN sqrt(CAST(n_suppliers * s2 - s * s AS DOUBLE)
+                              / (CAST(n_suppliers AS DOUBLE)
+                                 * (CAST(n_suppliers AS DOUBLE) - 1.0)))
+                         / (CAST(s AS DOUBLE)
+                            / CAST(n_suppliers AS DOUBLE))
+                    ELSE 0.0 END, 6) AS price_cv
+  FROM per_part)
+SELECT * FROM scored ORDER BY price_cv DESC, part ASC LIMIT 10
+"""
+
+_AUDIT_Z = 1.959964
+_AUDIT_E = 0.03
+
+
+def q_corpus_audit_sample_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Human-audit budgeting: per source, how many documents must be
+    sampled to estimate the quality-pass share within ±3% at 95%
+    confidence — the Cochran n₀ = z²·p̂(1−p̂)/e² with the finite-
+    population correction n = n₀/(1 + (n₀−1)/N). Pass proxy is token
+    count ≥ 30 (the long-doc gate). One |sources|-bounded aggregation;
+    the plan is closed-form from exact counts."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    w = F.size(X.tokens(F.lower(F.col("text"))))
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(w >= 30, 1).otherwise(0)).cast("long").alias("__pass"),
+    )
+    nd = F.col("n_docs").cast("double")
+    p = F.col("__pass").cast("double") / nd
+    # Cochran caps worst-case variance at p = 0.5 when the observed
+    # share is degenerate (0 or 1 would plan a zero sample)
+    psafe = F.when((p > 0) & (p < 1), p).otherwise(0.5)
+    n0 = (
+        F.lit(_AUDIT_Z * _AUDIT_Z)
+        * psafe
+        * (1.0 - psafe)
+        / F.lit(_AUDIT_E * _AUDIT_E)
+    )
+    nfpc = n0 / (1.0 + (n0 - 1.0) / nd)
+    sample = F.ceil(nfpc).cast("long")
+    return per.select(
+        "source", "n_docs",
+        F.round(p, 6).alias("pass_share"),
+        sample.alias("sample_needed"),
+        F.round(sample.cast("double") / nd, 6).alias("sample_rate"),
+    )
+
+
+def _oracle_corpus_audit_sample_planner_sql() -> str:
+    toks = _DD_TOKENS.format(c="text")
+    z2 = _AUDIT_Z * _AUDIT_Z
+    e2 = _AUDIT_E * _AUDIT_E
+    return f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN len({toks}) >= 30 THEN 1 ELSE 0 END)
+              AS BIGINT) AS pass_n
+  FROM documents GROUP BY 1),
+calc AS (
+  SELECT source, n_docs,
+    CAST(pass_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p
+  FROM per),
+safe AS (
+  SELECT *, CASE WHEN p > 0 AND p < 1 THEN p ELSE 0.5 END AS ps
+  FROM calc),
+n0c AS (
+  SELECT *, {z2!r} * ps * (1.0 - ps) / {e2!r} AS n0 FROM safe)
+SELECT source, n_docs,
+       round(p, 6) AS pass_share,
+       CAST(ceil(n0 / (1.0 + (n0 - 1.0) / CAST(n_docs AS DOUBLE)))
+            AS BIGINT) AS sample_needed,
+       round(CAST(CAST(ceil(n0 / (1.0 + (n0 - 1.0)
+                                  / CAST(n_docs AS DOUBLE))) AS BIGINT)
+                  AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS sample_rate
+FROM n0c
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -17393,6 +17658,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_text_embedding_agreement": q_doc_text_embedding_agreement,
     "events_aa_test_validator": q_events_aa_test_validator,
     "events_markov_stationary": q_events_markov_stationary,
+    "corpus_chunk_dedup_planner": q_corpus_chunk_dedup_planner,
+    "part_price_dispersion": q_part_price_dispersion,
+    "corpus_audit_sample_planner": q_corpus_audit_sample_planner,
     "doc_length_psi_drift": q_doc_length_psi_drift,
     "part_dual_sourcing": q_part_dual_sourcing,
     "embedding_knn_reciprocity": q_embedding_knn_reciprocity,
@@ -17694,6 +17962,10 @@ def oracles() -> dict[str, str]:
             _oracle_doc_text_embedding_agreement_sql(),
         "events_aa_test_validator": _oracle_events_aa_test_validator_sql(),
         "events_markov_stationary": _oracle_events_markov_stationary_sql(),
+        "corpus_chunk_dedup_planner": _oracle_corpus_chunk_dedup_planner_sql(),
+        "part_price_dispersion": ORACLE_PART_PRICE_DISPERSION,
+        "corpus_audit_sample_planner":
+            _oracle_corpus_audit_sample_planner_sql(),
         "doc_length_psi_drift": _oracle_doc_length_psi_drift_sql(),
         "part_dual_sourcing": ORACLE_PART_DUAL_SOURCING,
         "embedding_knn_reciprocity": ORACLE_EMBEDDING_KNN_RECIPROCITY,

@@ -1947,3 +1947,87 @@ def test_embedding_knn_reciprocity_two_cliques(spark, tmp_path):
     assert r["n_edges"] == 30  # 6 nodes x k=5 on a 6-point sample
     assert r["n_mutual_edges"] == 30
     assert r["reciprocity"] == 1.0
+
+
+def test_corpus_chunk_dedup_planner_exact_savings(spark, tmp_path):
+    """Two identical 32-token docs + one unique 16-token doc: at size
+    16 there are 5 chunks, 3 distinct, 32 tokens saved; at size 64 each
+    doc is one (tail) chunk -> 2 distinct of 3, 32 saved."""
+    rep = " ".join(f"w{i}" for i in range(32))
+    uniq = " ".join(f"u{i}" for i in range(16))
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, rep), (2, rep), (3, uniq)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["chunk_size"]: r
+        for r in QUERIES["corpus_chunk_dedup_planner"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    s16 = out[16]
+    assert (s16["n_chunks"], s16["n_distinct"]) == (5, 3)
+    assert s16["tokens_saved"] == 32
+    assert abs(s16["dup_share"] - round(1 - 3 / 5, 6)) < 1e-9
+    s64 = out[64]
+    assert (s64["n_chunks"], s64["n_distinct"]) == (3, 2)
+    assert s64["tokens_saved"] == 32
+
+
+def test_part_price_dispersion_spread(spark, tmp_path):
+    """Part 1 sells at unit 10.00 and 20.00 from two suppliers (exact
+    CV from the quantized moments); part 2 has two suppliers at the
+    same price -> CV 0 ranks below part 1."""
+    import math
+
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, 1, 1, 2.0, 20.0), (1, 1, 2, 1.0, 20.0),
+            (2, 2, 1, 1.0, 5.0), (2, 2, 2, 2.0, 10.0),
+            (3, 3, 1, 1.0, 7.0),  # single supplier: excluded
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_quantity double, l_extendedprice double",
+    )
+    rows = QUERIES["part_price_dispersion"](spark, str(tmp_path)).collect()
+    assert [r["part"] for r in rows] == [1, 2]
+    r1 = rows[0]
+    assert r1["n_suppliers"] == 2
+    assert (r1["min_price"], r1["max_price"]) == (10.0, 20.0)
+    # sample stddev of {10, 20} = sqrt(50), mean 15
+    assert abs(r1["price_cv"] - round(math.sqrt(50) / 15.0, 6)) < 1e-6
+    assert rows[1]["price_cv"] == 0.0
+
+
+def test_corpus_audit_sample_planner_cochran(spark, tmp_path):
+    """A 1000-doc source at 50% pass share needs the full-variance
+    Cochran sample with FPC: n0 = z^2*0.25/0.0009, n = ceil(n0/(1 +
+    (n0-1)/1000)); a degenerate all-pass source falls back to p = 0.5
+    variance rather than planning zero."""
+    import math
+
+    long_ = " ".join(["tok"] * 40)
+    rows = [(i, long_ if i % 2 == 0 else "a b", "big") for i in range(1000)]
+    rows += [(10000 + i, long_, "pure") for i in range(50)]
+    _plant(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in QUERIES["corpus_audit_sample_planner"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    z2, e2 = 1.959964**2, 0.03**2
+    n0 = z2 * 0.25 / e2
+    exp_big = math.ceil(n0 / (1 + (n0 - 1) / 1000))
+    big = out["big"]
+    assert (big["n_docs"], big["pass_share"]) == (1000, 0.5)
+    assert big["sample_needed"] == exp_big
+    pure = out["pure"]
+    assert pure["pass_share"] == 1.0
+    exp_pure = math.ceil(n0 / (1 + (n0 - 1) / 50))
+    assert pure["sample_needed"] == exp_pure
