@@ -17384,6 +17384,251 @@ FROM n0c
 """
 
 
+# ===========================================================================
+# Round-8 wave 23: Holt exponential smoothing, duplicate-invoice screen,
+# Elias-gamma postings compression estimate
+# ===========================================================================
+
+_HOLT_A = 0.5
+_HOLT_B = 0.3
+
+
+def q_events_hourly_holt_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt's linear exponential smoothing over the hourly volume
+    series, with 1/2/3-hour-ahead forecasts — the capacity-planning
+    smoother. The recursion (level/trend updates) runs as ONE
+    deterministic left-to-right fold over the |hours|-bounded sorted
+    array, every update 1e-9-quantized, so the smoothed state is
+    engine-exact — the template for any stateful time-series recursion
+    on an engine built around order-free aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("__h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    one = hourly.agg(
+        F.sort_array(F.collect_list(F.struct("__h", "__c"))).alias("__e"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    vals = F.transform(F.col("__e"), lambda s: s["__c"].cast("double"))
+
+    def q9(x: Column) -> Column:
+        return F.round(x * 1e9, 0) / 1e9
+
+    a, b = float(_HOLT_A), float(_HOLT_B)
+    zero = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
+        F.lit(0).cast("int").alias("i"),
+    )
+
+    def merge(acc: Column, v: Column) -> Column:
+        al, ab, ai = acc["l"], acc["b"], acc["i"]
+        nl = q9(F.lit(a) * v + F.lit(1.0 - a) * (al + ab))
+        nb = q9(
+            F.lit(b) * (q9(F.lit(a) * v + F.lit(1.0 - a) * (al + ab)) - al)
+            + F.lit(1.0 - b) * ab
+        )
+        return (
+            F.when(
+                ai == 0,
+                F.struct(
+                    v.alias("l"), F.lit(0.0).alias("b"),
+                    F.lit(1).cast("int").alias("i"),
+                ),
+            )
+            .when(
+                ai == 1,
+                F.struct(
+                    v.alias("l"), q9(v - al).alias("b"),
+                    F.lit(2).cast("int").alias("i"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    nl.alias("l"), nb.alias("b"),
+                    (ai + 1).cast("int").alias("i"),
+                )
+            )
+        )
+
+    st = F.aggregate(vals, zero, merge)
+    lvl, trd = st["l"], st["b"]
+    return one.select(
+        "n_hours",
+        F.round(lvl, 6).alias("level"),
+        F.round(trd, 6).alias("trend"),
+        F.round(lvl + trd, 6).alias("forecast_1h"),
+        F.round(lvl + 2 * trd, 6).alias("forecast_2h"),
+        F.round(lvl + 3 * trd, 6).alias("forecast_3h"),
+    )
+
+
+def _oracle_events_hourly_holt_forecast_sql() -> str:
+    # State rides as a LIST [l, b, i], not a struct: DuckDB's list_reduce
+    # overwrites a STRUCT accumulator field-by-field in place once the
+    # fold has ≥2 combines, so a later field reading acc.l sees the NEW
+    # value (probed; list-valued accumulators are clean).
+    a, b = float(_HOLT_A), float(_HOLT_B)
+    nl = (
+        f"round(({a!r} * e[1] + {1.0 - a!r} * (acc[1] + acc[2])) * 1e9)"
+        " / 1e9"
+    )
+    merge = f"""CASE
+      WHEN acc[3] = 0 THEN [e[1], CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)]
+      WHEN acc[3] = 1 THEN [e[1], round((e[1] - acc[1]) * 1e9) / 1e9,
+                            CAST(2.0 AS DOUBLE)]
+      ELSE [{nl},
+            round(({b!r} * (({nl}) - acc[1])
+                   + {1.0 - b!r} * acc[2]) * 1e9) / 1e9,
+            acc[3] + 1]
+    END"""
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+one AS (
+  SELECT list_transform(list(c ORDER BY h),
+           x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE),
+                 CAST(0.0 AS DOUBLE)]) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM hourly),
+folded AS (
+  SELECT n_hours,
+    list_reduce(list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                              CAST(0.0 AS DOUBLE)], vals),
+                (acc, e) -> {merge}) AS st
+  FROM one)
+SELECT n_hours,
+       round(st[1], 6) AS level,
+       round(st[2], 6) AS trend,
+       round(st[1] + st[2], 6) AS forecast_1h,
+       round(st[1] + 2 * st[2], 6) AS forecast_2h,
+       round(st[1] + 3 * st[2], 6) AS forecast_3h
+FROM folded
+"""
+
+
+def q_orders_duplicate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-billing screen: order groups sharing (customer, exact
+    cents amount, order date) — the accounts-payable duplicate-invoice
+    check. One |groups|-bounded aggregation; exact integer counts and
+    shares."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_custkey").cast("long").alias("__c"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("__v"),
+        F.col("o_orderdate").alias("__d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return g.agg(
+        F.sum("__n").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("__n") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_groups"),
+        F.sum(F.when(F.col("__n") >= 2, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("orders_in_dup_groups"),
+        F.max("__n").alias("max_group"),
+        F.round(
+            F.sum(F.when(F.col("__n") >= 2, F.col("__n")).otherwise(0))
+            .cast("double")
+            / F.sum("__n").cast("double"),
+            6,
+        ).alias("dup_order_share"),
+    )
+
+
+ORACLE_ORDERS_DUPLICATE_SCREEN = """
+WITH g AS (
+  SELECT CAST(o_custkey AS BIGINT) AS c,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         o_orderdate AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2, 3)
+SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_groups,
+       CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+         AS orders_in_dup_groups,
+       MAX(n) AS max_group,
+       round(CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE), 6) AS dup_order_share
+FROM g
+"""
+
+
+def q_corpus_postings_compression_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-engineering estimate: Elias-gamma bit cost of delta-gap
+    encoding the inverted index's doc-id postings (2·⌊log₂ gap⌋ + 1
+    bits per gap, first posting stored as doc_id + 1), vs raw 64-bit
+    ids. ⌊log₂⌋ comes from the BINARY STRING length (exact integer —
+    no float log at power-of-two boundaries); gaps are term-partitioned
+    LAG over the postings, the same bounded shuffle the postings query
+    itself pays."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    post = docs.select(
+        F.col("doc_id").cast("long").alias("__d"),
+        F.explode(
+            F.array_distinct(X.tokens(F.lower(F.col("text"))))
+        ).alias("__t"),
+    )
+    w = Window.partitionBy("__t").orderBy("__d")
+    gaps = post.select(
+        "__t",
+        F.coalesce(
+            F.col("__d") - F.lag("__d").over(w), F.col("__d") + 1
+        ).alias("__g"),
+    )
+    bits = 2 * (F.length(F.bin(F.col("__g"))) - 1) + 1
+    dec = "decimal(38,0)"
+    agg = gaps.agg(
+        F.countDistinct("__t").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum(bits.cast(dec)).cast("long").alias("total_bits"),
+    )
+    return agg.select(
+        "n_terms", "n_postings", "total_bits",
+        F.round(
+            F.col("total_bits").cast("double")
+            / F.col("n_postings").cast("double"),
+            6,
+        ).alias("bits_per_posting"),
+        F.round(
+            F.col("total_bits").cast("double")
+            / (64.0 * F.col("n_postings").cast("double")),
+            6,
+        ).alias("ratio_vs_int64"),
+    )
+
+
+def _oracle_corpus_postings_compression_estimate_sql() -> str:
+    toks = _DD_TOKENS.format(c="text")
+    return f"""
+WITH post AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS d, t.tok AS term
+  FROM documents,
+       LATERAL (SELECT unnest({toks}) AS tok) t),
+gaps AS (
+  SELECT term,
+         COALESCE(d - lag(d) OVER (PARTITION BY term ORDER BY d),
+                  d + 1) AS g
+  FROM post),
+agg AS (
+  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(COUNT(*) AS BIGINT) AS n_postings,
+         CAST(SUM(2 * (length(bin(g)) - 1) + 1) AS BIGINT) AS total_bits
+  FROM gaps)
+SELECT n_terms, n_postings, total_bits,
+       round(CAST(total_bits AS DOUBLE) / CAST(n_postings AS DOUBLE), 6)
+         AS bits_per_posting,
+       round(CAST(total_bits AS DOUBLE)
+             / (64.0 * CAST(n_postings AS DOUBLE)), 6) AS ratio_vs_int64
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -17661,6 +17906,10 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_chunk_dedup_planner": q_corpus_chunk_dedup_planner,
     "part_price_dispersion": q_part_price_dispersion,
     "corpus_audit_sample_planner": q_corpus_audit_sample_planner,
+    "events_hourly_holt_forecast": q_events_hourly_holt_forecast,
+    "orders_duplicate_screen": q_orders_duplicate_screen,
+    "corpus_postings_compression_estimate":
+        q_corpus_postings_compression_estimate,
     "doc_length_psi_drift": q_doc_length_psi_drift,
     "part_dual_sourcing": q_part_dual_sourcing,
     "embedding_knn_reciprocity": q_embedding_knn_reciprocity,
@@ -17966,6 +18215,11 @@ def oracles() -> dict[str, str]:
         "part_price_dispersion": ORACLE_PART_PRICE_DISPERSION,
         "corpus_audit_sample_planner":
             _oracle_corpus_audit_sample_planner_sql(),
+        "events_hourly_holt_forecast":
+            _oracle_events_hourly_holt_forecast_sql(),
+        "orders_duplicate_screen": ORACLE_ORDERS_DUPLICATE_SCREEN,
+        "corpus_postings_compression_estimate":
+            _oracle_corpus_postings_compression_estimate_sql(),
         "doc_length_psi_drift": _oracle_doc_length_psi_drift_sql(),
         "part_dual_sourcing": ORACLE_PART_DUAL_SOURCING,
         "embedding_knn_reciprocity": ORACLE_EMBEDDING_KNN_RECIPROCITY,

@@ -2031,3 +2031,86 @@ def test_corpus_audit_sample_planner_cochran(spark, tmp_path):
     assert pure["pass_share"] == 1.0
     exp_pure = math.ceil(n0 / (1 + (n0 - 1) / 50))
     assert pure["sample_needed"] == exp_pure
+
+
+def test_events_hourly_holt_forecast_python_replica(spark, tmp_path):
+    """A pure-Python replica of the quantized Holt recursion (alpha 0.5,
+    beta 0.3, l1 = v1, b1 = v1 - v0) predicts level/trend/forecasts
+    exactly on a 6-hour series."""
+    from datetime import timedelta
+
+    t0 = datetime(2024, 6, 1, 0, 30)
+    counts = [4, 6, 5, 9, 7, 12]
+    rows, eid = [], 0
+    for h, n in enumerate(counts):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, t0 + timedelta(hours=h), 1, "view"))
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+    def q9(x):
+        import math
+
+        return math.floor(x * 1e9 + 0.5) / 1e9 if x >= 0 \
+            else -math.floor(-x * 1e9 + 0.5) / 1e9
+
+    l, b = None, None
+    for i, v in enumerate(float(c) for c in counts):
+        if i == 0:
+            l, b = v, 0.0
+        elif i == 1:
+            l, b = v, q9(v - l)
+        else:
+            nl = q9(0.5 * v + 0.5 * (l + b))
+            b = q9(0.3 * (nl - l) + 0.7 * b)
+            l = nl
+    [r] = QUERIES["events_hourly_holt_forecast"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r["n_hours"] == 6
+    assert abs(r["level"] - round(l, 6)) < 1e-9
+    assert abs(r["trend"] - round(b, 6)) < 1e-9
+    assert abs(r["forecast_3h"] - round(l + 3 * b, 6)) < 1e-9
+
+
+def test_orders_duplicate_screen_planted(spark, tmp_path):
+    """Three orders share (customer, cents, date) and two more share
+    another key: 2 dup groups holding 5 of 7 orders, max group 3."""
+    from datetime import date
+
+    d = date(2024, 3, 1)
+    rows = [
+        (1, 7, d, 100.0), (2, 7, d, 100.0), (3, 7, d, 100.0),
+        (4, 8, d, 55.5), (5, 8, d, 55.5),
+        (6, 7, d, 200.0), (7, 9, d, 100.0),
+    ]
+    _plant(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    [r] = QUERIES["orders_duplicate_screen"](spark, str(tmp_path)).collect()
+    assert (r["n_orders"], r["dup_groups"]) == (7, 2)
+    assert (r["orders_in_dup_groups"], r["max_group"]) == (5, 3)
+    assert abs(r["dup_order_share"] - round(5 / 7, 6)) < 1e-9
+
+
+def test_corpus_postings_compression_estimate_exact_bits(spark, tmp_path):
+    """Term 'x' posts in docs 1 and 3: first gap 1+1=2 (3 bits), delta
+    gap 2 (3 bits); term 'y' posts in doc 2 only: gap 3 (3 bits). Total
+    9 bits over 3 postings."""
+    _plant(
+        spark, tmp_path, "documents",
+        [(1, "x"), (2, "y"), (3, "x")],
+        "doc_id long, text string",
+    )
+    [r] = QUERIES["corpus_postings_compression_estimate"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["n_terms"], r["n_postings"]) == (2, 3)
+    assert r["total_bits"] == 9
+    assert r["bits_per_posting"] == 3.0
+    assert abs(r["ratio_vs_int64"] - round(9 / (64.0 * 3), 6)) < 1e-9
