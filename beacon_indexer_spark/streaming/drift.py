@@ -1,0 +1,121 @@
+"""Streaming distribution-drift monitor: per-micro-batch PSI against a
+stored reference.
+
+The reference has nothing like this (its pipeline trusts the beacon node);
+a training-data ingest loop needs the classic model-monitoring read — "is
+what I'm ingesting TODAY still distributed like the corpus I validated" —
+continuously, not as a post-hoc batch audit. The batch analogue is
+`doc_length_psi_drift` in plans/queries.py (oracle-checked); this module
+is the streaming composition: build the reference decile bins ONCE
+(`psi_reference`), then score every micro-batch against them inside
+`foreachBatch` (`batch_psi`) and append the verdict row to a monitor
+table.
+
+Scale: the reference build is one |distinct values| histogram +
+equidepth thresholds (the optimizer-statistics shape); each batch pays
+one |distinct values in batch| histogram and a 10-row broadcast join —
+no state store, no corpus re-read. The PSI terms are 1e-9-quantized
+integer sums (the repo's order-free float-reduction convention), so a
+monitor row is reproducible regardless of batch partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PSI_STABLE = 0.1
+PSI_MODERATE = 0.25
+
+
+def psi_reference(df: DataFrame, value_col: str, bins: int = 10) -> DataFrame:
+    """(bin, edge, ref_n): equidepth bin upper edges of `value_col` on the
+    reference corpus plus the reference count per bin. Persist this once
+    (it IS the monitoring contract) and feed it to `batch_psi`."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    hist = df.groupBy(F.col(value_col).cast("long").alias("__w")).agg(
+        F.count(F.lit(1)).cast("long").alias("__f")
+    )
+    h = _exclusive_prefix(hist, "__w", "__f", "__cum")
+    tot = hist.agg(F.sum("__f").cast("long").alias("__n"))
+    bdf = (
+        df.sparkSession.createDataFrame(
+            [(b,) for b in range(1, bins + 1)], "bin int"
+        ).select(F.col("bin").cast("long").alias("bin"))
+    )
+    edges = (
+        h.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bdf))
+        .filter(
+            bins * (F.col("__cum") + F.col("__f"))
+            >= F.col("bin") * F.col("__n")
+        )
+        .groupBy("bin")
+        .agg(F.min("__w").alias("edge"))
+    )
+    assigned = (
+        hist.crossJoin(F.broadcast(edges))
+        .filter(
+            (F.col("__w") <= F.col("edge")) | (F.col("bin") == bins)
+        )
+        .groupBy("__w", "__f")
+        .agg(F.min("bin").alias("bin"))
+    )
+    per_bin = assigned.groupBy("bin").agg(
+        F.sum("__f").cast("long").alias("ref_n")
+    )
+    return bdf.join(edges, "bin").join(per_bin, "bin", "left").select(
+        "bin", "edge", F.coalesce("ref_n", F.lit(0)).alias("ref_n")
+    )
+
+
+def batch_psi(
+    batch_df: DataFrame, reference: DataFrame, value_col: str
+) -> DataFrame:
+    """One monitor row (n_rows, psi, verdict) scoring `batch_df` against
+    a `psi_reference` frame. Laplace 0.5 smoothing keeps empty bins
+    finite; bins has one row per reference decile so the join is a tiny
+    broadcast."""
+    bins = reference.count()
+    hist = batch_df.groupBy(
+        F.col(value_col).cast("long").alias("__w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__f"))
+    assigned = (
+        hist.crossJoin(F.broadcast(reference.select("bin", "edge")))
+        .filter(
+            (F.col("__w") <= F.col("edge")) | (F.col("bin") == bins)
+        )
+        .groupBy("__w", "__f")
+        .agg(F.min("bin").alias("bin"))
+    )
+    cur = assigned.groupBy("bin").agg(
+        F.sum("__f").cast("long").alias("__c")
+    )
+    dense = reference.join(cur, "bin", "left").select(
+        "bin", "ref_n", F.coalesce("__c", F.lit(0)).alias("__c")
+    )
+    tots = dense.agg(
+        F.sum("ref_n").cast("long").alias("__nr"),
+        F.sum("__c").cast("long").alias("__nc"),
+    )
+    jd = dense.crossJoin(F.broadcast(tots))
+    pr = (F.col("ref_n").cast("double") + 0.5) / (
+        F.col("__nr").cast("double") + 0.5 * bins
+    )
+    pc = (F.col("__c").cast("double") + 0.5) / (
+        F.col("__nc").cast("double") + 0.5 * bins
+    )
+    term = F.round((pc - pr) * F.log(pc / pr) * 1e9, 0).cast("long")
+    out = jd.agg(
+        F.max("__nc").alias("n_rows"),
+        (F.sum(term).cast("double") / 1e9).alias("__psi"),
+    )
+    return out.select(
+        "n_rows",
+        F.round(F.col("__psi"), 6).alias("psi"),
+        F.when(F.col("__psi") < PSI_STABLE, "stable")
+        .when(F.col("__psi") < PSI_MODERATE, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    )

@@ -333,3 +333,65 @@ def test_streaming_embedding_incremental_dedup(spark, tmp_path):
     assert verdicts[1] is None and verdicts[2] is None  # empty index
     assert verdicts[11] == 1  # colinear with vec 1 → flagged
     assert verdicts[12] is None  # far vector passes
+
+
+def test_streaming_psi_drift_monitor(spark, tmp_path):
+    """PSI drift monitoring composes with Structured Streaming: the
+    reference deciles are built once, then each micro-batch is scored
+    in foreachBatch and appends a monitor row. A batch drawn from the
+    reference distribution reads 'stable'; a shifted batch must cross
+    the 0.25 PSI fence and read 'shifted'."""
+    import os
+    import time
+
+    from beacon_indexer_spark.streaming.drift import batch_psi, psi_reference
+
+    ref_vals = [(i, 10 + (i % 20)) for i in range(400)]
+    ref = spark.createDataFrame(ref_vals, "id long, w long")
+    reference = psi_reference(ref, "w").localCheckpoint()
+    assert reference.count() == 10
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src, exist_ok=True)
+    batch1 = [(1000 + i, 10 + (i % 20)) for i in range(100)]   # same dist
+    batch2 = [(2000 + i, 300 + (i % 5)) for i in range(100)]   # shifted
+    spark.createDataFrame(batch1, "id long, w long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    first_files = {
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    }
+    spark.createDataFrame(batch2, "id long, w long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    later = time.time() + 5
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if f.endswith(".parquet") and p not in first_files:
+            os.utime(p, (later, later))
+
+    monitor = str(tmp_path / "monitor")
+
+    def score(batch_df, batch_id):
+        from pyspark.sql import functions as F
+
+        row = batch_psi(batch_df, reference, "w").withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        row.write.mode("append").parquet(monitor)
+
+    stream = (
+        spark.readStream.schema("id long, w long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(score).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = sorted(
+        spark.read.parquet(monitor).collect(), key=lambda r: r["batch_id"]
+    )
+    assert len(rows) == 2
+    assert rows[0]["n_rows"] == 100 and rows[0]["verdict"] == "stable"
+    assert rows[1]["n_rows"] == 100 and rows[1]["verdict"] == "shifted"
+    assert rows[1]["psi"] > 0.25 > rows[0]["psi"]
