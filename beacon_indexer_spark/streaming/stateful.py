@@ -129,3 +129,90 @@ def sessionize_stream(
             else GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOLT_OUTPUT_SCHEMA = (
+    "series string, n_seen long, level double, trend double,"
+    " forecast_1 double"
+)
+# quantized Holt state: (level, trend, observations seen)
+HOLT_STATE_SCHEMA = "l double, b double, i long"
+
+
+def holt_stream(
+    buckets: DataFrame,
+    key_col: str = "series",
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Streaming Holt linear smoothing: per series key, the quantized
+    (level, trend) recursion carried ACROSS micro-batches by the state
+    store — the streaming twin of the batch
+    `events_hourly_holt_forecast` fold, and byte-identical to it on the
+    same bucket sequence (asserted by
+    tests/test_stateful_stream.py::test_holt_stream_matches_batch_fold).
+
+    Input rows are pre-bucketed (bucket, value) observations; within a
+    batch they fold in bucket order, and state is three numbers per
+    series — O(active series), independent of history length. Each
+    batch emits the series' updated level/trend and one-step forecast.
+    """
+
+    def q9(x: float) -> float:
+        import math
+
+        return (
+            math.floor(x * 1e9 + 0.5) / 1e9
+            if x >= 0
+            else -math.floor(-x * 1e9 + 0.5) / 1e9
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        series = str(key[0])
+        if state.exists:
+            lvl, trd, i = state.get
+        else:
+            lvl, trd, i = 0.0, 0.0, 0
+
+        obs: list[tuple] = []
+        for pdf in pdfs:
+            obs.extend(
+                (r[bucket_col], float(r[value_col]))
+                for _, r in pdf.iterrows()
+            )
+        for _, v in sorted(obs, key=lambda t: t[0]):
+            if i == 0:
+                lvl, trd = v, 0.0
+            elif i == 1:
+                trd = q9(v - lvl)
+                lvl = v
+            else:
+                nl = q9(alpha * v + (1.0 - alpha) * (lvl + trd))
+                trd = q9(beta * (nl - lvl) + (1.0 - beta) * trd)
+                lvl = nl
+            i += 1
+        state.update((lvl, trd, i))
+        yield pd.DataFrame(
+            [(series, i, lvl, trd, lvl + trd)],
+            columns=["series", "n_seen", "level", "trend", "forecast_1"],
+        )
+
+    return (
+        buckets.select(
+            F.col(key_col).cast("string").alias(key_col),
+            bucket_col,
+            value_col,
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            HOLT_OUTPUT_SCHEMA,
+            HOLT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

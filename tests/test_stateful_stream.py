@@ -395,3 +395,72 @@ def test_streaming_psi_drift_monitor(spark, tmp_path):
     assert rows[0]["n_rows"] == 100 and rows[0]["verdict"] == "stable"
     assert rows[1]["n_rows"] == 100 and rows[1]["verdict"] == "shifted"
     assert rows[1]["psi"] > 0.25 > rows[0]["psi"]
+
+
+def test_holt_stream_matches_batch_fold(spark, tmp_path):
+    """The stateful streaming Holt smoother, fed the same hourly counts
+    split across three micro-batches, must land on EXACTLY the level
+    and trend of the batch events_hourly_holt_forecast fold (same
+    quantized recursion, state carried by the state store)."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from beacon_indexer_spark.plans.queries import QUERIES
+    from beacon_indexer_spark.streaming.stateful import holt_stream
+
+    t0 = datetime(2024, 6, 1, 0, 30)
+    counts = [4, 6, 5, 9, 7, 12, 8, 15, 11, 9, 14, 10]
+    ev_rows, eid = [], 0
+    for h, n in enumerate(counts):
+        for _ in range(n):
+            eid += 1
+            ev_rows.append((eid, t0 + timedelta(hours=h), 1, "view"))
+    _write = str(tmp_path / "events_tbl")
+    spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    [batch] = QUERIES["events_hourly_holt_forecast"](
+        spark, str(tmp_path)
+    ).collect()
+
+    src = str(tmp_path / "buckets")
+    os.makedirs(src, exist_ok=True)
+    prev: set = set()
+    stamp = time.time()
+    for chunk_i, lo in enumerate(range(0, 12, 4)):
+        rows = [("hourly", h, float(counts[h])) for h in range(lo, lo + 4)]
+        spark.createDataFrame(
+            rows, "series string, bucket long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stamp += 5
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in prev:
+                os.utime(p, (stamp, stamp))
+                prev.add(p)
+
+    out = str(tmp_path / "holt_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("series string, bucket long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        holt_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r["n_seen"])
+    assert [r["n_seen"] for r in rows] == [4, 8, 12]
+    final = rows[-1]
+    assert round(final["level"], 6) == batch["level"]
+    assert round(final["trend"], 6) == batch["trend"]
+    assert round(final["forecast_1"], 6) == batch["forecast_1h"]
