@@ -17629,6 +17629,219 @@ FROM agg
 """
 
 
+# ===========================================================================
+# Round-8 wave 24: revenue reconciliation, TWAP, junk-token profile
+# ===========================================================================
+
+
+def q_orders_revenue_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level cross-table reconciliation: per order, the lineitem
+    charge sum Σ extprice·(1−disc)·(1+tax) against o_totalprice — the
+    financial-close audit (the count-level reconcile is
+    customers_orders_reconcile; this one checks MONEY). Line charges
+    round to cents identically in both engines before the exact DECIMAL
+    per-order sum; one orderkey-keyed join; mismatch = |diff| beyond a
+    5-cent rounding tolerance."""
+    dec = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(
+        F.col("l_orderkey").cast("long").alias("__k")
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1.0 - F.col("l_discount"))
+                * (1.0 + F.col("l_tax"))
+                * 100,
+                0,
+            ).cast("long").cast(dec)
+        ).cast("long").alias("__lc")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("__k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("__oc"),
+    )
+    j = o.join(per_order, "__k", "left")
+    diff = F.col("__lc") - F.col("__oc")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("__lc").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_without_lines"),
+        F.sum(
+            F.when(F.abs(diff) > 5, 1).otherwise(0)
+        ).cast("long").alias("n_mismatched"),
+        F.round(
+            F.sum(F.coalesce(F.abs(diff), F.lit(0)).cast(dec))
+            .cast("double")
+            / 100.0,
+            6,
+        ).alias("total_abs_drift"),
+        F.coalesce(F.max(F.abs(diff)), F.lit(0)).alias("max_abs_diff_cents"),
+    )
+
+
+ORACLE_ORDERS_REVENUE_RECONCILE = """
+WITH per_order AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS k,
+         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+                             * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+           AS lc
+  FROM lineitem GROUP BY 1),
+o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS oc
+  FROM orders),
+j AS (SELECT o.k, oc, lc FROM o LEFT JOIN per_order USING (k))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN lc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_without_lines,
+       CAST(SUM(CASE WHEN abs(lc - oc) > 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatched,
+       round(CAST(SUM(COALESCE(abs(lc - oc), 0)) AS DOUBLE) / 100.0, 6)
+         AS total_abs_drift,
+       CAST(COALESCE(MAX(abs(lc - oc)), 0) AS BIGINT)
+         AS max_abs_diff_cents
+FROM j
+"""
+
+
+def q_events_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average value (TWAP) vs the naive mean — the
+    irregular-sampling correction: each observation holds until the
+    next event (the last one until midnight), so burst periods stop
+    dominating the average. Weights are integer seconds × integer
+    cents summed as DECIMAL per day; adjacency is a day-partitioned
+    LEAD, never a global window."""
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        F.to_date("ts").alias("__day"),
+        F.unix_timestamp("ts").alias("__s"),
+        F.col("event_id").cast("long").alias("__eid"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("__vc"),
+    )
+    w = Window.partitionBy("__day").orderBy("__s", "__eid")
+    day_end = (
+        F.unix_timestamp(F.col("__day").cast("timestamp")) + 86400
+    )
+    dt = F.coalesce(F.lead("__s").over(w), day_end) - F.col("__s")
+    per_day = base.select("__day", "__vc", dt.alias("__dt")).groupBy(
+        "__day"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("__vc") * F.col("__dt")).cast(dec)).alias("__wv"),
+        F.sum(F.col("__dt").cast(dec)).cast("long").alias("__wt"),
+        F.sum(F.col("__vc").cast(dec)).cast("long").alias("__sv"),
+    )
+    twap = (
+        F.col("__wv").cast("double")
+        / F.col("__wt").cast("double")
+        / 100.0
+    )
+    mean = (
+        F.col("__sv").cast("double")
+        / F.col("n_events").cast("double")
+        / 100.0
+    )
+    return per_day.filter(F.col("__wt") > 0).select(
+        F.col("__day").alias("day"),
+        "n_events",
+        F.round(twap, 6).alias("twap_value"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(twap - mean, 6).alias("twap_minus_mean"),
+    )
+
+
+ORACLE_EVENTS_VALUE_TWAP = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(event_id AS BIGINT) AS eid,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL),
+dts AS (
+  SELECT day, vc,
+         COALESCE(lead(s) OVER (PARTITION BY day ORDER BY s, eid),
+                  CAST(floor(epoch(CAST(day AS TIMESTAMP))) AS BIGINT)
+                  + 86400) - s AS dt
+  FROM base),
+per_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(vc AS HUGEINT) * dt) AS wv,
+         CAST(SUM(dt) AS BIGINT) AS wt,
+         CAST(SUM(vc) AS BIGINT) AS sv
+  FROM dts GROUP BY 1)
+SELECT day, n_events,
+       round(CAST(wv AS DOUBLE) / CAST(wt AS DOUBLE) / 100.0, 6)
+         AS twap_value,
+       round(CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0, 6)
+         AS mean_value,
+       round(CAST(wv AS DOUBLE) / CAST(wt AS DOUBLE) / 100.0
+             - CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0, 6)
+         AS twap_minus_mean
+FROM per_day WHERE wt > 0
+"""
+
+
+def q_corpus_junk_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source junk-token census: shares of purely numeric, URL-ish,
+    and email-ish tokens — the cleaning signal that separates scraped
+    navigation/boilerplate sources from prose BEFORE quality scoring.
+    Map-only classification (regex in the Java/RE2 common subset) into
+    one |sources|-bounded aggregation."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source",
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("__t"),
+    )
+    is_num = F.col("__t").rlike("^[0-9]+$")
+    is_url = F.col("__t").rlike("^(https?|www\\.)") | F.col("__t").contains(
+        "://"
+    )
+    is_email = F.col("__t").contains("@") & F.col("__t").contains(".")
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(F.when(is_num, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("numeric_share"),
+        F.round(
+            F.sum(F.when(is_url, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("url_share"),
+        F.round(
+            F.sum(F.when(is_email, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("email_share"),
+    )
+
+
+def _oracle_corpus_junk_token_profile_sql() -> str:
+    toks = _DD_TOKENS.format(c="text")
+    return f"""
+WITH tok AS (
+  SELECT source, t.tk AS t
+  FROM documents, LATERAL (SELECT unnest({toks}) AS tk) t)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CASE WHEN regexp_matches(t, '^[0-9]+$')
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS numeric_share,
+       round(CAST(SUM(CASE WHEN regexp_matches(t, '^(https?|www\\.)')
+                                OR contains(t, '://')
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS url_share,
+       round(CAST(SUM(CASE WHEN contains(t, '@') AND contains(t, '.')
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS email_share
+FROM tok GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -17910,6 +18123,9 @@ QUERIES: dict[str, QueryFn] = {
     "orders_duplicate_screen": q_orders_duplicate_screen,
     "corpus_postings_compression_estimate":
         q_corpus_postings_compression_estimate,
+    "orders_revenue_reconcile": q_orders_revenue_reconcile,
+    "events_value_twap": q_events_value_twap,
+    "corpus_junk_token_profile": q_corpus_junk_token_profile,
     "doc_length_psi_drift": q_doc_length_psi_drift,
     "part_dual_sourcing": q_part_dual_sourcing,
     "embedding_knn_reciprocity": q_embedding_knn_reciprocity,
@@ -18220,6 +18436,9 @@ def oracles() -> dict[str, str]:
         "orders_duplicate_screen": ORACLE_ORDERS_DUPLICATE_SCREEN,
         "corpus_postings_compression_estimate":
             _oracle_corpus_postings_compression_estimate_sql(),
+        "orders_revenue_reconcile": ORACLE_ORDERS_REVENUE_RECONCILE,
+        "events_value_twap": ORACLE_EVENTS_VALUE_TWAP,
+        "corpus_junk_token_profile": _oracle_corpus_junk_token_profile_sql(),
         "doc_length_psi_drift": _oracle_doc_length_psi_drift_sql(),
         "part_dual_sourcing": ORACLE_PART_DUAL_SOURCING,
         "embedding_knn_reciprocity": ORACLE_EMBEDDING_KNN_RECIPROCITY,

@@ -2114,3 +2114,86 @@ def test_corpus_postings_compression_estimate_exact_bits(spark, tmp_path):
     assert r["total_bits"] == 9
     assert r["bits_per_posting"] == 3.0
     assert abs(r["ratio_vs_int64"] - round(9 / (64.0 * 3), 6)) < 1e-9
+
+
+def test_orders_revenue_reconcile_planted_drift(spark, tmp_path):
+    """Order 1 reconciles exactly, order 2 is off by 10.00 (mismatch),
+    order 3 has no lineitems: 1 mismatch, 1 unmatched, drift 10.00."""
+    from datetime import date
+
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, 1, date(2024, 1, 1), 108.9),   # 100*(1-0.1)*(1+0.21)
+            (2, 1, date(2024, 1, 1), 60.0),    # lines say 50.00
+            (3, 1, date(2024, 1, 1), 99.0),    # no lines
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, 100.0, 0.10, 0.21),
+            (2, 25.0, 0.0, 0.0), (2, 25.0, 0.0, 0.0),
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    )
+    [r] = QUERIES["orders_revenue_reconcile"](spark, str(tmp_path)).collect()
+    assert r["n_orders"] == 3
+    assert r["n_without_lines"] == 1
+    assert r["n_mismatched"] == 1
+    assert r["total_abs_drift"] == 10.0
+    assert r["max_abs_diff_cents"] == 1000
+
+
+def test_events_value_twap_holding_weights(spark, tmp_path):
+    """One day: value 10 held for 6h, then value 20 held for the
+    remaining 18h -> TWAP = 17.5 while the naive mean is 15."""
+    t0 = datetime(2024, 6, 1, 0, 0)
+    from datetime import timedelta
+
+    rows = [
+        (1, t0, 1, "view", 10.0),
+        (2, t0 + timedelta(hours=6), 1, "view", 20.0),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    [r] = QUERIES["events_value_twap"](spark, str(tmp_path)).collect()
+    assert r["n_events"] == 2
+    assert r["twap_value"] == 17.5
+    assert r["mean_value"] == 15.0
+    assert r["twap_minus_mean"] == 2.5
+
+
+def test_corpus_junk_token_profile_classes(spark, tmp_path):
+    """Source 'web' carries numeric, url and email junk in known
+    shares; source 'prose' is clean."""
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, "visit https://x.co or www.y.com call 12345 mail a@b.c now",
+             "en", "web"),
+            (2, "plain words only here", "en", "prose"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in QUERIES["corpus_junk_token_profile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    web = out["web"]
+    assert web["total_tokens"] == 9
+    assert web["numeric_share"] == round(1 / 9, 6)   # 12345
+    assert web["url_share"] == round(2 / 9, 6)       # https://..., www....
+    assert web["email_share"] == round(1 / 9, 6)     # a@b.c
+    prose = out["prose"]
+    assert prose["numeric_share"] == 0.0
+    assert prose["url_share"] == 0.0
+    assert prose["email_share"] == 0.0
