@@ -17842,6 +17842,328 @@ FROM tok GROUP BY 1
 """
 
 
+# ===========================================================================
+# Round-8 wave 25: embedding ingestion drift, Cramér's V association,
+# attribution model comparison
+# ===========================================================================
+
+
+def q_embedding_ingestion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation drift across ingestion: per vec_id-range decile,
+    the mean vector norm and the cosine of the decile centroid to the
+    GLOBAL centroid — the embedding-space twin of the token-level
+    ingestion-drift monitor (an encoder change shows up here before any
+    text statistic moves). Unit components quantize to 1e-9; centroid
+    coordinates re-quantize before the dot/norm sums, so every float
+    reduction is an exact integer sum; shuffles are |deciles × dims|-
+    bounded."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    dec = "decimal(38,0)"
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = emb.filter(nrm > 0).select(
+        F.col("vec_id").cast("long").alias("__id"),
+        F.round(nrm * 1e9, 0).cast("long").alias("__nq"),
+        F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
+        .alias("__u"),
+    ).localCheckpoint(eager=False)
+    rng = base.agg(
+        F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
+    )
+    decile = F.least(
+        F.lit(9),
+        F.floor(
+            (F.col("__id") - F.col("__lo"))
+            * 10
+            / (F.col("__hi") - F.col("__lo") + 1)
+        ),
+    ).cast("long")
+    dd = base.crossJoin(F.broadcast(rng)).select(
+        decile.alias("__dc"), "__nq", "__u"
+    )
+    dims = dd.select(
+        "__dc", F.posexplode("__u").alias("dim", "__ui")
+    ).groupBy("__dc", "dim").agg(
+        F.sum(F.col("__ui").cast(dec)).alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    gdims = dims.groupBy("dim").agg(
+        F.sum("__s").alias("__gs"), F.sum("__n").cast("long").alias("__gn")
+    )
+    j = dims.join(F.broadcast(gdims), "dim")
+    qa = F.round(
+        F.col("__s").cast("double") / F.col("__n").cast("double"), 0
+    ).cast("long")
+    qb = F.round(
+        F.col("__gs").cast("double") / F.col("__gn").cast("double"), 0
+    ).cast("long")
+    terms = j.select("__dc", qa.alias("__qa"), qb.alias("__qb"))
+    per = terms.groupBy("__dc").agg(
+        F.sum((F.col("__qa") * F.col("__qb")).cast(dec)).alias("__dot"),
+        F.sum((F.col("__qa") * F.col("__qa")).cast(dec)).alias("__na"),
+        F.sum((F.col("__qb") * F.col("__qb")).cast(dec)).alias("__nb"),
+    )
+    norms = dd.groupBy("__dc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("__nq").cast(dec)).cast("long").alias("__ns"),
+    )
+    out = norms.join(per, "__dc")
+    cosd = F.col("__dot").cast("double") / F.sqrt(
+        F.col("__na").cast("double") * F.col("__nb").cast("double")
+    )
+    return out.select(
+        F.col("__dc").alias("decile"),
+        "n_vectors",
+        F.round(
+            F.col("__ns").cast("double")
+            / F.col("n_vectors").cast("double")
+            / 1e9,
+            6,
+        ).alias("mean_norm"),
+        F.round(cosd, 6).alias("centroid_cos_to_global"),
+    )
+
+
+ORACLE_EMBEDDING_INGESTION_DRIFT = """
+WITH nv AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+base AS (
+  SELECT id, CAST(round(nrm * 1e9) AS BIGINT) AS nq,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / nrm * 1e9) AS BIGINT)) AS u
+  FROM nv WHERE nrm > 0),
+rng AS (SELECT MIN(id) AS lo, MAX(id) AS hi FROM base),
+dd AS (
+  SELECT LEAST(9, CAST(floor(CAST((id - lo) * 10 AS DOUBLE)
+                             / (hi - lo + 1)) AS BIGINT)) AS dc, nq, u
+  FROM base CROSS JOIN rng),
+dims AS (
+  SELECT dc, s.i - 1 AS dim,
+         SUM(CAST(u[s.i] AS HUGEINT)) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM dd, LATERAL (SELECT unnest(generate_series(1, len(u))) AS i) s
+  GROUP BY 1, 2),
+gdims AS (
+  SELECT dim, SUM(sv) AS gs, CAST(SUM(n) AS BIGINT) AS gn
+  FROM dims GROUP BY 1),
+terms AS (
+  SELECT dc,
+         CAST(round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+           AS qa,
+         CAST(round(CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)) AS BIGINT)
+           AS qb
+  FROM dims JOIN gdims USING (dim)),
+per AS (
+  SELECT dc,
+         SUM(CAST(qa AS HUGEINT) * qb) AS dot,
+         SUM(CAST(qa AS HUGEINT) * qa) AS na,
+         SUM(CAST(qb AS HUGEINT) * qb) AS nb
+  FROM terms GROUP BY 1),
+norms AS (
+  SELECT dc, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(nq) AS BIGINT) AS ns
+  FROM dd GROUP BY 1)
+SELECT norms.dc AS decile, n_vectors,
+       round(CAST(ns AS DOUBLE) / CAST(n_vectors AS DOUBLE) / 1e9, 6)
+         AS mean_norm,
+       round(CAST(dot AS DOUBLE)
+             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+         AS centroid_cos_to_global
+FROM norms JOIN per ON per.dc = norms.dc
+"""
+
+
+def q_part_brand_type_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between part brand and part type — 'does
+    brand determine product line' as ONE number in [0, 1], the
+    categorical-pair strength NMI doesn't normalize the same way. Uses
+    the observed-cells identity χ² = Σ o²·N/(r_b·c_t) − N so zero cells
+    never materialize; each cell term is 1e-6-quantized for an
+    order-free sum; margins attach as broadcast joins."""
+    p = _t(spark, sf_dir, "part")
+    cells = p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__o")
+    ).localCheckpoint(eager=False)
+    rb = cells.groupBy("p_brand").agg(F.sum("__o").cast("long").alias("__rb"))
+    ct = cells.groupBy("p_type").agg(F.sum("__o").cast("long").alias("__ct"))
+    tot = cells.agg(
+        F.sum("__o").cast("long").alias("__n"),
+        F.countDistinct("p_brand").cast("long").alias("n_brands"),
+        F.countDistinct("p_type").cast("long").alias("n_types"),
+    )
+    j = (
+        cells.join(F.broadcast(rb), "p_brand")
+        .join(F.broadcast(ct), "p_type")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.round(
+        F.col("__o").cast("double")
+        * F.col("__o").cast("double")
+        * F.col("__n").cast("double")
+        / (F.col("__rb").cast("double") * F.col("__ct").cast("double"))
+        * 1e6,
+        0,
+    ).cast("long")
+    agg = j.agg(
+        F.sum(term).cast("long").alias("__tq"),
+        F.max("__n").alias("__n"),
+        F.max("n_brands").alias("n_brands"),
+        F.max("n_types").alias("n_types"),
+    )
+    chi2 = F.greatest(
+        F.lit(0.0),
+        F.col("__tq").cast("double") / 1e6 - F.col("__n").cast("double"),
+    )
+    dof = F.least(F.col("n_brands") - 1, F.col("n_types") - 1).cast("double")
+    vee = F.when(
+        (dof > 0) & (F.col("__n") > 0),
+        F.sqrt(chi2 / (F.col("__n").cast("double") * dof)),
+    ).otherwise(0.0)
+    return agg.select(
+        "n_brands", "n_types",
+        F.round(chi2, 4).alias("chi2"),
+        F.round(vee, 6).alias("cramers_v"),
+    )
+
+
+ORACLE_PART_BRAND_TYPE_CRAMERS_V = """
+WITH cells AS (
+  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS o
+  FROM part GROUP BY 1, 2),
+rb AS (SELECT p_brand, CAST(SUM(o) AS BIGINT) AS rbn FROM cells GROUP BY 1),
+ct AS (SELECT p_type, CAST(SUM(o) AS BIGINT) AS ctn FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+         CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+  FROM cells),
+agg AS (
+  SELECT CAST(SUM(CAST(round(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                             * CAST(n AS DOUBLE)
+                             / (CAST(rbn AS DOUBLE) * CAST(ctn AS DOUBLE))
+                             * 1e6) AS BIGINT)) AS BIGINT) AS tq,
+         MAX(n) AS n, MAX(n_brands) AS n_brands, MAX(n_types) AS n_types
+  FROM cells JOIN rb USING (p_brand) JOIN ct USING (p_type)
+       CROSS JOIN tot),
+calc AS (
+  SELECT n_brands, n_types, n,
+    GREATEST(0.0, CAST(tq AS DOUBLE) / 1e6 - CAST(n AS DOUBLE)) AS chi2,
+    CAST(LEAST(n_brands - 1, n_types - 1) AS DOUBLE) AS dof
+  FROM agg)
+SELECT n_brands, n_types,
+       round(chi2, 4) AS chi2,
+       round(CASE WHEN dof > 0 AND n > 0
+                  THEN sqrt(chi2 / (CAST(n AS DOUBLE) * dof))
+                  ELSE 0.0 END, 6) AS cramers_v
+FROM calc
+"""
+
+
+def q_events_attribution_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Marketing attribution bake-off: for every converter, credit the
+    PRE-conversion activity types under first-touch, last-touch, and
+    linear models side by side — the table that shows how much the
+    model choice (not the data) moves budget. First/last come off ONE
+    user-partitioned ordered pass; linear credit quantizes 1/k per
+    user to 1e-9 before the per-type integer sum."""
+    ev = _t(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.min("ts").alias("__tp"))
+    )
+    pre = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            "ts",
+            F.col("event_id").cast("long").alias("__eid"),
+        )
+        .join(conv, "user_id")
+        .filter(F.col("ts") < F.col("__tp"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "__eid")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("__eid")
+    )
+    flagged = pre.select(
+        "user_id", "event_type",
+        F.row_number().over(w).alias("__rf"),
+        F.row_number().over(wd).alias("__rl"),
+    )
+    fl = flagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("__rf") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("first_touch"),
+        F.sum(F.when(F.col("__rl") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("last_touch"),
+    )
+    ut = pre.select("user_id", "event_type").distinct()
+    k = ut.groupBy("user_id").agg(F.count(F.lit(1)).alias("__k"))
+    lin = (
+        ut.join(F.broadcast(k), "user_id")
+        .select(
+            "event_type",
+            F.round(1e9 / F.col("__k"), 0).cast("long").alias("__cq"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("__cq").cast("double") / 1e9, 6).alias(
+                "linear_credit"
+            )
+        )
+    )
+    return fl.join(lin, "event_type").select(
+        "event_type", "first_touch", "last_touch", "linear_credit"
+    )
+
+
+ORACLE_EVENTS_ATTRIBUTION_COMPARISON = """
+WITH conv AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, MIN(ts) AS tp
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+pre AS (
+  SELECT e.user_id, e.event_type, e.ts, CAST(e.event_id AS BIGINT) AS eid
+  FROM (SELECT CAST(user_id AS BIGINT) AS user_id, event_type, ts,
+               event_id
+        FROM events WHERE event_type <> 'purchase') e
+  JOIN conv USING (user_id)
+  WHERE e.ts < tp),
+flagged AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, eid) AS rf,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, eid DESC) AS rl
+  FROM pre),
+fl AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS first_touch,
+         CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS last_touch
+  FROM flagged GROUP BY 1),
+ut AS (SELECT DISTINCT user_id, event_type FROM pre),
+k AS (SELECT user_id, COUNT(*) AS kk FROM ut GROUP BY 1),
+lin AS (
+  SELECT event_type,
+         round(CAST(SUM(CAST(round(1e9 / kk) AS BIGINT)) AS DOUBLE)
+               / 1e9, 6) AS linear_credit
+  FROM ut JOIN k USING (user_id) GROUP BY 1)
+SELECT event_type, first_touch, last_touch, linear_credit
+FROM fl JOIN lin USING (event_type)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -18126,6 +18448,9 @@ QUERIES: dict[str, QueryFn] = {
     "orders_revenue_reconcile": q_orders_revenue_reconcile,
     "events_value_twap": q_events_value_twap,
     "corpus_junk_token_profile": q_corpus_junk_token_profile,
+    "embedding_ingestion_drift": q_embedding_ingestion_drift,
+    "part_brand_type_cramers_v": q_part_brand_type_cramers_v,
+    "events_attribution_comparison": q_events_attribution_comparison,
     "doc_length_psi_drift": q_doc_length_psi_drift,
     "part_dual_sourcing": q_part_dual_sourcing,
     "embedding_knn_reciprocity": q_embedding_knn_reciprocity,
@@ -18439,6 +18764,10 @@ def oracles() -> dict[str, str]:
         "orders_revenue_reconcile": ORACLE_ORDERS_REVENUE_RECONCILE,
         "events_value_twap": ORACLE_EVENTS_VALUE_TWAP,
         "corpus_junk_token_profile": _oracle_corpus_junk_token_profile_sql(),
+        "embedding_ingestion_drift": ORACLE_EMBEDDING_INGESTION_DRIFT,
+        "part_brand_type_cramers_v": ORACLE_PART_BRAND_TYPE_CRAMERS_V,
+        "events_attribution_comparison":
+            ORACLE_EVENTS_ATTRIBUTION_COMPARISON,
         "doc_length_psi_drift": _oracle_doc_length_psi_drift_sql(),
         "part_dual_sourcing": ORACLE_PART_DUAL_SOURCING,
         "embedding_knn_reciprocity": ORACLE_EMBEDDING_KNN_RECIPROCITY,

@@ -2197,3 +2197,94 @@ def test_corpus_junk_token_profile_classes(spark, tmp_path):
     assert prose["numeric_share"] == 0.0
     assert prose["url_share"] == 0.0
     assert prose["email_share"] == 0.0
+
+
+def test_embedding_ingestion_drift_rotated_half(spark, tmp_path):
+    """First half of ids on axis e0, second half on e1: each decile
+    centroid is axis-aligned, so deciles 0-4 have cosine 1 to... the
+    GLOBAL centroid sits at 45 degrees, giving cos ~ 0.7071 for every
+    decile; norms are exactly 2.0 and 3.0 per half."""
+    rows = []
+    for i in range(10):
+        v = [0.0, 0.0]
+        if i < 5:
+            v[0] = 2.0
+        else:
+            v[1] = 3.0
+        rows.append((i, v, 0))
+    _plant(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label long",
+    )
+    out = {
+        r["decile"]: r
+        for r in QUERIES["embedding_ingestion_drift"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 10
+    assert out[0]["mean_norm"] == 2.0 and out[9]["mean_norm"] == 3.0
+    import math
+
+    for d, r in out.items():
+        assert abs(r["centroid_cos_to_global"] - round(1 / math.sqrt(2), 6)) < 1e-6
+
+
+def test_part_brand_type_cramers_v_extremes(spark, tmp_path):
+    """Brand determines type exactly -> V = 1; an independent 2x2 grid
+    -> chi2 = 0 and V = 0."""
+    import shutil
+
+    rows = [(i, f"B{i % 2}", f"T{i % 2}", 1) for i in range(1, 9)]
+    _plant(
+        spark, tmp_path, "part", rows,
+        "p_partkey long, p_brand string, p_type string, p_size int",
+    )
+    [r] = QUERIES["part_brand_type_cramers_v"](spark, str(tmp_path)).collect()
+    assert (r["n_brands"], r["n_types"]) == (2, 2)
+    assert r["cramers_v"] == 1.0
+    shutil.rmtree(tmp_path / "part.parquet")
+    rows2 = [
+        (1, "B0", "T0", 1), (2, "B0", "T1", 1),
+        (3, "B1", "T0", 1), (4, "B1", "T1", 1),
+    ]
+    _plant(
+        spark, tmp_path, "part", rows2,
+        "p_partkey long, p_brand string, p_type string, p_size int",
+    )
+    [r2] = QUERIES["part_brand_type_cramers_v"](spark, str(tmp_path)).collect()
+    assert r2["chi2"] == 0.0
+    assert r2["cramers_v"] == 0.0
+
+
+def test_events_attribution_comparison_models_disagree(spark, tmp_path):
+    """Converter journey view -> click -> purchase: view wins first-
+    touch, click wins last-touch, both get 0.5 linear credit; a
+    post-purchase event earns nothing."""
+    from datetime import timedelta
+
+    t0 = datetime(2024, 6, 1, 10, 0)
+    rows = [
+        (1, t0, 1, "view"),
+        (2, t0 + timedelta(minutes=1), 1, "click"),
+        (3, t0 + timedelta(minutes=2), 1, "purchase"),
+        (4, t0 + timedelta(minutes=3), 1, "view"),   # post-purchase
+        (5, t0, 2, "click"),
+        (6, t0 + timedelta(minutes=1), 2, "purchase"),
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["events_attribution_comparison"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["view"]["first_touch"] == 1
+    assert out["view"]["last_touch"] == 0
+    assert out["view"]["linear_credit"] == 0.5
+    assert out["click"]["first_touch"] == 1
+    assert out["click"]["last_touch"] == 2
+    assert out["click"]["linear_credit"] == 1.5
