@@ -18164,6 +18164,274 @@ FROM fl JOIN lin USING (event_type)
 """
 
 
+# ===========================================================================
+# Round-8 wave 26: fingerprint-aggressiveness ladder, exact midrank
+# Spearman, SPC control chart
+# ===========================================================================
+
+
+def q_dedup_fingerprint_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness ladder: removable docs under the three
+    fingerprint strengths — exact text, token MULTISET (order-
+    insensitive, count-preserving: catches reshuffled templates), and
+    token SET (also count-insensitive) — plus the marginal catch of
+    each step up. The 'how much more would looser matching delete'
+    read before choosing a policy. Three md5 map passes sharing one
+    token computation; three |fingerprint|-bounded rollups."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = X.tokens(F.lower(F.col("text")))
+    fps = docs.select(
+        X.fingerprint("text").alias("__fe"),
+        F.md5(F.array_join(F.array_sort(toks), " ")).alias("__fb"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+        ).alias("__fs"),
+    ).localCheckpoint(eager=False)
+
+    def dupn(c: str) -> DataFrame:
+        return (
+            fps.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.sum(F.col("__n") - 1).cast("long").alias(f"__d{c}"),
+            )
+        )
+
+    tot = fps.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    j = (
+        tot.crossJoin(F.broadcast(dupn("__fe")))
+        .crossJoin(F.broadcast(dupn("__fb")))
+        .crossJoin(F.broadcast(dupn("__fs")))
+    )
+    return j.select(
+        "n_docs",
+        F.col("__d__fe").alias("exact_dup_docs"),
+        F.col("__d__fb").alias("bag_dup_docs"),
+        F.col("__d__fs").alias("set_dup_docs"),
+        (F.col("__d__fb") - F.col("__d__fe")).alias("reorder_only_docs"),
+        (F.col("__d__fs") - F.col("__d__fb")).alias("countchange_only_docs"),
+    )
+
+
+def _oracle_dedup_fingerprint_ladder_sql() -> str:
+    toks = _DD_TOKENS.format(c="text")
+    norm = _DD_NORM.format(c="text")
+    return f"""
+WITH fps AS (
+  SELECT md5({norm}) AS fe,
+         md5(array_to_string(list_sort({toks}), ' ')) AS fb,
+         md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fs
+  FROM documents),
+de AS (SELECT CAST(SUM(n - 1) AS BIGINT) AS d
+       FROM (SELECT COUNT(*) AS n FROM fps GROUP BY fe)),
+db AS (SELECT CAST(SUM(n - 1) AS BIGINT) AS d
+       FROM (SELECT COUNT(*) AS n FROM fps GROUP BY fb)),
+ds AS (SELECT CAST(SUM(n - 1) AS BIGINT) AS d
+       FROM (SELECT COUNT(*) AS n FROM fps GROUP BY fs)),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM fps)
+SELECT n_docs,
+       de.d AS exact_dup_docs,
+       db.d AS bag_dup_docs,
+       ds.d AS set_dup_docs,
+       db.d - de.d AS reorder_only_docs,
+       ds.d - db.d AS countchange_only_docs
+FROM tot CROSS JOIN de CROSS JOIN db CROSS JOIN ds
+"""
+
+
+def q_part_size_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between part size and retail price —
+    the monotone-association read Pearson misses when the relationship
+    is nonlinear. Midranks come off the two VALUE HISTOGRAMS as
+    2·cum_below + f + 1 (doubled to stay integer), each row joins its
+    two ranks via broadcast rank maps, and ρ is Pearson on exact
+    DECIMAL rank sums — no sort, no per-row ranking window."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    dec = "decimal(38,0)"
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("__x"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("__y"),
+    ).localCheckpoint(eager=False)
+
+    def rank_map(c: str) -> DataFrame:
+        hist = p.groupBy(c).agg(F.count(F.lit(1)).alias("__f"))
+        h = _exclusive_prefix(hist, c, "__f", "__cb")
+        return h.select(
+            c, (2 * F.col("__cb") + F.col("__f") + 1).alias(f"__r{c}")
+        )
+
+    j = p.join(F.broadcast(rank_map("__x")), "__x").join(
+        F.broadcast(rank_map("__y")), "__y"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("__r__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__r__y").cast(dec)).alias("__sy"),
+        F.sum(F.col("__r__x").cast(dec) * F.col("__r__y").cast(dec)).alias(
+            "__sxy"
+        ),
+        F.sum(F.col("__r__x").cast(dec) * F.col("__r__x").cast(dec)).alias(
+            "__sxx"
+        ),
+        F.sum(F.col("__r__y").cast(dec) * F.col("__r__y").cast(dec)).alias(
+            "__syy"
+        ),
+    )
+    n = F.col("n_parts").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = n * F.col("__sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (n * F.col("__sxx").cast("double") - sx * sx)
+        * (n * F.col("__syy").cast("double") - sy * sy)
+    )
+    rho = F.when(den > 0, num / den).otherwise(0.0)
+    return agg.select(
+        "n_parts", F.round(rho, 6).alias("spearman_rho")
+    )
+
+
+ORACLE_PART_SIZE_PRICE_SPEARMAN = """
+WITH p AS (
+  SELECT CAST(p_size AS BIGINT) AS x,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS y
+  FROM part),
+hx AS (SELECT x, COUNT(*) AS f FROM p GROUP BY 1),
+cx AS (
+  SELECT x, 2 * COALESCE(SUM(f) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + f + 1 AS rx
+  FROM hx),
+hy AS (SELECT y, COUNT(*) AS f FROM p GROUP BY 1),
+cy AS (
+  SELECT y, 2 * COALESCE(SUM(f) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + f + 1 AS ry
+  FROM hy),
+j AS (
+  SELECT rx, ry FROM p JOIN cx USING (x) JOIN cy USING (y)),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(CAST(rx AS HUGEINT)) AS sx,
+         SUM(CAST(ry AS HUGEINT)) AS sy,
+         SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+         SUM(CAST(ry AS HUGEINT) * ry) AS syy
+  FROM j)
+SELECT n_parts,
+       round(CASE WHEN sqrt((CAST(n_parts AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_parts AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       > 0
+                  THEN (CAST(n_parts AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n_parts AS DOUBLE)
+                               * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n_parts AS DOUBLE)
+                                 * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS spearman_rho
+FROM agg
+"""
+
+
+def q_events_value_spc_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals chart on daily mean value: center line and
+    ±3σ control limits from the daily means themselves, and the count
+    of out-of-control days — completing the SPC family next to CUSUM
+    and EWMA. Daily means quantize to 1e-6 before the |days|-bounded
+    exact moment sums, so the limits are engine-exact."""
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("__d")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long").cast(dec))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 100.0
+        ).alias("__m")
+    ).select(
+        "__d", F.round(F.col("__m") * 1e6, 0).cast("long").alias("__mq")
+    ).localCheckpoint(eager=False)
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("__mq").cast(dec)).alias("__s"),
+        F.sum(F.col("__mq").cast(dec) * F.col("__mq").cast(dec)).alias(
+            "__s2"
+        ),
+    )
+    n = F.col("n_days").cast("double")
+    center = F.col("__s").cast("double") / n / 1e6
+    sd = F.sqrt(
+        (
+            n * F.col("__s2").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double")
+        )
+        / (n * (n - 1.0))
+    ) / 1e6
+    lim = mom.select(
+        "n_days",
+        F.round(center, 6).alias("center"),
+        F.round(center + 3.0 * sd, 6).alias("ucl"),
+        F.round(center - 3.0 * sd, 6).alias("lcl"),
+        (center + 3.0 * sd).alias("__u"),
+        (center - 3.0 * sd).alias("__l"),
+    )
+    out = daily.crossJoin(F.broadcast(lim)).agg(
+        F.sum(
+            F.when(
+                (F.col("__mq").cast("double") / 1e6 > F.col("__u"))
+                | (F.col("__mq").cast("double") / 1e6 < F.col("__l")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_out_of_control"),
+        F.max("n_days").alias("n_days"),
+        F.max("center").alias("center"),
+        F.max("ucl").alias("ucl"),
+        F.max("lcl").alias("lcl"),
+    )
+    return out.select("n_days", "center", "ucl", "lcl", "n_out_of_control")
+
+
+ORACLE_EVENTS_VALUE_SPC_XBAR = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(CAST(SUM(CAST(round(value * 100) AS HUGEINT))
+                         AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) / 100.0 * 1e6) AS BIGINT)
+           AS mq
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(mq AS HUGEINT)) AS s,
+         SUM(CAST(mq AS HUGEINT) * mq) AS s2
+  FROM daily),
+lim AS (
+  SELECT n_days,
+    CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6 AS center,
+    sqrt((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+      / 1e6 AS sd
+  FROM mom)
+SELECT n_days,
+       round(center, 6) AS center,
+       round(center + 3.0 * sd, 6) AS ucl,
+       round(center - 3.0 * sd, 6) AS lcl,
+       (SELECT CAST(SUM(CASE WHEN CAST(mq AS DOUBLE) / 1e6
+                                  > center + 3.0 * sd
+                              OR CAST(mq AS DOUBLE) / 1e6
+                                  < center - 3.0 * sd
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM daily) AS n_out_of_control
+FROM lim
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -18451,6 +18719,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ingestion_drift": q_embedding_ingestion_drift,
     "part_brand_type_cramers_v": q_part_brand_type_cramers_v,
     "events_attribution_comparison": q_events_attribution_comparison,
+    "dedup_fingerprint_ladder": q_dedup_fingerprint_ladder,
+    "part_size_price_spearman": q_part_size_price_spearman,
+    "events_value_spc_xbar": q_events_value_spc_xbar,
     "doc_length_psi_drift": q_doc_length_psi_drift,
     "part_dual_sourcing": q_part_dual_sourcing,
     "embedding_knn_reciprocity": q_embedding_knn_reciprocity,
@@ -18768,6 +19039,9 @@ def oracles() -> dict[str, str]:
         "part_brand_type_cramers_v": ORACLE_PART_BRAND_TYPE_CRAMERS_V,
         "events_attribution_comparison":
             ORACLE_EVENTS_ATTRIBUTION_COMPARISON,
+        "dedup_fingerprint_ladder": _oracle_dedup_fingerprint_ladder_sql(),
+        "part_size_price_spearman": ORACLE_PART_SIZE_PRICE_SPEARMAN,
+        "events_value_spc_xbar": ORACLE_EVENTS_VALUE_SPC_XBAR,
         "doc_length_psi_drift": _oracle_doc_length_psi_drift_sql(),
         "part_dual_sourcing": ORACLE_PART_DUAL_SOURCING,
         "embedding_knn_reciprocity": ORACLE_EMBEDDING_KNN_RECIPROCITY,

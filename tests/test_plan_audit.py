@@ -94,6 +94,8 @@ _ALLOWED_CROSS = {
     "doc_length_psi_drift",  # broadcast ONE-ROW midpoint/totals + 10-ROW bins
     "embedding_ingestion_drift",  # broadcast ONE-ROW id-range attach
     "part_brand_type_cramers_v",  # broadcast ONE-ROW totals attach
+    "dedup_fingerprint_ladder",  # cross of four ONE-ROW dup counts
+    "events_value_spc_xbar",  # broadcast ONE-ROW control-limits attach
     "embedding_knn_reciprocity",  # bruteforce sample scan + ONE-ROW attach
     "orders_revenue_trend_robust",  # |months|² pair grid — dimension-bounded
     "dup_graph_triangles",  # cross of three ONE-ROW graph aggregates

@@ -2288,3 +2288,78 @@ def test_events_attribution_comparison_models_disagree(spark, tmp_path):
     assert out["click"]["first_touch"] == 1
     assert out["click"]["last_touch"] == 2
     assert out["click"]["linear_credit"] == 1.5
+
+
+def test_dedup_fingerprint_ladder_marginal_catch(spark, tmp_path):
+    """Docs: two exact copies, one reordered copy, one count-changed
+    copy, one unique -> exact removes 1, bag removes 2, set removes 3;
+    the marginals are 1 and 1."""
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),          # exact dup of 1
+            (3, "gamma alpha beta"),          # reorder of 1
+            (4, "alpha alpha beta gamma"),    # count change of 1
+            (5, "totally different thing"),
+        ],
+        "doc_id long, text string",
+    )
+    [r] = QUERIES["dedup_fingerprint_ladder"](spark, str(tmp_path)).collect()
+    assert r["n_docs"] == 5
+    assert r["exact_dup_docs"] == 1
+    assert r["bag_dup_docs"] == 2
+    assert r["set_dup_docs"] == 3
+    assert r["reorder_only_docs"] == 1
+    assert r["countchange_only_docs"] == 1
+
+
+def test_part_size_price_spearman_monotone_and_ties(spark, tmp_path):
+    """A perfectly monotone nonlinear map (price = size^3) gives rho =
+    1 even though Pearson would not; reversing the order gives -1."""
+    import shutil
+
+    rows = [(i, f"B", f"T", i, float(i**3)) for i in range(1, 9)]
+    _plant(
+        spark, tmp_path, "part", rows,
+        "p_partkey long, p_brand string, p_type string, p_size int,"
+        " p_retailprice double",
+    )
+    [r] = QUERIES["part_size_price_spearman"](spark, str(tmp_path)).collect()
+    assert r["n_parts"] == 8
+    assert r["spearman_rho"] == 1.0
+    shutil.rmtree(tmp_path / "part.parquet")
+    rows2 = [(i, "B", "T", i, float((9 - i) ** 2)) for i in range(1, 9)]
+    _plant(
+        spark, tmp_path, "part", rows2,
+        "p_partkey long, p_brand string, p_type string, p_size int,"
+        " p_retailprice double",
+    )
+    [r2] = QUERIES["part_size_price_spearman"](spark, str(tmp_path)).collect()
+    assert r2["spearman_rho"] == -1.0
+
+
+def test_events_value_spc_xbar_outlier_day(spark, tmp_path):
+    """Twenty-nine calm days at mean exactly 10 and one day at mean
+    100: the spike inflates its own limits (classic masking), but with
+    29 in-control points the 3-sigma fence still lands near 62 and the
+    spike day is flagged."""
+    from datetime import timedelta
+
+    t0 = datetime(2024, 6, 1, 12, 0)
+    rows, eid = [], 0
+    for d in range(29):
+        for v in (9.0 + (d % 3), 11.0 - (d % 3)):
+            eid += 1
+            rows.append((eid, t0 + timedelta(days=d), 1, "view", v))
+    eid += 1
+    rows.append((eid, t0 + timedelta(days=29), 1, "view", 100.0))
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    [r] = QUERIES["events_value_spc_xbar"](spark, str(tmp_path)).collect()
+    assert r["n_days"] == 30
+    assert r["n_out_of_control"] == 1
+    assert r["lcl"] < 10.0 < r["ucl"] < 100.0
