@@ -18432,6 +18432,194 @@ FROM lim
 """
 
 
+# ===========================================================================
+# Round-8 wave 27: term burstiness, max drawdown, micro/macro conversion
+# ===========================================================================
+
+
+def q_corpus_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness: the top-15 terms by mean
+    occurrences PER CONTAINING DOC (cf/df, df ≥ 3) — bursty terms
+    concentrate in few documents (names, boilerplate markers) and break
+    the Poisson assumptions behind tf-idf-style weighting. One token
+    pass into a vocabulary-bounded (term → df, cf) rollup;
+    deterministic TakeOrdered output."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("__d"),
+        F.explode(X.tokens(F.lower(F.col("text")))).alias("__t"),
+    )
+    per = tok.groupBy("__t").agg(
+        F.countDistinct("__d").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("cf"),
+    ).filter(F.col("df") >= 3)
+    ratio = F.col("cf").cast("double") / F.col("df").cast("double")
+    return (
+        per.select(
+            F.col("__t").alias("term"), "df", "cf",
+            F.round(ratio, 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), F.asc("term"))
+        .limit(15)
+    )
+
+
+def _oracle_corpus_term_burstiness_sql() -> str:
+    toks = _DD_TOKENS.format(c="text")
+    return f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS d, t.tk AS term
+  FROM documents, LATERAL (SELECT unnest({toks}) AS tk) t),
+per AS (
+  SELECT term, CAST(COUNT(DISTINCT d) AS BIGINT) AS df,
+         CAST(COUNT(*) AS BIGINT) AS cf
+  FROM tok GROUP BY 1 HAVING COUNT(DISTINCT d) >= 3)
+SELECT term, df, cf,
+       round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
+FROM per
+ORDER BY burstiness DESC, term ASC
+LIMIT 15
+"""
+
+
+def q_events_value_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily value series — the
+    worst peak-to-trough slide, the risk read a mean or variance hides.
+    Daily sums are exact cents; the cumulative series comes off the
+    bounded-fan-in prefix; the peak search runs on the |days|² day-pair
+    grid (a ~30-row table squared, not data), ties resolved to the
+    earliest trough then earliest peak."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("__d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long").cast(dec))
+        .cast("long")
+        .alias("__c")
+    )
+    h = _exclusive_prefix(daily, "__d", "__c", "__cb")
+    cum = h.select(
+        "__d", (F.col("__cb") + F.col("__c")).alias("__cum")
+    ).localCheckpoint(eager=False)
+    a, b = cum.alias("a"), cum.alias("b")
+    pairs = a.join(b, F.col("a.__d") <= F.col("b.__d")).select(
+        F.col("a.__d").alias("__pk"),
+        F.col("b.__d").alias("__tr"),
+        (F.col("a.__cum") - F.col("b.__cum")).alias("__dd"),
+    )
+    nd = cum.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    best = (
+        pairs.orderBy(F.desc("__dd"), F.asc("__tr"), F.asc("__pk"))
+        .limit(1)
+    )
+    return best.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.round(F.col("__dd").cast("double") / 100.0, 6).alias(
+            "max_drawdown"
+        ),
+        F.date_add(F.lit("1970-01-01"), F.col("__pk").cast("int")).alias(
+            "peak_day"
+        ),
+        F.date_add(F.lit("1970-01-01"), F.col("__tr").cast("int")).alias(
+            "trough_day"
+        ),
+    )
+
+
+ORACLE_EVENTS_VALUE_MAX_DRAWDOWN = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT d, SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cu
+  FROM daily),
+pairs AS (
+  SELECT a.d AS pk, b.d AS tr, a.cu - b.cu AS dd
+  FROM cum a JOIN cum b ON a.d <= b.d),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM cum),
+best AS (
+  SELECT * FROM pairs ORDER BY dd DESC, tr ASC, pk ASC LIMIT 1)
+SELECT n_days,
+       round(CAST(dd AS DOUBLE) / 100.0, 6) AS max_drawdown,
+       DATE '1970-01-01' + CAST(pk AS INTEGER) AS peak_day,
+       DATE '1970-01-01' + CAST(tr AS INTEGER) AS trough_day
+FROM best CROSS JOIN nd
+"""
+
+
+def q_events_conversion_micro_macro(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Micro vs macro average conversion: purchases-per-view pooled
+    over all events (micro) against the mean of per-user rates (macro)
+    — the aggregation-bias read (heavy users dominate micro; macro
+    weights every user equally; a big gap means 'the average user' and
+    'the average event' tell different stories). Per-user rates
+    quantize to 1e-9 before the order-free mean."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(F.col("user_id").cast("long").alias("__u")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).cast("long").alias("__v"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("__p"),
+    ).filter(F.col("__v") > 0)
+    rq = F.round(
+        F.col("__p").cast("double") / F.col("__v").cast("double") * 1e9, 0
+    ).cast("long")
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("__v").cast("long").alias("__tv"),
+        F.sum("__p").cast("long").alias("__tp"),
+        F.sum(rq).cast("long").alias("__rq"),
+    )
+    micro = F.col("__tp").cast("double") / F.col("__tv").cast("double")
+    macro = F.col("__rq").cast("double") / 1e9 / F.col("n_users").cast(
+        "double"
+    )
+    return agg.select(
+        "n_users",
+        F.round(micro, 6).alias("micro_rate"),
+        F.round(macro, 6).alias("macro_rate"),
+        F.round(macro - micro, 6).alias("macro_minus_micro"),
+    )
+
+
+ORACLE_EVENTS_CONVERSION_MICRO_MACRO = """
+WITH per AS (
+  SELECT CAST(user_id AS BIGINT) AS u,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p
+  FROM events GROUP BY 1
+  HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(v) AS BIGINT) AS tv,
+         CAST(SUM(p) AS BIGINT) AS tp,
+         CAST(SUM(CAST(round(CAST(p AS DOUBLE) / CAST(v AS DOUBLE) * 1e9)
+                       AS BIGINT)) AS BIGINT) AS rq
+  FROM per)
+SELECT n_users,
+       round(CAST(tp AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS micro_rate,
+       round(CAST(rq AS DOUBLE) / 1e9 / CAST(n_users AS DOUBLE), 6)
+         AS macro_rate,
+       round(CAST(rq AS DOUBLE) / 1e9 / CAST(n_users AS DOUBLE)
+             - CAST(tp AS DOUBLE) / CAST(tv AS DOUBLE), 6)
+         AS macro_minus_micro
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -18722,6 +18910,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_fingerprint_ladder": q_dedup_fingerprint_ladder,
     "part_size_price_spearman": q_part_size_price_spearman,
     "events_value_spc_xbar": q_events_value_spc_xbar,
+    "corpus_term_burstiness": q_corpus_term_burstiness,
+    "events_value_max_drawdown": q_events_value_max_drawdown,
+    "events_conversion_micro_macro": q_events_conversion_micro_macro,
     "doc_length_psi_drift": q_doc_length_psi_drift,
     "part_dual_sourcing": q_part_dual_sourcing,
     "embedding_knn_reciprocity": q_embedding_knn_reciprocity,
@@ -19042,6 +19233,10 @@ def oracles() -> dict[str, str]:
         "dedup_fingerprint_ladder": _oracle_dedup_fingerprint_ladder_sql(),
         "part_size_price_spearman": ORACLE_PART_SIZE_PRICE_SPEARMAN,
         "events_value_spc_xbar": ORACLE_EVENTS_VALUE_SPC_XBAR,
+        "corpus_term_burstiness": _oracle_corpus_term_burstiness_sql(),
+        "events_value_max_drawdown": ORACLE_EVENTS_VALUE_MAX_DRAWDOWN,
+        "events_conversion_micro_macro":
+            ORACLE_EVENTS_CONVERSION_MICRO_MACRO,
         "doc_length_psi_drift": _oracle_doc_length_psi_drift_sql(),
         "part_dual_sourcing": ORACLE_PART_DUAL_SOURCING,
         "embedding_knn_reciprocity": ORACLE_EMBEDDING_KNN_RECIPROCITY,

@@ -96,6 +96,7 @@ _ALLOWED_CROSS = {
     "part_brand_type_cramers_v",  # broadcast ONE-ROW totals attach
     "dedup_fingerprint_ladder",  # cross of four ONE-ROW dup counts
     "events_value_spc_xbar",  # broadcast ONE-ROW control-limits attach
+    "events_value_max_drawdown",  # |days|² pair grid — dimension-bounded
     "embedding_knn_reciprocity",  # bruteforce sample scan + ONE-ROW attach
     "orders_revenue_trend_robust",  # |months|² pair grid — dimension-bounded
     "dup_graph_triangles",  # cross of three ONE-ROW graph aggregates

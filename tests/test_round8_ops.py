@@ -2363,3 +2363,84 @@ def test_events_value_spc_xbar_outlier_day(spark, tmp_path):
     assert r["n_days"] == 30
     assert r["n_out_of_control"] == 1
     assert r["lcl"] < 10.0 < r["ucl"] < 100.0
+
+
+def test_corpus_term_burstiness_concentrated_term(spark, tmp_path):
+    """'spam' appears 4x in each of 3 docs (burstiness 4.0); 'the'
+    appears once in each of 4 docs (burstiness 1.0); a df=2 term is
+    excluded by the df >= 3 floor."""
+    _plant(
+        spark, tmp_path, "documents",
+        [
+            (1, "the spam spam spam spam"),
+            (2, "the spam spam spam spam"),
+            (3, "the spam spam spam spam"),
+            (4, "the rare rare"),
+            (5, "rare filler words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["term"]: r
+        for r in QUERIES["corpus_term_burstiness"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["spam"]["df"] == 3 and out["spam"]["cf"] == 12
+    assert out["spam"]["burstiness"] == 4.0
+    assert out["the"]["burstiness"] == 1.0
+    assert "rare" not in out  # df = 2 < 3
+
+
+def test_events_value_max_drawdown_planted_slide(spark, tmp_path):
+    """Daily net values +10, +20, -25, -15, +30: cumulative peaks at 30
+    on day 2, troughs at -10 on day 4 -> max drawdown 40.00 from day-2
+    peak to day-4 trough."""
+    from datetime import timedelta
+
+    t0 = datetime(2024, 6, 1, 12, 0)
+    vals = [10.0, 20.0, -25.0, -15.0, 30.0]
+    rows = [
+        (i + 1, t0 + timedelta(days=i), 1, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    [r] = QUERIES["events_value_max_drawdown"](spark, str(tmp_path)).collect()
+    assert r["n_days"] == 5
+    assert r["max_drawdown"] == 40.0
+    assert str(r["peak_day"]) == "2024-06-02"
+    assert str(r["trough_day"]) == "2024-06-04"
+
+
+def test_events_conversion_micro_macro_heavy_user_bias(spark, tmp_path):
+    """User A: 100 views 1 purchase (1%); user B: 1 view 1 purchase
+    (100%): micro = 2/101 while macro = 50.5% — the classic heavy-user
+    distortion the query is built to expose."""
+    from datetime import timedelta
+
+    t0 = datetime(2024, 6, 1, 10, 0)
+    rows, eid = [], 0
+    for _ in range(100):
+        eid += 1
+        rows.append((eid, t0, 1, "view"))
+    eid += 1
+    rows.append((eid, t0 + timedelta(minutes=1), 1, "purchase"))
+    eid += 1
+    rows.append((eid, t0, 2, "view"))
+    eid += 1
+    rows.append((eid, t0 + timedelta(minutes=1), 2, "purchase"))
+    _plant(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    [r] = QUERIES["events_conversion_micro_macro"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r["n_users"] == 2
+    assert r["micro_rate"] == round(2 / 101, 6)
+    assert r["macro_rate"] == round((0.01 + 1.0) / 2, 6)
+    assert r["macro_minus_micro"] > 0.4
