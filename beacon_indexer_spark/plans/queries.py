@@ -13892,7 +13892,10 @@ def q_customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = halved.groupBy("o_custkey", "__half").agg(
         F.sum("__c").cast("long").alias("__sp")
-    )
+    ).localCheckpoint(eager=False)
+    # ^ consumed FOUR times (h1, h2, and both medians); the lazy plan
+    # barrier computes the per-(customer, half) rollup once instead of
+    # re-deriving the scan+crossJoin+groupBy subtree per consumer.
 
     def _median(half: int):
         hist = per.filter(F.col("__half") == half).groupBy(

@@ -71,13 +71,21 @@ def psi_reference(df: DataFrame, value_col: str, bins: int = 10) -> DataFrame:
 
 
 def batch_psi(
-    batch_df: DataFrame, reference: DataFrame, value_col: str
+    batch_df: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    bins: int | None = None,
 ) -> DataFrame:
     """One monitor row (n_rows, psi, verdict) scoring `batch_df` against
     a `psi_reference` frame. Laplace 0.5 smoothing keeps empty bins
     finite; bins has one row per reference decile so the join is a tiny
-    broadcast."""
-    bins = reference.count()
+    broadcast. Pass `bins` (the reference row count, fixed for the life
+    of the monitoring contract) when wiring into foreachBatch to avoid
+    an extra Spark action per micro-batch; left None it is counted once
+    per call. A zero-row batch reads verdict 'empty' — quiet periods are
+    not distribution shift."""
+    if bins is None:
+        bins = reference.count()
     hist = batch_df.groupBy(
         F.col(value_col).cast("long").alias("__w")
     ).agg(F.count(F.lit(1)).cast("long").alias("__f"))
@@ -114,7 +122,8 @@ def batch_psi(
     return out.select(
         "n_rows",
         F.round(F.col("__psi"), 6).alias("psi"),
-        F.when(F.col("__psi") < PSI_STABLE, "stable")
+        F.when(F.col("n_rows") == 0, "empty")
+        .when(F.col("__psi") < PSI_STABLE, "stable")
         .when(F.col("__psi") < PSI_MODERATE, "moderate")
         .otherwise("shifted")
         .alias("verdict"),

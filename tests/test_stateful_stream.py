@@ -335,6 +335,31 @@ def test_streaming_embedding_incremental_dedup(spark, tmp_path):
     assert verdicts[12] is None  # far vector passes
 
 
+def test_batch_psi_empty_batch_reads_empty(spark):
+    """A zero-row micro-batch must read verdict 'empty', never 'shifted':
+    Laplace smoothing turns an empty histogram into a uniform
+    distribution whose PSI vs any non-uniform reference is large, so
+    without the gate a quiet ingest period would raise false drift
+    alarms. Also exercises the fixed-`bins` fast path (no per-batch
+    reference.count() action)."""
+    from beacon_indexer_spark.streaming.drift import batch_psi, psi_reference
+
+    ref = spark.createDataFrame(
+        [(i, 10 + (i % 20)) for i in range(400)], "id long, w long"
+    )
+    reference = psi_reference(ref, "w").localCheckpoint()
+    empty = spark.createDataFrame([], "id long, w long")
+    row = batch_psi(empty, reference, "w", bins=10).collect()[0]
+    assert row["n_rows"] == 0
+    assert row["verdict"] == "empty"
+    # non-empty path unchanged with explicit bins
+    same = spark.createDataFrame(
+        [(i, 10 + (i % 20)) for i in range(100)], "id long, w long"
+    )
+    row2 = batch_psi(same, reference, "w", bins=10).collect()[0]
+    assert row2["n_rows"] == 100 and row2["verdict"] == "stable"
+
+
 def test_streaming_psi_drift_monitor(spark, tmp_path):
     """PSI drift monitoring composes with Structured Streaming: the
     reference deciles are built once, then each micro-batch is scored

@@ -50,9 +50,10 @@ def _row_sort_key(vals):
         if t == "f"
     ]
     # full-precision tie-break: rows equal at the 1e-6 key but separated by
-    # more than the 1e-9 compare tolerance sort the same way in both engines
-    # (per-row cross-engine deltas < 1e-9 can't flip an inter-row gap > 1e-9),
-    # instead of falling back to engine-dependent pre-sort order
+    # more than ~2e-9 sort the same way in both engines (each engine's value
+    # carries an independent < 1e-9 delta, so gaps above twice the tolerance
+    # can't flip); gaps in the 1e-9..2e-9 band can still rarely flip, but
+    # this is strictly better than falling back to engine pre-sort order
     tie = [
         repr(v + 0.0) if isinstance(v, float) else repr(v)
         for (t, v) in vals
@@ -119,6 +120,7 @@ def main() -> None:
         )
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    full_surface = set(qs)
     only = [
         s for s in os.environ.get("SPARK_GRAFT_GATE_ONLY", "").split(",") if s
     ]
@@ -181,10 +183,25 @@ def main() -> None:
     if only and os.path.exists(out_path):
         # Scoped runs refresh only the named queries; merge into the
         # existing artifact so the on-disk gate stays full-surface.
+        # Guard rails: never mix scale dirs under one sf_dir label, and
+        # prune merged keys to the CURRENT full query surface so renamed
+        # or removed queries don't linger in the artifact forever.
         try:
             with open(out_path) as f:
-                prior = json.load(f).get("results", {})
-            merged = {**prior, **results}
+                prior_artifact = json.load(f)
+            prior_sf = prior_artifact.get("sf_dir")
+            if prior_sf == sf_dir:
+                prior = prior_artifact.get("results", {})
+                merged = {
+                    k: v for k, v in {**prior, **results}.items()
+                    if k in full_surface
+                }
+            else:
+                print(
+                    f"WARNING: prior artifact sf_dir={prior_sf!r} != "
+                    f"{sf_dir!r}; skipping merge (scoped results only)",
+                    flush=True,
+                )
         except (json.JSONDecodeError, OSError):
             pass
     n_ok_merged = sum(
