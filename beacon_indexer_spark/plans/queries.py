@@ -18623,6 +18623,236 @@ FROM agg
 """
 
 
+def q_supplier_wait_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the multi-correlated-EXISTS / NOT-EXISTS
+    decorrelation): suppliers who were the ONLY late supplier on
+    finished multi-supplier orders. 'Late' = shipped more than 60 days
+    after the order date (the driver's lineitem carries no
+    commit/receipt dates — same decorrelation shape). Spark-first plan:
+    instead of per-row subqueries, both EXISTS and NOT-EXISTS collapse
+    into ONE per-(order, supplier) profile aggregation + ONE per-order
+    rollup (supplier count, late-supplier count); the fault set is a
+    single equi-join of the late profiles against orders with
+    n_supp > 1 AND n_late = 1. The fact scan + order join + profile
+    aggregation run ONCE behind a lazy localCheckpoint (one exchange on
+    l_orderkey); the post-barrier rollup/join shuffles only the narrow
+    |order x supplier| profile — at scale that is orders of magnitude
+    smaller than re-scanning lineitem per consumer. Ends with a
+    |suppliers| aggregate, a broadcast name attach, and a TakeOrdered
+    top-20 (no global sort)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # one explicit shuffle on the order key: HashPartitioning on a
+        # SUBSET of the group keys satisfies ClusteredDistribution for
+        # the (l_orderkey, l_suppkey) aggregate AND the per-order rollup
+        # AND the profile self-join — three downstream ops, one exchange
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.datediff("l_shipdate", "o_orderdate") > 60
+            ).alias("__sup_late")
+        )
+        # consumed twice (late filter + per-order rollup); the lazy
+        # barrier materializes the |order x supplier| profile once
+        # instead of re-running the fact scan + join per consumer
+        .localCheckpoint(eager=False)
+    )
+    prof = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum(F.col("__sup_late").cast("int")).alias("__n_late"),
+    )
+    fault = per.filter(F.col("__sup_late")).join(
+        prof.filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1)),
+        "l_orderkey",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        fault.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+ORACLE_SUPPLIER_WAIT_FAULT = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         datediff('day', o_orderdate, l_shipdate) > 60 AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS sup_late
+  FROM l GROUP BY 1, 2)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, per p1
+WHERE s_suppkey = p1.l_suppkey
+  AND p1.sup_late
+  AND EXISTS (SELECT 1 FROM per p2
+              WHERE p2.l_orderkey = p1.l_orderkey
+                AND p2.l_suppkey <> p1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM per p3
+                  WHERE p3.l_orderkey = p1.l_orderkey
+                    AND p3.l_suppkey <> p1.l_suppkey
+                    AND p3.sup_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def q_customer_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (count-of-counts over a LEFT OUTER join): the
+    distribution of non-urgent order counts per customer, INCLUDING
+    zero-order customers — the null-group semantics a plain inner
+    join + groupBy silently drops. The order-side filter sits under
+    the join (pushed to the orders scan); count('o_orderkey') counts
+    only matched rows, so unmatched customers land in the c_count=0
+    bucket; the second groupBy is over at most |distinct counts| rows."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    pc = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        pc.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_CUSTOMER_ORDER_COUNT_DIST = """
+WITH pc AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM pc GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_lineitem_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional sums over a fact->dim join, grouped
+    by a derived shipping dimension): lines shipped in 1996 bucketed by
+    ship latency (FAST <= 30 days, REGULAR <= 365, else SLOW — the
+    driver's lineitem has no l_shipmode; the derived bucket exercises
+    the same shape), split into high- vs low-priority line counts via
+    SUM(CASE). The date range prunes the lineitem scan before the join;
+    the output is |buckets| rows."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = F.datediff("l_shipdate", "o_orderdate")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(d <= 30, "FAST")
+            .when(d <= 365, "REGULAR")
+            .otherwise("SLOW")
+            .alias("ship_speed")
+        )
+        .agg(
+            F.sum(hi.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~hi).cast("int")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+ORACLE_LINEITEM_SHIPMODE_PRIORITY = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 365 THEN 'REGULAR'
+            ELSE 'SLOW' END AS ship_speed,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (max-attach via one-row broadcast): the
+    supplier(s) with the maximum discounted revenue over 1996Q1,
+    ties included. The correlated `= (SELECT MAX(...))` decorrelates
+    into a one-row aggregate crossJoin-broadcast against the per-
+    supplier revenue rollup; revenue stays decimal-exact through the
+    equality (no float max comparison), cast to double only at output.
+    The supplier name attach is a broadcast hash join."""
+    rev = F.sum(
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    ).alias("__rev")
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(rev)
+    )
+    mx = per.agg(F.max("__rev").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_REVENUE_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -18919,6 +19149,10 @@ QUERIES: dict[str, QueryFn] = {
     "doc_length_psi_drift": q_doc_length_psi_drift,
     "part_dual_sourcing": q_part_dual_sourcing,
     "embedding_knn_reciprocity": q_embedding_knn_reciprocity,
+    "supplier_wait_fault": q_supplier_wait_fault,
+    "customer_order_count_dist": q_customer_order_count_dist,
+    "lineitem_shipmode_priority": q_lineitem_shipmode_priority,
+    "top_revenue_supplier": q_top_revenue_supplier,
 }
 
 
@@ -19243,4 +19477,8 @@ def oracles() -> dict[str, str]:
         "doc_length_psi_drift": _oracle_doc_length_psi_drift_sql(),
         "part_dual_sourcing": ORACLE_PART_DUAL_SOURCING,
         "embedding_knn_reciprocity": ORACLE_EMBEDDING_KNN_RECIPROCITY,
+        "supplier_wait_fault": ORACLE_SUPPLIER_WAIT_FAULT,
+        "customer_order_count_dist": ORACLE_CUSTOMER_ORDER_COUNT_DIST,
+        "lineitem_shipmode_priority": ORACLE_LINEITEM_SHIPMODE_PRIORITY,
+        "top_revenue_supplier": ORACLE_TOP_REVENUE_SUPPLIER,
     }

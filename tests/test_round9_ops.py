@@ -1,0 +1,140 @@
+"""Planted-scenario tests for round-9 additions: the remaining classic
+TPC-H join-decorrelation shapes (Q21 multi-EXISTS, Q13 count-of-counts
+over a left outer, Q12 conditional sums, Q15 max-attach with ties)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from beacon_indexer_spark.plans.queries import QUERIES
+
+
+def _plant(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+def test_supplier_wait_fault_only_sole_late_multi_supplier(spark, tmp_path):
+    """Q21 semantics: a supplier is faulted for an order only when the
+    order is finished ('F'), has another supplier, and NO other supplier
+    was late; two late lineitems by the same supplier on one order count
+    that order ONCE."""
+    d0 = datetime(1995, 1, 1)
+    late = datetime(1995, 6, 1)     # 151 days > 60
+    ontime = datetime(1995, 1, 15)  # 14 days
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, d0, "F"),  # supp1 late, supp2 on-time -> fault supp1
+            (2, d0, "F"),  # both late -> nobody
+            (3, d0, "F"),  # single supplier -> nobody
+            (4, d0, "O"),  # not finished -> excluded
+            (5, d0, "F"),  # supp1 late TWICE, supp3 on-time -> one fault
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_orderstatus string",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, 1, late), (1, 2, ontime),
+            (2, 1, late), (2, 2, late),
+            (3, 1, late),
+            (4, 1, late), (4, 2, ontime),
+            (5, 1, late), (5, 1, late), (5, 3, ontime),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    _plant(
+        spark, tmp_path, "supplier",
+        [(1, "Supplier#1"), (2, "Supplier#2"), (3, "Supplier#3")],
+        "s_suppkey long, s_name string",
+    )
+    rows = QUERIES["supplier_wait_fault"](spark, str(tmp_path)).collect()
+    assert [(r["s_name"], r["numwait"]) for r in rows] == [("Supplier#1", 2)]
+
+
+def test_customer_order_count_dist_includes_zero_bucket(spark, tmp_path):
+    """Q13 semantics: customers whose only orders are filtered out AND
+    customers with no orders at all both land in the c_count=0 bucket —
+    the left-outer null-group shape an inner join would drop."""
+    d0 = datetime(1995, 1, 1)
+    _plant(
+        spark, tmp_path, "customer",
+        [(1,), (2,), (3,), (4,)],
+        "c_custkey long",
+    )
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (10, 1, "3-MEDIUM", d0),
+            (11, 1, "5-LOW", d0),
+            (12, 1, "1-URGENT", d0),   # filtered -> not counted
+            (13, 2, "1-URGENT", d0),   # cust2's ONLY order -> c_count 0
+            (14, 4, "2-HIGH", d0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_orderdate timestamp",
+    )
+    rows = QUERIES["customer_order_count_dist"](spark, str(tmp_path)).collect()
+    assert [(r["c_count"], r["custdist"]) for r in rows] == [
+        (0, 2), (2, 1), (1, 1),
+    ]
+
+
+def test_lineitem_shipmode_priority_buckets_and_window(spark, tmp_path):
+    """Q12 semantics: latency buckets split at 30/365 days, the 1996 ship
+    window prunes rows outside it, and the CASE sums split high vs low
+    priority per line (not per order)."""
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (1, datetime(1996, 1, 1), "1-URGENT"),
+            (2, datetime(1995, 3, 1), "4-NOT SPECIFIED"),
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, datetime(1996, 1, 20)),   # 19d  -> FAST, high
+            (1, datetime(1996, 8, 1)),    # 213d -> REGULAR, high
+            (2, datetime(1996, 3, 5)),    # 370d -> SLOW, low
+            (2, datetime(1996, 2, 1)),    # 337d -> REGULAR, low
+            (1, datetime(1997, 2, 1)),    # outside window -> dropped
+            (2, datetime(1995, 12, 31)),  # outside window -> dropped
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    rows = QUERIES["lineitem_shipmode_priority"](spark, str(tmp_path)).collect()
+    assert [
+        (r["ship_speed"], r["high_line_count"], r["low_line_count"])
+        for r in rows
+    ] == [("FAST", 1, 0), ("REGULAR", 1, 1), ("SLOW", 0, 1)]
+
+
+def test_top_revenue_supplier_exact_tie_kept(spark, tmp_path):
+    """Q15 semantics: the decimal-exact revenue equality keeps BOTH tied
+    max suppliers (100.00 each via different price/discount splits), the
+    sub-max supplier is excluded, and out-of-window lines don't count."""
+    inwin = datetime(1996, 2, 1)
+    outwin = datetime(1996, 6, 1)
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, inwin, 100.0, 0.00),   # supp1: 100.00
+            (2, inwin, 200.0, 0.50),   # supp2: 100.00 (exact tie)
+            (3, inwin, 99.0, 0.00),    # supp3: 99.00 -> below max
+            (1, outwin, 500.0, 0.00),  # outside window -> ignored
+        ],
+        "l_suppkey long, l_shipdate timestamp, l_extendedprice double,"
+        " l_discount double",
+    )
+    _plant(
+        spark, tmp_path, "supplier",
+        [(1, "Supplier#1"), (2, "Supplier#2"), (3, "Supplier#3")],
+        "s_suppkey long, s_name string",
+    )
+    rows = QUERIES["top_revenue_supplier"](spark, str(tmp_path)).collect()
+    assert [(r["s_suppkey"], r["s_name"], r["total_revenue"]) for r in rows] \
+        == [(1, "Supplier#1", 100.0), (2, "Supplier#2", 100.0)]
