@@ -70,6 +70,26 @@ def kmeans_update(
     return out
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """The trained centroid table itself (cid, components) after ``iters``
+    Lloyd rounds from deterministic seeds — the reusable half of
+    `kmeans_assign`, exposed so downstream operators (IVF lists over
+    FITTED centroids, residual product quantization) can share one
+    training pass instead of re-deriving it."""
+    cents = kmeans_seed_centroids(vectors, id_col, vec_col, k)
+    vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = ivf_assign(vecs, cents, "__v", nprobe=1)
+        cents = kmeans_update(assigned, "__v", cents)
+    return cents
+
+
 def kmeans_assign(
     vectors: DataFrame,
     id_col: str,
@@ -85,11 +105,8 @@ def kmeans_assign(
     aggregation — the identical loop runs unchanged on a 1000-executor
     cluster, where per-iteration cost is one corpus scan.
     """
-    cents = kmeans_seed_centroids(vectors, id_col, vec_col, k)
+    cents = kmeans_centroids(vectors, id_col, vec_col, k=k, iters=iters)
     vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
-    for _ in range(iters):
-        assigned = ivf_assign(vecs, cents, "__v", nprobe=1)
-        cents = kmeans_update(assigned, "__v", cents)
     final = ivf_assign(vecs, cents, "__v", nprobe=1)
     return final.select(
         F.col("id").cast("long").alias("id"),

@@ -940,10 +940,22 @@ def pq_encode(
     subspace and codeword indices are lambda variables, so plan size is
     O(m·k·subdim) literals, not O(rows)); per-subspace distances
     accumulate sequentially left-to-right for cross-engine parity."""
+    return vectors.select(
+        F.col(id_col),
+        F.expr(_pq_code_sql(codebooks, vec_col))
+        .cast("array<int>")
+        .alias("pq_code"),
+    )
+
+
+def _pq_code_sql(codebooks: list[list[list[float]]], vec_col: str) -> str:
+    """The per-subspace nearest-codeword SQL expression shared by
+    `pq_encode` and the residual IVF-PQ encoder (L2 argmin, ties to the
+    smaller codeword index via the (d2, j) struct array_min)."""
     sub = len(codebooks[0][0])
     m, k = len(codebooks), len(codebooks[0])
     cb = _pq_cb_sql(codebooks)
-    code = (
+    return (
         f"transform(sequence(0, {m - 1}), s -> array_min("
         f"transform(sequence(0, {k - 1}), j -> named_struct("
         f"'d2', aggregate(zip_with("
@@ -951,9 +963,6 @@ def pq_encode(
         f"{cb}[s][j], (x, c) -> (x - c) * (x - c)), "  # [] is 0-based in Spark SQL
         f"CAST(0.0 AS DOUBLE), (a, d) -> a + d), "
         f"'j', j))).j)"
-    )
-    return vectors.select(
-        F.col(id_col), F.expr(code).cast("array<int>").alias("pq_code")
     )
 
 
@@ -994,6 +1003,150 @@ def pq_topk(
     )
     scored = (
         enc.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dist, 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "adc_dist",
+        )
+    )
+
+
+def _cents_sql(centroids: list[tuple[int, list[float]]]) -> str:
+    """SQL literal for the centroid table as an array indexed by cid
+    (0-based ``[]``) — requires cids to be exactly 0..k-1 in order, which
+    `ivf_centroids`/`kmeans_centroids` guarantee by construction."""
+    assert [cid for cid, _ in centroids] == list(range(len(centroids)))
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+            for _, c in centroids
+        )
+        + ")"
+    )
+
+
+def pq_residual_codebooks(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks trained on RESIDUALS: the
+    `pq_codebooks` md5-smallest-k sample, but each sample vector is first
+    reduced by its nearest coarse centroid — the codewords then describe
+    the within-list displacement distribution instead of the full corpus
+    spread (the IVFADC layout of Jégou et al., "Product Quantization for
+    Nearest Neighbor Search").
+
+    The nearest-centroid choice replays `ivf_assign`'s exact ranking on
+    the driver — sequential left-to-right dot product, d2 = (−v·c)·2 +
+    ||c||², ties to the smaller cid — in the same IEEE-double operation
+    order, so the k sample residuals (and therefore every downstream ADC
+    distance) are bit-identical to an engine-side computation and the
+    DuckDB oracle can re-derive them from SQL alone."""
+    samp = ivf_centroids(vectors, id_col, vec_col, k=k)
+    res = []
+    for _, v in samp:
+        best_d2: float | None = None
+        best_cid, best_c = -1, centroids[0][1]
+        for cid, c in centroids:
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc += x * y
+            d2 = (-acc) * 2 + _sq(c)
+            if best_d2 is None or d2 < best_d2:
+                best_d2, best_cid, best_c = d2, cid, c
+            # equal d2 keeps the earlier (smaller) cid — ivf_assign's
+            # (d2, cid) struct-sort tie-break
+        res.append([x - y for x, y in zip(v, best_c)])
+    dim = len(res[0])
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    sub = dim // m
+    return [
+        [res[j][s * sub:(s + 1) * sub] for j in range(k)]
+        for s in range(m)
+    ]
+
+
+def ivfpq_residual_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ over residuals — the production FAISS ``IVFx,PQy`` layout,
+    composed from the audited halves: `ivf_assign` buckets the corpus
+    into inverted lists (nprobe=1 — each vector lives in exactly ONE
+    list, so probed candidates never need dedup), vectors are reduced to
+    residuals against their list centroid, and `_pq_code_sql` encodes the
+    residuals as m small ints. A query probes its ``nprobe`` nearest
+    lists, forms a PER-LIST query residual, and scores candidates by
+    asymmetric distance (ADC) between its residual and each candidate's
+    codewords.
+
+    100-TB shape: corpus-side work is two narrow maps (assign + encode) —
+    the scan that serves queries carries only (id, list, m-byte code);
+    the query side is a broadcast, and the probe join is an EQUI-join on
+    ivf_list (unlike plain `pq_topk`'s full crossJoin scan, only ~nprobe/
+    n_lists of the corpus is touched per query). Output (query_id,
+    neighbor_id, rank, adc_dist), rank 1 = nearest, rounded-distance +
+    neighbor-id ordering (engine-stable)."""
+    cents = _cents_sql(centroids)
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    cb = _pq_cb_sql(codebooks)
+    residual = (
+        f"zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
+        f"{cents}[ivf_list], (x, c) -> x - c)"
+    )
+    enc = (
+        ivf_assign(vectors, centroids, vec_col, nprobe=1)
+        .withColumn("__res", F.expr(residual))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "ivf_list",
+            F.expr(_pq_code_sql(codebooks, "__res"))
+            .cast("array<int>")
+            .alias("pq_code"),
+        )
+    )
+    qs = (
+        ivf_assign(queries, centroids, vec_col, nprobe=nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "ivf_list",
+            F.expr(residual).alias("__qres"),
+        )
+    )
+    dist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), (acc, s) -> acc + "
+        f"aggregate(zip_with(slice(__qres, s * {sub} + 1, {sub}), "
+        f"{cb}[s][pq_code[s]], (x, c) -> (x - c) * (x - c)), "  # 0-based []
+        f"CAST(0.0 AS DOUBLE), (a, d) -> a + d))"
+    )
+    scored = (
+        enc.join(F.broadcast(qs), "ivf_list")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
