@@ -5591,6 +5591,20 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index sibling (`corpus_postings`) materializes the index;
     this is the query-time scorer."""
     docs = _spread(_t(spark, sf_dir, "documents"))
+    per_doc = _bm25_per_doc(docs)
+    return (
+        per_doc.select(
+            "doc_id", "n_terms_hit", F.round("__score", 6).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _bm25_per_doc(docs: DataFrame) -> DataFrame:
+    """The BM25 scored frame (doc_id, n_terms_hit, __score) for the fixed
+    `_BM25_TERMS` query — shared by q_doc_bm25_topk and the hybrid-RRF
+    retrieval arm."""
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         X.token_count("text").alias("dl"),
@@ -5627,20 +5641,26 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, s: acc + s["c"],
         ).alias("__score"),
     )
-    return (
-        per_doc.select(
-            "doc_id", "n_terms_hit", F.round("__score", 6).alias("bm25")
-        )
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(10)
-    )
+    return per_doc
 
 
 def _oracle_doc_bm25_sql() -> str:
+    return f"""
+WITH {_dd_bm25_per_doc_cte()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_terms_hit,
+       round(score, 6) AS bm25
+FROM per_doc
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+def _dd_bm25_per_doc_cte() -> str:
+    """The BM25 per-doc CTE chain (ends at `per_doc(doc_id, n_terms_hit,
+    score)`) shared by the plain top-k oracle and the hybrid-RRF one."""
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     toks = _DD_TOKENS.format(c="text")
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, len({toks}) AS dl, unnest({toks}) AS t FROM documents),
 hits AS (
   SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf, MAX(dl) AS dl
@@ -5660,13 +5680,7 @@ per_doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            list(c ORDER BY t)), (a, x) -> a + x) AS score
-  FROM scored GROUP BY 1)
-SELECT CAST(doc_id AS BIGINT) AS doc_id, n_terms_hit,
-       round(score, 6) AS bm25
-FROM per_doc
-ORDER BY bm25 DESC, doc_id
-LIMIT 10
-"""
+  FROM scored GROUP BY 1)"""
 
 
 _N_SHARDS = 16
@@ -13893,22 +13907,46 @@ def q_customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = halved.groupBy("o_custkey", "__half").agg(
         F.sum("__c").cast("long").alias("__sp")
     ).localCheckpoint(eager=False)
-    # ^ consumed FOUR times (h1, h2, and both medians); the lazy plan
-    # barrier computes the per-(customer, half) rollup once instead of
-    # re-deriving the scan+crossJoin+groupBy subtree per consumer.
+    # ^ consumed THREE times (h1, h2, the shared median histogram); the
+    # lazy plan barrier computes the per-(customer, half) rollup once
+    # instead of re-deriving the scan+crossJoin+groupBy per consumer.
 
-    def _median(half: int):
-        hist = per.filter(F.col("__half") == half).groupBy(
-            F.col("__sp").alias("__k")
-        ).agg(F.count(F.lit(1)).alias("__f"))
-        h = _exclusive_prefix(hist, "__k", "__f", "__cum")
-        tot = hist.agg(F.sum("__f").alias("__n"))
-        return (
-            h.crossJoin(F.broadcast(tot))
-            .filter(2 * (F.col("__cum") + F.col("__f")) >= F.col("__n"))
-            .agg(F.min("__k").alias(f"__m{half}"))
+    # BOTH per-half medians from ONE histogram + ONE prefix-sum pass: the
+    # composite key (__half << 42) | __sp keeps halves contiguous and
+    # order-preserving (spend cents stay far below 2^42), the within-half
+    # exclusive cumsum is the composite cumsum minus the preceding half's
+    # total, and the two 2*cum >= n thresholds pivot into a single
+    # broadcast row (m1, m2). Halving the serial broadcast-job chain is
+    # the whole point — at this query's scale fixed job latency, not
+    # data, dominates.
+    hist = per.groupBy("__half", "__sp").agg(F.count(F.lit(1)).alias("__f"))
+    comp = hist.withColumn(
+        "__k", (F.col("__half").cast("long") * (2 ** 42) + F.col("__sp"))
+    )
+    h = _exclusive_prefix(comp, "__k", "__f", "__cum")
+    tots = hist.groupBy("__half").agg(F.sum("__f").alias("__n"))
+    n1 = tots.groupBy().pivot("__half", [1, 2]).sum("__n").select(
+        F.col("1").alias("__n1"), F.col("2").alias("__n2")
+    )
+    med = (
+        h.crossJoin(F.broadcast(n1))
+        .withColumn(
+            "__wcum",
+            F.col("__cum")
+            - F.when(F.col("__half") == 2, F.col("__n1")).otherwise(F.lit(0)),
         )
-
+        .withColumn(
+            "__nh",
+            F.when(F.col("__half") == 2, F.col("__n2")).otherwise(F.col("__n1")),
+        )
+        .filter(2 * (F.col("__wcum") + F.col("__f")) >= F.col("__nh"))
+        .groupBy("__half")
+        .agg(F.min("__sp").alias("__med"))
+        .groupBy()
+        .pivot("__half", [1, 2])
+        .sum("__med")
+        .select(F.col("1").alias("__m1"), F.col("2").alias("__m2"))
+    )
     h1 = per.filter(F.col("__half") == 1).select(
         "o_custkey", F.col("__sp").alias("__s1")
     )
@@ -13917,8 +13955,7 @@ def q_customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = (
         h1.join(h2, "o_custkey")
-        .crossJoin(F.broadcast(_median(1)))
-        .crossJoin(F.broadcast(_median(2)))
+        .crossJoin(F.broadcast(med))
         .select(
             F.when(F.col("__s1") > F.col("__m1"), F.lit("hi"))
             .otherwise(F.lit("lo")).alias("from_class"),
@@ -13928,8 +13965,10 @@ def q_customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mat = both.groupBy("from_class", "to_class").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
-    )
-    tot = both.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ).localCheckpoint(eager=False)
+    # ^ 4-row frame consumed twice (rows + total); the barrier keeps the
+    # h1-join-h2 subtree from running once per consumer
+    tot = mat.agg(F.sum("n_customers").cast("long").alias("__n"))
     return mat.crossJoin(F.broadcast(tot)).select(
         "from_class", "to_class", "n_customers",
         F.round(
@@ -18853,6 +18892,675 @@ ORDER BY s_suppkey
 """
 
 
+def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over RESIDUALS — the production FAISS ``IVFx,PQy`` layout
+    (operators/similarity.py ivfpq_residual_topk, composed from the
+    audited ivf_assign + pq_residual_codebooks halves): the corpus is
+    bucketed into 8 coarse inverted lists, reduced to residuals against
+    the list centroid, PQ-encoded with residual-trained codebooks
+    (m=8, k=16), and the 5 probe queries scan only their nprobe=2
+    nearest lists by asymmetric distance over PER-LIST query residuals.
+    The coarse quantizer is kmeans-FITTED (2 Lloyd rounds from md5
+    seeds, the q_embedding_kmeans trajectory) — fitted centroids are
+    what makes residuals small (measured on this corpus: recall@5 0.175
+    fitted vs 0.075 plain PQ at equal bits; raw md5-sample centroids
+    leave residual MSE WORSE than plain). Oracle re-derives the Lloyd
+    trajectory, the residual codebook sample, the (d2, j)-tie-broken
+    subspace encoding, and the sequential-fold ADC in DuckDB SQL; recall
+    dominance over plain PQ at equal bits is asserted in
+    tests/test_ivfpq_residual.py."""
+    from beacon_indexer_spark.operators.clustering import kmeans_centroids
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    cbs = S.pq_residual_codebooks(emb, cents, "vec_id", "embedding", m=8, k=16)
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = S.ivfpq_residual_topk(
+        emb, qs, cents, cbs, "vec_id", "embedding", k=5, nprobe=2
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+        "adc_dist",
+    )
+
+
+def q_events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitters summary (streaming/frequency.py
+    mg_merge, PODS'12 mergeable form) run on its batch path: one merge of
+    the whole events table at capacity 16 over user_id. Output is the
+    bounded summary (key, cnt, err, d_total) with the deterministic
+    sandwich cnt <= true <= cnt + err; the STREAMING path (per-micro-batch
+    merges of the same algorithm) is parity-tested in
+    tests/test_stateful_stream.py. The oracle replays the merge in SQL:
+    exact counts, d = (capacity+1)-th largest, subtract-and-drop."""
+    from beacon_indexer_spark.streaming.frequency import mg_merge
+
+    e = _t(spark, sf_dir, "events")
+    return mg_merge(None, e, "user_id", capacity=16)
+
+
+ORACLE_EVENTS_HEAVY_HITTERS_MG = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+  FROM events GROUP BY 1),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY cnt DESC, key ASC) AS r FROM counts),
+d AS (SELECT coalesce(max(cnt), 0) AS dv FROM rk WHERE r > 16)
+SELECT key,
+       CAST(cnt - d.dv AS BIGINT) AS cnt,
+       CAST(d.dv AS BIGINT) AS err,
+       CAST(d.dv AS BIGINT) AS d_total
+FROM rk, d WHERE cnt > d.dv
+"""
+
+
+def _oracle_similarity_ivfpq_residual_sql(
+    kc: int = 8, iters: int = 2, m: int = 8, k: int = 16, sub: int = 8,
+    nprobe: int = 2, topk: int = 5,
+) -> str:
+    """DuckDB mirror of q_similarity_ivfpq_residual. Every float op
+    replays Spark's order exactly: the coarse quantizer re-runs the
+    _oracle_embedding_kmeans_sql Lloyd trajectory (md5 seeds, means
+    rounded to 6 decimals between iterations — the cross-engine
+    determinism contract); centroid assignment is the same
+    `-2·v·c + ||c||²` sequential fold with (d2, cid) tie-break; residuals
+    are elementwise double subtraction (exact in IEEE); subspace encoding
+    is the (d2, j) argmin over the SAME md5-sampled residual codebook;
+    and the ADC sum folds per-subspace distances in ascending-s order,
+    matching the engine's aggregate(sequence(0, m-1), ...) accumulation."""
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
+    # --- fitted coarse centroids: the q_embedding_kmeans CTE chain ---
+    kdot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(generate_series(1, CAST(len(e.embedding) AS INT)),"
+        " t -> CAST(e.embedding[t] AS DOUBLE) * c.cv[t])), (a, b) -> a + b)"
+    )
+    knormsq = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(c.cv, x -> x * x)), (a, b) -> a + b)"
+    )
+    kassign = (
+        "SELECT vec_id, j AS cluster FROM (\n"
+        "    SELECT e.vec_id, c.j,\n"
+        f"           row_number() OVER (PARTITION BY e.vec_id ORDER BY\n"
+        f"             ((-({kdot})) * 2 + {knormsq}) ASC, c.j ASC) AS rk\n"
+        "    FROM embeddings e, {cents} c) WHERE rk = 1"
+    )
+    kparts = [
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {kc})"""
+    ]
+    for it in range(iters):
+        kparts.append(f"ka{it} AS (\n  " + kassign.format(cents=f"c{it}") + ")")
+        kparts.append(
+            f"""ku{it} AS (
+  SELECT a.cluster AS j, x.pos, round(avg(x.v), 6) AS m
+  FROM ka{it} a JOIN (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings) x USING (vec_id)
+  GROUP BY 1, 2)"""
+        )
+        kparts.append(
+            f"""c{it + 1} AS (
+  SELECT p.j, coalesce(n.cv, p.cv) AS cv
+  FROM c{it} p LEFT JOIN (
+    SELECT j, list(m ORDER BY pos) AS cv FROM ku{it} GROUP BY 1) n USING (j))"""
+        )
+    kmeans_chain = ",\n".join(kparts)
+    dot_vc = fold.format(
+        arr="list_transform(generate_series(1, len(v.embedding)),"
+        " i -> CAST(v.embedding[i] AS DOUBLE) * c.cv[i])"
+    )
+    sq_c = fold.format(arr="list_transform(c.cv, x -> x * x)")
+    residual = (
+        "list_transform(generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i])"
+    )
+    enc_term = f"(v.rv[subs.s * {sub} + t] - sp.rv[subs.s * {sub} + t])"
+    dq_term = f"(q.rv[subs.s * {sub} + t] - sp.rv[subs.s * {sub} + t])"
+    enc_d2 = fold.format(
+        arr=f"list_transform(generate_series(1, {sub}),"
+        f" t -> {enc_term} * {enc_term})"
+    )
+    dq_d2 = fold.format(
+        arr=f"list_transform(generate_series(1, {sub}),"
+        f" t -> {dq_term} * {dq_term})"
+    )
+    adc_sum = fold.format(arr="list(dq.d2 ORDER BY dq.s)")
+    return f"""
+WITH {kmeans_chain},
+cents AS (SELECT j AS cid, cv FROM c{iters}),
+assigned AS (
+  SELECT v.vec_id, c.cid, -({dot_vc}) * 2 + ({sq_c}) AS d2
+  FROM embeddings v CROSS JOIN cents c),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+  FROM assigned),
+samp AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(e.vec_id AS VARCHAR))) - 1 AS j,
+         {residual} AS rv
+  FROM embeddings e
+  JOIN ranked r ON r.vec_id = e.vec_id AND r.rk = 1
+  JOIN cents c ON c.cid = r.cid
+  ORDER BY md5(CAST(e.vec_id AS VARCHAR)) LIMIT {k}),
+vres AS (
+  SELECT e.vec_id AS neighbor_id, r.cid AS ivf_list, {residual} AS rv
+  FROM embeddings e
+  JOIN ranked r ON r.vec_id = e.vec_id AND r.rk = 1
+  JOIN cents c ON c.cid = r.cid),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+denc AS (
+  SELECT v.neighbor_id, v.ivf_list, subs.s, sp.j, {enc_d2} AS d2
+  FROM vres v, subs, samp sp),
+enc AS (
+  SELECT neighbor_id, ivf_list, s, j AS code FROM (
+    SELECT neighbor_id, ivf_list, s, j,
+           row_number() OVER (PARTITION BY neighbor_id, s
+                              ORDER BY d2 ASC, j ASC) AS rk
+    FROM denc) WHERE rk = 1),
+qres AS (
+  SELECT e.vec_id AS query_id, r.cid AS ivf_list, {residual} AS rv
+  FROM embeddings e
+  JOIN ranked r ON r.vec_id = e.vec_id AND r.rk <= {nprobe}
+  JOIN cents c ON c.cid = r.cid
+  WHERE e.vec_id < 5),
+dq AS (
+  SELECT q.query_id, q.ivf_list, subs.s, sp.j, {dq_d2} AS d2
+  FROM qres q, subs, samp sp),
+adc AS (
+  SELECT dq.query_id, en.neighbor_id,
+         round({adc_sum}, 6) AS adc_dist
+  FROM enc en
+  JOIN dq ON dq.ivf_list = en.ivf_list AND dq.s = en.s AND dq.j = en.code
+  WHERE en.neighbor_id <> dq.query_id
+  GROUP BY 1, 2),
+final AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, adc_dist
+FROM final WHERE rank <= {topk}
+"""
+
+
+def q_customer_untapped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape ('global sales opportunity'): customers whose
+    account balance beats the average POSITIVE balance yet placed no
+    URGENT-priority order — scalar-subquery threshold + filtered
+    anti-join, grouped by nation (the cntrycode grouping; this schema
+    carries no phone column — c_nationkey is the country axis, and every
+    customer here has SOME order, so the idle predicate is
+    priority-scoped to keep the shape non-vacuous). The average is
+    compared as an EXACT integer cross-product (bal_cents * n >
+    sum_cents), so no float-boundary row can flip between engines; the
+    threshold attaches as a broadcast one-row aggregate and the
+    no-urgent-orders check is a left_anti hash join with the priority
+    filter pushed below it, never a per-row subquery."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("__bc"),
+    )
+    pos = c.filter(F.col("__bc") > 0).agg(
+        F.sum("__bc").cast("long").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    cand = c.crossJoin(F.broadcast(pos)).filter(
+        F.col("__bc") * F.col("__n") > F.col("__s")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cand.join(o, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("__bc").cast("double") / 100.0).alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_UNTAPPED_BALANCE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bc
+  FROM customer),
+pos AS (SELECT SUM(bc) AS s, COUNT(*) AS n FROM c WHERE bc > 0),
+cand AS (SELECT c.* FROM c, pos WHERE c.bc * pos.n > pos.s),
+noord AS (
+  SELECT * FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = cand.c_custkey
+                      AND o.o_orderpriority = '1-URGENT'))
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bc) AS DOUBLE) / 100.0 AS total_acctbal
+FROM noord GROUP BY 1
+"""
+
+
+_RRF_K = 60.0
+
+
+def _rank_small(
+    df: DataFrame, score_col: str, id_col: str, rank_name: str
+) -> DataFrame:
+    """Integer rank over a BOUNDED frame without any global window: 1 +
+    count of strictly-better rows via a broadcast self-join on the
+    (score desc, id asc) total order. Only for frames already capped by
+    a limit() — the join is |frame|², which is the point: tiny and
+    partition-free instead of a single-task window."""
+    b = df.select(
+        F.col(score_col).alias("__bs"), F.col(id_col).alias("__bi")
+    )
+    cond = (F.col("__bs") > F.col(score_col)) | (
+        (F.col("__bs") == F.col(score_col)) & (F.col("__bi") < F.col(id_col))
+    )
+    return (
+        df.join(F.broadcast(b), cond, "left")
+        .groupBy(id_col, score_col)
+        .agg((F.count("__bi") + 1).cast("long").alias(rank_name))
+    )
+
+
+def q_doc_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the lexical arm is
+    the BM25 top-20 for the fixed `_BM25_TERMS` query; the semantic arm
+    is pseudo-relevance feedback — the mean embedding of the lexical
+    top-3 becomes the query vector and ranks the corpus by cosine — and
+    the two rankings fuse by RRF (score = Σ 1/(60 + rank), the
+    Cormack/Clarke fusion that needs no score calibration across arms).
+
+    100-TB shape: corpus-side work is one term-filtered token pass (BM25)
+    plus one narrow cosine map under a broadcast one-row query vector,
+    each ending in a TakeOrdered — the rank/fusion stages run on ≤ 20-row
+    frames (broadcast self-join ranks, full-outer fuse), so nothing
+    downstream of the two scans scales with the corpus. Oracle mirrors
+    every stage (same rounded scores, same tie-breaks, same sequential
+    folds) in DuckDB SQL."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    lex20 = (
+        _bm25_per_doc(docs)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("__score", 6).alias("__bm"),
+        )
+        .orderBy(F.desc("__bm"), F.asc("doc_id"))
+        .limit(20)
+        .localCheckpoint(eager=False)
+    )
+    # ^ consumed three times (rank self-join ×2, top-3 seed); the barrier
+    # keeps the BM25 token pass from re-running per consumer
+    lexr = _rank_small(lex20, "__bm", "doc_id", "lex_rank")
+    top3 = (
+        lex20.orderBy(F.desc("__bm"), F.asc("doc_id")).limit(3)
+        .select("doc_id")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    zero = F.lit(0.0).cast("double")
+    qarr = (
+        emb.join(F.broadcast(top3), emb["vec_id"] == F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos", "v"),
+        )
+        .groupBy("pos")
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("doc_id"), F.col("v"))
+                        )
+                    ),
+                    zero,
+                    lambda acc, s: acc + s["v"],
+                )
+                / 3.0
+            ).alias("qv")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("qv")))
+                ),
+                lambda s: s["qv"],
+            ).alias("__q")
+        )
+    )
+    vec = emb.select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__e"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__e", "__q", lambda x, y: x * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform("__e", lambda x: x * x), zero, lambda a, x: a + x
+        )
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("__q", lambda x: x * x), zero, lambda a, x: a + x
+        )
+    )
+    sem20 = (
+        vec.crossJoin(F.broadcast(qarr))
+        .select("doc_id", F.round(dot / (nv * nq), 6).alias("__cs"))
+        .orderBy(F.desc("__cs"), F.asc("doc_id"))
+        .limit(20)
+        .localCheckpoint(eager=False)
+    )
+    semr = _rank_small(sem20, "__cs", "doc_id", "sem_rank")
+    lterm = F.when(
+        F.col("lex_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")),
+    ).otherwise(0.0)
+    sterm = F.when(
+        F.col("sem_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")),
+    ).otherwise(0.0)
+    return (
+        lexr.select("doc_id", "lex_rank")
+        .join(semr.select("doc_id", "sem_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(lterm + sterm, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _oracle_doc_hybrid_retrieval_rrf_sql() -> str:
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
+    dot_eq = fold.format(
+        arr="list_transform(generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i])"
+    )
+    sq_e = fold.format(
+        arr="list_transform(e.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    sq_q = fold.format(arr="list_transform(q.qv, x -> x * x)")
+    return f"""
+WITH {_dd_bm25_per_doc_cte()},
+lex AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS bm
+  FROM per_doc ORDER BY bm DESC, doc_id LIMIT 20),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm DESC, doc_id) AS lex_rank
+  FROM lex),
+top3 AS (SELECT doc_id FROM lex ORDER BY bm DESC, doc_id LIMIT 3),
+qpos AS (
+  SELECT pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(v ORDER BY doc_id)), (a, b) -> a + b) / 3.0 AS qv
+  FROM (
+    SELECT t.doc_id, generate_subscripts(e.embedding, 1) AS pos,
+           CAST(unnest(e.embedding) AS DOUBLE) AS v
+    FROM top3 t JOIN embeddings e ON e.vec_id = t.doc_id)
+  GROUP BY pos),
+qarr AS (SELECT list(qv ORDER BY pos) AS qv FROM qpos),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         round(({dot_eq}) / (sqrt({sq_e}) * sqrt({sq_q})), 6) AS cs
+  FROM embeddings e, qarr q),
+sem AS (SELECT doc_id, cs FROM cos ORDER BY cs DESC, doc_id LIMIT 20),
+semr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cs DESC, doc_id) AS sem_rank
+  FROM sem),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+         round(coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+               + coalesce(1.0 / (60.0 + s.sem_rank), 0.0), 6) AS rrf_score
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+def q_similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: the residual IVF-PQ shortlist (top-20 by ADC over
+    compressed codes) re-ranked by EXACT cosine on the shortlisted pairs
+    — the production retrieval layout (FAISS shortlist + full-precision
+    re-rank). The compressed scan does the corpus work; the exact pass
+    touches only |queries| × 20 vectors through two id-equi-joins, so the
+    full-precision read never scales with the corpus. Output keeps
+    adc_rank next to the final rank so the re-ordering the exact pass
+    applied is visible (and oracle-checked)."""
+    from beacon_indexer_spark.operators.clustering import kmeans_centroids
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    cbs = S.pq_residual_codebooks(
+        emb, cents, "vec_id", "embedding", m=8, k=16
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    short = S.ivfpq_residual_topk(
+        emb, qs, cents, cbs, "vec_id", "embedding", k=20, nprobe=2
+    )
+    pairs = short.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("adc_rank"),
+    )
+    qe = emb.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__qe"),
+    )
+    ve = emb.select(
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__ve"),
+    )
+    zero = F.lit(0.0).cast("double")
+    dot = F.aggregate(
+        F.zip_with("__qe", "__ve", lambda x, y: x * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("__qe", lambda x: x * x), zero, lambda a, x: a + x
+        )
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform("__ve", lambda x: x * x), zero, lambda a, x: a + x
+        )
+    )
+    scored = (
+        pairs.join(qe, "query_id")
+        .join(ve, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_rank",
+            F.round(dot / (nq * nv), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+            "adc_rank",
+        )
+    )
+
+
+def _oracle_similarity_ivfpq_rerank_sql(
+    shortlist: int = 20, topk: int = 5
+) -> str:
+    """The residual IVF-PQ oracle (topk=shortlist) nested as a CTE, then
+    the exact-cosine re-rank with the same sequential folds and the
+    (rounded cos desc, neighbor asc) per-query ordering."""
+    inner = _oracle_similarity_ivfpq_residual_sql(topk=shortlist).strip()
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
+    dot_qv = fold.format(
+        arr="list_transform(generate_series(1, len(qe.embedding)),"
+        " i -> CAST(qe.embedding[i] AS DOUBLE)"
+        " * CAST(ve.embedding[i] AS DOUBLE))"
+    )
+    norm = (
+        "sqrt("
+        + fold.format(
+            arr="list_transform({e}.embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        + ")"
+    )
+    return f"""
+WITH short AS (
+{inner}
+),
+rcos AS (
+  SELECT s.query_id, s.neighbor_id, s.rank AS adc_rank,
+         round(({dot_qv}) / (({norm.format(e='qe')}) * ({norm.format(e='ve')})), 6)
+           AS cos_sim
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ve ON ve.vec_id = s.neighbor_id),
+rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM rcos)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, cos_sim,
+       CAST(adc_rank AS BIGINT) AS adc_rank
+FROM rr WHERE rank <= {topk}
+"""
+
+
+_HLL_M = 64
+_HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / 64)) * 64.0 * 64.0
+_HLL_POW = float(2 ** 55)
+
+
+def q_events_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate vs the exact count: md5-derived
+    60-bit hashes split into 64 registers (low 6 bits) and a 54-bit
+    pattern whose leading-zero rank feeds MAX per register — the
+    Flajolet/Fuchs/Gandouet/Meunier estimator with the small-range
+    (linear-counting) correction. Register math is pure integers: the
+    2^-M harmonic sum accumulates as Σ 2^(55-M) in a LONG (exact,
+    order-free — the repo's quantized-sum convention) with ONE double
+    division at the end, so both engines compute bit-identical registers
+    and estimate. Narrow map + 64-row aggregate; the sketch is O(m)
+    state at any corpus size."""
+    from beacon_indexer_spark.operators.dedup import _md5_long
+
+    e = _t(spark, sf_dir, "events")
+    hashed = e.select(
+        _md5_long(F.col("user_id").cast("string"), 91).alias("__h")
+    )
+    regs = hashed.select(
+        (F.col("__h") % _HLL_M).alias("__j"),
+        F.shiftright("__h", 6).alias("__w"),
+    ).select(
+        "__j",
+        F.when(F.col("__w") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin("__w")))
+        .cast("long")
+        .alias("__r"),
+    )
+    per = regs.groupBy("__j").agg(F.max("__r").alias("__m"))
+    spine = spark.range(_HLL_M).select(F.col("id").alias("__j"))
+    full = spine.join(per, "__j", "left").select(
+        F.coalesce("__m", F.lit(0)).cast("long").alias("__m")
+    )
+    acc = full.agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - __m AS INT))")
+        ).cast("long").alias("__si"),
+        F.sum(F.when(F.col("__m") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_registers"),
+    )
+    ex = e.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    raw = F.lit(_HLL_ALPHA_NUM) / (
+        F.col("__si").cast("double") / F.lit(_HLL_POW)
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("n_zero_registers") > 0),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / F.col("n_zero_registers").cast("double")),
+    ).otherwise(raw)
+    return acc.crossJoin(F.broadcast(ex)).select(
+        "n_exact",
+        "n_zero_registers",
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(
+            F.abs(est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _oracle_events_user_hll_sql() -> str:
+    h = _dd_md5_long("concat('91:', CAST(user_id AS VARCHAR))")
+    est = (
+        f"CASE WHEN ({_HLL_ALPHA_NUM!r} / (CAST(si AS DOUBLE) / {_HLL_POW!r}))"
+        f" <= {2.5 * _HLL_M!r} AND vz > 0"
+        f" THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(vz AS DOUBLE))"
+        f" ELSE ({_HLL_ALPHA_NUM!r} / (CAST(si AS DOUBLE) / {_HLL_POW!r})) END"
+    )
+    return f"""
+WITH hh AS (SELECT {h} AS h FROM events),
+regs AS (
+  SELECT h % {_HLL_M} AS j,
+         CASE WHEN h // {_HLL_M} = 0 THEN 55
+              ELSE 55 - length(bin(h // {_HLL_M})) END AS r
+  FROM hh),
+per AS (SELECT j, MAX(r) AS m FROM regs GROUP BY 1),
+spine AS (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS j),
+fullr AS (SELECT coalesce(p.m, 0) AS m FROM spine s LEFT JOIN per p USING (j)),
+acc AS (
+  SELECT SUM(CAST(1 AS BIGINT) << CAST(55 - m AS INT)) AS si,
+         SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS vz
+  FROM fullr),
+ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST(acc.vz AS BIGINT) AS n_zero_registers,
+       round({est}, 4) AS hll_estimate,
+       round(abs(({est}) - CAST(ex.n_exact AS DOUBLE))
+             / CAST(ex.n_exact AS DOUBLE), 4) AS rel_err
+FROM acc, ex
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -19153,6 +19861,12 @@ QUERIES: dict[str, QueryFn] = {
     "customer_order_count_dist": q_customer_order_count_dist,
     "lineitem_shipmode_priority": q_lineitem_shipmode_priority,
     "top_revenue_supplier": q_top_revenue_supplier,
+    "similarity_ivfpq_residual": q_similarity_ivfpq_residual,
+    "events_heavy_hitters_mg": q_events_heavy_hitters_mg,
+    "customer_untapped_balance": q_customer_untapped_balance,
+    "doc_hybrid_retrieval_rrf": q_doc_hybrid_retrieval_rrf,
+    "similarity_ivfpq_rerank": q_similarity_ivfpq_rerank,
+    "events_user_hll": q_events_user_hll,
 }
 
 
@@ -19481,4 +20195,10 @@ def oracles() -> dict[str, str]:
         "customer_order_count_dist": ORACLE_CUSTOMER_ORDER_COUNT_DIST,
         "lineitem_shipmode_priority": ORACLE_LINEITEM_SHIPMODE_PRIORITY,
         "top_revenue_supplier": ORACLE_TOP_REVENUE_SUPPLIER,
+        "similarity_ivfpq_residual": _oracle_similarity_ivfpq_residual_sql(),
+        "events_heavy_hitters_mg": ORACLE_EVENTS_HEAVY_HITTERS_MG,
+        "customer_untapped_balance": ORACLE_CUSTOMER_UNTAPPED_BALANCE,
+        "doc_hybrid_retrieval_rrf": _oracle_doc_hybrid_retrieval_rrf_sql(),
+        "similarity_ivfpq_rerank": _oracle_similarity_ivfpq_rerank_sql(),
+        "events_user_hll": _oracle_events_user_hll_sql(),
     }

@@ -104,6 +104,10 @@ _ALLOWED_CROSS = {
     "corpus_split_half_jsd",  # 2×|vocab| grid — dimension-bounded
     "doc_token_length_profile",  # broadcast ONE-ROW total attach
     "part_type_price_premium",  # broadcast ONE-ROW grand-mean attach
+    "events_heavy_hitters_mg",  # broadcast ONE-ROW eviction-threshold attach
+    "customer_untapped_balance",  # broadcast ONE-ROW avg-balance threshold
+    "events_user_hll",  # broadcast ONE-ROW exact-count attach
+    "doc_hybrid_retrieval_rrf",  # ≤20-row rank self-joins + ONE-ROW query vector
 }
 
 # iterative operator: executes during plan construction; its final plan is

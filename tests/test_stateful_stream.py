@@ -489,3 +489,125 @@ def test_holt_stream_matches_batch_fold(spark, tmp_path):
     assert round(final["level"], 6) == batch["level"]
     assert round(final["trend"], 6) == batch["trend"]
     assert round(final["forecast_1"], 6) == batch["forecast_1h"]
+
+
+def test_streaming_heavy_hitters_exact_parity(spark, tmp_path):
+    """Frequency monitor (streaming/frequency.py): capacity >= distinct
+    keys means the Misra-Gries merge never decrements (d stays 0), so the
+    accumulated summary must equal the batch-exact groupBy count table
+    byte-for-byte — the no-eviction parity regime."""
+    import time
+
+    from beacon_indexer_spark.streaming.frequency import mg_merge
+
+    src = str(tmp_path / "hh_raw")
+    state = str(tmp_path / "hh_state")
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        [("a",), ("b",), ("a",), ("c",)],
+        [("a",), ("d",), ("b",), ("a",)],
+        [("e",), ("a",), ("b",), ("c",)],
+    ]
+    seen = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        later = time.time() + 5 * (i + 1)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in seen:
+                seen.add(p)
+                os.utime(p, (later, later))
+
+    def ingest(batch_df, batch_id):
+        prior = None
+        if os.path.isdir(state) and any(
+            f.endswith(".parquet") for f in os.listdir(state)
+        ):
+            prior = spark.read.parquet(state)
+        new = mg_merge(prior, batch_df, "k", capacity=16).localCheckpoint()
+        new.write.mode("overwrite").parquet(state)
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {
+        r["key"]: (r["cnt"], r["err"], r["d_total"])
+        for r in spark.read.parquet(state).collect()
+    }
+    flat = [k for rows in batches for (k,) in rows]
+    exact = {k: flat.count(k) for k in set(flat)}
+    assert got == {k: (n, 0, 0) for k, n in exact.items()}
+
+
+def test_streaming_heavy_hitters_bounded_regime(spark, tmp_path):
+    """Small capacity forces evictions: the summary must stay within
+    capacity, every surviving estimate must satisfy the deterministic
+    MG sandwich (cnt <= true <= cnt + err <= cnt + d_total), every key
+    with true count > d_total must be PRESENT, and the top-1 heavy
+    hitter must match the batch-exact answer."""
+    import time
+
+    from beacon_indexer_spark.streaming.frequency import heavy_hitters, mg_merge
+
+    src = str(tmp_path / "hh2_raw")
+    state = str(tmp_path / "hh2_state")
+    os.makedirs(src, exist_ok=True)
+    # skewed stream: key h0 dominates, long tail of singletons
+    batches = []
+    for b in range(3):
+        rows = [("h0",)] * 6 + [("h1",)] * 3
+        rows += [(f"t{b}_{i}",) for i in range(8)]
+        batches.append(rows)
+    seen = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        later = time.time() + 5 * (i + 1)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in seen:
+                seen.add(p)
+                os.utime(p, (later, later))
+
+    def ingest(batch_df, batch_id):
+        prior = None
+        if os.path.isdir(state) and any(
+            f.endswith(".parquet") for f in os.listdir(state)
+        ):
+            prior = spark.read.parquet(state)
+        new = mg_merge(prior, batch_df, "k", capacity=4).localCheckpoint()
+        new.write.mode("overwrite").parquet(state)
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    summary = spark.read.parquet(state)
+    rows = summary.collect()
+    assert 0 < len(rows) <= 4
+    flat = [k for brows in batches for (k,) in brows]
+    exact = {k: flat.count(k) for k in set(flat)}
+    d_total = rows[0]["d_total"]
+    assert d_total > 0  # evictions actually happened in this regime
+    for r in rows:
+        true = exact[r["key"]]
+        assert r["cnt"] <= true <= r["cnt"] + r["err"], (r, true)
+        assert r["err"] <= d_total
+    guaranteed = {k for k, n in exact.items() if n > d_total}
+    present = {r["key"] for r in rows}
+    assert guaranteed <= present, (guaranteed, present)
+    top = heavy_hitters(summary, k=1).collect()[0]
+    assert top["key"] == "h0"
+    assert top["cnt_low"] <= exact["h0"] <= top["cnt_high"]
