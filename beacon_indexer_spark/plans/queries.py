@@ -19463,73 +19463,105 @@ FROM rr WHERE rank <= {topk}
 """
 
 
-_HLL_M = 64
-_HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / 64)) * 64.0 * 64.0
-_HLL_POW = float(2 ** 55)
-
-
 def q_events_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-user estimate vs the exact count: md5-derived
-    60-bit hashes split into 64 registers (low 6 bits) and a 54-bit
-    pattern whose leading-zero rank feeds MAX per register — the
-    Flajolet/Fuchs/Gandouet/Meunier estimator with the small-range
-    (linear-counting) correction. Register math is pure integers: the
-    2^-M harmonic sum accumulates as Σ 2^(55-M) in a LONG (exact,
-    order-free — the repo's quantized-sum convention) with ONE double
-    division at the end, so both engines compute bit-identical registers
-    and estimate. Narrow map + 64-row aggregate; the sketch is O(m)
-    state at any corpus size."""
-    from beacon_indexer_spark.operators.dedup import _md5_long
+    """HyperLogLog distinct-user estimate vs the exact count
+    (operators/sketches.py): md5-derived 60-bit hashes split into 64
+    registers (low 6 bits) and a 54-bit pattern whose leading-zero rank
+    feeds MAX per register — the Flajolet/Fuchs/Gandouet/Meunier
+    estimator with the small-range (linear-counting) correction.
+    Register math is pure integers: the 2^-M harmonic sum accumulates as
+    Σ 2^(55-M) in a LONG (exact, order-free — the repo's quantized-sum
+    convention) with ONE double division at the end, so both engines
+    compute bit-identical registers and estimate. Narrow map + 64-row
+    aggregate; the sketch is O(m) state at any corpus size, and the
+    register relation is MERGEABLE (per-register MAX) — the streaming
+    path in tests/test_stateful_stream.py asserts byte-identical
+    batch/stream estimates."""
+    from beacon_indexer_spark.operators import sketches as K
 
     e = _t(spark, sf_dir, "events")
-    hashed = e.select(
-        _md5_long(F.col("user_id").cast("string"), 91).alias("__h")
-    )
-    regs = hashed.select(
-        (F.col("__h") % _HLL_M).alias("__j"),
-        F.shiftright("__h", 6).alias("__w"),
-    ).select(
-        "__j",
-        F.when(F.col("__w") == 0, F.lit(55))
-        .otherwise(F.lit(55) - F.length(F.bin("__w")))
-        .cast("long")
-        .alias("__r"),
-    )
-    per = regs.groupBy("__j").agg(F.max("__r").alias("__m"))
-    spine = spark.range(_HLL_M).select(F.col("id").alias("__j"))
-    full = spine.join(per, "__j", "left").select(
-        F.coalesce("__m", F.lit(0)).cast("long").alias("__m")
-    )
-    acc = full.agg(
-        F.sum(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - __m AS INT))")
-        ).cast("long").alias("__si"),
-        F.sum(F.when(F.col("__m") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_zero_registers"),
-    )
+    est = K.hll_estimate(K.hll_registers(e, "user_id", salt=91))
     ex = e.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
-    raw = F.lit(_HLL_ALPHA_NUM) / (
-        F.col("__si").cast("double") / F.lit(_HLL_POW)
-    )
-    est = F.when(
-        (raw <= 2.5 * _HLL_M) & (F.col("n_zero_registers") > 0),
-        F.lit(float(_HLL_M))
-        * F.log(F.lit(float(_HLL_M)) / F.col("n_zero_registers").cast("double")),
-    ).otherwise(raw)
-    return acc.crossJoin(F.broadcast(ex)).select(
+    return est.crossJoin(F.broadcast(ex)).select(
         "n_exact",
         "n_zero_registers",
-        F.round(est, 4).alias("hll_estimate"),
+        "hll_estimate",
         F.round(
-            F.abs(est - F.col("n_exact").cast("double"))
+            F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
             / F.col("n_exact").cast("double"),
             4,
         ).alias("rel_err"),
     )
 
 
+def q_events_user_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates for every user vs exact counts
+    (operators/sketches.py cm_cells/cm_query: depth=4 salted hash rows ×
+    width=64 columns, exact integer cells). With more users than columns
+    every row has collisions, so the upper-bias guarantee does real work:
+    the estimate is the MIN over a key's depth cells — always >= the
+    true count — and the overcount column shows exactly what collisions
+    cost. Cells merge by SUM, so the same sketch accumulates across
+    micro-batches (streaming parity asserted in
+    tests/test_stateful_stream.py); the shuffle carries depth×width
+    cells, never corpus rows."""
+    from beacon_indexer_spark.operators import sketches as K
+
+    e = _t(spark, sf_dir, "events")
+    cells = K.cm_cells(e, "user_id")
+    keys = e.select("user_id").distinct()
+    est = K.cm_query(cells, keys, "user_id")
+    exact = e.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return est.join(exact, "key").select(
+        F.col("key").cast("long").alias("user_id"),
+        "n_exact",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("n_exact"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
+def _oracle_events_user_countmin_sql(depth: int = 4, width: int = 64) -> str:
+    hcell = _dd_md5_long(
+        "concat('23:', CAST(row AS VARCHAR), '|', k)"
+    )
+    hprobe = _dd_md5_long(
+        "concat('23:', CAST(r.row AS VARCHAR), '|', key)"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+         unnest(generate_series(0, {depth - 1})) AS row
+  FROM events),
+cells AS (
+  SELECT row, {hcell} % {width} AS col, COUNT(*) AS n
+  FROM keyed GROUP BY 1, 2),
+keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+probes AS (
+  SELECT key, r.row, {hprobe} % {width} AS col
+  FROM keys, (SELECT unnest(generate_series(0, {depth - 1})) AS row) r),
+est AS (
+  SELECT key, MIN(coalesce(c.n, 0)) AS cm_estimate
+  FROM probes p LEFT JOIN cells c USING (row, col) GROUP BY 1),
+ex AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_exact
+       FROM events GROUP BY 1)
+SELECT CAST(key AS BIGINT) AS user_id, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - n_exact AS BIGINT) AS overcount
+FROM est JOIN ex USING (key)
+"""
+
+
 def _oracle_events_user_hll_sql() -> str:
+    from beacon_indexer_spark.operators.sketches import (
+        HLL_ALPHA_NUM as _HLL_ALPHA_NUM,
+        HLL_M as _HLL_M,
+        HLL_POW as _HLL_POW,
+    )
+
     h = _dd_md5_long("concat('91:', CAST(user_id AS VARCHAR))")
     est = (
         f"CASE WHEN ({_HLL_ALPHA_NUM!r} / (CAST(si AS DOUBLE) / {_HLL_POW!r}))"
@@ -19555,10 +19587,170 @@ ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
 SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
        CAST(acc.vz AS BIGINT) AS n_zero_registers,
        round({est}, 4) AS hll_estimate,
-       round(abs(({est}) - CAST(ex.n_exact AS DOUBLE))
+       round(abs(round({est}, 4) - CAST(ex.n_exact AS DOUBLE))
              / CAST(ex.n_exact AS DOUBLE), 4) AS rel_err
 FROM acc, ex
 """
+
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 10
+_MMR_K = 5
+
+
+def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell/Goldstein) diversified
+    re-rank: exact-cosine top-10 candidates for query vec_id=0, then 5
+    greedy picks maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) —
+    the classic redundancy-punishing selection between retrieval and
+    context assembly. The greedy loop is FIVE chained DataFrame steps
+    over ≤10-row frames (lazy localCheckpoint per pick against plan
+    blow-up — the Markov/PCA convention), never a driver collect; the
+    corpus-scale work is one cosine map + TakeOrdered, exactly the
+    brute-force arm's shape. Oracle unrolls the five picks as CTEs with
+    the same rounded sims and unrounded-score ordering."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    zero = F.lit(0.0).cast("double")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("__q")
+    )
+    vec = emb.select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__e"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__e", "__q", lambda x, y: x * y), zero,
+        lambda a, x: a + x,
+    )
+    ne = F.sqrt(F.aggregate(
+        F.transform("__e", lambda x: x * x), zero, lambda a, x: a + x))
+    nq = F.sqrt(F.aggregate(
+        F.transform("__q", lambda x: x * x), zero, lambda a, x: a + x))
+    cand = (
+        vec.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", F.round(dot / (ne * nq), 6).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(_MMR_CAND)
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(F.col("doc_id").alias("a")).join(
+        vec.select(F.col("doc_id").alias("a"), F.col("__e").alias("__ea")),
+        "a",
+    )
+    b = cand.select(F.col("doc_id").alias("b")).join(
+        vec.select(F.col("doc_id").alias("b"), F.col("__e").alias("__eb")),
+        "b",
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("__ea", "__eb", lambda x, y: x * y), zero,
+        lambda a_, x: a_ + x,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform("__ea", lambda x: x * x), zero, lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(
+        F.transform("__eb", lambda x: x * x), zero, lambda a_, x: a_ + x))
+    pairs = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select("a", "b", F.round(dot_ab / (na * nb), 6).alias("sim"))
+        .localCheckpoint(eager=False)
+    )
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    selected = (
+        cand.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(1)
+        .select(
+            "doc_id", "rel",
+            F.round(F.col("rel") * lam, 6).alias("mmr_score"),
+            F.lit(1).cast("long").alias("sel_order"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for i in range(2, _MMR_K + 1):
+        pen = (
+            pairs.join(
+                F.broadcast(selected.select(F.col("doc_id").alias("b"))), "b"
+            )
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.max("sim").alias("__pen"))
+        )
+        sc = F.col("rel") * lam - F.col("__pen") * mu
+        pick = (
+            cand.join(selected.select("doc_id"), "doc_id", "left_anti")
+            .join(pen, "doc_id")
+            .orderBy(F.desc(sc), F.asc("doc_id"))
+            .limit(1)
+            .select(
+                "doc_id", "rel",
+                F.round(sc, 6).alias("mmr_score"),
+                F.lit(i).cast("long").alias("sel_order"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select("sel_order", "doc_id", "rel", "mmr_score")
+
+
+def _oracle_embedding_mmr_rerank_sql(
+    lam: float = _MMR_LAMBDA, cand_n: int = _MMR_CAND, k: int = _MMR_K
+) -> str:
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (x,y) -> x + y)"
+    dot_eq = fold.format(
+        arr="list_transform(generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i])"
+    )
+    sq = "sqrt(" + fold.format(
+        arr="list_transform({t}.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    ) + ")"
+    sq_q = "sqrt(" + fold.format(arr="list_transform(q.qv, x -> x * x)") + ")"
+    dot_ab = fold.format(
+        arr="list_transform(generate_series(1, len(ea.embedding)),"
+        " i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))"
+    )
+    mu = 1.0 - lam
+    parts = [
+        f"""q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0)""",
+        f"""cand AS (
+  SELECT e.vec_id AS doc_id,
+         round(({dot_eq}) / (({sq.format(t='e')}) * ({sq_q})), 6) AS rel
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY rel DESC, doc_id LIMIT {cand_n})""",
+        f"""pairs AS (
+  SELECT ca.doc_id AS a, cb.doc_id AS b,
+         round(({dot_ab}) / (({sq.format(t='ea')}) * ({sq.format(t='eb')})), 6) AS sim
+  FROM cand ca JOIN embeddings ea ON ea.vec_id = ca.doc_id,
+       cand cb JOIN embeddings eb ON eb.vec_id = cb.doc_id
+  WHERE ca.doc_id <> cb.doc_id)""",
+        f"""s1 AS (
+  SELECT doc_id, rel, round(rel * {lam!r}, 6) AS mmr_score,
+         CAST(1 AS BIGINT) AS sel_order
+  FROM cand ORDER BY rel DESC, doc_id LIMIT 1)""",
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{j}" for j in range(1, i)
+        )
+        parts.append(
+            f"""s{i} AS (
+  SELECT c.doc_id, c.rel,
+         round(c.rel * {lam!r} - p.pen * {mu!r}, 6) AS mmr_score,
+         CAST({i} AS BIGINT) AS sel_order
+  FROM cand c
+  JOIN (SELECT a AS doc_id, MAX(sim) AS pen FROM pairs
+        WHERE b IN ({prev}) GROUP BY 1) p USING (doc_id)
+  WHERE c.doc_id NOT IN ({prev})
+  ORDER BY (c.rel * {lam!r} - p.pen * {mu!r}) DESC, c.doc_id LIMIT 1)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, k + 1))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT sel_order, CAST(doc_id AS BIGINT) AS doc_id, rel, mmr_score
+FROM ({union})
+"""
+    )
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -19867,6 +20059,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_hybrid_retrieval_rrf": q_doc_hybrid_retrieval_rrf,
     "similarity_ivfpq_rerank": q_similarity_ivfpq_rerank,
     "events_user_hll": q_events_user_hll,
+    "events_user_countmin": q_events_user_countmin,
+    "embedding_mmr_rerank": q_embedding_mmr_rerank,
 }
 
 
@@ -20201,4 +20395,6 @@ def oracles() -> dict[str, str]:
         "doc_hybrid_retrieval_rrf": _oracle_doc_hybrid_retrieval_rrf_sql(),
         "similarity_ivfpq_rerank": _oracle_similarity_ivfpq_rerank_sql(),
         "events_user_hll": _oracle_events_user_hll_sql(),
+        "events_user_countmin": _oracle_events_user_countmin_sql(),
+        "embedding_mmr_rerank": _oracle_embedding_mmr_rerank_sql(),
     }

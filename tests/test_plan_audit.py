@@ -108,6 +108,7 @@ _ALLOWED_CROSS = {
     "customer_untapped_balance",  # broadcast ONE-ROW avg-balance threshold
     "events_user_hll",  # broadcast ONE-ROW exact-count attach
     "doc_hybrid_retrieval_rrf",  # ≤20-row rank self-joins + ONE-ROW query vector
+    "embedding_mmr_rerank",  # ≤10-row pair grid + ONE-ROW query vector
 }
 
 # iterative operator: executes during plan construction; its final plan is

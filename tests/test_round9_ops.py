@@ -138,3 +138,95 @@ def test_top_revenue_supplier_exact_tie_kept(spark, tmp_path):
     rows = QUERIES["top_revenue_supplier"](spark, str(tmp_path)).collect()
     assert [(r["s_suppkey"], r["s_name"], r["total_revenue"]) for r in rows] \
         == [(1, "Supplier#1", 100.0), (2, "Supplier#2", 100.0)]
+
+
+def test_customer_untapped_balance_planted(spark, tmp_path):
+    """Q22 semantics: above-positive-average balance AND no URGENT order.
+    A (rich, no urgent) is reported; B (rich, has urgent) is anti-joined
+    away; C (below average) and D (negative balance) never qualify."""
+    d0 = datetime(1995, 1, 1)
+    _plant(
+        spark, tmp_path, "customer",
+        [
+            (1, "A", 7, 100.0, "BUILDING"),
+            (2, "B", 7, 100.0, "BUILDING"),
+            (3, "C", 8, 1.0, "AUTOMOBILE"),
+            (4, "D", 8, -50.0, "AUTOMOBILE"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    _plant(
+        spark, tmp_path, "orders",
+        [
+            (10, 2, d0, "1-URGENT"),
+            (11, 1, d0, "5-LOW"),  # A has an order, just not urgent
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    rows = QUERIES["customer_untapped_balance"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["c_nationkey"], r["n_customers"], r["total_acctbal"]) == (7, 1, 100.0)
+
+
+def test_mmr_selection_diversifies(spark, tmp_path):
+    """MMR must trade relevance for diversity: with a clone-cluster of
+    high-relevance near-duplicates and a spread of diverse moderates,
+    plain top-5 keeps the clones while MMR keeps the most relevant clone
+    and pulls in diverse picks — mean intra-set similarity must drop."""
+    dim = 8
+
+    def unit(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    q = [1.0] + [0.0] * (dim - 1)
+    rows = [(0, q)]
+    # 1..6: a clone CLUSTER tilted off the query axis (rel ~0.8, intra
+    # ~1.0 — more similar to each other than to the query, the regime
+    # MMR exists for)
+    for i in range(1, 7):
+        v = [0.0] * dim
+        v[0] = 0.8
+        v[dim - 1] = 0.6 + 0.001 * i
+        rows.append((i, unit(v)))
+    # 7..12: diverse moderates — slightly less relevant (rel ~0.75),
+    # mutually near-orthogonal side axes
+    for i in range(7, 13):
+        v = [0.0] * dim
+        v[0] = 0.75
+        v[1 + (i - 7)] = 0.66
+        rows.append((i, unit(v)))
+    _plant(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<double>",
+    )
+    sel = {
+        r["sel_order"]: r["doc_id"]
+        for r in QUERIES["embedding_mmr_rerank"](spark, str(tmp_path)).collect()
+    }
+    assert len(sel) == 5
+    data = {vid: v for vid, v in rows}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    # rank 1 is the plain most-relevant candidate
+    best = max((cos(data[i], q), -i) for i in range(1, 13))
+    assert sel[1] == -best[1]
+    plain5 = [-i for _, i in sorted(
+        ((cos(data[i], q), -i) for i in range(1, 13)), reverse=True)[:5]]
+
+    def mean_pair_sim(ids):
+        ids = list(ids)
+        sims = [
+            cos(data[a], data[b])
+            for ai, a in enumerate(ids) for b in ids[ai + 1:]
+        ]
+        return sum(sims) / len(sims)
+
+    assert mean_pair_sim(sel.values()) < mean_pair_sim(plain5) - 0.1
+    # diversity picks actually happened: not all selections are clones
+    assert any(d >= 7 for d in sel.values())

@@ -611,3 +611,119 @@ def test_streaming_heavy_hitters_bounded_regime(spark, tmp_path):
     top = heavy_hitters(summary, k=1).collect()[0]
     assert top["key"] == "h0"
     assert top["cnt_low"] <= exact["h0"] <= top["cnt_high"]
+
+
+def _stream_batches(spark, src, batches, schema):
+    import time
+
+    os.makedirs(src, exist_ok=True)
+    seen = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        later = time.time() + 5 * (i + 1)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in seen:
+                seen.add(p)
+                os.utime(p, (later, later))
+
+
+def test_streaming_hll_merge_is_lossless(spark, tmp_path):
+    """HLL registers merge by per-register MAX — a LOSSLESS merge, so the
+    estimate accumulated over micro-batches must be byte-identical to a
+    one-shot batch build over the union (not merely close)."""
+    from beacon_indexer_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    src = str(tmp_path / "hll_raw")
+    state = str(tmp_path / "hll_regs")
+    batches = [
+        [(i,) for i in range(0, 40)],
+        [(i,) for i in range(25, 70)],  # overlap — dedup is the point
+        [(i,) for i in range(60, 100)],
+    ]
+    _stream_batches(spark, src, batches, "k long")
+
+    def ingest(batch_df, batch_id):
+        prior = None
+        if os.path.isdir(state) and any(
+            f.endswith(".parquet") for f in os.listdir(state)
+        ):
+            prior = spark.read.parquet(state)
+        new = hll_merge(prior, hll_registers(batch_df, "k")).localCheckpoint()
+        new.write.mode("overwrite").parquet(state)
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    streamed = hll_estimate(spark.read.parquet(state)).collect()[0]
+    whole = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    oneshot = hll_estimate(hll_registers(whole, "k")).collect()[0]
+    assert streamed["hll_estimate"] == oneshot["hll_estimate"]
+    assert streamed["n_zero_registers"] == oneshot["n_zero_registers"]
+    # sanity: the estimate is in the right ballpark for 100 distinct
+    assert 50 <= streamed["hll_estimate"] <= 200
+
+
+def test_streaming_countmin_merge_is_lossless(spark, tmp_path):
+    """Count-min cells merge by per-cell SUM — the accumulated sketch
+    must answer point queries identically to a one-shot build, and every
+    estimate must sit >= the true count (upper bias)."""
+    from beacon_indexer_spark.operators.sketches import (
+        cm_cells,
+        cm_merge,
+        cm_query,
+    )
+
+    src = str(tmp_path / "cm_raw")
+    state = str(tmp_path / "cm_cells")
+    batches = [
+        [(i % 7,) for i in range(40)],
+        [(i % 11,) for i in range(50)],
+        [(i % 5,) for i in range(30)],
+    ]
+    _stream_batches(spark, src, batches, "k long")
+
+    def ingest(batch_df, batch_id):
+        prior = None
+        if os.path.isdir(state) and any(
+            f.endswith(".parquet") for f in os.listdir(state)
+        ):
+            prior = spark.read.parquet(state)
+        new = cm_merge(prior, cm_cells(batch_df, "k")).localCheckpoint()
+        new.write.mode("overwrite").parquet(state)
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    flat = [k for rows in batches for (k,) in rows]
+    whole = spark.createDataFrame([(k,) for k in flat], "k long")
+    keys = whole.select("k").distinct()
+    sketch = spark.read.parquet(state)
+    streamed = {
+        r["key"]: r["cm_estimate"]
+        for r in cm_query(sketch, keys, "k").collect()
+    }
+    oneshot = {
+        r["key"]: r["cm_estimate"]
+        for r in cm_query(cm_cells(whole, "k"), keys, "k").collect()
+    }
+    assert streamed == oneshot
+    exact = {str(k): flat.count(k) for k in set(flat)}
+    for k, est in streamed.items():
+        assert est >= exact[k], (k, est, exact[k])
