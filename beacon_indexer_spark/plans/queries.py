@@ -19508,7 +19508,10 @@ def q_events_user_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beacon_indexer_spark.operators import sketches as K
 
     e = _t(spark, sf_dir, "events")
-    cells = K.cm_cells(e, "user_id")
+    # spread ONLY the projected key column across cores: cm_cells fans
+    # each key to depth=4 md5 rows — CPU-bound on few input splits, and a
+    # full-row repartition would move the whole table to save it
+    cells = K.cm_cells(_spread(e.select("user_id")), "user_id")
     keys = e.select("user_id").distinct()
     est = K.cm_query(cells, keys, "user_id")
     exact = e.groupBy(F.col("user_id").cast("string").alias("key")).agg(

@@ -194,6 +194,109 @@ def gen_orders(rng: np.random.Generator, mult: int) -> pa.Table:
     )
 
 
+def gen_customer(rng: np.random.Generator, mult: int) -> pa.Table:
+    """mult× customers by deterministic tiling with block id offsets —
+    the id domain gen_orders stripes custkeys across; per-row attribute
+    distributions preserved exactly."""
+    t = _read("customer")
+    n = t.num_rows
+    ids = t.column("c_custkey").to_numpy()
+    nat = t.column("c_nationkey").to_numpy()
+    bal = t.column("c_acctbal").to_numpy()
+    seg = t.column("c_mktsegment").to_pylist()
+    out = {
+        "c_custkey": np.concatenate(
+            [ids + b * n for b in range(mult)]
+        ).astype("int64"),
+        "c_nationkey": np.tile(nat, mult),
+        "c_acctbal": np.tile(bal, mult),
+    }
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"], pa.int64()),
+            "c_name": pa.array(
+                [f"Customer#{i:09d}" for i in out["c_custkey"]]
+            ),
+            "c_nationkey": pa.array(
+                out["c_nationkey"], t.schema.field("c_nationkey").type
+            ),
+            "c_acctbal": pa.array(out["c_acctbal"], pa.float64()),
+            "c_mktsegment": pa.array(seg * mult),
+        }
+    )
+
+
+def gen_supplier(rng: np.random.Generator, mult: int) -> pa.Table:
+    """Suppliers stay 1× (dims grow slower than facts): mult× lineitems
+    spread over the SAME supplier set — per-supplier fact density scales
+    with mult, which is what the supplier rollup/fault queries pay."""
+    return _read("supplier")
+
+
+def gen_lineitem(rng: np.random.Generator, mult: int) -> pa.Table:
+    """Lines for the mult× orders of gen_orders: per-order line-count and
+    per-line ship latency (l_shipdate − o_orderdate) distributions are
+    preserved by empirical resampling, so Q12/Q21-style latency buckets
+    scale honestly; part/supplier/qty/price/discount/flags resample the
+    source rows (suppliers deliberately un-multiplied)."""
+    li = _read("lineitem")
+    o = _read("orders")
+    src_ok = li.column("l_orderkey").to_numpy()
+    o_date = o.column("o_orderdate").cast(pa.int64()).to_numpy()
+    ship_t = li.column("l_shipdate")
+    lat = ship_t.cast(pa.int64()).to_numpy() - o_date[src_ok]
+    counts = np.bincount(src_ok, minlength=o.num_rows)
+    n_orders = o.num_rows * mult
+    # per-new-order line count sampled from the source count distribution
+    k = counts[rng.integers(0, len(counts), size=n_orders)]
+    n = int(k.sum())
+    okeys = np.repeat(np.arange(n_orders, dtype="int64"), k)
+    lnum = np.concatenate([np.arange(1, c + 1) for c in k]).astype("int64")
+    # new order dates: regenerate gen_orders' dates? instead read them
+    # from the already-written sf1 orders at call time is not possible
+    # here — re-derive identically is fragile; sample latencies onto a
+    # fresh uniform date draw is WRONG for per-order latency coherence.
+    # Correct approach: this generator is called with the SAME rng stream
+    # ordering as main(), and main() passes the generated orders table in
+    # via gen_lineitem.orders (set by main before calling).
+    new_odate = gen_lineitem.orders.column("o_orderdate").cast(
+        pa.int64()
+    ).to_numpy()
+    src_idx = rng.integers(0, li.num_rows, size=n)
+    ship = new_odate[okeys] + lat[src_idx]
+    day = 86_400_000_000 if ship_t.type == pa.timestamp("us") else 1
+    _ = day  # latency carries the source physical unit already
+    return pa.table(
+        {
+            "l_orderkey": pa.array(okeys, pa.int64()),
+            "l_partkey": pa.array(
+                li.column("l_partkey").to_numpy()[src_idx], pa.int64()
+            ),
+            "l_suppkey": pa.array(
+                li.column("l_suppkey").to_numpy()[src_idx], pa.int64()
+            ),
+            "l_linenumber": pa.array(lnum, pa.int64()),
+            "l_quantity": pa.array(
+                li.column("l_quantity").to_numpy()[src_idx]
+            ),
+            "l_extendedprice": pa.array(
+                li.column("l_extendedprice").to_numpy()[src_idx]
+            ),
+            "l_discount": pa.array(
+                li.column("l_discount").to_numpy()[src_idx]
+            ),
+            "l_tax": pa.array(li.column("l_tax").to_numpy()[src_idx]),
+            "l_returnflag": pa.array(
+                np.array(li.column("l_returnflag").to_pylist())[src_idx]
+            ),
+            "l_linestatus": pa.array(
+                np.array(li.column("l_linestatus").to_pylist())[src_idx]
+            ),
+            "l_shipdate": pa.array(ship, pa.int64()).cast(ship_t.type),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -207,8 +310,14 @@ def main() -> None:
         ("part", gen_part),
         ("events", gen_events),
         ("orders", gen_orders),
+        ("customer", gen_customer),
+        ("supplier", gen_supplier),
+        ("lineitem", gen_lineitem),
     ):
         tbl = fn(rng, args.mult)
+        if name == "orders":
+            gen_lineitem.orders = tbl  # lineitem derives ship dates from
+            # the SAME generated order dates (per-order latency coherence)
         pq.write_table(tbl, f"{args.out}/{name}.parquet")
         print(name, tbl.num_rows, "rows")
 
