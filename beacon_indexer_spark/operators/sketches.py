@@ -104,6 +104,51 @@ def hll_estimate(summary: DataFrame) -> DataFrame:
     )
 
 
+BK_K = 256
+
+
+def bottomk_sample(
+    batch: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = BK_K,
+    salt: int = 47,
+) -> DataFrame:
+    """(pri, value) bottom-k priority sample: the k rows whose salted
+    md5(id) is smallest — a uniform k-row sample with NO RNG state
+    (md5 order is a fixed total order on ids), gathered by a
+    TakeOrderedAndProject (map-side partial top-k, never a global sort).
+    Bottom-k is merge-closed: the k smallest of a union are the k
+    smallest of the merged bottom-k's, so streaming accumulation is
+    lossless (asserted in tests)."""
+    pri = _md5_long(F.col(id_col).cast("string"), salt)
+    return (
+        batch.select(
+            pri.alias("pri"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .orderBy(F.asc("pri"))
+        .limit(k)
+    )
+
+
+def bottomk_merge(
+    summary: DataFrame | None, sample: DataFrame, k: int = BK_K
+) -> DataFrame:
+    """Merge a batch's bottom-k into the running summary: union, dedup
+    redelivered ids by priority, keep the k smallest — the lossless
+    bottom-k merge."""
+    if summary is None:
+        return sample
+    return (
+        summary.unionByName(sample)
+        .groupBy("pri")
+        .agg(F.min("value").alias("value"))
+        .orderBy(F.asc("pri"))
+        .limit(k)
+    )
+
+
 def cm_cells(
     batch: DataFrame,
     key_col: str,

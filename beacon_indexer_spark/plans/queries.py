@@ -19596,6 +19596,451 @@ FROM acc, ex
 """
 
 
+def q_events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deciles from a bottom-k priority sample vs exact deciles
+    (operators/sketches.py bottomk_sample: the 256 rows with smallest
+    md5(event_id) — a uniform RNG-free sample gathered by TakeOrdered,
+    merge-closed so the streaming path accumulates losslessly, asserted
+    in tests/test_stateful_stream.py). Both sides use the same discrete
+    rule — value at integer rank ceil(q·n) = (q10·n+9) DIV 10, picked
+    from a cents histogram via the bounded-fan-in exclusive prefix sum —
+    so the comparison isolates SAMPLING error, not rule mismatch. The
+    exact side's histogram is |distinct cents|-bounded, never a raw-row
+    sort; integer ranks keep both engines bit-identical (no 0.1·n
+    float-boundary surprises)."""
+    from beacon_indexer_spark.operators import sketches as K
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    e = _t(spark, sf_dir, "events")
+    samp = K.bottomk_sample(e, "value", "event_id", k=256)
+    qf = spark.createDataFrame(
+        [(i,) for i in range(1, 10)], "q10 long"
+    )
+
+    def deciles(vals: DataFrame, out: str) -> DataFrame:
+        hist = vals.groupBy(
+            F.round(F.col("value") * 100, 0).cast("long").alias("__k")
+        ).agg(F.count(F.lit(1)).cast("long").alias("__f"))
+        h = _exclusive_prefix(hist, "__k", "__f", "__cum")
+        tot = hist.agg(F.sum("__f").cast("long").alias("__n"))
+        return (
+            h.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(qf))
+            .filter(
+                F.col("__cum") + F.col("__f")
+                >= F.expr("CAST((q10 * __n + 9) DIV 10 AS BIGINT)")
+            )
+            .groupBy("q10")
+            .agg((F.min("__k").cast("double") / 100.0).alias(out))
+        )
+
+    est = deciles(samp.select("value"), "est")
+    exact = deciles(
+        e.select(F.col("value").cast("double").alias("value")), "exact"
+    )
+    return est.join(exact, "q10").select(
+        (F.col("q10").cast("double") / 10.0).alias("q"),
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")), 2).alias("abs_err"),
+    )
+
+
+def _oracle_events_value_quantile_sketch_sql(k: int = 256) -> str:
+    pri = _dd_md5_long("concat('47:', CAST(event_id AS VARCHAR))")
+    return f"""
+WITH samp AS (
+  SELECT {pri} AS pri, CAST(value AS DOUBLE) AS value
+  FROM events ORDER BY pri LIMIT {k}),
+qs AS (SELECT unnest(generate_series(1, 9)) AS q10),
+eh AS (
+  SELECT k, SUM(f) OVER (ORDER BY k) AS cum FROM (
+    SELECT CAST(round(value * 100, 0) AS BIGINT) AS k, COUNT(*) AS f
+    FROM samp GROUP BY 1)),
+en AS (SELECT COUNT(*) AS n FROM samp),
+est AS (
+  SELECT q.q10, MIN(h.k) AS kk
+  FROM eh h, en n, qs q
+  WHERE h.cum >= (q.q10 * n.n + 9) // 10 GROUP BY 1),
+xh AS (
+  SELECT k, SUM(f) OVER (ORDER BY k) AS cum FROM (
+    SELECT CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS k,
+           COUNT(*) AS f
+    FROM events GROUP BY 1)),
+xn AS (SELECT COUNT(*) AS n FROM events),
+exact AS (
+  SELECT q.q10, MIN(h.k) AS kk
+  FROM xh h, xn n, qs q
+  WHERE h.cum >= (q.q10 * n.n + 9) // 10 GROUP BY 1)
+SELECT CAST(e.q10 AS DOUBLE) / 10.0 AS q,
+       CAST(e.kk AS DOUBLE) / 100.0 AS est,
+       CAST(x.kk AS DOUBLE) / 100.0 AS exact,
+       round(abs(CAST(e.kk AS DOUBLE) / 100.0
+                 - CAST(x.kk AS DOUBLE) / 100.0), 2) AS abs_err
+FROM est e JOIN exact x USING (q10)
+"""
+
+
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (event_type, date,
+    value-decade): for each k in {2, 5, 10, 20}, how many quasi-id
+    groups and rows sit BELOW the anonymity threshold — the re-ident
+    risk read a privacy review runs before releasing event data. One
+    |quasi-combos|-bounded aggregation; the 4 thresholds fan out as a
+    broadcast literal and re-aggregate map-side."""
+    e = _t(spark, sf_dir, "events")
+    groups = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("__d"),
+        F.floor(F.col("value").cast("double") / 10).cast("long").alias("__b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    kf = spark.createDataFrame([(2,), (5,), (10,), (20,)], "k long")
+    return (
+        groups.crossJoin(F.broadcast(kf))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("__c") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_groups_below"),
+            F.sum(F.when(F.col("__c") < F.col("k"), F.col("__c")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_below"),
+            F.sum("__c").cast("long").alias("n_rows_total"),
+        )
+        .select(
+            "k",
+            "n_groups_below",
+            "n_rows_below",
+            F.round(
+                F.col("n_rows_below").cast("double") * 100.0
+                / F.col("n_rows_total").cast("double"),
+                4,
+            ).alias("pct_rows_below"),
+        )
+    )
+
+
+ORACLE_EVENTS_K_ANONYMITY = """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(floor(CAST(value AS DOUBLE) / 10) AS BIGINT) AS b,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3),
+ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN c < k THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below,
+       CAST(SUM(CASE WHEN c < k THEN c ELSE 0 END) AS BIGINT) AS n_rows_below,
+       round(CAST(SUM(CASE WHEN c < k THEN c ELSE 0 END) AS DOUBLE) * 100.0
+             / CAST(SUM(c) AS DOUBLE), 4) AS pct_rows_below
+FROM g, ks GROUP BY 1
+"""
+
+
+def q_user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 state history from an event stream: each user's run-length
+    intervals of consecutive same-type events as (state, valid_from,
+    valid_to, n_events) — the slowly-changing-dimension build every
+    warehouse does from change events. Two windows, both partitioned by
+    user (one ordered pass for run ids, one over the |runs|-bounded
+    frame for valid_to); deterministic (ts, event_id) ordering."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = (
+        e.withColumn(
+            "__run",
+            F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(
+            F.col("user_id").cast("long").alias("user_id"), F.col("__run")
+        )
+        .agg(
+            F.max("event_type").alias("state"),
+            F.min(F.unix_timestamp("ts")).cast("long").alias("valid_from"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("__run")
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).cast("long").alias("valid_to"),
+        "n_events",
+    )
+
+
+ORACLE_USER_TYPE_SCD2 = """
+WITH o AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ets, ts,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+           AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM o),
+runs AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, run,
+         MAX(event_type) AS state,
+         MIN(ets) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM r GROUP BY 1, 2)
+SELECT user_id, state, CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+            AS BIGINT) AS valid_to,
+       n_events
+FROM runs
+"""
+
+
+def q_embedding_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the IVF index: nDCG@10 of the
+    approximate ranking against the exact-cosine ideal, per probe query
+    (gains = cos+1 so negative similarities stay monotone; discounts
+    1/log2(rank+1)). Complements the recall gate (`embedding_ann_recall`)
+    with an order-sensitive metric. DCG sums fold over rank-sorted
+    10-element lists (deterministic accumulation); corpus-scale work is
+    the two ranking passes, both already audited."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    cents = S.ivf_centroids(emb, k=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = S.ivf_topk(emb, queries, cents, k=10, nprobe=2)
+    exact = S.brute_force_topk(emb, queries, k=10)
+    zero = F.lit(0.0).cast("double")
+
+    def dcg(df, out):
+        return df.groupBy(
+            F.col("query_id").cast("long").alias("query_id")
+        ).agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rank").alias("rank"),
+                            F.round("cos_sim", 6).alias("g"),
+                        )
+                    )
+                ),
+                zero,
+                lambda acc, s: acc
+                + (s["g"] + 1.0) / F.log2(s["rank"].cast("double") + 1.0),
+            ).alias(out)
+        )
+
+    a = dcg(approx, "__dcg")
+    i = dcg(exact, "__idcg")
+    return a.join(i, "query_id").select(
+        "query_id",
+        F.round("__dcg", 6).alias("dcg"),
+        F.round("__idcg", 6).alias("idcg"),
+        F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
+    )
+
+
+def _oracle_embedding_ann_ndcg_sql() -> str:
+    approx = _oracle_similarity_ivf_sql(topk=10).strip()
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
+    )
+    dot_qv = fold.format(
+        arr="list_transform(generate_series(1, len(qe.embedding)),"
+        " i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ve.embedding[i] AS DOUBLE))"
+    )
+    norm = (
+        "sqrt("
+        + fold.format(
+            arr="list_transform({e}.embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        + ")"
+    )
+    # ranks are contiguous 1..10, so the rank-ordered gain list's index
+    # IS the rank — no struct needed
+    dcg = fold.format(
+        arr="list_transform(generate_series(1, len(list(g ORDER BY rank))),"
+        " i -> (list(g ORDER BY rank)[i] + 1.0)"
+        " / log2(CAST(i AS DOUBLE) + 1.0))"
+    )
+    return f"""
+WITH approx AS (
+{approx}
+),
+ecos AS (
+  SELECT qe.vec_id AS query_id, ve.vec_id AS neighbor_id,
+         ({dot_qv}) / (({norm.format(e='qe')}) * ({norm.format(e='ve')}))
+           AS cos_sim
+  FROM embeddings qe, embeddings ve
+  WHERE qe.vec_id < 5 AND ve.vec_id <> qe.vec_id),
+etk AS (
+  SELECT query_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM ecos),
+adcg AS (
+  SELECT query_id, {dcg} AS dcg
+  FROM (SELECT query_id, rank, round(cos_sim, 6) AS g FROM approx)
+  GROUP BY 1),
+idcg AS (
+  SELECT query_id, {dcg} AS dcg
+  FROM (SELECT query_id, rank, round(cos_sim, 6) AS g FROM etk
+        WHERE rank <= 10)
+  GROUP BY 1)
+SELECT CAST(a.query_id AS BIGINT) AS query_id,
+       round(a.dcg, 6) AS dcg, round(i.dcg, 6) AS idcg,
+       round(a.dcg / i.dcg, 6) AS ndcg
+FROM adcg a JOIN idcg i USING (query_id)
+"""
+
+
+_SHAPLEY_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _shapley_terms() -> list[tuple[str, str, str, float]]:
+    """(channel, T_key, T∪c_key, weight) for every channel and every
+    subset T of the other channels — the exact Shapley enumeration at
+    k=4 (8 terms per channel), shared verbatim by the Spark literal
+    frame and the oracle VALUES table."""
+    import itertools
+    import math
+
+    k = len(_SHAPLEY_CHANNELS)
+    out = []
+    for c in _SHAPLEY_CHANNELS:
+        rest = [x for x in _SHAPLEY_CHANNELS if x != c]
+        for r in range(len(rest) + 1):
+            for t in itertools.combinations(rest, r):
+                w = (
+                    math.factorial(r)
+                    * math.factorial(k - 1 - r)
+                    / math.factorial(k)
+                )
+                tk = ",".join(sorted(t))
+                tck = ",".join(sorted(t + (c,)))
+                out.append((c, tk, tck, w))
+    return out
+
+
+def q_events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (the cooperative-game MTA
+    standard): each user's coalition = the set of channel types touched
+    strictly BEFORE their first purchase (all touches for
+    non-converters), v(coalition) = that exact set's conversion rate,
+    and each channel's credit is the exact 4-channel Shapley sum —
+    coalition values from one |2^k|-bounded rollup, the 32-term
+    enumeration shipped as a broadcast literal (shared with the oracle),
+    per-term products 1e-9-quantized so the sum is order-free."""
+    e = _t(spark, sf_dir, "events")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_timestamp("ts")).alias("__pts"))
+    )
+    nonp = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("__ets")
+    )
+    touched = (
+        nonp.join(purch, "user_id", "left")
+        .filter(F.col("__pts").isNull() | (F.col("__ets") < F.col("__pts")))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("event_type"))
+            ).alias("skey")
+        )
+    )
+    users = (
+        e.select("user_id")
+        .distinct()
+        .join(touched, "user_id", "left")
+        .join(purch, "user_id", "left")
+        .select(
+            F.coalesce("skey", F.lit("")).alias("skey"),
+            F.when(F.col("__pts").isNotNull(), 1).otherwise(0).alias("__cv"),
+        )
+    )
+    v = users.groupBy("skey").agg(
+        (
+            F.sum("__cv").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("v")
+    )
+    terms = spark.createDataFrame(
+        _shapley_terms(), "channel string, tk string, tck string, w double"
+    )
+    vt = v.select(F.col("skey").alias("tk"), F.col("v").alias("__vt"))
+    vtc = v.select(F.col("skey").alias("tck"), F.col("v").alias("__vtc"))
+    scored = (
+        terms.join(F.broadcast(vt), "tk", "left")
+        .join(F.broadcast(vtc), "tck", "left")
+        .select(
+            "channel",
+            F.round(
+                F.col("w")
+                * (
+                    F.coalesce("__vtc", F.lit(0.0))
+                    - F.coalesce("__vt", F.lit(0.0))
+                )
+                * 1e9,
+                0,
+            )
+            .cast("long")
+            .alias("__q"),
+        )
+    )
+    return (
+        scored.groupBy("channel")
+        .agg((F.sum("__q").cast("double") / 1e9).alias("__s"))
+        .select("channel", F.round("__s", 6).alias("shapley_value"))
+    )
+
+
+def _oracle_events_shapley_attribution_sql() -> str:
+    rows = ",\n    ".join(
+        f"('{c}', '{tk}', '{tck}', {w!r})"
+        for c, tk, tck, w in _shapley_terms()
+    )
+    return f"""
+WITH purch AS (
+  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS pts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+touched AS (
+  SELECT e.user_id,
+         array_to_string(list_sort(list(DISTINCT e.event_type)), ',') AS skey
+  FROM events e LEFT JOIN purch p USING (user_id)
+  WHERE e.event_type <> 'purchase'
+    AND (p.pts IS NULL OR CAST(floor(epoch(e.ts)) AS BIGINT) < p.pts)
+  GROUP BY 1),
+users AS (
+  SELECT coalesce(t.skey, '') AS skey,
+         CASE WHEN p.pts IS NOT NULL THEN 1 ELSE 0 END AS cv
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN touched t USING (user_id)
+  LEFT JOIN purch p USING (user_id)),
+v AS (
+  SELECT skey, CAST(SUM(cv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+  FROM users GROUP BY 1),
+terms(channel, tk, tck, w) AS (VALUES
+    {rows}),
+scored AS (
+  SELECT t.channel,
+         CAST(round(t.w * (coalesce(vc.v, 0.0) - coalesce(vt.v, 0.0)) * 1e9,
+                    0) AS BIGINT) AS q
+  FROM terms t
+  LEFT JOIN v vt ON vt.skey = t.tk
+  LEFT JOIN v vc ON vc.skey = t.tck)
+SELECT channel, round(CAST(SUM(q) AS DOUBLE) / 1e9, 6) AS shapley_value
+FROM scored GROUP BY 1
+"""
+
+
 _MMR_LAMBDA = 0.7
 _MMR_CAND = 10
 _MMR_K = 5
@@ -20064,6 +20509,11 @@ QUERIES: dict[str, QueryFn] = {
     "events_user_hll": q_events_user_hll,
     "events_user_countmin": q_events_user_countmin,
     "embedding_mmr_rerank": q_embedding_mmr_rerank,
+    "events_value_quantile_sketch": q_events_value_quantile_sketch,
+    "events_k_anonymity": q_events_k_anonymity,
+    "user_type_scd2": q_user_type_scd2,
+    "embedding_ann_ndcg": q_embedding_ann_ndcg,
+    "events_shapley_attribution": q_events_shapley_attribution,
 }
 
 
@@ -20400,4 +20850,9 @@ def oracles() -> dict[str, str]:
         "events_user_hll": _oracle_events_user_hll_sql(),
         "events_user_countmin": _oracle_events_user_countmin_sql(),
         "embedding_mmr_rerank": _oracle_embedding_mmr_rerank_sql(),
+        "events_value_quantile_sketch": _oracle_events_value_quantile_sketch_sql(),
+        "events_k_anonymity": ORACLE_EVENTS_K_ANONYMITY,
+        "user_type_scd2": ORACLE_USER_TYPE_SCD2,
+        "embedding_ann_ndcg": _oracle_embedding_ann_ndcg_sql(),
+        "events_shapley_attribution": _oracle_events_shapley_attribution_sql(),
     }

@@ -109,6 +109,9 @@ _ALLOWED_CROSS = {
     "events_user_hll",  # broadcast ONE-ROW exact-count attach
     "doc_hybrid_retrieval_rrf",  # ≤20-row rank self-joins + ONE-ROW query vector
     "embedding_mmr_rerank",  # ≤10-row pair grid + ONE-ROW query vector
+    "events_value_quantile_sketch",  # ONE-ROW total + 9-row decile literals
+    "events_k_anonymity",  # 4-row threshold literal fan-out
+    "embedding_ann_ndcg",  # brute-force arm's broadcast query side
 }
 
 # iterative operator: executes during plan construction; its final plan is

@@ -727,3 +727,56 @@ def test_streaming_countmin_merge_is_lossless(spark, tmp_path):
     exact = {str(k): flat.count(k) for k in set(flat)}
     for k, est in streamed.items():
         assert est >= exact[k], (k, est, exact[k])
+
+
+def test_streaming_bottomk_merge_is_lossless(spark, tmp_path):
+    """Bottom-k priority samples merge losslessly (the k smallest of a
+    union are the k smallest of the merged bottom-k's), so the sample —
+    and any quantile estimated from it — accumulated over micro-batches
+    must equal the one-shot batch sample exactly."""
+    from beacon_indexer_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_sample,
+    )
+
+    src = str(tmp_path / "bk_raw")
+    state = str(tmp_path / "bk_sample")
+    batches = [
+        [(i, float(i % 37)) for i in range(0, 120)],
+        [(i, float(i % 37)) for i in range(100, 240)],  # ids 100-119 redelivered
+        [(i, float(i % 37)) for i in range(240, 360)],
+    ]
+    _stream_batches(spark, src, batches, "event_id long, value double")
+
+    def ingest(batch_df, batch_id):
+        prior = None
+        if os.path.isdir(state) and any(
+            f.endswith(".parquet") for f in os.listdir(state)
+        ):
+            prior = spark.read.parquet(state)
+        new = bottomk_merge(
+            prior, bottomk_sample(batch_df, "value", "event_id", k=64), k=64
+        ).localCheckpoint()
+        new.write.mode("overwrite").parquet(state)
+
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        (r["pri"], r["value"]) for r in spark.read.parquet(state).collect()
+    )
+    whole = spark.createDataFrame(
+        [(i, v) for rows in batches for (i, v) in rows],
+        "event_id long, value double",
+    ).dropDuplicates(["event_id"])
+    oneshot = sorted(
+        (r["pri"], r["value"])
+        for r in bottomk_sample(whole, "value", "event_id", k=64).collect()
+    )
+    assert len(streamed) == 64
+    assert streamed == oneshot
