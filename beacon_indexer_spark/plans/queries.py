@@ -18911,7 +18911,10 @@ def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivfpq_residual.py."""
     from beacon_indexer_spark.operators.clustering import kmeans_centroids
 
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    # lazy checkpoint: the Lloyd fit + codebook sample + encode + probe
+    # chain issues ~8 driver-blocking jobs over this frame — one
+    # materialized scan serves them all instead of re-reading parquet
+    emb = _spread(_t(spark, sf_dir, "embeddings")).localCheckpoint(eager=False)
     cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
     cbs = S.pq_residual_codebooks(emb, cents, "vec_id", "embedding", m=8, k=16)
     qs = emb.filter(F.col("vec_id") < 5)
@@ -19355,7 +19358,8 @@ def q_similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied is visible (and oracle-checked)."""
     from beacon_indexer_spark.operators.clustering import kmeans_centroids
 
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _spread(_t(spark, sf_dir, "embeddings")).localCheckpoint(eager=False)
+    # ^ same shared-scan barrier as q_similarity_ivfpq_residual
     cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
     cbs = S.pq_residual_codebooks(
         emb, cents, "vec_id", "embedding", m=8, k=16
