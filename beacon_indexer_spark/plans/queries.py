@@ -20045,6 +20045,87 @@ FROM scored GROUP BY 1
 """
 
 
+def q_user_session_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-presence matrix: for every user pair, how many of their
+    sessions OVERLAP in time and for how many total seconds — the
+    bot-ring / shared-device screen. Sessions come from the standard
+    gap-1800s run windows; the pairing is the `interval_overlap_join`
+    operator (operators/relational.py): hour-bucketed equi-join with the
+    claim-bucket dedup (a pair is emitted only in the bucket holding
+    max(starts) — both intervals cover that instant, so exactly one
+    shared bucket claims it and no distinct shuffle is needed). Never an
+    inequality join; per-bucket volume is bounded by concurrent sessions
+    per hour."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = (
+        e.withColumn(
+            "__run",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(F.col("user_id").cast("long").alias("user_id"), "__run")
+        .agg(
+            F.min(F.unix_timestamp("ts")).cast("long").alias("s"),
+            F.max(F.unix_timestamp("ts")).cast("long").alias("e"),
+        )
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = R.interval_overlap_join(
+        a, b, "s_a", "e_a", "s_b", "e_b", bucket=3600
+    ).filter(F.col("user_a") < F.col("user_b"))
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.sum(
+            F.least("e_a", "e_b") - F.greatest("s_a", "s_b") + 1
+        ).cast("long").alias("total_overlap_s"),
+    )
+
+
+ORACLE_USER_SESSION_COPRESENCE = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM o),
+sess AS (
+  SELECT user_id, run, MIN(ets) AS s, MAX(ets) AS e
+  FROM r GROUP BY 1, 2),
+p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         least(a.e, b.e) - greatest(a.s, b.s) + 1 AS ov
+  FROM sess a JOIN sess b
+    ON a.user_id < b.user_id
+   AND greatest(a.s, b.s) <= least(a.e, b.e))
+SELECT CAST(ua AS BIGINT) AS user_a, CAST(ub AS BIGINT) AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(ov) AS BIGINT) AS total_overlap_s
+FROM p GROUP BY 1, 2
+"""
+
+
 _MMR_LAMBDA = 0.7
 _MMR_CAND = 10
 _MMR_K = 5
@@ -20518,6 +20599,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_type_scd2": q_user_type_scd2,
     "embedding_ann_ndcg": q_embedding_ann_ndcg,
     "events_shapley_attribution": q_events_shapley_attribution,
+    "user_session_copresence": q_user_session_copresence,
 }
 
 
@@ -20859,4 +20941,5 @@ def oracles() -> dict[str, str]:
         "user_type_scd2": ORACLE_USER_TYPE_SCD2,
         "embedding_ann_ndcg": _oracle_embedding_ann_ndcg_sql(),
         "events_shapley_attribution": _oracle_events_shapley_attribution_sql(),
+        "user_session_copresence": ORACLE_USER_SESSION_COPRESENCE,
     }

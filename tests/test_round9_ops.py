@@ -230,3 +230,35 @@ def test_mmr_selection_diversifies(spark, tmp_path):
     assert mean_pair_sim(sel.values()) < mean_pair_sim(plain5) - 0.1
     # diversity picks actually happened: not all selections are clones
     assert any(d >= 7 for d in sel.values())
+
+
+def test_interval_overlap_join_edges(spark):
+    """Claim-bucket dedup and boundary semantics: overlapping pairs are
+    emitted EXACTLY once even when both intervals span many shared
+    buckets; touching endpoints (inclusive) overlap; disjoint intervals
+    never pair; containment pairs once."""
+    from beacon_indexer_spark.operators.relational import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 0, 10_000),       # spans 3 buckets (w=3600)
+            (2, 20_000, 20_010),  # disjoint from everything on the right
+            (3, 50_000, 90_000),  # long interval, contains r30
+        ],
+        "lid long, s_a long, e_a long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 9_000, 12_000),   # overlaps lid=1 across shared buckets
+            (20, 10_000, 10_500),  # touches lid=1 exactly at e_a=10000
+            (30, 60_000, 61_000),  # contained in lid=3
+            (40, 30_000, 30_100),  # disjoint
+        ],
+        "rid long, s_b long, e_b long",
+    )
+    rows = interval_overlap_join(
+        left, right, "s_a", "e_a", "s_b", "e_b", bucket=3600
+    ).collect()
+    pairs = sorted((r["lid"], r["rid"]) for r in rows)
+    assert pairs == [(1, 10), (1, 20), (3, 30)]
+    assert len(pairs) == len(set(pairs))  # claim-bucket dedup: no dupes
