@@ -20126,6 +20126,103 @@ FROM p GROUP BY 1, 2
 """
 
 
+def q_user_value_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-user rollup via a time-RANGE window frame
+    (`rangeBetween(-7d, 0)` on epoch seconds) — the value-based frame
+    type the surface's row-based frames don't cover; same-second ties
+    are frame peers in both engines, so the result is tie-order-free.
+    Sums accumulate as exact integer cents inside the frame (float sums
+    under a retractable sliding aggregation are order-fragile); ONE
+    user-partitioned window."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("ts").alias("__s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("__c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__s")
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+        F.round(F.sum("__c").over(w).cast("double") / 100.0, 2).alias(
+            "sum_7d"
+        ),
+    )
+
+
+ORACLE_USER_VALUE_ROLLING_7D = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       round(CAST(SUM(c) OVER w AS DOUBLE) / 100.0, 2) AS sum_7d
+FROM (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY s
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
+_HEAVY_USER_CENTS = 330_000
+
+
+def q_events_salted_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-mitigation operator in the gated surface
+    (operators/skew.py salted_join): events enriched with their user's
+    total spend through an 8-way SALTED join — the hot side gets a
+    routing salt, the dim replicates 8×, each hot key spreads over 8
+    reducers — then per-type rollup of top-spender activity. The salt
+    source is nondeterministic ON PURPOSE (only routing changes, results
+    don't); the oracle is the PLAIN join, which is exactly the
+    correctness claim salting makes."""
+    from beacon_indexer_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    fact = e.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("__c"),
+    )
+    dim = fact.groupBy("user_id").agg(
+        F.sum("__c").cast("long").alias("__tot")
+    )
+    joined = salted_join(fact, dim, ["user_id"], n_salts=8)
+    return (
+        joined.filter(F.col("__tot") > _HEAVY_USER_CENTS)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_heavy_users"),
+            F.round(F.sum("__c").cast("double") / 100.0, 2).alias(
+                "value_sum"
+            ),
+        )
+    )
+
+
+ORACLE_EVENTS_SALTED_USER_ENRICH = f"""
+WITH f AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events),
+d AS (SELECT user_id, SUM(c) AS tot FROM f GROUP BY 1)
+SELECT f.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_heavy_users,
+       round(CAST(SUM(f.c) AS DOUBLE) / 100.0, 2) AS value_sum
+FROM f JOIN d USING (user_id)
+WHERE d.tot > {_HEAVY_USER_CENTS}
+GROUP BY 1
+"""
+
+
 _MMR_LAMBDA = 0.7
 _MMR_CAND = 10
 _MMR_K = 5
@@ -20600,6 +20697,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ann_ndcg": q_embedding_ann_ndcg,
     "events_shapley_attribution": q_events_shapley_attribution,
     "user_session_copresence": q_user_session_copresence,
+    "user_value_rolling_7d": q_user_value_rolling_7d,
+    "events_salted_user_enrich": q_events_salted_user_enrich,
 }
 
 
@@ -20942,4 +21041,6 @@ def oracles() -> dict[str, str]:
         "embedding_ann_ndcg": _oracle_embedding_ann_ndcg_sql(),
         "events_shapley_attribution": _oracle_events_shapley_attribution_sql(),
         "user_session_copresence": ORACLE_USER_SESSION_COPRESENCE,
+        "user_value_rolling_7d": ORACLE_USER_VALUE_ROLLING_7D,
+        "events_salted_user_enrich": ORACLE_EVENTS_SALTED_USER_ENRICH,
     }
