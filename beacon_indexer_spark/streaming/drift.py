@@ -27,6 +27,87 @@ from pyspark.sql import functions as F
 PSI_STABLE = 0.1
 PSI_MODERATE = 0.25
 
+QD_STABLE = 0.10
+QD_MODERATE = 0.25
+
+
+def quantile_reference(
+    df: DataFrame, value_col: str, id_col: str, k: int = 256
+) -> DataFrame:
+    """(q10, ref) reference deciles from a bottom-k priority sample
+    (operators/sketches.py) — persist once, feed batch_quantile_drift.
+    Deciles use the integer-rank (q10·n+9) DIV 10 rule over the sample's
+    cents histogram (the events_value_quantile_sketch convention)."""
+    from beacon_indexer_spark.operators.sketches import bottomk_sample
+
+    samp = bottomk_sample(df, value_col, id_col, k=k)
+    return _sample_deciles(samp).withColumnRenamed("dec", "ref")
+
+
+def _sample_deciles(samp: DataFrame) -> DataFrame:
+    """(q10, dec) deciles of a bounded (pri, value) sample frame."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    hist = samp.groupBy(
+        F.round(F.col("value") * 100, 0).cast("long").alias("__k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__f"))
+    h = _exclusive_prefix(hist, "__k", "__f", "__cum")
+    tot = hist.agg(F.sum("__f").cast("long").alias("__n"))
+    qf = samp.sparkSession.createDataFrame(
+        [(i,) for i in range(1, 10)], "q10 long"
+    )
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qf))
+        .filter(
+            F.col("__cum") + F.col("__f")
+            >= F.expr("CAST((q10 * __n + 9) DIV 10 AS BIGINT)")
+        )
+        .groupBy("q10")
+        .agg((F.min("__k").cast("double") / 100.0).alias("dec"))
+    )
+
+
+def batch_quantile_drift(
+    batch_df: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """One monitor row (n_rows, max_rel_shift, verdict) scoring a
+    micro-batch's sample deciles against a `quantile_reference`: the
+    score is the worst relative decile shift |cur−ref| / max(|ref|, 1)
+    — location drift the bin-based PSI can miss when mass moves within
+    a reference bin. A zero-row batch reads 'empty' (quiet periods are
+    not drift); the per-decile arithmetic is 9 rows, the sample is
+    k-bounded, nothing scales with the batch beyond the TakeOrdered."""
+    from beacon_indexer_spark.operators.sketches import bottomk_sample
+
+    n = batch_df.select(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    samp = bottomk_sample(batch_df, value_col, id_col, k=k)
+    cur = _sample_deciles(samp)
+    shift = (
+        reference.join(cur, "q10", "left")
+        .select(
+            (
+                F.abs(F.col("dec") - F.col("ref"))
+                / F.greatest(F.abs("ref"), F.lit(1.0))
+            ).alias("__d")
+        )
+        .agg(F.max("__d").alias("__m"))
+    )
+    out = n.crossJoin(F.broadcast(shift))
+    return out.select(
+        "n_rows",
+        F.round(F.coalesce("__m", F.lit(0.0)), 6).alias("max_rel_shift"),
+        F.when(F.col("n_rows") == 0, "empty")
+        .when(F.coalesce("__m", F.lit(0.0)) < QD_STABLE, "stable")
+        .when(F.coalesce("__m", F.lit(0.0)) < QD_MODERATE, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    )
+
 
 def psi_reference(df: DataFrame, value_col: str, bins: int = 10) -> DataFrame:
     """(bin, edge, ref_n): equidepth bin upper edges of `value_col` on the

@@ -780,3 +780,63 @@ def test_streaming_bottomk_merge_is_lossless(spark, tmp_path):
     )
     assert len(streamed) == 64
     assert streamed == oneshot
+
+
+def test_streaming_quantile_drift_monitor(spark, tmp_path):
+    """Quantile-drift monitor: reference deciles from a bottom-k sample,
+    every micro-batch scored by worst relative decile shift inside
+    foreachBatch. A same-distribution batch reads 'stable'; a
+    location-shifted batch (values ×3) reads 'shifted'; an empty batch
+    reads 'empty' (quiet periods are not drift)."""
+    from beacon_indexer_spark.streaming.drift import (
+        batch_quantile_drift,
+        quantile_reference,
+    )
+
+    ref_rows = [(i, float(10 + (i * 7) % 50)) for i in range(400)]
+    ref = spark.createDataFrame(ref_rows, "event_id long, value double")
+    reference = quantile_reference(ref, "value", "event_id").localCheckpoint()
+
+    same = spark.createDataFrame(
+        [(1000 + i, float(10 + (i * 7) % 50)) for i in range(200)],
+        "event_id long, value double",
+    )
+    shifted = spark.createDataFrame(
+        [(2000 + i, float(3 * (10 + (i * 7) % 50))) for i in range(200)],
+        "event_id long, value double",
+    )
+    empty = spark.createDataFrame([], "event_id long, value double")
+
+    r_same = batch_quantile_drift(same, reference, "value", "event_id").collect()[0]
+    r_shift = batch_quantile_drift(shifted, reference, "value", "event_id").collect()[0]
+    r_empty = batch_quantile_drift(empty, reference, "value", "event_id").collect()[0]
+    assert r_same["verdict"] == "stable", r_same
+    assert r_shift["verdict"] == "shifted", r_shift
+    assert r_empty["verdict"] == "empty", r_empty
+
+    # end-to-end through a real stream: one monitor row per micro-batch
+    import time
+
+    src = str(tmp_path / "qd_raw")
+    _stream_batches(
+        spark, src,
+        [[(3000 + i, float(10 + (i * 7) % 50)) for i in range(150)],
+         [(4000 + i, float(3 * (10 + (i * 7) % 50))) for i in range(150)]],
+        "event_id long, value double",
+    )
+    verdicts = []
+
+    def score(batch_df, batch_id):
+        row = batch_quantile_drift(
+            batch_df, reference, "value", "event_id"
+        ).collect()[0]
+        verdicts.append(row["verdict"])
+
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(score).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert verdicts == ["stable", "shifted"]
