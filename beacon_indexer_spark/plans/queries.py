@@ -20223,6 +20223,82 @@ GROUP BY 1
 """
 
 
+def q_customer_returns_above_nation_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS Q1 shape: customers whose RETURNED-lineitem revenue exceeds
+    1.2× the average returned-revenue of their nation — the
+    correlated-scalar-per-GROUP pattern, decorrelated to one per-customer
+    rollup + a |nations|-row broadcast average attach. The 1.2× compare
+    is EXACT integer arithmetic (revenue kept as cents×(100−disc_cents)
+    units; 10·tot·n > 12·sum replaces the float threshold), so no
+    boundary row can flip between engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey")
+    )
+    units = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    per_cust = (
+        li.select(F.col("l_orderkey").alias("o_orderkey"), units.alias("__u"))
+        .join(o, "o_orderkey")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("__u").cast("long").alias("__tot"))
+        .join(F.broadcast(c), "c_custkey")
+    )
+    nation = per_cust.groupBy("c_nationkey").agg(
+        F.sum("__tot").cast("long").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    return (
+        per_cust.join(F.broadcast(nation), "c_nationkey")
+        .filter(
+            F.col("__tot") * F.col("__n") * 10 > F.col("__s") * 12
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_nationkey",
+            F.round(F.col("__tot").cast("double") / 10000.0, 2).alias(
+                "ret_revenue"
+            ),
+            F.round(
+                F.col("__s").cast("double")
+                / F.col("__n").cast("double")
+                / 10000.0,
+                2,
+            ).alias("nation_avg"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_RETURNS_ABOVE_NATION_AVG = """
+WITH u AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS units
+  FROM lineitem WHERE l_returnflag = 'R'),
+pc AS (
+  SELECT o.o_custkey AS c_custkey, SUM(u.units) AS tot
+  FROM u JOIN orders o ON o.o_orderkey = u.l_orderkey
+  GROUP BY 1),
+pcn AS (
+  SELECT pc.c_custkey, CAST(c.c_nationkey AS BIGINT) AS c_nationkey, pc.tot
+  FROM pc JOIN customer c USING (c_custkey)),
+nat AS (
+  SELECT c_nationkey, SUM(tot) AS s, COUNT(*) AS n
+  FROM pcn GROUP BY 1)
+SELECT CAST(p.c_custkey AS BIGINT) AS c_custkey, p.c_nationkey,
+       round(CAST(p.tot AS DOUBLE) / 10000.0, 2) AS ret_revenue,
+       round(CAST(nat.s AS DOUBLE) / CAST(nat.n AS DOUBLE) / 10000.0, 2)
+         AS nation_avg
+FROM pcn p JOIN nat USING (c_nationkey)
+WHERE p.tot * nat.n * 10 > nat.s * 12
+"""
+
+
 _MMR_LAMBDA = 0.7
 _MMR_CAND = 10
 _MMR_K = 5
@@ -20699,6 +20775,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_session_copresence": q_user_session_copresence,
     "user_value_rolling_7d": q_user_value_rolling_7d,
     "events_salted_user_enrich": q_events_salted_user_enrich,
+    "customer_returns_above_nation_avg": q_customer_returns_above_nation_avg,
 }
 
 
@@ -21043,4 +21120,5 @@ def oracles() -> dict[str, str]:
         "user_session_copresence": ORACLE_USER_SESSION_COPRESENCE,
         "user_value_rolling_7d": ORACLE_USER_VALUE_ROLLING_7D,
         "events_salted_user_enrich": ORACLE_EVENTS_SALTED_USER_ENRICH,
+        "customer_returns_above_nation_avg": ORACLE_CUSTOMER_RETURNS_ABOVE_NATION_AVG,
     }
