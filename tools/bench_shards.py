@@ -1,0 +1,113 @@
+"""Sharded bench_reps refresh: run the full query surface as N fresh-JVM
+shards and merge into bench_reps.json.
+
+Why: round-9's single-JVM 315-query run drifted +7.6% aggregate vs round 8
+on files with a zero-line diff. Round-10 forensics (SCALE.md "Bench noise
+verdict") pinned it on JVM state, not plans: a query's min-of-4 depends on
+how deep in the run it sits (JIT warmup) and how aged the JVM is (code
+cache / GC pressure grows with the surface). Sharding fixes the comparison
+baseline two ways:
+
+- **Hash-stable shard assignment** (crc32(name) % n): adding queries next
+  round does not move existing queries between shards, so each query keeps
+  a comparable JVM-age context round over round.
+- **Fresh JVM per shard** (~80 queries): bounded code-cache/GC aging, so
+  surface growth in one shard cannot slow queries in another.
+
+Within a shard, queries run sorted by name (insertion order in QUERIES
+changes as the file grows; sorted order is stable).
+
+Usage:
+    python tools/bench_shards.py            # 4 shards, merges bench_reps.json
+    SPARK_GRAFT_BENCH_SHARDS=6 SPARK_GRAFT_BENCH_REPS=4 python tools/bench_shards.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import zlib
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def shard_of(name: str, n_shards: int) -> int:
+    return zlib.crc32(name.encode()) % n_shards
+
+
+def main() -> None:
+    from beacon_indexer_spark.plans.queries import QUERIES
+
+    n_shards = int(os.environ.get("SPARK_GRAFT_BENCH_SHARDS", "4"))
+    names = sorted(QUERIES)
+    shards: list[list[str]] = [[] for _ in range(n_shards)]
+    for n in names:
+        shards[shard_of(n, n_shards)].append(n)
+
+    merged_reps: dict[str, list[float]] = {}
+    shard_meta = []
+    sf = None
+    t0 = time.time()
+    for i, shard in enumerate(shards):
+        if not shard:
+            continue
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=",".join(shard))
+        print(
+            f"shard {i}: {len(shard)} queries "
+            f"({shard[0]}..{shard[-1]})",
+            flush=True,
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        if proc.returncode != 0:
+            raise SystemExit(f"shard {i} failed rc={proc.returncode}")
+        with open(os.path.join(REPO, "bench_reps_subset.json")) as f:
+            sub = json.load(f)
+        sf = sub["sf"]
+        merged_reps.update(sub["reps"])
+        shard_meta.append(
+            {
+                "shard": i,
+                "n_queries": len(shard),
+                "canary": sub.get("canary", {}),
+                "canary_max_drift": sub.get("canary_max_drift"),
+            }
+        )
+
+    mins = {q: min(ts) for q, ts in merged_reps.items()}
+    artifact = {
+        "sf": sf,
+        "n_reps": int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")),
+        "sharded": True,
+        "n_shards": n_shards,
+        "reps": merged_reps,
+        "shards": shard_meta,
+        "total_min_sec": round(sum(mins.values()), 2),
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(REPO, "bench_reps.json"), "w") as f:
+        json.dump(artifact, f)
+    print(
+        json.dumps(
+            {
+                "metric": "sharded_total_min",
+                "value": artifact["total_min_sec"],
+                "unit": "sec",
+                "n_queries": len(mins),
+                "n_shards": n_shards,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
