@@ -20,7 +20,7 @@ JVM-hash-seed dependence).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from beacon_indexer_spark.operators.text import fingerprint, word_shingles
@@ -1223,4 +1223,145 @@ def pair_attribute_matrix(
     )
     return n_pairs.join(n_docs, ["attr_a", "attr_b"]).select(
         "attr_a", "attr_b", "n_pairs", "n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (suffix-array family, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def token_kgram_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, gram): every length-``k`` token shingle with its
+    0-based start position. Tokenization is lowercase, whitespace-split,
+    empties dropped — the corpus-wide normalization shared with the
+    shingle engine. Narrow map only (no shuffle); documents shorter than
+    ``k`` tokens emit nothing."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            toks.alias("__toks"),
+        )
+        .filter(F.size("__toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
+                    lambda i: F.array_join(
+                        F.slice("__toks", i + F.lit(1), F.lit(k)), " "
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans, the suffix-array dedup of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better")
+    re-expressed as a Spark shuffle instead of a corpus-wide suffix array:
+    (doc_id, span_start, span_end, n_tokens) — maximal token runs covered
+    by some length-``k`` token shingle occurring ``min_occurrences``+ times
+    corpus-wide (cross-doc or repeated within one doc, exactly the
+    suffix-array criterion "this k-token string appears elsewhere").
+
+    Equivalence: a suffix array finds maximal repeated substrings of
+    length >= k; a token position p starts such a substring iff its
+    k-gram is non-unique. Marking those positions and merging runs whose
+    coverage intervals [p, p+k-1] touch reproduces the maximal duplicated
+    spans (the set of tokens a suffix-array pass would remove).
+
+    Scale shape (the part the suffix array can't do distributed): one
+    wide op total — a window count partitioned by gram (map-side nothing
+    to combine, but the shuffle carries (gram, doc, pos) once; grams are
+    k short tokens). Span merging is a per-doc sessionize: second shuffle
+    partitioned by doc_id, linear in marked positions. No all-pairs
+    stage anywhere; hot grams (boilerplate) cost their occurrence count,
+    never its square.
+    """
+    grams = token_kgram_positions(df, id_col, text_col, k)
+    occ = Window.partitionBy("gram")
+    marked = (
+        grams.withColumn("__occ", F.count(F.lit(1)).over(occ))
+        .filter(F.col("__occ") >= min_occurrences)
+        .select("doc_id", "pos")
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    grp = (
+        marked.withColumn(
+            "__new",
+            F.when(
+                F.col("pos") - F.lag("pos").over(seq) > k, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__grp",
+            F.sum("__new").over(
+                seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        grp.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def substring_dup_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-token coverage from `substring_dup_spans`:
+    (doc_id, doc_tokens, dup_tokens, dup_rate). Spans are disjoint maximal
+    runs, so summing their lengths is the exact covered-token count; docs
+    with no duplicated span report 0. The standard curation signal: drop
+    or trim documents whose training text is mostly copied."""
+    spans = substring_dup_spans(df, id_col, text_col, k, min_occurrences)
+    covered = spans.groupBy("doc_id").agg(
+        F.sum("n_tokens").cast("long").alias("dup_tokens")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    sizes = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("doc_tokens"),
+    )
+    return (
+        sizes.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "doc_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("doc_tokens", F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
     )

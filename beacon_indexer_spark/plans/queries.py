@@ -3062,6 +3062,88 @@ HAVING COUNT(*) >= 4
 """
 
 
+def q_corpus_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, suffix-array family (operators/dedup.py
+    substring_dup_spans — Lee et al. 2022): maximal token spans covered by
+    an 8-token shingle occurring 2+ times corpus-wide, i.e. exactly the
+    spans a suffix-array dedup pass would flag for removal. Two shuffles
+    total: gram-partitioned occurrence count, then a per-doc sessionize
+    merging touching coverage intervals. Hot boilerplate grams cost their
+    occurrence count, never its square — the property the single-machine
+    suffix array cannot give you distributed."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return D.substring_dup_spans(docs, "doc_id", "text", k=8).select(
+        "doc_id", "span_start", "span_end", "n_tokens"
+    )
+
+
+_SUBSTRING_SPANS_CTE = r"""
+WITH tk AS (
+  SELECT doc_id, {toks} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM tk, unnest(generate_series(1, CAST(len(toks) - 7 AS INT))) AS u(i)
+  WHERE len(toks) >= 8),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS occ FROM grams)
+  WHERE occ >= 2),
+lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM marked),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM lagged),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+  FROM grp GROUP BY doc_id, g)
+"""
+
+ORACLE_CORPUS_SUBSTRING_SPANS = (
+    _SUBSTRING_SPANS_CTE.format(toks=_DD_TOKENS.format(c="text"))
+    + r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens
+FROM spans
+"""
+)
+
+
+def q_corpus_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token coverage (operators/dedup.py
+    substring_dup_rate): fraction of each document's tokens inside an
+    exact duplicated >= 8-token substring — the curation signal used to
+    trim or drop mostly-copied training documents. Spans are disjoint
+    maximal runs so the covered-token sum is exact."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return D.substring_dup_rate(docs, "doc_id", "text", k=8).select(
+        "doc_id", "doc_tokens", "dup_tokens", "dup_rate"
+    )
+
+
+ORACLE_CORPUS_SUBSTRING_DUP_RATE = (
+    _SUBSTRING_SPANS_CTE.format(toks=_DD_TOKENS.format(c="text"))
+    + r"""
+, covered AS (
+  SELECT doc_id, SUM(span_end - span_start + 1) AS dup_tokens
+  FROM spans GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(len(toks) AS BIGINT) AS doc_tokens,
+       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(COALESCE(dup_tokens, 0) / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
+         AS dup_rate
+FROM tk t LEFT JOIN covered c USING (doc_id)
+"""
+)
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (operators/clustering.py): k=4 Lloyd clustering
     of the embedding corpus, 2 update rounds from md5-deterministic seeds.
@@ -20525,6 +20607,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_passage_dup_rate": q_doc_passage_dup_rate,
     "doc_winnow_pairs": q_doc_winnow_pairs,
+    "corpus_substring_spans": q_corpus_substring_spans,
+    "corpus_substring_dup_rate": q_corpus_substring_dup_rate,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -20846,6 +20930,8 @@ def oracles() -> dict[str, str]:
         "doc_unigram_logprob": ORACLE_DOC_UNIGRAM_LOGPROB,
         "doc_passage_dup_rate": ORACLE_DOC_PASSAGE_DUP_RATE,
         "doc_winnow_pairs": ORACLE_DOC_WINNOW_PAIRS,
+        "corpus_substring_spans": ORACLE_CORPUS_SUBSTRING_SPANS,
+        "corpus_substring_dup_rate": ORACLE_CORPUS_SUBSTRING_DUP_RATE,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,

@@ -1,0 +1,108 @@
+"""Exact substring dedup (suffix-array family, Lee et al. 2022) vs a
+brute-force Python oracle, plus planted-scenario span semantics.
+
+The operator's claim: `substring_dup_spans` reproduces exactly the maximal
+token spans a corpus-wide suffix array would flag as duplicated-at-length-k.
+The oracle here IS that definition, computed naively (count every k-gram,
+mark non-unique positions, merge touching coverage intervals)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from beacon_indexer_spark.operators import dedup as D
+
+
+def _brute_spans(rows, k, min_occ=2):
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in rows}
+    cnt = Counter()
+    for t in toks.values():
+        for p in range(len(t) - k + 1):
+            cnt[tuple(t[p : p + k])] += 1
+    out = {}
+    for i, t in toks.items():
+        marked = [
+            p
+            for p in range(len(t) - k + 1)
+            if cnt[tuple(t[p : p + k])] >= min_occ
+        ]
+        spans = []
+        for p in marked:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        if spans:
+            out[i] = [tuple(s) for s in spans]
+    return out
+
+
+def _spark_spans(spark, rows, k):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in D.substring_dup_spans(df, "doc_id", "text", k=k).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    return {i: sorted(s) for i, s in got.items()}
+
+
+def test_planted_spans(spark):
+    rows = [
+        (1, "a b c d e f g h i j unique tail one"),
+        (2, "x y a b c d e f g h i j z w q"),
+        (3, "completely different words here entirely novel stream"),
+        (4, "rep rep rep rep rep rep rep rep rep rep"),
+        (5, "short doc"),
+    ]
+    assert _spark_spans(spark, rows, 5) == _brute_spans(rows, 5)
+
+
+def test_two_islands_in_one_doc(spark):
+    """Two copied passages separated by unique text stay two spans; the
+    merge rule (gap > k breaks) must not bridge them."""
+    common1 = "alpha beta gamma delta epsilon"
+    common2 = "one two three four five"
+    rows = [
+        (1, f"{common1} u1 u2 u3 u4 u5 u6 u7 {common2}"),
+        (2, f"z1 z2 {common1} z3 z4"),
+        (3, f"{common2} y1 y2 y3"),
+    ]
+    spans = _spark_spans(spark, rows, 5)
+    assert spans == _brute_spans(rows, 5)
+    assert len(spans[1]) == 2  # two disjoint islands
+
+
+def test_dup_rate_coverage(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),
+        (3, "totally fresh text with no duplicate run at all ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.doc_tokens, r.dup_tokens, r.dup_rate)
+        for r in D.substring_dup_rate(df, "doc_id", "text", k=8).collect()
+    }
+    assert out[1] == (8, 8, 1.0)
+    assert out[2] == (8, 8, 1.0)
+    assert out[3][1] == 0 and out[3][2] == 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("a b c d".split()), min_size=0, max_size=24
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_fuzz_matches_bruteforce(spark, token_lists, k):
+    """Tiny-vocabulary fuzz: random corpora maximize overlapping and
+    repeated k-grams, the regime where interval merging has edge cases."""
+    rows = [(i, " ".join(t)) for i, t in enumerate(token_lists)]
+    assert _spark_spans(spark, rows, k) == _brute_spans(rows, k)
