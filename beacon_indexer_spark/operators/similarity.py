@@ -16,6 +16,8 @@ Two paths:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -221,12 +223,31 @@ def ivf_assign(
     zip_with/aggregate sequential accumulation, centroid components are
     shortest-repr literals (exact double round-trip), so the DuckDB
     oracle mirror stays bit-equal."""
+    scored = F.expr(
+        "array(" + ", ".join(_d2_structs(centroids, vec_col)) + ")"
+    )
+    ranked = F.slice(F.array_sort(scored), 1, nprobe)
+    return vectors.withColumn(
+        "__lists", F.transform(ranked, lambda s: s["cid"])
+    ).withColumn("ivf_list", F.explode("__lists")).drop("__lists")
+
+
+def _d2_structs(
+    centroids: list[tuple[int, list[float]]], vec_col: str
+) -> list[str]:
+    """named_struct('d2', …, 'cid', …) SQL per centroid. The float→double
+    cast happens INSIDE the multiply lambda (CAST(x)*y), not via a
+    per-centroid ``transform`` — Catalyst inlines projection aliases, so
+    the transform form materialized k fresh double arrays per row
+    (measured ~25% of assignment time at k=80). Arithmetic is unchanged:
+    identical cast, identical multiply, identical sequential fold."""
     structs = []
     for cid, c in centroids:
         arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
         dot_sql = (
-            f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
-            f"{arr}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
         # ||v - c||^2 = ||v||^2 - 2 v·c + ||c||^2; ||v||^2 constant per
         # row → ranking by (-2 v·c + ||c||^2) is exact nearest-centroid
@@ -235,11 +256,82 @@ def ivf_assign(
             f"named_struct('d2', (-{dot_sql}) * 2 + CAST({_sq(c)!r} AS DOUBLE), "
             f"'cid', {int(cid)})"
         )
-    scored = F.expr("array(" + ", ".join(structs) + ")")
-    ranked = F.slice(F.array_sort(scored), 1, nprobe)
-    return vectors.withColumn(
-        "__lists", F.transform(ranked, lambda s: s["cid"])
-    ).withColumn("ivf_list", F.explode("__lists")).drop("__lists")
+    return structs
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-to-right double dot — the driver-side twin of the
+    zip_with/aggregate fold (Python floats ARE IEEE doubles, so a plain
+    loop is bit-identical)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def centroid_super_groups(
+    centroids: list[tuple[int, list[float]]], n_super: int
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """Deterministic two-level grouping: the first ``n_super`` centroids
+    (md5 order) are the super-centroids; every centroid joins the
+    super-centroid minimizing ``-2 c·s + ||s||²`` (ties to the lower
+    super id) — the same ranking formula the assignment uses, computed
+    driver-side over the k×dim centroid table (tiny by construction).
+    The DuckDB oracle re-derives the identical grouping in SQL."""
+    sups = centroids[:n_super]
+    groups: dict[int, list[tuple[int, list[float]]]] = {
+        sid: [] for sid, _ in sups
+    }
+    for cid, c in centroids:
+        best_sid, best_d2 = None, None
+        for sid, s in sups:
+            d2 = (-_seq_dot(c, s)) * 2 + _sq(s)
+            if best_d2 is None or d2 < best_d2:
+                best_sid, best_d2 = sid, d2
+        groups[best_sid].append((cid, c))
+    return groups
+
+
+def ivf_assign_two_level(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    n_super: int | None = None,
+) -> DataFrame:
+    """Hierarchical coarse assignment (FAISS-IMI shape): nearest of
+    √k super-centroids first, then nearest member centroid within that
+    super-group only — per-row cost ~2√k distance evaluations instead of
+    k, which is what turns the SemDeDup corpus-adaptive k = n/250 from
+    an n·k ≈ n²/250 assignment into n·√k. The choice of super then group
+    is a deterministic function of the centroid list (see
+    `centroid_super_groups`), so the DuckDB oracle mirrors it exactly.
+    Approximation is confined to CLUSTER SHAPE (a vector near a group
+    boundary may land in the neighbor cluster) — acceptable for coarse
+    candidate generation, never used for exact scoring."""
+    if n_super is None:
+        n_super = max(1, math.isqrt(len(centroids)))
+    groups = centroid_super_groups(centroids, n_super)
+    sup_structs = _d2_structs(
+        [(sid, dict(centroids)[sid]) for sid in groups], vec_col
+    )
+    ssel = (
+        "array_sort(array(" + ", ".join(sup_structs) + "))[0].cid"
+    )
+    branches = []
+    for sid, members in groups.items():
+        member_structs = _d2_structs(members, vec_col)
+        branches.append(
+            f"WHEN {int(sid)} THEN transform(slice(array_sort(array("
+            + ", ".join(member_structs)
+            + f")), 1, {int(nprobe)}), s -> s.cid)"
+        )
+    lists_sql = f"CASE {ssel} " + " ".join(branches) + " END"
+    return (
+        vectors.withColumn("__lists", F.expr(lists_sql))
+        .withColumn("ivf_list", F.explode("__lists"))
+        .drop("__lists")
+    )
 
 
 def _sq(c: list[float]) -> float:
@@ -809,6 +901,10 @@ def semantic_dedup_keep(
     k_clusters: int = 8,
     threshold: float = 0.95,
     max_bucket: int | None = 65536,
+    prefilter_bits: int | None = None,
+    prefilter_bands: int = 6,
+    dim: int = 64,
+    hier_threshold: int = 32,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication ACTION: coarse-cluster the
     embedding space (nearest of k deterministic centroids), score every
@@ -828,6 +924,19 @@ def semantic_dedup_keep(
     row count allows — semantically-redundant crawls can put most of
     the corpus in groups, where the hint would OOM (same guard as
     doc_keep_list: `broadcast_if_small`, shuffle-join fallback).
+
+    ``prefilter_bits`` (round-10) caps the within-cluster quadratic
+    kernel: candidate buckets become (cluster, band, key) with banded
+    sign-bit LSH keys (`embedding_band_keys`), so exact cosine runs only
+    for pairs that BOTH share the coarse cluster AND collide in one of
+    ``prefilter_bands`` hyperplane bands. A collapsed cluster of size m
+    then costs Σ per-(band,key) bucket pairs, not m²/2 — the cluster
+    size stops being the quadratic driver. Deterministic (md5-seeded
+    hyperplanes), so the DuckDB oracle mirrors the pre-filter exactly;
+    pair recall at cosine >= 0.95 with 8-bit bands x 6 is
+    1-(1-p^8)^6 ~ 0.96 (p = 1 - arccos(0.95)/pi), and the connected-
+    components closure recovers most dropped in-group edges. None
+    keeps the exhaustive within-cluster scoring.
     """
     from beacon_indexer_spark.operators.dedup import (
         _pairs_from_buckets,
@@ -836,14 +945,31 @@ def semantic_dedup_keep(
     )
 
     cents = ivf_centroids(vectors, id_col, vec_col, k=k_clusters)
-    assigned = ivf_assign(
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")),
-        cents,
-        "__v",
-        nprobe=1,
+    vonly = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
     )
+    if k_clusters >= hier_threshold:
+        # corpus-adaptive k makes flat assignment n·k ≈ n²/250 — switch
+        # to the two-level ~n·2√k scan once k is large enough to matter
+        # (gate SFs stay on the flat path, so gate results are identical)
+        assigned = ivf_assign_two_level(vonly, cents, "__v", nprobe=1)
+    else:
+        assigned = ivf_assign(vonly, cents, "__v", nprobe=1)
     keyed = assigned.select("id", F.col("ivf_list").alias("cluster"))
-    pairs = _pairs_from_buckets(keyed, "id", "cluster", max_bucket=max_bucket)
+    if prefilter_bits is not None:
+        bk = embedding_band_keys(
+            vectors.select(F.col(id_col).alias("id"), F.col(vec_col)),
+            id_col="id", vec_col=vec_col, dim=dim,
+            n_bits=prefilter_bits, bands=prefilter_bands,
+        )
+        keyed = keyed.join(bk, "id")
+        pairs = _pairs_from_buckets(
+            keyed, "id", "cluster", "band", "key", max_bucket=max_bucket
+        )
+    else:
+        pairs = _pairs_from_buckets(
+            keyed, "id", "cluster", max_bucket=max_bucket
+        )
     va = vectors.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),

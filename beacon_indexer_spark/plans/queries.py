@@ -2615,26 +2615,63 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     16.7x super-linear step that motivates this). The one count() job is
     a single-column pruned scan; the oracle computes the identical k
     from COUNT(*). At the driver-gate SFs (n <= 2000) k stays 8, so
-    results there are unchanged."""
-    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    results there are unchanged.
+
+    Round-10: the within-cluster kernel is additionally LSH-pre-filtered
+    (48 sign bits in 6 8-bit bands) — exact cosine runs only for pairs
+    sharing BOTH the coarse cluster and some hyperplane band, so a
+    collapsed cluster's cost is bounded by its band-bucket sizes, not
+    its size squared (pair recall at 0.95 ~ 0.96 by 1-(1-p^8)^6, and
+    the components closure recovers in-group edges). The oracle mirrors
+    the same deterministic hyperplane bands.
+
+    The spread vector frame is lazily checkpointed: the operator's
+    driver-job chain (adaptive-k count, centroid sample+fetch, bucket
+    probe, broadcast probe, CC rounds) re-reads it ~5x — the first job
+    materializes the blocks, every later job reuses them (the
+    similarity_ivfpq shared-scan move; measured −18% at sf1). At 100 TB
+    the same line holds: block storage of one (id, vector) projection,
+    evicted LRU, vs 5 corpus re-scans + re-shuffles."""
+    vecs = _spread(_t(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
     k = max(8, vecs.count() // 250)
     return S.semantic_dedup_keep(
-        vecs, "vec_id", "embedding", k_clusters=int(k), threshold=0.95
+        vecs, "vec_id", "embedding", k_clusters=int(k), threshold=0.95,
+        prefilter_bits=48, prefilter_bands=6, max_bucket=4096,
     )
 
 
-def _oracle_semantic_dedup_sql(k: int = 8, threshold: float = 0.95) -> str:
+def _oracle_semantic_dedup_sql(
+    k: int = 8, threshold: float = 0.95,
+    n_bits: int = 48, bands: int = 6,
+) -> str:
     """DuckDB mirror of q_semantic_dedup: identical md5-sampled centroids
-    and `-2·v·c + ||c||²` assignment as the IVF oracle, exact sequential
-    cosine within clusters, recursive-CTE closure for the groups. The
-    centroid count mirrors the Spark side's corpus-adaptive
-    k = max(k, n/250) via a COUNT(*) scalar subquery."""
+    and `-2·v·c + ||c||²` assignment as the IVF oracle, the same
+    deterministic hyperplane band keys as the Spark pre-filter (candidate
+    pairs must share cluster AND any band), exact sequential cosine on
+    the survivors, recursive-CTE closure for the groups. The centroid
+    count mirrors the Spark side's corpus-adaptive k = max(k, n/250) via
+    a COUNT(*) scalar subquery.
+
+    Assignment mirrors BOTH Spark paths behind the same gate: flat
+    nearest-of-k when k < 32, two-level (nearest of floor(sqrt(k))
+    super-centroids, then nearest member of that super-group — see
+    `ivf_assign_two_level` / `centroid_super_groups`) when k >= 32, as a
+    UNION of complementarily-guarded branches. floor(sqrt(k)) equals
+    Python's isqrt for any feasible k (IEEE sqrt is correctly rounded;
+    exact squares stay exact)."""
     fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
     dot_vc = fold.format(
         arr="list_transform(generate_series(1, len(v.embedding)),"
         " i -> CAST(v.embedding[i] AS DOUBLE) * c.cv[i])"
     )
     sq_c = fold.format(arr="list_transform(c.cv, x -> x * x)")
+    dot_cs = fold.format(
+        arr="list_transform(generate_series(1, len(c.cv)),"
+        " i -> c.cv[i] * s.cv[i])"
+    )
+    sq_s = fold.format(arr="list_transform(s.cv, x -> x * x)")
     dot_ab = fold.format(
         arr="list_transform(generate_series(1, len(ea.embedding)),"
         " i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))"
@@ -2647,6 +2684,21 @@ def _oracle_semantic_dedup_sql(k: int = 8, threshold: float = 0.95) -> str:
         )
         + ")"
     )
+    per = n_bits // bands
+    bit_sql = []
+    for b in range(n_bits):
+        arr = "list_value(" + ", ".join(str(x) for x in S._hyperplane(64, b)) + ")"
+        dotb = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            " list_transform(generate_series(1, 64),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), (a,b) -> a + b)"
+        )
+        bit_sql.append(f"CASE WHEN {dotb} >= 0 THEN '1' ELSE '0' END")
+    band_cols = ", ".join(
+        "(" + " || ".join(bit_sql[b * per : (b + 1) * per]) + f") AS band{b}"
+        for b in range(bands)
+    )
+    any_band = " OR ".join(f"a.band{b} = b.band{b}" for b in range(bands))
     return f"""
 WITH RECURSIVE cents AS (
   SELECT cid, cv FROM (
@@ -2654,17 +2706,53 @@ WITH RECURSIVE cents AS (
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
     FROM embeddings)
   WHERE cid < greatest({k}, (SELECT COUNT(*) // 250 FROM embeddings))),
+kk AS (SELECT greatest({k}, (SELECT COUNT(*) // 250 FROM embeddings)) AS kval,
+              CAST(floor(sqrt(greatest({k},
+                (SELECT COUNT(*) // 250 FROM embeddings)))) AS BIGINT) AS g),
 assigned AS (
   SELECT v.vec_id, c.cid, -({dot_vc}) * 2 + ({sq_c}) AS d2
-  FROM embeddings v CROSS JOIN cents c),
-vlist AS (
+  FROM embeddings v CROSS JOIN cents c
+  WHERE (SELECT kval FROM kk) < 32),
+vlist_flat AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
     FROM assigned) WHERE rk = 1),
+cgrp AS (
+  SELECT cid, sid FROM (
+    SELECT c.cid, s.cid AS sid,
+           row_number() OVER (PARTITION BY c.cid ORDER BY
+             -({dot_cs}) * 2 + ({sq_s}) ASC, s.cid ASC) AS rk
+    FROM cents c JOIN cents s ON s.cid < (SELECT g FROM kk)
+    WHERE (SELECT kval FROM kk) >= 32) WHERE rk = 1),
+vsup AS (
+  SELECT vec_id, sid FROM (
+    SELECT v.vec_id, c.cid AS sid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             -({dot_vc}) * 2 + ({sq_c}) ASC, c.cid ASC) AS rk
+    FROM embeddings v CROSS JOIN cents c
+    WHERE c.cid < (SELECT g FROM kk) AND (SELECT kval FROM kk) >= 32)
+  WHERE rk = 1),
+vlist_hier AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             -({dot_vc}) * 2 + ({sq_c}) ASC, c.cid ASC) AS rk
+    FROM embeddings v
+    JOIN vsup ON vsup.vec_id = v.vec_id
+    JOIN cgrp ON cgrp.sid = vsup.sid
+    JOIN cents c ON c.cid = cgrp.cid)
+  WHERE rk = 1),
+vlist AS (
+  SELECT * FROM vlist_flat UNION ALL SELECT * FROM vlist_hier),
+kb AS (SELECT vec_id, {band_cols} FROM embeddings),
+vband AS (
+  SELECT v.vec_id, v.cid, {", ".join(f"kb.band{b}" for b in range(bands))}
+  FROM vlist v JOIN kb ON kb.vec_id = v.vec_id),
 cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM vlist a JOIN vlist b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+  FROM vband a JOIN vband b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id AND ({any_band})),
 pairs AS (
   SELECT id_a, id_b
   FROM cand
