@@ -19062,6 +19062,207 @@ ORDER BY s_suppkey
 """
 
 
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp derived deterministically from lineitem's observed
+    (part, supplier) pairs — the driver dataset ships no partsupp table,
+    so the TPC-H Q11/Q20 shapes build it from the fact table's own join
+    graph (every derived pair has lineitem support, mirroring TPC-H's
+    referential consistency). availqty and supplycost (integer cents)
+    are exact integer functions of the keys; the DuckDB oracle repeats
+    the identical derivation, so both engines see one partsupp."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 9999 + 1
+        ).alias("ps_availqty"),
+        (
+            (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 90000
+            + 10000
+        ).alias("ps_supplycost_cents"),
+    )
+
+
+_ORACLE_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS ps_availqty,
+         (ps_partkey * 31 + ps_suppkey * 17) % 90000 + 10000
+           AS ps_supplycost_cents
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem))
+"""
+
+
+def q_partsupp_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 shape (group-HAVING vs a GLOBAL scalar subquery): parts
+    whose nation-7 inventory value exceeds 1/10000 of the nation's total
+    inventory value. The classic decorrelation: the scalar subquery
+    aggregates the SAME filtered frame as the grouped aggregate, so the
+    frame is lazily checkpointed and read by both jobs (one scan), and
+    the one-row total attaches via crossJoin-broadcast. All value
+    arithmetic is exact integers (supplycost in cents); the fractional
+    threshold compares as value*10000 > total over decimal(38) so no
+    float boundary exists at any scale."""
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    ger = (
+        _derived_partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(supp),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            (
+                F.col("ps_supplycost_cents").cast("decimal(38,0)")
+                * F.col("ps_availqty")
+            ).alias("__v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per = ger.groupBy("ps_partkey").agg(F.sum("__v").alias("__value"))
+    total = ger.agg(F.sum("__v").alias("__total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") * 10000 > F.col("__total"))
+        .select(
+            "ps_partkey",
+            (F.col("__value").cast("double") / 100).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+ORACLE_PARTSUPP_VALUE_CONCENTRATION = f"""
+WITH {_ORACLE_PARTSUPP_CTE},
+ger AS (
+  SELECT ps_partkey,
+         CAST(ps_supplycost_cents AS DECIMAL(38,0)) * ps_availqty AS v
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7')
+SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) / 100 AS value
+FROM ger
+GROUP BY ps_partkey
+HAVING SUM(v) * 10000 > (SELECT SUM(v) FROM ger)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q_supplier_excess_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join + correlated per-key threshold):
+    nation-3 suppliers holding excess stock of 'small *' parts — availqty
+    more than half the 1996 shipped quantity for that exact (part,
+    supplier) pair. Decorrelation: the correlated SUM becomes ONE
+    aggregation over lineitem grouped by (partkey, suppkey) with a
+    conditional 1996 sum AND a 1996 row count (pairs with no 1996 rows
+    must be EXCLUDED, matching the correlated subquery's NULL — a plain
+    conditional sum would admit them as availqty > 0); since
+    `_derived_partsupp` shuffles on the same keys, the partsupp⋈qty join
+    is co-partitioned. The half threshold compares 2*availqty >
+    qty(decimal) — exact at every scale. Part filter broadcasts; the
+    final supplier attach is a semi-join then broadcast name fetch."""
+    li = _t(spark, sf_dir, "lineitem")
+    in96 = (F.col("l_shipdate") >= "1996-01-01") & (
+        F.col("l_shipdate") < "1997-01-01"
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            F.when(in96, F.col("l_quantity").cast(_DEC)).otherwise(
+                F.lit(0).cast(_DEC)
+            )
+        ).alias("__q96"),
+        F.sum(F.when(in96, 1).otherwise(0)).alias("__n96"),
+    )
+    forest = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small "))
+        .select("p_partkey")
+    )
+    excess = (
+        _derived_partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(forest),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(
+            (F.col("__n96") > 0)
+            & (
+                (F.col("ps_availqty") * 2).cast("decimal(38,2)")
+                > F.col("__q96")
+            )
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        supp.join(
+            excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_SUPPLIER_EXCESS_CAPACITY = f"""
+WITH {_ORACLE_PARTSUPP_CTE},
+qty AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                   AND l_shipdate < DATE '1997-01-01'
+                  THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS q96,
+         SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                   AND l_shipdate < DATE '1997-01-01'
+                  THEN 1 ELSE 0 END) AS n96
+  FROM lineitem GROUP BY 1, 2),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %') p
+    ON ps_partkey = p_partkey
+  JOIN qty ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE n96 > 0 AND CAST(ps_availqty * 2 AS DECIMAL(38,2)) > q96)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+ORDER BY s_suppkey
+"""
+
+
 def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ over RESIDUALS — the production FAISS ``IVFx,PQy`` layout
     (operators/similarity.py ivfpq_residual_topk, composed from the
@@ -20697,6 +20898,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_winnow_pairs": q_doc_winnow_pairs,
     "corpus_substring_spans": q_corpus_substring_spans,
     "corpus_substring_dup_rate": q_corpus_substring_dup_rate,
+    "partsupp_value_concentration": q_partsupp_value_concentration,
+    "supplier_excess_capacity": q_supplier_excess_capacity,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -21020,6 +21223,8 @@ def oracles() -> dict[str, str]:
         "doc_winnow_pairs": ORACLE_DOC_WINNOW_PAIRS,
         "corpus_substring_spans": ORACLE_CORPUS_SUBSTRING_SPANS,
         "corpus_substring_dup_rate": ORACLE_CORPUS_SUBSTRING_DUP_RATE,
+        "partsupp_value_concentration": ORACLE_PARTSUPP_VALUE_CONCENTRATION,
+        "supplier_excess_capacity": ORACLE_SUPPLIER_EXCESS_CAPACITY,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
