@@ -19263,6 +19263,114 @@ ORDER BY s_suppkey
 """
 
 
+def q_embedding_stream_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index-freshness monitor (streaming/drift.py
+    ann_recall_monitor): vectors with vec_id % 5 == 4 play the incoming
+    micro-batch, the rest are the corpus the IVF index was FITTED on
+    (k=8 md5-deterministic centroids). The batch is searched through the
+    probe-limited index (nprobe=2) and recall@5 is scored against the
+    batch-exact top-5 — one (n_queries, mean_recall, verdict) row, the
+    drift.py fit-once/score-per-batch contract applied to retrieval
+    quality. The streaming parity test
+    (tests/test_stateful_stream.py::test_streaming_ann_recall_monitor)
+    asserts per-micro-batch foreachBatch rows equal this batch shape."""
+    from beacon_indexer_spark.streaming.drift import ann_recall_monitor
+
+    emb = _spread(_t(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
+    is_new = F.col("vec_id") % 5 == 4
+    corpus = emb.filter(~is_new)
+    batch = emb.filter(is_new)
+    cents = S.ivf_centroids(corpus, k=8)
+    return ann_recall_monitor(corpus, cents, batch, k=5, nprobe=2)
+
+
+def _oracle_embedding_stream_recall_sql(
+    k: int = 8, nprobe: int = 2, topk: int = 5
+) -> str:
+    """DuckDB mirror of q_embedding_stream_recall: centroids md5-sampled
+    from the CORPUS subset only, the `-2·v·c + ||c||²` assignment for
+    corpus lists (rk=1) and query probes (rk<=nprobe), exact cosine on
+    probed candidates and on the brute-force control, and the identical
+    Σhits/(n·topk) recall + verdict fences."""
+    fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (a,b) -> a + b)"
+    dot_vc = fold.format(
+        arr="list_transform(generate_series(1, len(v.embedding)),"
+        " i -> CAST(v.embedding[i] AS DOUBLE) * c.cv[i])"
+    )
+    sq_c = fold.format(arr="list_transform(c.cv, x -> x * x)")
+    dot_qv = fold.format(
+        arr="list_transform(generate_series(1, len(qe.embedding)),"
+        " i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ve.embedding[i] AS DOUBLE))"
+    )
+    norm = (
+        "sqrt("
+        + fold.format(
+            arr="list_transform({e}.embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        + ")"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id % 5 <> 4
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}),
+assigned AS (
+  SELECT v.vec_id, v.vec_id % 5 = 4 AS is_new, c.cid,
+         -({dot_vc}) * 2 + ({sq_c}) AS d2
+  FROM embeddings v CROSS JOIN cents c),
+ranked AS (
+  SELECT vec_id, is_new, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+  FROM assigned),
+vlist AS (SELECT vec_id AS neighbor_id, cid FROM ranked
+          WHERE rk = 1 AND NOT is_new),
+qlist AS (SELECT vec_id AS query_id, cid FROM ranked
+          WHERE rk <= {nprobe} AND is_new),
+pairs AS (
+  SELECT DISTINCT q.query_id, vl.neighbor_id
+  FROM qlist q JOIN vlist vl ON q.cid = vl.cid),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, p.neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+             ({dot_qv}) / (({norm.format(e='qe')}) * ({norm.format(e='ve')}))
+               DESC, p.neighbor_id ASC) AS rank
+    FROM pairs p
+    JOIN embeddings qe ON qe.vec_id = p.query_id
+    JOIN embeddings ve ON ve.vec_id = p.neighbor_id)
+  WHERE rank <= {topk}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qe.vec_id AS query_id, ve.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+             ({dot_qv}) / (({norm.format(e='qe')}) * ({norm.format(e='ve')}))
+               DESC, ve.vec_id ASC) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 4) qe
+    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 5 <> 4) ve)
+  WHERE rank <= {topk}),
+hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+nq AS (SELECT COUNT(*) AS n_queries FROM embeddings WHERE vec_id % 5 = 4)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       round(CASE WHEN n_queries > 0
+                  THEN CAST(n_hits AS DOUBLE) / (n_queries * {topk})
+                  ELSE 0.0 END, 6) AS mean_recall,
+       CASE WHEN n_queries = 0 THEN 'empty'
+            WHEN CAST(n_hits AS DOUBLE) / (n_queries * {topk}) >= 0.9
+              THEN 'healthy'
+            WHEN CAST(n_hits AS DOUBLE) / (n_queries * {topk}) >= 0.6
+              THEN 'degraded'
+            ELSE 'stale' END AS verdict
+FROM nq CROSS JOIN hits
+"""
+
+
 def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ over RESIDUALS — the production FAISS ``IVFx,PQy`` layout
     (operators/similarity.py ivfpq_residual_topk, composed from the
@@ -20900,6 +21008,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_substring_dup_rate": q_corpus_substring_dup_rate,
     "partsupp_value_concentration": q_partsupp_value_concentration,
     "supplier_excess_capacity": q_supplier_excess_capacity,
+    "embedding_stream_recall": q_embedding_stream_recall,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -21225,6 +21334,7 @@ def oracles() -> dict[str, str]:
         "corpus_substring_dup_rate": ORACLE_CORPUS_SUBSTRING_DUP_RATE,
         "partsupp_value_concentration": ORACLE_PARTSUPP_VALUE_CONCENTRATION,
         "supplier_excess_capacity": ORACLE_SUPPLIER_EXCESS_CAPACITY,
+        "embedding_stream_recall": _oracle_embedding_stream_recall_sql(),
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,

@@ -209,3 +209,68 @@ def batch_psi(
         .otherwise("shifted")
         .alias("verdict"),
     )
+
+
+ANN_HEALTHY = 0.9
+ANN_DEGRADED = 0.6
+
+
+def ann_recall_monitor(
+    corpus: DataFrame,
+    centroids: list,
+    batch_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Streaming ANN index-freshness monitor: one row
+    (n_queries, mean_recall, verdict) scoring the FITTED IVF index
+    against a micro-batch of new query vectors — recall@k of the
+    probe-limited IVF search vs the batch-exact top-k over the same
+    corpus. When freshly ingested vectors drift away from the fitted
+    centroids, their nearest lists stop containing their true
+    neighbors and recall decays — the signal that the index needs
+    retraining, before retrieval quality degrades silently.
+
+    Same fit-once/score-per-batch contract as `psi_reference`/
+    `batch_psi`: ``centroids`` (and the corpus index) are built once at
+    deploy time; each batch costs one broadcast probe-limited list join
+    (the production search path) plus one exact control scan of the
+    corpus for the batch's queries — the control is the expensive side,
+    and at 100 TB it runs on a SAMPLED slice of each batch (monitoring
+    needs an estimate, not every query). A zero-row batch reads 'empty'
+    (quiet periods are not staleness). mean_recall = Σ hits / (n·k) —
+    exact integer arithmetic until one final double division."""
+    from beacon_indexer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    approx = ivf_topk(
+        corpus, batch_df, centroids, id_col=id_col, vec_col=vec_col,
+        k=k, nprobe=nprobe,
+    ).select("query_id", "neighbor_id")
+    exact = brute_force_topk(
+        corpus, batch_df, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).cast("long").alias("__hits"))
+    )
+    nq = batch_df.select(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    out = nq.crossJoin(F.broadcast(hits))
+    recall = F.coalesce(F.col("__hits"), F.lit(0)).cast("double") / (
+        F.col("n_queries") * F.lit(k)
+    )
+    return out.select(
+        "n_queries",
+        F.round(
+            F.when(F.col("n_queries") > 0, recall).otherwise(F.lit(0.0)), 6
+        ).alias("mean_recall"),
+        F.when(F.col("n_queries") == 0, "empty")
+        .when(recall >= ANN_HEALTHY, "healthy")
+        .when(recall >= ANN_DEGRADED, "degraded")
+        .otherwise("stale")
+        .alias("verdict"),
+    )

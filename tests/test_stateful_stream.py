@@ -840,3 +840,114 @@ def test_streaming_quantile_drift_monitor(spark, tmp_path):
     q = stream.writeStream.foreachBatch(score).trigger(availableNow=True).start()
     q.awaitTermination(120)
     assert verdicts == ["stable", "shifted"]
+
+
+def test_streaming_ann_recall_monitor(spark, tmp_path):
+    """Round-10 ANN index-freshness monitor: IVF centroids are fitted
+    ONCE on the stored corpus; each micro-batch of new vectors is scored
+    in foreachBatch (recall@k of the probe-limited search vs the
+    batch-exact top-k). Parity contract: every streamed monitor row must
+    equal the batch-mode `ann_recall_monitor` on the same rows — the
+    drift.py fit-once/score-per-batch pattern applied to retrieval."""
+    import math
+    import os
+    import time
+
+    from beacon_indexer_spark.operators.similarity import ivf_centroids
+    from beacon_indexer_spark.streaming.drift import ann_recall_monitor
+
+    def vec(seed, scale=1.0):
+        return [math.sin(seed * (i + 1)) * scale for i in range(16)]
+
+    # corpus: 4 tight clusters of 15 vectors each
+    corpus_rows = []
+    vid = 0
+    for c in range(4):
+        base = vec(10.0 + c)
+        for j in range(15):
+            corpus_rows.append(
+                (vid, [x + 0.001 * math.sin(97.0 * (vid + i)) for i, x in enumerate(base)])
+            )
+            vid += 1
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+    cents = ivf_centroids(corpus, k=4)
+
+    # batch 1: near-copies of cluster members (index fresh -> high recall)
+    b1 = [
+        (1000 + i, [x * 1.0005 for x in corpus_rows[i * 4][1]])
+        for i in range(10)
+    ]
+    # batch 2: unrelated directions (drifted ingest)
+    b2 = [(2000 + i, vec(500.0 + 7.3 * i)) for i in range(10)]
+
+    src = str(tmp_path / "vec_in")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(b1, "vec_id long, embedding array<double>").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    first = {os.path.join(src, f) for f in os.listdir(src)}
+    spark.createDataFrame(b2, "vec_id long, embedding array<double>").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    later = time.time() + 5
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if f.endswith(".parquet") and p not in first:
+            os.utime(p, (later, later))
+
+    monitor = str(tmp_path / "ann_monitor")
+
+    def score(batch_df, batch_id):
+        from pyspark.sql import functions as F
+
+        row = ann_recall_monitor(
+            corpus, cents, batch_df, k=5, nprobe=2
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        row.write.mode("append").parquet(monitor)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(score).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = sorted(
+        spark.read.parquet(monitor).collect(), key=lambda r: r["batch_id"]
+    )
+    assert len(rows) == 2
+
+    # parity: streamed rows == batch-mode monitor on identical frames
+    for streamed, batch_rows in zip(rows, (b1, b2)):
+        bdf = spark.createDataFrame(
+            batch_rows, "vec_id long, embedding array<double>"
+        )
+        expect = ann_recall_monitor(corpus, cents, bdf, k=5, nprobe=2).collect()[0]
+        assert streamed["n_queries"] == expect["n_queries"] == 10
+        assert streamed["mean_recall"] == expect["mean_recall"]
+        assert streamed["verdict"] == expect["verdict"]
+
+    # fresh batch must read healthier than the drifted one
+    assert rows[0]["mean_recall"] >= rows[1]["mean_recall"]
+    assert rows[0]["verdict"] == "healthy"
+
+
+def test_ann_recall_monitor_empty_batch_reads_empty(spark):
+    import math
+
+    from beacon_indexer_spark.operators.similarity import ivf_centroids
+    from beacon_indexer_spark.streaming.drift import ann_recall_monitor
+
+    corpus = spark.createDataFrame(
+        [(i, [math.sin(3.0 * i * (j + 1)) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(corpus, k=4)
+    empty = corpus.filter("vec_id < 0")
+    row = ann_recall_monitor(corpus, cents, empty, k=5, nprobe=2).collect()[0]
+    assert row["n_queries"] == 0
+    assert row["mean_recall"] == 0.0
+    assert row["verdict"] == "empty"
