@@ -148,3 +148,32 @@ def test_image_near_dupes_resize_invariant_for_nn_upscale(spark):
     h_small = M.image_ahash(df).collect()[0]["ahash"]
     h_up = M.image_ahash(up).collect()[0]["ahash"]
     assert h_small == h_up
+
+
+def test_image_near_dupes_bucket_cap_routes_identical_cluster(spark):
+    """The 100-TB OOM guard on the image path: a pathological cluster of
+    IDENTICAL images collapses every band bucket onto one key; with
+    max_bucket below the cluster size the overflow join must produce
+    EXACTLY the same pairs as the uncapped in-row expansion (the cap is
+    a physical-plan choice, never a semantics change)."""
+    base_px = bytes(range(64))
+    far_px = bytes([255 if (i + i // 8) % 2 else 0 for i in range(64)])
+    rows = [(i, M.encode_image(8, 8, 1, base_px)) for i in range(12)]
+    rows.append((100, M.encode_image(8, 8, 1, far_px)))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+
+    def pairs(max_bucket):
+        return sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in M.image_near_dupes(
+                df, max_dist=3, max_bucket=max_bucket
+            ).collect()
+        )
+
+    uncapped = pairs(None)
+    capped = pairs(4)  # 12 identical images >> cap of 4
+    assert capped == uncapped
+    # all 12C2 identical pairs at hamming 0, far image in none
+    assert len(uncapped) == 66
+    assert all(h == 0 for _, _, h in uncapped)
+    assert not any(100 in (a, b) for a, b, _ in uncapped)
