@@ -19283,11 +19283,13 @@ def q_embedding_stream_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(~is_new)
     batch = emb.filter(is_new)
     cents = S.ivf_centroids(corpus, k=8)
-    return ann_recall_monitor(corpus, cents, batch, k=5, nprobe=2)
+    return ann_recall_monitor(
+        corpus, cents, batch, k=5, nprobe=2, max_queries=100
+    )
 
 
 def _oracle_embedding_stream_recall_sql(
-    k: int = 8, nprobe: int = 2, topk: int = 5
+    k: int = 8, nprobe: int = 2, topk: int = 5, max_queries: int = 100
 ) -> str:
     """DuckDB mirror of q_embedding_stream_recall: centroids md5-sampled
     from the CORPUS subset only, the `-2·v·c + ||c||²` assignment for
@@ -19318,10 +19320,14 @@ WITH cents AS (
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings WHERE vec_id % 5 <> 4
   ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}),
+qsamp AS (
+  SELECT vec_id FROM embeddings WHERE vec_id % 5 = 4
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {max_queries}),
 assigned AS (
   SELECT v.vec_id, v.vec_id % 5 = 4 AS is_new, c.cid,
          -({dot_vc}) * 2 + ({sq_c}) AS d2
-  FROM embeddings v CROSS JOIN cents c),
+  FROM embeddings v CROSS JOIN cents c
+  WHERE v.vec_id % 5 <> 4 OR v.vec_id IN (SELECT vec_id FROM qsamp)),
 ranked AS (
   SELECT vec_id, is_new, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
@@ -19349,14 +19355,14 @@ exact AS (
            row_number() OVER (PARTITION BY qe.vec_id ORDER BY
              ({dot_qv}) / (({norm.format(e='qe')}) * ({norm.format(e='ve')}))
                DESC, ve.vec_id ASC) AS rank
-    FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 4) qe
+    FROM (SELECT * FROM embeddings WHERE vec_id IN (SELECT vec_id FROM qsamp)) qe
     CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 5 <> 4) ve)
   WHERE rank <= {topk}),
 hits AS (
   SELECT COUNT(*) AS n_hits
   FROM exact e JOIN approx a
     ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
-nq AS (SELECT COUNT(*) AS n_queries FROM embeddings WHERE vec_id % 5 = 4)
+nq AS (SELECT COUNT(*) AS n_queries FROM qsamp)
 SELECT CAST(n_queries AS BIGINT) AS n_queries,
        round(CASE WHEN n_queries > 0
                   THEN CAST(n_hits AS DOUBLE) / (n_queries * {topk})

@@ -223,6 +223,7 @@ def ann_recall_monitor(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Streaming ANN index-freshness monitor: one row
     (n_queries, mean_recall, verdict) scoring the FITTED IVF index
@@ -238,15 +239,29 @@ def ann_recall_monitor(
     deploy time; each batch costs one broadcast probe-limited list join
     (the production search path) plus one exact control scan of the
     corpus for the batch's queries — the control is the expensive side,
-    and at 100 TB it runs on a SAMPLED slice of each batch (monitoring
-    needs an estimate, not every query). A zero-row batch reads 'empty'
-    (quiet periods are not staleness). mean_recall = Σ hits / (n·k) —
-    exact integer arithmetic until one final double division."""
+    and ``max_queries`` bounds it: the monitor scores only the
+    ``max_queries`` batch vectors with the smallest md5(id) — the house
+    deterministic sample (`ivf_centroids`' idiom), so the control cost
+    is max_queries × corpus regardless of batch size (monitoring needs
+    an estimate, not every query; measured: unbounded control was 157 s
+    at sf1 where the sampled monitor is ~3 s). A zero-row batch reads
+    'empty' (quiet periods are not staleness). mean_recall =
+    Σ hits / (n·k) — exact integer arithmetic until one final double
+    division."""
     from beacon_indexer_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
     )
 
+    if max_queries is not None:
+        batch_df = (
+            batch_df.withColumn(
+                "__r", F.md5(F.col(id_col).cast("string"))
+            )
+            .orderBy("__r", id_col)
+            .limit(max_queries)
+            .drop("__r")
+        )
     approx = ivf_topk(
         corpus, batch_df, centroids, id_col=id_col, vec_col=vec_col,
         k=k, nprobe=nprobe,
