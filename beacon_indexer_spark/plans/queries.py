@@ -19263,6 +19263,138 @@ ORDER BY s_suppkey
 """
 
 
+def q_nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): for every
+    'gear' line item, profit = revenue − supply cost, rolled up by the
+    supplier's nation and the order year. The five-way join is planned
+    as: lineitem ⋈ derived-partsupp on (partkey, suppkey) — both sides
+    shuffle on the SAME keys (partsupp is the lineitem distinct, so the
+    join is co-partitioned), the part filter and the supplier→nation
+    attach broadcast, and only the orders join shuffles a second key.
+    Profit stays decimal-exact in CENTS (revenue·100 − cost_cents·qty —
+    no decimal division anywhere); one double division by 100 at
+    output."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    gear = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("gear"))
+        .select("p_partkey")
+    )
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    ps = _derived_partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_cents"
+    )
+    profit_cents = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+        * 100
+        - F.col("ps_supplycost_cents").cast("decimal(38,0)")
+        * F.col("l_quantity").cast(_DEC)
+    )
+    return (
+        li.join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(profit_cents).alias("__p"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("__p").cast("double") / 100).alias("sum_profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLE_NATION_PRODUCT_PROFIT = f"""
+WITH {_ORACLE_PARTSUPP_CTE}
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                * 100
+                - CAST(ps_supplycost_cents AS DECIMAL(38,0))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 100
+         AS sum_profit
+FROM lineitem
+JOIN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%') p
+  ON l_partkey = p_partkey
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (COUNT DISTINCT + NOT-IN anti-subquery): how many
+    qualified suppliers stock each (brand, type, size) combination,
+    excluding 'complaint' suppliers (negative account balance stands in
+    for the comment scan — same anti-join shape). The NOT IN
+    decorrelates to a broadcast LEFT ANTI join (the excluded supplier
+    set is tiny); the part attribute filter broadcasts; the only
+    shuffle is the final distinct-count aggregation."""
+    ps = _derived_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").startswith("PROMO"))
+            & (F.col("p_size").isin(1, 3, 5, 7))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        ps.join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), "ps_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+ORACLE_PART_SUPPLIER_COUNTS = f"""
+WITH {_ORACLE_PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 3, 5, 7)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 def q_embedding_stream_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN index-freshness monitor (streaming/drift.py
     ann_recall_monitor): vectors with vec_id % 5 == 4 play the incoming
@@ -21015,6 +21147,8 @@ QUERIES: dict[str, QueryFn] = {
     "partsupp_value_concentration": q_partsupp_value_concentration,
     "supplier_excess_capacity": q_supplier_excess_capacity,
     "embedding_stream_recall": q_embedding_stream_recall,
+    "nation_product_profit": q_nation_product_profit,
+    "part_supplier_counts": q_part_supplier_counts,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -21341,6 +21475,8 @@ def oracles() -> dict[str, str]:
         "partsupp_value_concentration": ORACLE_PARTSUPP_VALUE_CONCENTRATION,
         "supplier_excess_capacity": ORACLE_SUPPLIER_EXCESS_CAPACITY,
         "embedding_stream_recall": _oracle_embedding_stream_recall_sql(),
+        "nation_product_profit": ORACLE_NATION_PRODUCT_PROFIT,
+        "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,

@@ -138,3 +138,90 @@ def test_q11_having_vs_global_total(spark, tmp_path):
     avail = (p * 7 + s * 13) % 9999 + 1
     cents = (p * 31 + s * 17) % 90000 + 10000
     assert got[100] == avail * cents / 100
+
+
+def test_q16_not_in_excludes_complaint_suppliers(spark, tmp_path):
+    """A supplier with negative balance must not count anywhere, and the
+    brand/type/size filters must drop non-qualifying parts."""
+    _base_dims(spark, tmp_path)
+    _plant(
+        spark, tmp_path, "supplier",
+        [(0, "S0", 3, 10.0), (1, "S1", 3, -5.0), (2, "S2", 3, 1.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    _plant(
+        spark, tmp_path, "part",
+        [
+            (1, "x", "Brand#2", "LARGE", 3, 1.0),    # qualifies
+            (2, "x", "Brand#1", "LARGE", 3, 1.0),    # brand excluded
+            (3, "x", "Brand#2", "PROMO", 3, 1.0),    # type excluded
+            (4, "x", "Brand#2", "LARGE", 2, 1.0),    # size excluded
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    from datetime import datetime
+    d = datetime(1996, 1, 1)
+    rows = []
+    ok = 1
+    for pk in (1, 2, 3, 4):
+        for sk in (0, 1, 2):
+            rows.append((ok, pk, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d))
+            ok += 1
+    _plant(
+        spark, tmp_path, "lineitem", rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = QUERIES["part_supplier_counts"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # suppliers 0 and 2 qualify; supplier 1 (negative balance) excluded
+    assert (r.p_brand, r.p_type, r.p_size, r.supplier_cnt) == (
+        "Brand#2", "LARGE", 3, 2
+    )
+
+
+def test_q9_profit_is_revenue_minus_supplycost(spark, tmp_path):
+    """One gear line: profit = extprice*(1-disc) - cost_cents*qty/100,
+    grouped under the SUPPLIER's nation and the ORDER year."""
+    _base_dims(spark, tmp_path)
+    _plant(
+        spark, tmp_path, "supplier",
+        [(2, "S2", 7, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    _plant(
+        spark, tmp_path, "part",
+        [(5, "hot gear", "Brand#2", "LARGE", 3, 1.0),
+         (6, "red bolt", "Brand#2", "LARGE", 3, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    from datetime import datetime
+    _plant(
+        spark, tmp_path, "orders",
+        [(1, datetime(1997, 5, 1), "F"), (2, datetime(1998, 2, 1), "F")],
+        "o_orderkey long, o_orderdate timestamp, o_orderstatus string",
+    )
+    _plant(
+        spark, tmp_path, "lineitem",
+        [
+            (1, 5, 2, 1, 3.0, 200.0, 0.1, 0.0, "N", "O", datetime(1997, 5, 2)),
+            (2, 6, 2, 1, 3.0, 200.0, 0.1, 0.0, "N", "O", datetime(1998, 2, 2)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = QUERIES["nation_product_profit"](spark, str(tmp_path)).collect()
+    # only the gear part (5) counts; nation is the supplier's (NATION_7)
+    assert len(out) == 1
+    r = out[0]
+    cents = (5 * 31 + 2 * 17) % 90000 + 10000
+    expect = 200.0 * 0.9 - cents * 3 / 100
+    assert (r.nation, r.o_year) == ("NATION_7", 1997)
+    assert abs(r.sum_profit - expect) < 1e-9
