@@ -1365,3 +1365,101 @@ def substring_dup_rate(
             ).alias("dup_rate"),
         )
     )
+
+
+def cross_corpus_contamination_spans(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the OTHER use of the suffix-array
+    machinery): maximal token spans in TRAIN documents covered by a
+    length-``k`` token shingle that appears ANYWHERE in the TEST corpus
+    — the spans to strip before training so evaluation data cannot leak.
+    (doc_id, span_start, span_end, n_tokens), train ids only.
+
+    Scale shape: the test side reduces to DISTINCT grams (bounded by the
+    benchmark, tiny next to the corpus) and the train side streams
+    through one equi-join on the gram — no train-side self-pairing at
+    all, so this is strictly cheaper than `substring_dup_spans`. Span
+    merging is the same per-doc sessionize."""
+    tr = token_kgram_positions(train, id_col, text_col, k)
+    te = token_kgram_positions(test, id_col, text_col, k).select(
+        "gram"
+    ).distinct()
+    marked = tr.join(te, "gram").select("doc_id", "pos")
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    grp = (
+        marked.withColumn(
+            "__new",
+            F.when(
+                F.col("pos") - F.lag("pos").over(seq) > k, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__grp",
+            F.sum("__new").over(
+                seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        grp.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply span removal: rebuild each document's text WITHOUT the
+    tokens inside its spans (disjoint [span_start, span_end] token
+    ranges, as `substring_dup_spans`/`cross_corpus_contamination_spans`
+    emit). Returns (doc_id, clean_text, orig_tokens, kept_tokens).
+
+    Plan: spans aggregate to one array per doc (few spans per doc by
+    construction — they are maximal merged runs), broadcast-or-shuffle
+    left join back, then a single JVM HOF filters the token array by
+    index with an exists() over the span array — no explode of tokens,
+    no Python. Documents with no spans pass through verbatim (modulo
+    the canonical lowercase/whitespace normalization both sides of the
+    dedup pipeline share)."""
+    sp = spans.groupBy(F.col("doc_id").alias("__sid")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("__toks")
+    )
+    joined = base.join(
+        sp, base.doc_id == F.col("__sid"), "left"
+    ).drop("__sid")
+    # keep token i unless some span covers it; positions are 0-based
+    kept = F.expr(
+        "filter(__toks, (t, i) -> NOT exists(coalesce(__spans,"
+        " array()), s -> i >= s.span_start AND i <= s.span_end))"
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__toks").cast("long").alias("orig_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+    )

@@ -19263,6 +19263,119 @@ ORDER BY s_suppkey
 """
 
 
+def q_corpus_decontamination_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py
+    cross_corpus_contamination_spans): documents from source 'src0' play
+    the held-out evaluation set; every span in the REST of the corpus
+    covered by an 8-token shingle that appears anywhere in src0 is
+    flagged for removal before training. The test side reduces to a
+    DISTINCT gram set (bounded by the benchmark size); the train side
+    pays one equi-join — strictly cheaper than full substring dedup, no
+    self-pairing anywhere."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    test = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return D.cross_corpus_contamination_spans(
+        train, test, "doc_id", "text", k=8
+    ).select("doc_id", "span_start", "span_end", "n_tokens")
+
+
+_DECON_SPANS_CTE = r"""
+WITH tk AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents),
+trgrams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM tk, unnest(generate_series(1, CAST(len(toks) - 7 AS INT))) AS u(i)
+  WHERE len(toks) >= 8 AND source <> 'src0'),
+tegrams AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM tk, unnest(generate_series(1, CAST(len(toks) - 7 AS INT))) AS u(i)
+  WHERE len(toks) >= 8 AND source = 'src0'),
+marked AS (
+  SELECT doc_id, pos FROM trgrams JOIN tegrams USING (gram)),
+lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM marked),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM lagged),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+  FROM grp GROUP BY doc_id, g)
+"""
+
+ORACLE_CORPUS_DECONTAMINATION_SPANS = (
+    _DECON_SPANS_CTE.format(toks=_DD_TOKENS.format(c="text"))
+    + r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens
+FROM spans
+"""
+)
+
+
+def q_corpus_decontaminated_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span REMOVAL applied (operators/dedup.py strip_spans): the train
+    corpus with every src0-contaminated span stripped — per doc the
+    original/kept token counts and the md5 of the reconstructed clean
+    text, which pins the rebuilt string byte-for-byte against the
+    oracle's independent reconstruction (positions → anti-range filter →
+    ordered string_agg). One HOF filter per doc, tokens never explode on
+    the Spark side."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    test = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    spans = D.cross_corpus_contamination_spans(
+        train, test, "doc_id", "text", k=8
+    )
+    out = D.strip_spans(train, spans, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "orig_tokens",
+        "kept_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+ORACLE_CORPUS_DECONTAMINATED_STATS = (
+    _DECON_SPANS_CTE.format(toks=_DD_TOKENS.format(c="text"))
+    + r"""
+, posns AS (
+  SELECT t.doc_id, u.i, t.toks[u.i] AS tok, len(t.toks) AS n
+  FROM tk t, unnest(generate_series(1, CAST(len(t.toks) AS INT))) AS u(i)
+  WHERE t.source <> 'src0'),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok, p.n
+  FROM posns p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.i - 1 BETWEEN s.span_start AND s.span_end))
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(len(t.toks) AS BIGINT) AS orig_tokens,
+       CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept_tokens,
+       md5(COALESCE(k.txt, '')) AS clean_md5
+FROM tk t
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS kept,
+         string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id) k ON k.doc_id = t.doc_id
+WHERE t.source <> 'src0'
+"""
+)
+
+
 def q_nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit by nation and year): for every
     'gear' line item, profit = revenue − supply cost, rolled up by the
@@ -21149,6 +21262,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_stream_recall": q_embedding_stream_recall,
     "nation_product_profit": q_nation_product_profit,
     "part_supplier_counts": q_part_supplier_counts,
+    "corpus_decontamination_spans": q_corpus_decontamination_spans,
+    "corpus_decontaminated_stats": q_corpus_decontaminated_stats,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -21477,6 +21592,8 @@ def oracles() -> dict[str, str]:
         "embedding_stream_recall": _oracle_embedding_stream_recall_sql(),
         "nation_product_profit": ORACLE_NATION_PRODUCT_PROFIT,
         "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
+        "corpus_decontamination_spans": ORACLE_CORPUS_DECONTAMINATION_SPANS,
+        "corpus_decontaminated_stats": ORACLE_CORPUS_DECONTAMINATED_STATS,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,

@@ -106,3 +106,93 @@ def test_fuzz_matches_bruteforce(spark, token_lists, k):
     repeated k-grams, the regime where interval merging has edge cases."""
     rows = [(i, " ".join(t)) for i, t in enumerate(token_lists)]
     assert _spark_spans(spark, rows, k) == _brute_spans(rows, k)
+
+
+def _brute_contamination(train_rows, test_rows, k):
+    ttoks = [
+        [t for t in txt.lower().split() if t] for _, txt in test_rows
+    ]
+    tegrams = {
+        tuple(t[p : p + k])
+        for t in ttoks
+        for p in range(len(t) - k + 1)
+    }
+    out = {}
+    for i, txt in train_rows:
+        t = [x for x in txt.lower().split() if x]
+        marked = [
+            p
+            for p in range(len(t) - k + 1)
+            if tuple(t[p : p + k]) in tegrams
+        ]
+        spans = []
+        for p in marked:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        if spans:
+            out[i] = [tuple(s) for s in spans]
+    return out
+
+
+def test_decontamination_spans_and_strip(spark):
+    test_rows = [(900, "the quick brown fox jumps over the lazy dog")]
+    train_rows = [
+        (1, "intro words then the quick brown fox jumps over the lazy"
+            " dog and more text follows here"),
+        (2, "no contamination in this document at all whatsoever today"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    test = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    spans = D.cross_corpus_contamination_spans(
+        train, test, "doc_id", "text", k=5
+    )
+    got = {
+        r.doc_id: [(r.span_start, r.span_end)] for r in spans.collect()
+    }
+    assert got == {k: v for k, v in _brute_contamination(
+        train_rows, test_rows, 5
+    ).items()}
+
+    out = {r.doc_id: r for r in D.strip_spans(
+        train, spans, "doc_id", "text"
+    ).collect()}
+    assert out[1].clean_text == "intro words then and more text follows here"
+    assert (out[1].orig_tokens, out[1].kept_tokens) == (17, 8)
+    # untouched doc passes through (normalized join, same token stream)
+    assert out[2].clean_text == train_rows[1][1]
+    assert out[2].orig_tokens == out[2].kept_tokens == 9
+    # removal accounting: kept = orig - covered
+    covered = sum(
+        r.n_tokens for r in spans.collect() if r.doc_id == 1
+    )
+    assert out[1].kept_tokens == out[1].orig_tokens - covered
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("a b c".split()), min_size=0, max_size=20),
+        min_size=1,
+        max_size=5,
+    ),
+    st.lists(
+        st.lists(st.sampled_from("a b c".split()), min_size=0, max_size=12),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_fuzz_contamination_matches_bruteforce(spark, train_t, test_t, k):
+    train_rows = [(i, " ".join(t)) for i, t in enumerate(train_t)]
+    test_rows = [(100 + i, " ".join(t)) for i, t in enumerate(test_t)]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    test = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    got = {}
+    for r in D.cross_corpus_contamination_spans(
+        train, test, "doc_id", "text", k=k
+    ).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    got = {i: sorted(v) for i, v in got.items()}
+    assert got == _brute_contamination(train_rows, test_rows, k)
