@@ -19263,6 +19263,64 @@ ORDER BY s_suppkey
 """
 
 
+def q_domain_temperature_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-balanced domain mixing (the multilingual-sampling
+    p_i ∝ n_i^α rule, α = 1/2): per source, its document count, its
+    α-tempered mixing weight, and the target document count for a
+    rebalanced corpus of the same total size — small domains up-weighted,
+    head domains down-weighted, the standard alternative to DSIR when no
+    target distribution exists. α = 1/2 on purpose: sqrt is correctly
+    rounded in IEEE (bit-identical across engines) where pow(x, 0.7) is
+    not; per-domain weights are quantized to 1e-9 integers BEFORE the
+    denominator sum (the batch_psi idiom), so the total is order-free
+    exact integer arithmetic — no unpartitioned window, no
+    summation-order dependence. |domains|-row arithmetic after one count
+    aggregation."""
+    per = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    wq = F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e9, 0).cast(
+        "long"
+    )
+    q = per.withColumn("__wq", wq)
+    tot = q.agg(
+        F.sum("__wq").cast("long").alias("__wtot"),
+        F.sum("n_docs").cast("long").alias("__ntot"),
+    )
+    frac = F.col("__wq").cast("double") / F.col("__wtot").cast("double")
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(frac, 6).alias("weight"),
+            F.floor(F.col("__ntot") * frac).cast("long").alias("target_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOMAIN_TEMPERATURE_SAMPLING = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+q AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e9, 0) AS BIGINT) AS wq
+  FROM per),
+tot AS (SELECT SUM(wq) AS wtot, SUM(n_docs) AS ntot FROM q)
+SELECT source, n_docs,
+       round(CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE), 6) AS weight,
+       CAST(floor(ntot * (CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE)))
+         AS BIGINT) AS target_docs
+FROM q CROSS JOIN tot
+ORDER BY source
+"""
+
+
 def q_corpus_decontamination_spans(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -21264,6 +21322,7 @@ QUERIES: dict[str, QueryFn] = {
     "part_supplier_counts": q_part_supplier_counts,
     "corpus_decontamination_spans": q_corpus_decontamination_spans,
     "corpus_decontaminated_stats": q_corpus_decontaminated_stats,
+    "domain_temperature_sampling": q_domain_temperature_sampling,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -21594,6 +21653,7 @@ def oracles() -> dict[str, str]:
         "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
         "corpus_decontamination_spans": ORACLE_CORPUS_DECONTAMINATION_SPANS,
         "corpus_decontaminated_stats": ORACLE_CORPUS_DECONTAMINATED_STATS,
+        "domain_temperature_sampling": ORACLE_DOMAIN_TEMPERATURE_SAMPLING,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,

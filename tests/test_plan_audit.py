@@ -112,6 +112,9 @@ _ALLOWED_CROSS = {
     "events_value_quantile_sketch",  # ONE-ROW total + 9-row decile literals
     "events_k_anonymity",  # 4-row threshold literal fan-out
     "embedding_ann_ndcg",  # brute-force arm's broadcast query side
+    "partsupp_value_concentration",  # broadcast ONE-ROW global-total attach
+    "domain_temperature_sampling",  # broadcast ONE-ROW totals attach
+    "embedding_stream_recall",  # exact-control arm's broadcast sampled queries
 }
 
 # iterative operator: executes during plan construction; its final plan is
