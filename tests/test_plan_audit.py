@@ -246,3 +246,29 @@ def test_capped_lsh_plan_audits_without_jobs(spark):
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_dedup_two_shuffle_design(plans):
+    # substring_dup_spans' scale claim: ONE gram-partitioned window pass +
+    # ONE per-doc sessionize — two hash exchanges total, nothing else wide
+    plan = plans["corpus_substring_spans"]
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 3, f"substring spans plan grew to {n_ex} exchanges"
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_broadcasts_dimensions(plans):
+    # nation_product_profit: part filter and supplier→nation must ship as
+    # broadcasts, never shuffle the fact table against a dim
+    plan = plans["nation_product_profit"]
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_decontamination_test_side_aggregates_before_join(plans):
+    # the test corpus must reduce to DISTINCT grams before meeting the
+    # train side (an aggregate below the join), never pair train docs
+    # against raw test rows
+    plan = plans["corpus_decontamination_spans"]
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
