@@ -17,6 +17,15 @@ baseline two ways:
 Within a shard, queries run sorted by name (insertion order in QUERIES
 changes as the file grows; sorted order is stable).
 
+Reading the artifact: sharded minima run ~14% above deep-warm single-JVM
+minima (median, measured round 10) — the fresh-JVM warmup tax is the
+price of comparability; compare sharded runs to sharded runs only. The
+per-shard canary drift is noisier here than in a 300-query JVM (the end
+re-time is min-of-2 in a ~3-minute-old JVM vs the loop's min-of-4):
+single-shard spikes up to ~1.8 appeared on back-to-back quiet-box runs —
+treat simultaneous >1.5 drift on MULTIPLE shards as contamination,
+single-shard spikes as variance.
+
 Usage:
     python tools/bench_shards.py            # 4 shards, merges bench_reps.json
     SPARK_GRAFT_BENCH_SHARDS=6 SPARK_GRAFT_BENCH_REPS=4 python tools/bench_shards.py
