@@ -343,3 +343,105 @@ def media_fingerprint(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn("media_sha256", F.sha2(F.col(content_col), 256)).withColumn(
         "media_bytes", F.length(F.col(content_col)).cast("long")
     )
+
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("max_delta", T.LongType()),
+    ]
+)
+
+
+def detect_scene_changes(
+    df: DataFrame,
+    threshold: int,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Scene-cut detection per video: the sum of absolute pixel deltas
+    between consecutive frames, flagged as a cut when it exceeds
+    ``threshold`` — the standard shot-boundary pre-pass that decides
+    which frames are worth keeping for a training set (sample densely
+    around cuts, sparsely inside static shots). Output
+    (doc_id, n_frames, n_cuts, max_delta).
+
+    Arrow-batched mapInPandas over the opaque binary column — one decode
+    per clip, numpy int32 delta sums (integer-exact, engine-portable),
+    nothing but the 4-column verdict leaves the worker."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did, buf in zip(pdf[id_col], pdf[content_col]):
+                w, h, c, frames = decode_video_bytes(bytes(buf))
+                arrs = [
+                    np.frombuffer(f, dtype=np.uint8).astype(np.int32)
+                    for f in frames
+                ]
+                deltas = [
+                    int(np.abs(arrs[i] - arrs[i - 1]).sum())
+                    for i in range(1, len(arrs))
+                ]
+                out.append(
+                    (
+                        did,
+                        len(frames),
+                        sum(1 for d in deltas if d > threshold),
+                        max(deltas) if deltas else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SCENE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, SCENE_SCHEMA)
+
+
+SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("silence_ratio", T.DoubleType()),
+    ]
+)
+
+
+def audio_silence_ratio(
+    df: DataFrame,
+    threshold: int,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Silence profile per clip: fraction of samples with |amplitude| <
+    ``threshold`` — the audio-curation gate (drop mostly-silent clips,
+    trim leading/trailing silence before feature extraction). Output
+    (doc_id, n_samples, n_silent, silence_ratio), ratio = exact integer
+    division done once in double, UNROUNDED (Python's round() is
+    banker's; callers needing display rounding apply F.round JVM-side so
+    the oracle's HALF_UP semantics match)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did, buf in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(buf)
+                rate, samples = decode_audio_bytes(raw)
+                s = np.asarray(samples, dtype=np.int32)
+                n = int(s.size)
+                silent = int((np.abs(s) < threshold).sum()) if n else 0
+                out.append(
+                    (did, n, silent, silent / n if n else 0.0)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SILENCE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, SILENCE_SCHEMA)

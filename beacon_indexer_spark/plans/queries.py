@@ -1213,6 +1213,137 @@ FROM v
 """
 
 
+def q_multimodal_video_scene_cuts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shot-boundary detection (operators/multimodal.py
+    detect_scene_changes): deterministic VID1 clips (3-5 frames of 3x2x1
+    pixels from consecutive document-byte windows) scored by the sum of
+    absolute pixel deltas between consecutive frames; a delta above 200
+    is a cut — the pre-pass that decides where to sample frames densely
+    for a training set. Integer-only arithmetic end-to-end, so the
+    DuckDB oracle reproduces every delta from the hex of the utf-8
+    bytes."""
+    import pandas as pd
+
+    from beacon_indexer_spark.operators import multimodal as M
+
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    docs = (
+        _t(spark, sf_dir, "documents").repartition(n_parts).select("doc_id", "text")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                nf = 3 + int(did) % 3
+                raw = (text or "").encode("utf-8")
+                frames = []
+                for f in range(nf):
+                    piece = raw[f * 6 : (f + 1) * 6]
+                    frames.append(piece + b" " * (6 - len(piece)))
+                out.append((did, M.encode_video(3, 2, 1, frames)))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(gen, "doc_id long, content binary")
+    return M.detect_scene_changes(media, threshold=200).select(
+        "doc_id", "n_frames", "n_cuts", "max_delta"
+    )
+
+
+_DD_HEXBYTE = (
+    "((strpos('0123456789ABCDEF', substr({hx}, {p}, 1)) - 1) * 16"
+    " + strpos('0123456789ABCDEF', substr({hx}, {p} + 1, 1)) - 1)"
+)
+
+ORACLE_MULTIMODAL_VIDEO_SCENE_CUTS = f"""
+WITH base AS (
+  SELECT doc_id, 3 + doc_id % 3 AS nf,
+         hex(encode(COALESCE(text, ''))) AS hx
+  FROM documents),
+px AS (
+  SELECT doc_id, nf, t.f, u.j,
+         CASE WHEN 2 * (t.f * 6 + u.j + 1) <= length(hx)
+              THEN {_DD_HEXBYTE.format(hx='hx', p='2 * (t.f * 6 + u.j) + 1')}
+              ELSE 32 END AS b
+  FROM base,
+       unnest(generate_series(0, CAST(nf - 1 AS INT))) AS t(f),
+       unnest(generate_series(0, 5)) AS u(j)),
+deltas AS (
+  SELECT a.doc_id, a.f, SUM(abs(a.b - p.b)) AS d
+  FROM px a JOIN px p
+    ON p.doc_id = a.doc_id AND p.f = a.f - 1 AND p.j = a.j
+  GROUP BY 1, 2)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.nf AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN d.d > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(MAX(d.d) AS BIGINT) AS max_delta
+FROM base b JOIN deltas d ON d.doc_id = b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_multimodal_audio_silence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio silence-gate (operators/multimodal.py audio_silence_ratio):
+    the deterministic AUD1 clips of `multimodal_audio_stats`, profiled
+    for the fraction of samples with |amplitude| < 1024 (i.e. source
+    bytes within 16 of the 128 midpoint) — the curation signal that
+    drops mostly-silent clips before feature extraction. Integer
+    comparisons; one double division, rounded JVM-side."""
+    import pandas as pd
+
+    from beacon_indexer_spark.operators import multimodal as M
+
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    docs = (
+        _t(spark, sf_dir, "documents").repartition(n_parts).select("doc_id", "text")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = 8000 * (1 + int(did) % 3)
+                n = 16
+                raw = (text or "").encode("utf-8")[:n]
+                raw = raw + b" " * (n - len(raw))
+                samples = [(b - 128) * 64 for b in raw]
+                out.append((did, M.encode_audio(rate, samples)))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(gen, "doc_id long, content binary")
+    out = M.audio_silence_ratio(media, threshold=1024)
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "n_silent",
+        F.round("silence_ratio", 6).alias("silence_ratio"),
+    )
+
+
+ORACLE_MULTIMODAL_AUDIO_SILENCE = f"""
+WITH base AS (
+  SELECT doc_id, hex(encode(COALESCE(text, ''))) AS hx FROM documents),
+smp AS (
+  SELECT doc_id,
+         CASE WHEN 2 * u.j <= length(hx)
+              THEN {_DD_HEXBYTE.format(hx='hx', p='2 * u.j - 1')}
+              ELSE 32 END AS b
+  FROM base, unnest(generate_series(1, 16)) AS u(j))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN abs((b - 128) * 64) < 1024 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_silent,
+       round(SUM(CASE WHEN abs((b - 128) * 64) < 1024 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS silence_ratio
+FROM smp
+GROUP BY 1
+"""
+
+
 def q_multimodal_image_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup end-to-end: deterministic IMG1 images
     synthesized from document bytes (w = 4 + doc_id%5 px, 4 tall, 1
@@ -21323,6 +21454,8 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_decontamination_spans": q_corpus_decontamination_spans,
     "corpus_decontaminated_stats": q_corpus_decontaminated_stats,
     "domain_temperature_sampling": q_domain_temperature_sampling,
+    "multimodal_video_scene_cuts": q_multimodal_video_scene_cuts,
+    "multimodal_audio_silence": q_multimodal_audio_silence,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -21654,6 +21787,8 @@ def oracles() -> dict[str, str]:
         "corpus_decontamination_spans": ORACLE_CORPUS_DECONTAMINATION_SPANS,
         "corpus_decontaminated_stats": ORACLE_CORPUS_DECONTAMINATED_STATS,
         "domain_temperature_sampling": ORACLE_DOMAIN_TEMPERATURE_SAMPLING,
+        "multimodal_video_scene_cuts": ORACLE_MULTIMODAL_VIDEO_SCENE_CUTS,
+        "multimodal_audio_silence": ORACLE_MULTIMODAL_AUDIO_SILENCE,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,

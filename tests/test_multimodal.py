@@ -177,3 +177,33 @@ def test_image_near_dupes_bucket_cap_routes_identical_cluster(spark):
     assert len(uncapped) == 66
     assert all(h == 0 for _, _, h in uncapped)
     assert not any(100 in (a, b) for a, b, _ in uncapped)
+
+
+def test_detect_scene_changes_planted(spark):
+    """Three frames: f0==f1 (delta 0, no cut), f2 differs by exactly 50
+    per pixel over 6 pixels (delta 300 > threshold 200 -> one cut)."""
+    f0 = bytes([10, 20, 30, 40, 50, 60])
+    f2 = bytes([60, 70, 80, 90, 100, 110])
+    vid = M.encode_video(3, 2, 1, [f0, f0, f2])
+    still = M.encode_video(3, 2, 1, [f0, f0])
+    df = spark.createDataFrame(
+        [(1, vid), (2, still)], "doc_id long, content binary"
+    )
+    got = {
+        r.doc_id: (r.n_frames, r.n_cuts, r.max_delta)
+        for r in M.detect_scene_changes(df, threshold=200).collect()
+    }
+    assert got[1] == (3, 1, 300)
+    assert got[2] == (2, 0, 0)
+
+
+def test_audio_silence_ratio_boundary(spark):
+    """|s| < threshold is strict: a sample AT the threshold is not
+    silent."""
+    samples = [0, 5, -5, 100, -100, 99, -99, 1000]
+    clip = M.encode_audio(8000, samples)
+    df = spark.createDataFrame([(1, clip)], "doc_id long, content binary")
+    r = M.audio_silence_ratio(df, threshold=100).collect()[0]
+    # silent: 0, 5, -5, 99, -99 -> 5 of 8 (±100 and 1000 are not)
+    assert (r.n_samples, r.n_silent) == (8, 5)
+    assert abs(r.silence_ratio - 5 / 8) < 1e-12
