@@ -19394,6 +19394,100 @@ ORDER BY s_suppkey
 """
 
 
+def q_corpus_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental-ingest exact-substring dedup — the third leg of the
+    incremental trio (text shingles: `dedup_incremental`, embeddings:
+    `embedding_incremental`, exact substrings: this): documents with
+    doc_id % 5 == 4 play the incoming batch; spans in batch docs covered
+    by an 8-token shingle already present in the STORED corpus are
+    flagged before the batch is admitted. Same operator as
+    decontamination with roles swapped — the stored side reduces to a
+    DISTINCT gram index (written once at ingest in production), the
+    batch pays one equi-join; per-batch cost is O(batch), the corpus is
+    never re-paired."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    is_new = F.col("doc_id") % 5 == 4
+    return D.cross_corpus_contamination_spans(
+        docs.filter(is_new), docs.filter(~is_new), "doc_id", "text", k=8
+    ).select("doc_id", "span_start", "span_end", "n_tokens")
+
+
+ORACLE_CORPUS_SUBSTRING_INCREMENTAL = r"""
+WITH tk AS (
+  SELECT doc_id, {toks} AS toks FROM documents),
+newg AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM tk, unnest(generate_series(1, CAST(len(toks) - 7 AS INT))) AS u(i)
+  WHERE len(toks) >= 8 AND doc_id % 5 = 4),
+oldg AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM tk, unnest(generate_series(1, CAST(len(toks) - 7 AS INT))) AS u(i)
+  WHERE len(toks) >= 8 AND doc_id % 5 <> 4),
+marked AS (
+  SELECT doc_id, pos FROM newg JOIN oldg USING (gram)),
+lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM marked),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM lagged)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS n_tokens
+FROM grp GROUP BY doc_id, g
+""".replace("{toks}", _DD_TOKENS.format(c="text"))
+
+
+def q_corpus_substring_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-substring dedup headline: one row with total
+    tokens, tokens inside duplicated >=8-token spans, affected document
+    count, and the corpus duplication rate — the number a curation run
+    reports before deciding whether span-removal is worth a rewrite
+    pass. Derived from `substring_dup_rate` (disjoint spans, exact
+    sums)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    rates = D.substring_dup_rate(docs, "doc_id", "text", k=8)
+    return rates.agg(
+        F.sum("doc_tokens").cast("long").alias("total_tokens"),
+        F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+        F.sum((F.col("dup_tokens") > 0).cast("int"))
+        .cast("long")
+        .alias("docs_affected"),
+        F.round(
+            F.sum("dup_tokens") / F.greatest(F.sum("doc_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+ORACLE_CORPUS_SUBSTRING_SUMMARY = (
+    _SUBSTRING_SPANS_CTE.format(toks=_DD_TOKENS.format(c="text"))
+    + r"""
+, covered AS (
+  SELECT doc_id, SUM(span_end - span_start + 1) AS dup_tokens
+  FROM spans GROUP BY doc_id),
+per AS (
+  SELECT t.doc_id, len(toks) AS doc_tokens, COALESCE(dup_tokens, 0) AS dup_tokens
+  FROM tk t LEFT JOIN covered c USING (doc_id))
+SELECT CAST(SUM(doc_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+       CAST(SUM(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       round(SUM(dup_tokens) / CAST(greatest(SUM(doc_tokens), 1) AS DOUBLE), 6)
+         AS dup_rate
+FROM per
+"""
+)
+
+
 def q_domain_temperature_sampling(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -21456,6 +21550,8 @@ QUERIES: dict[str, QueryFn] = {
     "domain_temperature_sampling": q_domain_temperature_sampling,
     "multimodal_video_scene_cuts": q_multimodal_video_scene_cuts,
     "multimodal_audio_silence": q_multimodal_audio_silence,
+    "corpus_substring_incremental": q_corpus_substring_incremental,
+    "corpus_substring_summary": q_corpus_substring_summary,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -21789,6 +21885,8 @@ def oracles() -> dict[str, str]:
         "domain_temperature_sampling": ORACLE_DOMAIN_TEMPERATURE_SAMPLING,
         "multimodal_video_scene_cuts": ORACLE_MULTIMODAL_VIDEO_SCENE_CUTS,
         "multimodal_audio_silence": ORACLE_MULTIMODAL_AUDIO_SILENCE,
+        "corpus_substring_incremental": ORACLE_CORPUS_SUBSTRING_INCREMENTAL,
+        "corpus_substring_summary": ORACLE_CORPUS_SUBSTRING_SUMMARY,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
