@@ -81,3 +81,73 @@ def kmv_distinct(
         kth.cast("long").alias("kth_hash"),
         F.round(est, 4).alias("distinct_est"),
     )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    grp_a: str,
+    grp_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set-operation estimator [Beyer et al. 2007]: Jaccard,
+    union-distinct, and intersection-distinct of two groups' key SETS
+    from two mergeable bottom-k sketches — the sketch-level analogue of
+    an exact distinct-intersection, whose shuffle at 100 TB carries
+    every distinct key instead of 2k hashes.
+
+    Method: per group, the k smallest md5 hashes of its distinct keys;
+    combine both sketches, keep the k smallest of the union (τ = the
+    kth). Each kept hash is a uniform sample of the UNION's distinct
+    keys, so the fraction present in BOTH sketches estimates Jaccard;
+    union ≈ (k-1)·H/τ (KMV proper), intersection ≈ J·union. One row:
+    (n_kept, tau, inter_kept, jaccard_est, union_est, inter_est).
+
+    Plan: two narrow hash maps + per-group TakeOrdered-style bottom-k
+    (window over the distinct-hash frame), then ALL remaining arithmetic
+    happens on ≤2k rows via orderBy+limit (no unpartitioned window, no
+    full sort — TakeOrdered). md5-deterministic end to end: the DuckDB
+    oracle reproduces every estimate bit for bit."""
+    hashed = (
+        df.filter(F.col(group_col).isin(grp_a, grp_b))
+        .select(
+            (F.col(group_col) == grp_a).alias("__a"),
+            _md5_long(F.col(key_col).cast("string"), _KMV_SALT).alias("__h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__a").orderBy("__h")
+    kept = hashed.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= k
+    )
+    merged = (
+        kept.groupBy("__h")
+        .agg(
+            F.max(F.col("__a").cast("int")).alias("__in_a"),
+            F.max((~F.col("__a")).cast("int")).alias("__in_b"),
+        )
+        .orderBy("__h")
+        .limit(k)
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("__h").cast("long").alias("tau"),
+        F.sum(F.col("__in_a") * F.col("__in_b")).cast("long").alias(
+            "inter_kept"
+        ),
+    )
+    full = F.col("n_kept") == k
+    union_est = F.when(
+        full,
+        F.lit(float(k - 1)) * (F.lit(float(_H)) / F.col("tau").cast("double")),
+    ).otherwise(F.col("n_kept").cast("double"))
+    jac = F.col("inter_kept").cast("double") / F.col("n_kept").cast("double")
+    return agg.select(
+        "n_kept",
+        "tau",
+        "inter_kept",
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac * union_est, 4).alias("inter_est"),
+    )

@@ -4063,6 +4063,90 @@ FROM est e JOIN ex x USING (lang)
 """
 
 
+def q_source_shingle_kmv_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV set-OPERATION estimator (operators/sketch.py kmv_jaccard,
+    Beyer et al. 2007): Jaccard / union / intersection of the 3-gram
+    shingle SETS of sources src0 and src1 from two mergeable bottom-k
+    sketches — the sketch answer to "how much do these two crawls
+    overlap" whose exact form ships every distinct shingle through a
+    shuffle. Exact union/intersection attach as audit columns so the
+    observed estimator error is in the result (the corpus_shingle_kmv
+    convention)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sh = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    est = KV.kmv_jaccard(sh, "sh", "source", "src0", "src1", k=64)
+    both = (
+        sh.select("source", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(
+            F.max((F.col("source") == "src0").cast("int")).alias("__a"),
+            F.max((F.col("source") == "src1").cast("int")).alias("__b"),
+        )
+    )
+    exact = both.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("__a") * F.col("__b")).cast("long").alias("exact_inter"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_kept",
+        "tau",
+        "inter_kept",
+        "jaccard_est",
+        "union_est",
+        "inter_est",
+        "exact_union",
+        "exact_inter",
+        F.round(
+            F.col("exact_inter") / F.col("exact_union").cast("double"), 6
+        ).alias("exact_jaccard"),
+    )
+
+
+def _oracle_source_shingle_kmv_jaccard_sql(k: int = 64) -> str:
+    h = _dd_md5_long("concat('7:', sh)")
+    return f"""
+WITH sh AS (SELECT source, unnest({_dd_shingles(3)}) AS sh FROM documents
+            WHERE source IN ('src0', 'src1')),
+hs AS (SELECT DISTINCT source = 'src0' AS in_a, {h} AS h FROM sh),
+rk AS (SELECT in_a, h, row_number() OVER (PARTITION BY in_a ORDER BY h) AS r
+       FROM hs),
+merged AS (
+  SELECT h, MAX(CASE WHEN in_a THEN 1 ELSE 0 END) AS ia,
+         MAX(CASE WHEN in_a THEN 0 ELSE 1 END) AS ib
+  FROM rk WHERE r <= {k} GROUP BY h ORDER BY h LIMIT {k}),
+ag AS (SELECT COUNT(*) AS n_kept, MAX(h) AS tau,
+              SUM(ia * ib) AS inter_kept FROM merged),
+est AS (
+  SELECT n_kept, tau, inter_kept,
+         CAST(inter_kept AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jac,
+         CASE WHEN n_kept = {k}
+              THEN {float(k - 1)!r} * ({float(2**60)!r} / CAST(tau AS DOUBLE))
+              ELSE CAST(n_kept AS DOUBLE) END AS uni
+  FROM ag),
+both_sets AS (
+  SELECT sh, MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+  FROM (SELECT DISTINCT source, sh FROM sh) GROUP BY sh),
+ex AS (SELECT COUNT(*) AS exact_union, SUM(a * b) AS exact_inter
+       FROM both_sets)
+SELECT CAST(n_kept AS BIGINT) AS n_kept, CAST(tau AS BIGINT) AS tau,
+       CAST(inter_kept AS BIGINT) AS inter_kept,
+       round(jac, 6) AS jaccard_est,
+       round(uni, 4) AS union_est,
+       round(jac * uni, 4) AS inter_est,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       CAST(exact_inter AS BIGINT) AS exact_inter,
+       round(CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE), 6)
+         AS exact_jaccard
+FROM est CROSS JOIN ex
+"""
+
+
 _SOURCE_CAP = 40
 
 
@@ -21552,6 +21636,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_audio_silence": q_multimodal_audio_silence,
     "corpus_substring_incremental": q_corpus_substring_incremental,
     "corpus_substring_summary": q_corpus_substring_summary,
+    "source_shingle_kmv_jaccard": q_source_shingle_kmv_jaccard,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -21887,6 +21972,7 @@ def oracles() -> dict[str, str]:
         "multimodal_audio_silence": ORACLE_MULTIMODAL_AUDIO_SILENCE,
         "corpus_substring_incremental": ORACLE_CORPUS_SUBSTRING_INCREMENTAL,
         "corpus_substring_summary": ORACLE_CORPUS_SUBSTRING_SUMMARY,
+        "source_shingle_kmv_jaccard": _oracle_source_shingle_kmv_jaccard_sql(),
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
