@@ -225,3 +225,22 @@ def test_q9_profit_is_revenue_minus_supplycost(spark, tmp_path):
     expect = 200.0 * 0.9 - cents * 3 / 100
     assert (r.nation, r.o_year) == ("NATION_7", 1997)
     assert abs(r.sum_profit - expect) < 1e-9
+
+
+def test_kmv_jaccard_estimates_known_overlap(spark):
+    """Two synthetic key sets with exact Jaccard 1/3 (A=1..2000,
+    B=1001..3000, |inter|=1000, |union|=3000): the k=64 KMV estimate
+    must be deterministic and land within the ~1/sqrt(k) band."""
+    from beacon_indexer_spark.operators.sketch import kmv_jaccard
+
+    rows = [("a", i) for i in range(1, 2001)] + [
+        ("b", i) for i in range(1001, 3001)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    r1 = kmv_jaccard(df, "key", "grp", "a", "b", k=64).collect()[0]
+    r2 = kmv_jaccard(df, "key", "grp", "a", "b", k=64).collect()[0]
+    assert r1 == r2  # md5-deterministic
+    assert r1.n_kept == 64
+    assert abs(r1.jaccard_est - 1 / 3) < 0.2
+    assert 0.5 * 3000 < r1.union_est < 2.0 * 3000
+    assert r1.inter_est == round(r1.jaccard_est * r1.union_est, 4)
