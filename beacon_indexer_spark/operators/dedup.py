@@ -1463,3 +1463,60 @@ def strip_spans(
         F.size("__toks").cast("long").alias("orig_tokens"),
         F.size(kept).cast("long").alias("kept_tokens"),
     )
+
+
+def substring_dup_spans_keep_first(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Keep-first exact substring dedup — `substring_dup_spans` marks
+    EVERY occurrence of a duplicated k-gram; this variant marks only the
+    NON-FIRST occurrences (first = smallest (doc_id, pos) corpus-wide),
+    which is the actual Lee et al. removal policy: one copy of every
+    passage survives, so stripping these spans loses no content. Same
+    single gram-partitioned shuffle (the occurrence rank rides the same
+    window as the count) + the per-doc sessionize."""
+    grams = token_kgram_positions(df, id_col, text_col, k)
+    occ = Window.partitionBy("gram")
+    rank = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    marked = (
+        grams.withColumn("__occ", F.count(F.lit(1)).over(occ))
+        .withColumn("__rn", F.row_number().over(rank))
+        .filter(
+            (F.col("__occ") >= min_occurrences) & (F.col("__rn") >= 2)
+        )
+        .select("doc_id", "pos")
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    grp = (
+        marked.withColumn(
+            "__new",
+            F.when(
+                F.col("pos") - F.lag("pos").over(seq) > k, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__grp",
+            F.sum("__new").over(
+                seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        grp.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

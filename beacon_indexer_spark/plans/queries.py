@@ -19572,6 +19572,56 @@ FROM per
 )
 
 
+def q_corpus_substring_dedup_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-first exact substring dedup plan (operators/dedup.py
+    substring_dup_spans_keep_first — the actual Lee et al. 2022 removal
+    policy): spans covering only NON-FIRST occurrences of duplicated
+    8-token shingles, so stripping them keeps exactly one copy of every
+    passage. The occurrence rank rides the same gram-partitioned window
+    as the occurrence count — no extra shuffle over
+    `corpus_substring_spans`."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return D.substring_dup_spans_keep_first(
+        docs, "doc_id", "text", k=8
+    ).select("doc_id", "span_start", "span_end", "n_tokens")
+
+
+ORACLE_CORPUS_SUBSTRING_DEDUP_PLAN = r"""
+WITH tk AS (
+  SELECT doc_id, {toks} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM tk, unnest(generate_series(1, CAST(len(toks) - 7 AS INT))) AS u(i)
+  WHERE len(toks) >= 8),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           COUNT(*) OVER (PARTITION BY gram) AS occ,
+           row_number() OVER (PARTITION BY gram
+                              ORDER BY doc_id, pos) AS rn
+    FROM grams)
+  WHERE occ >= 2 AND rn >= 2),
+lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM marked),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM lagged)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS n_tokens
+FROM grp GROUP BY doc_id, g
+""".replace("{toks}", _DD_TOKENS.format(c="text"))
+
+
 def q_domain_temperature_sampling(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -21637,6 +21687,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_substring_incremental": q_corpus_substring_incremental,
     "corpus_substring_summary": q_corpus_substring_summary,
     "source_shingle_kmv_jaccard": q_source_shingle_kmv_jaccard,
+    "corpus_substring_dedup_plan": q_corpus_substring_dedup_plan,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -21973,6 +22024,7 @@ def oracles() -> dict[str, str]:
         "corpus_substring_incremental": ORACLE_CORPUS_SUBSTRING_INCREMENTAL,
         "corpus_substring_summary": ORACLE_CORPUS_SUBSTRING_SUMMARY,
         "source_shingle_kmv_jaccard": _oracle_source_shingle_kmv_jaccard_sql(),
+        "corpus_substring_dedup_plan": ORACLE_CORPUS_SUBSTRING_DEDUP_PLAN,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,

@@ -196,3 +196,39 @@ def test_fuzz_contamination_matches_bruteforce(spark, train_t, test_t, k):
         got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
     got = {i: sorted(v) for i, v in got.items()}
     assert got == _brute_contamination(train_rows, test_rows, k)
+
+
+def test_keep_first_policy_spares_first_occurrence(spark):
+    """Two identical docs: the lower (doc_id, pos) copy is the keeper —
+    only doc 2's span is flagged; within-doc repeats keep their first
+    window too."""
+    rows = [
+        (1, "a b c d e f g h one ending"),
+        (2, "a b c d e f g h two ending"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in D.substring_dup_spans_keep_first(
+            df, "doc_id", "text", k=8
+        ).collect()
+    }
+    assert spans == {2: (0, 7)}  # pos 0 only: grams at 1,2 differ (one/two)
+    # the remove-all variant flags BOTH
+    both = {
+        r.doc_id
+        for r in D.substring_dup_spans(df, "doc_id", "text", k=8).collect()
+    }
+    assert both == {1, 2}
+    # strip with keep-first: doc 1 intact, doc 2 loses the span
+    out = {
+        r.doc_id: r
+        for r in D.strip_spans(
+            df,
+            D.substring_dup_spans_keep_first(df, "doc_id", "text", k=8),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert out[1].kept_tokens == 10
+    assert out[2].kept_tokens == 2 and out[2].clean_text == "two ending"
