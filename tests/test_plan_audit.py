@@ -115,6 +115,7 @@ _ALLOWED_CROSS = {
     "partsupp_value_concentration",  # broadcast ONE-ROW global-total attach
     "domain_temperature_sampling",  # broadcast ONE-ROW totals attach
     "embedding_stream_recall",  # exact-control arm's broadcast sampled queries
+    "source_shingle_kmv_jaccard",  # broadcast ONE-ROW exact-audit attach
 }
 
 # iterative operator: executes during plan construction; its final plan is
