@@ -19793,6 +19793,71 @@ WHERE t.source <> 'src0'
 )
 
 
+def q_doc_contamination_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document decontamination ACTION (the layer a curation run
+    executes on top of `corpus_decontamination_spans`): every train doc
+    gets a total verdict from its src0-contaminated token fraction —
+    'keep' (< 5% contaminated), 'trim' (5-50%: strip the spans, keep the
+    rest), 'drop' (> 50%: mostly benchmark text). The span aggregation
+    is a per-doc sum of disjoint maximal runs (exact); docs with no
+    contamination report rate 0 through the left join."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    test = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    spans = D.cross_corpus_contamination_spans(
+        train, test, "doc_id", "text", k=8
+    )
+    covered = spans.groupBy("doc_id").agg(
+        F.sum("n_tokens").cast("long").alias("contam_tokens")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    base = train.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("doc_tokens"),
+    )
+    rate = F.coalesce("contam_tokens", F.lit(0)) / F.greatest(
+        "doc_tokens", F.lit(1)
+    )
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "doc_tokens",
+        F.coalesce("contam_tokens", F.lit(0))
+        .cast("long")
+        .alias("contam_tokens"),
+        F.round(rate, 6).alias("contam_rate"),
+        F.when(rate > 0.5, "drop")
+        .when(rate >= 0.05, "trim")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+
+
+ORACLE_DOC_CONTAMINATION_VERDICT = (
+    _DECON_SPANS_CTE.format(toks=_DD_TOKENS.format(c="text"))
+    + r"""
+, covered AS (
+  SELECT doc_id, SUM(span_end - span_start + 1) AS contam_tokens
+  FROM spans GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(len(toks) AS BIGINT) AS doc_tokens,
+       CAST(COALESCE(contam_tokens, 0) AS BIGINT) AS contam_tokens,
+       round(COALESCE(contam_tokens, 0)
+             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS contam_rate,
+       CASE WHEN COALESCE(contam_tokens, 0)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE) > 0.5 THEN 'drop'
+            WHEN COALESCE(contam_tokens, 0)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE) >= 0.05 THEN 'trim'
+            ELSE 'keep' END AS verdict
+FROM tk t LEFT JOIN covered c USING (doc_id)
+WHERE t.source <> 'src0'
+"""
+)
+
+
 def q_nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit by nation and year): for every
     'gear' line item, profit = revenue − supply cost, rolled up by the
@@ -21688,6 +21753,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_substring_summary": q_corpus_substring_summary,
     "source_shingle_kmv_jaccard": q_source_shingle_kmv_jaccard,
     "corpus_substring_dedup_plan": q_corpus_substring_dedup_plan,
+    "doc_contamination_verdict": q_doc_contamination_verdict,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -22025,6 +22091,7 @@ def oracles() -> dict[str, str]:
         "corpus_substring_summary": ORACLE_CORPUS_SUBSTRING_SUMMARY,
         "source_shingle_kmv_jaccard": _oracle_source_shingle_kmv_jaccard_sql(),
         "corpus_substring_dedup_plan": ORACLE_CORPUS_SUBSTRING_DEDUP_PLAN,
+        "doc_contamination_verdict": ORACLE_DOC_CONTAMINATION_VERDICT,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
