@@ -320,6 +320,14 @@ def ivf_assign_two_level(
     )
     branches = []
     for sid, members in groups.items():
+        if not members:
+            # A super-group is empty when an identical earlier super exists
+            # (duplicate vectors md5-sampled among the first √k centroids):
+            # equal-distance ties in both `centroid_super_groups` and ssel
+            # resolve to the LOWER id, so this sid is unreachable from ssel
+            # — and an empty branch would emit transform(slice(array_sort(
+            # array()), ...)) which fails analysis on the untyped array().
+            continue
         member_structs = _d2_structs(members, vec_col)
         branches.append(
             f"WHEN {int(sid)} THEN transform(slice(array_sort(array("

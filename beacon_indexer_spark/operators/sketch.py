@@ -90,6 +90,7 @@ def kmv_jaccard(
     grp_a: str,
     grp_b: str,
     k: int = 64,
+    prefilter_denom: int = 16,
 ) -> DataFrame:
     """KMV set-operation estimator [Beyer et al. 2007]: Jaccard,
     union-distinct, and intersection-distinct of two groups' key SETS
@@ -104,17 +105,27 @@ def kmv_jaccard(
     union ≈ (k-1)·H/τ (KMV proper), intersection ≈ J·union. One row:
     (n_kept, tau, inter_kept, jaccard_est, union_est, inter_est).
 
-    Plan: two narrow hash maps + per-group TakeOrdered-style bottom-k
-    (window over the distinct-hash frame), then ALL remaining arithmetic
-    happens on ≤2k rows via orderBy+limit (no unpartitioned window, no
-    full sort — TakeOrdered). md5-deterministic end to end: the DuckDB
-    oracle reproduces every estimate bit for bit."""
+    Plan — same scale bound as `kmv_distinct`: the narrow
+    `__h < H/prefilter_denom` pre-filter runs BEFORE any shuffle, so
+    the distinct + per-group bottom-k window sees ~D/prefilter_denom
+    rows, never a group's full distinct key set (the k minima survive
+    any cutoff that keeps ≥ k hashes). When the filtered UNION holds
+    fewer than k hashes, every group kept ALL of its survivors, so the
+    cutoff acted as a 1/prefilter_denom distinct-sample of the union:
+    union ≈ n_kept·prefilter_denom and Jaccard is still the in-both
+    fraction of the sample. Empty input yields the defined zero verdict
+    (jaccard/union/inter = 0.0) rather than NULL 0/0. All remaining
+    arithmetic happens on ≤2k rows via orderBy+limit (TakeOrdered, no
+    full sort). md5-deterministic end to end: the DuckDB oracle
+    reproduces every estimate bit for bit."""
+    cutoff = _H // prefilter_denom
     hashed = (
         df.filter(F.col(group_col).isin(grp_a, grp_b))
         .select(
             (F.col(group_col) == grp_a).alias("__a"),
             _md5_long(F.col(key_col).cast("string"), _KMV_SALT).alias("__h"),
         )
+        .filter(F.col("__h") < F.lit(cutoff))
         .distinct()
     )
     w = Window.partitionBy("__a").orderBy("__h")
@@ -133,16 +144,21 @@ def kmv_jaccard(
     agg = merged.agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.max("__h").cast("long").alias("tau"),
-        F.sum(F.col("__in_a") * F.col("__in_b")).cast("long").alias(
-            "inter_kept"
-        ),
+        F.coalesce(
+            F.sum(F.col("__in_a") * F.col("__in_b")), F.lit(0)
+        ).cast("long").alias("inter_kept"),
     )
     full = F.col("n_kept") == k
     union_est = F.when(
         full,
         F.lit(float(k - 1)) * (F.lit(float(_H)) / F.col("tau").cast("double")),
-    ).otherwise(F.col("n_kept").cast("double"))
-    jac = F.col("inter_kept").cast("double") / F.col("n_kept").cast("double")
+    ).otherwise(
+        F.col("n_kept").cast("double") * F.lit(float(prefilter_denom))
+    )
+    jac = F.when(
+        F.col("n_kept") > 0,
+        F.col("inter_kept").cast("double") / F.col("n_kept").cast("double"),
+    ).otherwise(F.lit(0.0))
     return agg.select(
         "n_kept",
         "tau",

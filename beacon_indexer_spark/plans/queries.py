@@ -4107,12 +4107,17 @@ def q_source_shingle_kmv_jaccard(
     )
 
 
-def _oracle_source_shingle_kmv_jaccard_sql(k: int = 64) -> str:
+def _oracle_source_shingle_kmv_jaccard_sql(
+    k: int = 64, prefilter_denom: int = 16
+) -> str:
     h = _dd_md5_long("concat('7:', sh)")
+    cutoff = (2**60) // prefilter_denom
     return f"""
 WITH sh AS (SELECT source, unnest({_dd_shingles(3)}) AS sh FROM documents
             WHERE source IN ('src0', 'src1')),
-hs AS (SELECT DISTINCT source = 'src0' AS in_a, {h} AS h FROM sh),
+hs AS (SELECT DISTINCT in_a, h FROM (
+         SELECT source = 'src0' AS in_a, {h} AS h FROM sh)
+       WHERE h < {cutoff}),
 rk AS (SELECT in_a, h, row_number() OVER (PARTITION BY in_a ORDER BY h) AS r
        FROM hs),
 merged AS (
@@ -4120,13 +4125,16 @@ merged AS (
          MAX(CASE WHEN in_a THEN 0 ELSE 1 END) AS ib
   FROM rk WHERE r <= {k} GROUP BY h ORDER BY h LIMIT {k}),
 ag AS (SELECT COUNT(*) AS n_kept, MAX(h) AS tau,
-              SUM(ia * ib) AS inter_kept FROM merged),
+              COALESCE(SUM(ia * ib), 0) AS inter_kept FROM merged),
 est AS (
   SELECT n_kept, tau, inter_kept,
-         CAST(inter_kept AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jac,
+         CASE WHEN n_kept > 0
+              THEN CAST(inter_kept AS DOUBLE) / CAST(n_kept AS DOUBLE)
+              ELSE 0.0 END AS jac,
          CASE WHEN n_kept = {k}
               THEN {float(k - 1)!r} * ({float(2**60)!r} / CAST(tau AS DOUBLE))
-              ELSE CAST(n_kept AS DOUBLE) END AS uni
+              ELSE CAST(n_kept AS DOUBLE) * {float(prefilter_denom)!r}
+              END AS uni
   FROM ag),
 both_sets AS (
   SELECT sh, MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,

@@ -1,0 +1,138 @@
+"""Round-11 tests: kmv_jaccard scale fix (narrow prefilter before the
+bottom-k window, sampling fallback, defined empty verdict) and the
+ivf_assign_two_level empty-super-group fix."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- kmv_jaccard
+
+
+def test_kmv_jaccard_window_input_is_prefiltered(spark):
+    """The scale contract (VERDICT r10 #1): the per-group bottom-k window
+    must rank the PREFILTERED hash frame, never a group's full distinct
+    key set. In the executed plan the cutoff filter (h < H/16) has to sit
+    BELOW the Window node."""
+    from beacon_indexer_spark.operators.sketch import kmv_jaccard, _H
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(200)] + [("b", i) for i in range(100, 300)],
+        "grp string, key long",
+    )
+    out = kmv_jaccard(df, "key", "grp", "a", "b", k=8, prefilter_denom=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    win = [i for i, l in enumerate(lines) if re.search(r"\bWindow\b", l)]
+    assert win, "no Window in kmv_jaccard plan"
+    below = "\n".join(lines[win[0]:])
+    cutoff = str(_H // 16)
+    assert cutoff in below, (
+        "prefilter cutoff not below the bottom-k window — the window would "
+        "single-task-sort each group's full distinct key set"
+    )
+
+
+def test_kmv_jaccard_underfill_falls_back_to_sampling(spark):
+    """When the filtered union keeps fewer than k hashes, every group kept
+    ALL of its survivors, so the cutoff acted as a 1/denom distinct-sample:
+    union_est = n_kept * denom, jaccard = in-both fraction of the sample."""
+    from beacon_indexer_spark.operators.sketch import kmv_jaccard
+
+    rows = [("a", i) for i in range(1, 41)] + [
+        ("b", i) for i in range(21, 61)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    r = kmv_jaccard(df, "key", "grp", "a", "b", k=64, prefilter_denom=16).collect()[0]
+    assert 0 < r.n_kept < 64  # 60 distinct keys / 16 ≈ 4 survivors
+    assert r.union_est == float(r.n_kept * 16)
+    assert r.jaccard_est == round(r.inter_kept / r.n_kept, 6)
+    assert r.inter_est == round(r.jaccard_est * r.union_est, 4)
+
+
+def test_kmv_jaccard_empty_input_defined_verdict(spark):
+    """Zero rows in both groups: a defined zero verdict, not NULL 0/0
+    (ADVICE r10). n_kept=0, inter_kept=0, all three estimates 0.0."""
+    from beacon_indexer_spark.operators.sketch import kmv_jaccard
+
+    df = spark.createDataFrame([("c", 1)], "grp string, key long")
+    r = kmv_jaccard(df, "key", "grp", "a", "b", k=64).collect()[0]
+    assert r.n_kept == 0
+    assert r.inter_kept == 0
+    assert r.jaccard_est == 0.0
+    assert r.union_est == 0.0
+    assert r.inter_est == 0.0
+
+
+def test_kmv_jaccard_prefilter_preserves_full_sketch(spark):
+    """When every group keeps >= k survivors, the prefiltered sketch IS the
+    unfiltered bottom-k (the k minima survive any cutoff keeping >= k
+    hashes): denom=1 (no-op filter) and denom=16 must agree exactly."""
+    from beacon_indexer_spark.operators.sketch import kmv_jaccard
+
+    rows = [("a", i) for i in range(1, 2001)] + [
+        ("b", i) for i in range(1001, 3001)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    full = kmv_jaccard(df, "key", "grp", "a", "b", k=64, prefilter_denom=1).collect()[0]
+    filt = kmv_jaccard(df, "key", "grp", "a", "b", k=64, prefilter_denom=16).collect()[0]
+    assert full == filt
+
+
+# ------------------------------------------------- ivf_assign_two_level dupes
+
+
+def test_two_level_assign_skips_empty_super_groups(spark):
+    """Duplicate centroids among the supers (two identical vectors sampled
+    into the first √k) leave a super-group EMPTY: ties resolve to the
+    lower id in both the driver grouping and the ssel expression, so the
+    empty sid is unreachable — but emitting its CASE branch used to build
+    transform(slice(array_sort(array()), ...)) which fails analysis
+    (ADVICE r10). Assignment must succeed and every vector must land in a
+    populated group."""
+    from beacon_indexer_spark.operators.similarity import (
+        centroid_super_groups,
+        ivf_assign_two_level,
+    )
+
+    cents = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),  # duplicate of super 0 -> group 1 empty
+        (2, [0.0, 1.0]),
+        (3, [0.9, 0.1]),
+    ]
+    groups = centroid_super_groups(cents, 2)
+    assert groups[1] == []  # the planted empty super-group
+    df = spark.createDataFrame(
+        [(i, [float(i % 2), float(1 - i % 2)]) for i in range(8)],
+        "id long, embedding array<double>",
+    )
+    out = ivf_assign_two_level(df, cents, "embedding", nprobe=1).collect()
+    assert len(out) == 8
+    assert {r.ivf_list for r in out} <= {c for c, _ in cents}
+
+
+def test_semantic_dedup_survives_duplicate_heavy_corpus(spark):
+    """semantic_dedup_keep on a corpus of only 3 distinct vectors with
+    k_clusters >= hier_threshold: the sampled centroid table is
+    duplicate-heavy, guaranteeing identical super-centroids — exactly the
+    input that used to crash the two-level path. Verdict must be total
+    and group identical vectors together."""
+    from beacon_indexer_spark.operators.similarity import semantic_dedup_keep
+
+    base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(i, base[i % 3]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup_keep(
+        df, "vec_id", "embedding", k_clusters=36, threshold=0.95,
+        hier_threshold=32,
+    ).collect()
+    assert len(out) == 60  # total verdict
+    kept = [r.vec_id for r in out if r.keep]
+    # identical vectors form 3 groups; exactly one keeper each
+    assert sorted(kept) == [0, 1, 2]
