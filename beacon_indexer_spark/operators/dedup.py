@@ -1261,42 +1261,16 @@ def token_kgram_positions(
     )
 
 
-def substring_dup_spans(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 8,
-    min_occurrences: int = 2,
-) -> DataFrame:
-    """Exact duplicated-substring spans, the suffix-array dedup of Lee et
-    al. 2022 ("Deduplicating Training Data Makes Language Models Better")
-    re-expressed as a Spark shuffle instead of a corpus-wide suffix array:
-    (doc_id, span_start, span_end, n_tokens) — maximal token runs covered
-    by some length-``k`` token shingle occurring ``min_occurrences``+ times
-    corpus-wide (cross-doc or repeated within one doc, exactly the
-    suffix-array criterion "this k-token string appears elsewhere").
+def _merge_marked_spans(marked: DataFrame, k: int) -> DataFrame:
+    """Shared span-merge rule of the suffix-array family (the Lee et al.
+    coverage semantics, pinned by the brute-force fuzz oracle): given
+    marked k-gram start positions (doc_id, pos), merge runs whose
+    coverage intervals [p, p+k-1] touch (break when the gap between
+    consecutive starts exceeds ``k``) into maximal spans
+    (doc_id, span_start, span_end, n_tokens).
 
-    Equivalence: a suffix array finds maximal repeated substrings of
-    length >= k; a token position p starts such a substring iff its
-    k-gram is non-unique. Marking those positions and merging runs whose
-    coverage intervals [p, p+k-1] touch reproduces the maximal duplicated
-    spans (the set of tokens a suffix-array pass would remove).
-
-    Scale shape (the part the suffix array can't do distributed): one
-    wide op total — a window count partitioned by gram (map-side nothing
-    to combine, but the shuffle carries (gram, doc, pos) once; grams are
-    k short tokens). Span merging is a per-doc sessionize: second shuffle
-    partitioned by doc_id, linear in marked positions. No all-pairs
-    stage anywhere; hot grams (boilerplate) cost their occurrence count,
-    never its square.
-    """
-    grams = token_kgram_positions(df, id_col, text_col, k)
-    occ = Window.partitionBy("gram")
-    marked = (
-        grams.withColumn("__occ", F.count(F.lit(1)).over(occ))
-        .filter(F.col("__occ") >= min_occurrences)
-        .select("doc_id", "pos")
-    )
+    One per-doc sessionize: a doc_id-partitioned lag/cumsum window, then
+    a groupBy over (doc_id, run) — linear in marked positions."""
     seq = Window.partitionBy("doc_id").orderBy("pos")
     grp = (
         marked.withColumn(
@@ -1327,6 +1301,50 @@ def substring_dup_spans(
             .alias("n_tokens"),
         )
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans, the suffix-array dedup of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better")
+    re-expressed as a Spark shuffle instead of a corpus-wide suffix array:
+    (doc_id, span_start, span_end, n_tokens) — maximal token runs covered
+    by some length-``k`` token shingle occurring ``min_occurrences``+ times
+    corpus-wide (cross-doc or repeated within one doc, exactly the
+    suffix-array criterion "this k-token string appears elsewhere").
+
+    Equivalence: a suffix array finds maximal repeated substrings of
+    length >= k; a token position p starts such a substring iff its
+    k-gram is non-unique. Marking those positions and merging runs whose
+    coverage intervals [p, p+k-1] touch reproduces the maximal duplicated
+    spans (the set of tokens a suffix-array pass would remove).
+
+    Scale shape (the part the suffix array can't do distributed):
+    occurrence counting is a ``groupBy(gram).count()`` — partial (map-
+    side) aggregation shrinks the count shuffle to distinct grams — and
+    the surviving dup-gram list equi-joins back to positions on gram,
+    where AQE's skew-join splitting applies. The r10 form (a gram-
+    partitioned window count) shuffled every occurrence to one task per
+    gram with neither defense: a boilerplate gram with 10⁸ occurrences
+    at corpus scale became one straggler task. Span merging is the
+    shared per-doc sessionize (`_merge_marked_spans`). No all-pairs
+    stage anywhere; hot grams (boilerplate) cost their occurrence count,
+    never its square.
+    """
+    grams = token_kgram_positions(df, id_col, text_col, k)
+    dup_grams = (
+        grams.groupBy("gram")
+        .count()
+        .filter(F.col("count") >= min_occurrences)
+        .select("gram")
+    )
+    marked = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    return _merge_marked_spans(marked, k)
 
 
 def substring_dup_rate(
@@ -1390,36 +1408,7 @@ def cross_corpus_contamination_spans(
         "gram"
     ).distinct()
     marked = tr.join(te, "gram").select("doc_id", "pos")
-    seq = Window.partitionBy("doc_id").orderBy("pos")
-    grp = (
-        marked.withColumn(
-            "__new",
-            F.when(
-                F.col("pos") - F.lag("pos").over(seq) > k, F.lit(1)
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "__grp",
-            F.sum("__new").over(
-                seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-    )
-    return (
-        grp.groupBy("doc_id", "__grp")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("n_tokens"),
-        )
-    )
+    return _merge_marked_spans(marked, k)
 
 
 def strip_spans(
@@ -1476,47 +1465,32 @@ def substring_dup_spans_keep_first(
     EVERY occurrence of a duplicated k-gram; this variant marks only the
     NON-FIRST occurrences (first = smallest (doc_id, pos) corpus-wide),
     which is the actual Lee et al. removal policy: one copy of every
-    passage survives, so stripping these spans loses no content. Same
-    single gram-partitioned shuffle (the occurrence rank rides the same
-    window as the count) + the per-doc sessionize."""
+    passage survives, so stripping these spans loses no content.
+
+    The first occurrence is the per-gram argmin of (doc_id, pos) —
+    computed as ``min(struct(doc_id, pos))`` INSIDE the same partial-
+    aggregated ``groupBy(gram)`` that counts occurrences ((doc_id, pos)
+    is unique within a gram, so the struct minimum IS row_number()==1 of
+    the r10 window form). No gram-partitioned window anywhere: the count
+    shuffle carries distinct grams (map-side combine), the join back to
+    positions gets AQE skew-splitting, and the marked positions flow
+    into the shared per-doc sessionize (`_merge_marked_spans`)."""
     grams = token_kgram_positions(df, id_col, text_col, k)
-    occ = Window.partitionBy("gram")
-    rank = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    firsts = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("__occ"),
+            F.min(F.struct("doc_id", "pos")).alias("__first"),
+        )
+        .filter(F.col("__occ") >= min_occurrences)
+        .select("gram", "__first")
+    )
     marked = (
-        grams.withColumn("__occ", F.count(F.lit(1)).over(occ))
-        .withColumn("__rn", F.row_number().over(rank))
+        grams.join(firsts, "gram")
         .filter(
-            (F.col("__occ") >= min_occurrences) & (F.col("__rn") >= 2)
+            (F.col("doc_id") != F.col("__first.doc_id"))
+            | (F.col("pos") != F.col("__first.pos"))
         )
         .select("doc_id", "pos")
     )
-    seq = Window.partitionBy("doc_id").orderBy("pos")
-    grp = (
-        marked.withColumn(
-            "__new",
-            F.when(
-                F.col("pos") - F.lag("pos").over(seq) > k, F.lit(1)
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "__grp",
-            F.sum("__new").over(
-                seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-    )
-    return (
-        grp.groupBy("doc_id", "__grp")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("n_tokens"),
-        )
-    )
+    return _merge_marked_spans(marked, k)

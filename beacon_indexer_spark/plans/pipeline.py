@@ -194,6 +194,15 @@ class CurationRun:
     Outputs are column-identical to the standalone queries, so a caller
     can swap between the audited one-shot queries and the staged run
     without downstream changes.
+
+    With ``test_docs`` set, the run also stages benchmark DECONTAMINATION
+    on the same discipline: the contamination-span frame is computed once
+    (lazily, localCheckpoint-backed) and `contamination_spans` /
+    `contamination_verdict` (column-identical to
+    `corpus_decontamination_spans` / `doc_contamination_verdict`) and
+    `decision` — the manifest extended with the keep/trim/drop verdict
+    and the final ``admit`` flag — all read the staged blocks, so one
+    staged run emits the full curation decision.
     """
 
     def __init__(
@@ -208,6 +217,10 @@ class CurationRun:
         split_fracs: list[tuple[str, float]] | None = None,
         max_bucket: int | None = 65536,
         keep_policy: str = "min_id",
+        test_docs: DataFrame | None = None,
+        decon_k: int = 8,
+        drop_threshold: float = 0.5,
+        trim_threshold: float = 0.05,
     ) -> None:
         from beacon_indexer_spark.operators.dedup import (
             broadcast_if_small,
@@ -227,6 +240,13 @@ class CurationRun:
         self.split_fracs = split_fracs or [
             ("train", 0.8), ("val", 0.1), ("test", 0.1)
         ]
+        # decontamination stage (optional): the held-out eval corpus whose
+        # k-gram spans must be flagged/stripped from the training docs
+        self.test_docs = test_docs
+        self.decon_k = decon_k
+        self.drop_threshold = drop_threshold
+        self.trim_threshold = trim_threshold
+        self._contam: DataFrame | None = None
         pairs = minhash_lsh_candidates(
             docs, id_col, text_col, k=k, bands=bands,
             shingle_n=shingle_n, max_bucket=max_bucket,
@@ -440,4 +460,106 @@ class CurationRun:
         return leakage_safe_split(
             self.docs, self.clusters, self.id_col,
             train_rate=train_rate, salt=salt,
+        )
+
+    # ------------------------------------------------ decontamination stage
+
+    def _contamination(self) -> DataFrame:
+        """Staged contamination-span frame: `cross_corpus_contamination_
+        spans` of the training docs against ``test_docs``, computed ONCE
+        per run (localCheckpoint-backed, lazily on first access so runs
+        without a decon stage pay nothing). Every decon-derived frame
+        reads these blocks — one gram join per run, same staging
+        discipline as the LSH→CC cluster frame."""
+        if self.test_docs is None:
+            raise ValueError(
+                "CurationRun built without test_docs; pass the held-out "
+                "eval corpus to enable the decontamination stage"
+            )
+        if self._contam is None:
+            from beacon_indexer_spark.operators.dedup import (
+                cross_corpus_contamination_spans,
+            )
+
+            self._contam = cross_corpus_contamination_spans(
+                self.docs, self.test_docs, self.id_col, self.text_col,
+                k=self.decon_k,
+            ).localCheckpoint()
+        return self._contam
+
+    def contamination_spans(self) -> DataFrame:
+        """(doc_id, span_start, span_end, n_tokens) — column-identical to
+        `corpus_decontamination_spans`, reading the staged span frame."""
+        return self._contamination().select(
+            "doc_id", "span_start", "span_end", "n_tokens"
+        )
+
+    def contamination_verdict(self) -> DataFrame:
+        """(doc_id, doc_tokens, contam_tokens, contam_rate, verdict) —
+        column-identical to `doc_contamination_verdict`: per-doc
+        contaminated-token coverage with the keep/trim/drop policy
+        (drop above ``drop_threshold``, trim at ``trim_threshold``+)."""
+        covered = self._contamination().groupBy("doc_id").agg(
+            F.sum("n_tokens").cast("long").alias("contam_tokens")
+        )
+        toks = F.filter(
+            F.split(F.lower(F.col(self.text_col)), r"\s+"), lambda t: t != ""
+        )
+        base = self.docs.select(
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.size(toks).cast("long").alias("doc_tokens"),
+        )
+        rate = F.coalesce("contam_tokens", F.lit(0)) / F.greatest(
+            "doc_tokens", F.lit(1)
+        )
+        return base.join(covered, "doc_id", "left").select(
+            "doc_id",
+            "doc_tokens",
+            F.coalesce("contam_tokens", F.lit(0))
+            .cast("long")
+            .alias("contam_tokens"),
+            F.round(rate, 6).alias("contam_rate"),
+            F.when(rate > self.drop_threshold, "drop")
+            .when(rate >= self.trim_threshold, "trim")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+
+    def decision(self) -> DataFrame:
+        """The FULL curation decision from one staged run: `manifest()`'s
+        dedup/quality/split columns extended with the decon verdict —
+        (doc_id, cluster_id, keep, q6, q_pass, split, include,
+        contam_tokens, contam_rate, contam_verdict, admit), where
+        ``admit`` = include AND contam_verdict != 'drop' (trimmed docs
+        stay admitted; their spans are stripped by `strip_spans` on the
+        way out). Both staged frames (clusters, contamination spans) are
+        read from checkpoint blocks — no LSH/CC or gram join re-runs."""
+        man = self.manifest()
+        ver = self.contamination_verdict().select(
+            F.col("doc_id").alias(self.id_col),
+            "contam_tokens",
+            "contam_rate",
+            F.col("verdict").alias("contam_verdict"),
+        )
+        return man.join(ver, self.id_col, "left").select(
+            man[self.id_col],
+            "cluster_id",
+            "keep",
+            "q6",
+            "q_pass",
+            "split",
+            "include",
+            F.coalesce("contam_tokens", F.lit(0))
+            .cast("long")
+            .alias("contam_tokens"),
+            F.coalesce("contam_rate", F.lit(0.0)).alias("contam_rate"),
+            F.coalesce("contam_verdict", F.lit("keep")).alias(
+                "contam_verdict"
+            ),
+            (
+                F.col("include").cast("boolean")
+                & (F.coalesce("contam_verdict", F.lit("keep")) != "drop")
+            )
+            .cast("int")
+            .alias("admit"),
         )

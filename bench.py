@@ -81,13 +81,28 @@ def main() -> None:
     # round deltas can separate methodology (rep count, run-to-run noise)
     # from real plan change
     rep_times: dict[str, list[float]] = {}
+    # per-rep 1-min loadavg sample: two rounds running, the driver's bench
+    # run disagreed with quiet-box re-measurement (+7.6% r9, +11.6% r10,
+    # both refuted) because cross-run ambient load is invisible to the
+    # intra-run canary. A load trace lets the artifact adjudicate itself:
+    # samples persistently above ~1.2x the core count mean the box was
+    # running MORE than this bench, and round-over-round deltas from the
+    # run are unreliable.
+    rep_loads: dict[str, list[float]] = {}
+    n_cores = os.cpu_count() or 8
+    load_limit = 1.2 * n_cores
+    load_samples: list[float] = []
     for name, fn in selected.items():
         rep_times[name] = []
+        rep_loads[name] = []
         for _ in range(max(1, reps)):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             rep_times[name].append(round(time.perf_counter() - t0, 4))
+            load1 = os.getloadavg()[0]
+            rep_loads[name].append(round(load1, 2))
+            load_samples.append(load1)
         timings[name] = min(rep_times[name])
 
     # drift canary: re-time a few cheap, stable queries AFTER the full
@@ -147,6 +162,13 @@ def main() -> None:
                 "sf": sf,
                 "n_reps": max(1, reps),
                 "reps": rep_times,
+                "rep_loads": rep_loads,
+                "n_cores": n_cores,
+                "load_limit": round(load_limit, 2),
+                "load_max": round(max(load_samples), 2) if load_samples else 0.0,
+                "load_flag": bool(
+                    load_samples and max(load_samples) > load_limit
+                ),
                 "canary": canary,
                 "canary_max_drift": max_drift,
                 "canary_drift_flag": drift_flag,

@@ -646,3 +646,95 @@ def test_curation_run_spine_consumers_stage_once(spark):
         assert "Scan ExistingRDD" in plan
         assert "2654435761" not in plan
         assert "collect_set" not in plan
+
+
+def _decon_corpora(spark):
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words here today " + passage
+                + " closing remarks follow after that now"),          # trim (10/21)
+            (2, passage),                                             # drop (fully covered)
+            (3, "completely unrelated training document body text"),  # keep
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "prefix " + passage + " suffix")],
+        "doc_id long, text string",
+    )
+    return train, test
+
+
+def test_curation_run_decon_matches_standalone(spark):
+    """contamination_spans / contamination_verdict from the staged run
+    must equal the standalone operator outputs (the oracle-audited query
+    shapes), and decision() must extend the manifest with the decon
+    verdict: admit = include AND contam_verdict != 'drop'."""
+    from beacon_indexer_spark.plans.pipeline import CurationRun
+
+    train, test = _decon_corpora(spark)
+    run = CurationRun(train, k=8, bands=4, shingle_n=3,
+                      test_docs=test, decon_k=4)
+
+    want_spans = {
+        tuple(r)
+        for r in D.cross_corpus_contamination_spans(
+            train, test, "doc_id", "text", k=4
+        ).collect()
+    }
+    assert {tuple(r) for r in run.contamination_spans().collect()} == want_spans
+
+    ver = {r["doc_id"]: r for r in run.contamination_verdict().collect()}
+    assert set(ver) == {1, 2, 3}
+    assert ver[2]["verdict"] == "drop"       # fully covered by the passage
+    assert ver[2]["contam_tokens"] == ver[2]["doc_tokens"]
+    assert ver[1]["verdict"] == "trim"       # passage inside fresh context
+    assert ver[3]["verdict"] == "keep"       # untouched doc
+    assert ver[3]["contam_tokens"] == 0
+
+    dec = {r["doc_id"]: r for r in run.decision().collect()}
+    man = {r["doc_id"]: r for r in run.manifest().collect()}
+    assert set(dec) == set(man)
+    for d, r in dec.items():
+        assert r["contam_verdict"] == ver[d]["verdict"]
+        assert r["include"] == man[d]["include"]
+        assert r["admit"] == int(
+            bool(r["include"]) and r["contam_verdict"] != "drop"
+        )
+    assert dec[2]["admit"] == 0  # dropped for contamination regardless of dedup
+
+
+def test_curation_run_decon_stages_once(spark):
+    """Decon-derived frames must read the staged localCheckpoint blocks:
+    after the first access, verdict/decision plans scan ExistingRDD and
+    never re-run the gram pipeline (fingerprint: token_kgram_positions'
+    array_join gram constructor must not reappear)."""
+    from beacon_indexer_spark.plans.pipeline import CurationRun
+
+    train, test = _decon_corpora(spark)
+    run = CurationRun(train, k=8, bands=4, shingle_n=3,
+                      test_docs=test, decon_k=4)
+    for frame in (
+        run.contamination_spans(),
+        run.contamination_verdict(),
+        run.decision(),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan
+        assert "array_join" not in plan, (
+            "gram pipeline re-ran instead of reading the staged span frame"
+        )
+    # the stage is computed once: both derived frames share one checkpoint
+    assert run._contamination() is run._contamination()
+
+
+def test_curation_run_without_test_docs_rejects_decon(spark):
+    from beacon_indexer_spark.plans.pipeline import CurationRun
+
+    run = CurationRun(_curation_docs(spark), k=8, bands=4, shingle_n=3)
+    try:
+        run.contamination_spans()
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "test_docs" in str(e)

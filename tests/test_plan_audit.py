@@ -250,12 +250,22 @@ def test_capped_lsh_plan_audits_without_jobs(spark):
 
 
 def test_substring_dedup_two_shuffle_design(plans):
-    # substring_dup_spans' scale claim: ONE gram-partitioned window pass +
-    # ONE per-doc sessionize — two hash exchanges total, nothing else wide
+    # substring_dup_spans' scale claim (r11 form): occurrence counting is a
+    # partial-aggregated groupBy(gram).count() equi-joined back on gram —
+    # map-side combine shrinks the count shuffle and AQE skew-split applies
+    # to the join, unlike the r10 gram-partitioned window (one task per hot
+    # gram, no defense). Plus ONE per-doc sessionize. Nothing else wide.
     plan = plans["corpus_substring_spans"]
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex <= 3, f"substring spans plan grew to {n_ex} exchanges"
     assert "CartesianProduct" not in plan
+    # the partial (map-side) count must exist: the gram count shuffle
+    # carries distinct grams, never every occurrence
+    assert "partial_count" in plan, "gram count lost its partial aggregate"
+    # and no gram-partitioned window survives anywhere in the marking path
+    assert not re.search(r"windowspecdefinition\(gram", plan), (
+        "gram-partitioned window crept back into substring marking"
+    )
 
 
 def test_q9_broadcasts_dimensions(plans):

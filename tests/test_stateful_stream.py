@@ -951,3 +951,84 @@ def test_ann_recall_monitor_empty_batch_reads_empty(spark):
     assert row["n_queries"] == 0
     assert row["mean_recall"] == 0.0
     assert row["verdict"] == "empty"
+
+
+def test_streaming_substring_incremental_ingest(spark, tmp_path):
+    """The EXACT-SUBSTRING incremental path composes with Structured
+    Streaming like the shingle and embedding trios: each micro-batch's
+    k-gram positions equi-join the ACCUMULATED distinct-gram index,
+    flagged spans are appended, and the batch's own distinct grams grow
+    the index — per-batch cost O(batch), the stored corpus is never
+    re-paired. Cross-batch parity: a batch's streamed spans must equal
+    the one-shot `cross_corpus_contamination_spans` of that batch
+    against the union of all PRIOR batches."""
+    from beacon_indexer_spark.operators.dedup import (
+        _merge_marked_spans,
+        cross_corpus_contamination_spans,
+        token_kgram_positions,
+    )
+
+    k = 4
+    src = str(tmp_path / "docs_raw")
+    idx = str(tmp_path / "gram_index")
+    schema = "doc_id long, text string"
+    passage = "alpha beta gamma delta epsilon zeta"
+    other = "one two three four five six seven"
+    batches = [
+        # batch 1: seeds the index, nothing stored yet -> no spans
+        [(1, passage + " tail words here"), (2, other)],
+        # batch 2: doc 11 repeats batch-1's passage; doc 12 is fresh
+        [(11, "lead in " + passage + " trailing"), (12, "totally new unique body text")],
+        # batch 3: doc 21 repeats a BATCH-2 passage (proves the index grew)
+        [(21, "totally new unique body text again")],
+    ]
+    _stream_batches(spark, src, batches, schema)
+
+    spans_by_batch: dict[int, list] = {}
+    seen_docs: list[int] = []
+
+    def ingest(batch_df, batch_id):
+        grams = token_kgram_positions(batch_df, "doc_id", "text", k)
+        grams = grams.localCheckpoint()
+        if os.path.isdir(idx) and any(
+            f.endswith(".parquet") for f in os.listdir(idx)
+        ):
+            stored = spark.read.parquet(idx)
+            marked = grams.join(stored, "gram").select("doc_id", "pos")
+            spans = _merge_marked_spans(marked, k).collect()
+        else:
+            spans = []
+        ids = sorted(r["doc_id"] for r in batch_df.select("doc_id").collect())
+        spans_by_batch[min(ids)] = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.n_tokens) for r in spans
+        )
+        seen_docs.extend(ids)
+        grams.select("gram").distinct().write.mode("append").parquet(idx)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert sorted(seen_docs) == [1, 2, 11, 12, 21]
+    assert spans_by_batch[1] == []  # empty index admits batch 1 verbatim
+
+    # parity: each later batch's streamed spans == one-shot decontamination
+    # of that batch against the union of all prior batches
+    all_rows = {b[0][0]: b for b in batches}
+    docs_of = lambda rows: spark.createDataFrame(rows, schema)
+    for first_id, prior in ((11, batches[0]), (21, batches[0] + batches[1])):
+        expect = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+            for r in cross_corpus_contamination_spans(
+                docs_of(all_rows[first_id]), docs_of(prior), "doc_id", "text", k=k
+            ).collect()
+        )
+        assert spans_by_batch[first_id] == expect, first_id
+
+    # and the duplicated passages were actually caught
+    assert any(d == 11 for d, *_ in spans_by_batch[11])
+    assert any(d == 21 for d, *_ in spans_by_batch[21])

@@ -58,8 +58,13 @@ def main() -> None:
         shards[shard_of(n, n_shards)].append(n)
 
     merged_reps: dict[str, list[float]] = {}
+    merged_loads: dict[str, list[float]] = {}
     shard_meta = []
     sf = None
+    n_reps = None
+    load_flag = False
+    load_max = 0.0
+    load_limit = None
     t0 = time.time()
     for i, shard in enumerate(shards):
         if not shard:
@@ -82,23 +87,43 @@ def main() -> None:
         with open(os.path.join(REPO, "bench_reps_subset.json")) as f:
             sub = json.load(f)
         sf = sub["sf"]
+        # n_reps comes from the subset artifacts bench.py actually wrote —
+        # never re-derived from the env default, which can diverge from
+        # bench.py's own default and misdescribe the merged runs
+        if n_reps is None:
+            n_reps = sub["n_reps"]
+        elif n_reps != sub["n_reps"]:
+            raise SystemExit(
+                f"shard {i} ran n_reps={sub['n_reps']} but earlier shards "
+                f"ran {n_reps}; refusing to merge inconsistent rep counts"
+            )
         merged_reps.update(sub["reps"])
+        merged_loads.update(sub.get("rep_loads", {}))
+        load_flag = load_flag or bool(sub.get("load_flag"))
+        load_max = max(load_max, sub.get("load_max", 0.0))
+        load_limit = sub.get("load_limit", load_limit)
         shard_meta.append(
             {
                 "shard": i,
                 "n_queries": len(shard),
                 "canary": sub.get("canary", {}),
                 "canary_max_drift": sub.get("canary_max_drift"),
+                "load_max": sub.get("load_max"),
+                "load_flag": sub.get("load_flag"),
             }
         )
 
     mins = {q: min(ts) for q, ts in merged_reps.items()}
     artifact = {
         "sf": sf,
-        "n_reps": int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")),
+        "n_reps": n_reps,
         "sharded": True,
         "n_shards": n_shards,
         "reps": merged_reps,
+        "rep_loads": merged_loads,
+        "load_limit": load_limit,
+        "load_max": round(load_max, 2),
+        "load_flag": load_flag,
         "shards": shard_meta,
         "total_min_sec": round(sum(mins.values()), 2),
         "elapsed_sec": round(time.time() - t0, 1),
