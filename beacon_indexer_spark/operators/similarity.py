@@ -447,6 +447,24 @@ def ivf_centroids(
     return [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
 
 
+def _coarse_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    nprobe: int,
+    hier_threshold: int = 32,
+) -> DataFrame:
+    """Coarse-assignment dispatcher shared by the ANN family: flat
+    nearest-of-k scan below ``hier_threshold`` centroids (exact coarse
+    step, what the oracles mirror at gate SFs), two-level ~2√k scan at or
+    above it (`ivf_assign_two_level`) — the switch that keeps corpus-
+    adaptive k (n/250 lists at corpus scale) from turning assignment
+    into an n·k pass. Same gate as `semantic_dedup_keep`."""
+    if len(centroids) >= hier_threshold:
+        return ivf_assign_two_level(df, centroids, vec_col, nprobe=nprobe)
+    return ivf_assign(df, centroids, vec_col, nprobe=nprobe)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -455,6 +473,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 2,
+    hier_threshold: int = 32,
 ) -> DataFrame:
     """IVF approximate top-k: score only corpus vectors whose inverted list
     matches one of the query's ``nprobe`` probed lists.
@@ -462,15 +481,18 @@ def ivf_topk(
     The corpus is bucketed once (narrow); the join is an equi-join on
     ``ivf_list`` with the (small) probed query side broadcast — at 100 TB
     this scans ~nprobe/k_lists of the corpus per query instead of all of it.
+    With ``len(centroids) >= hier_threshold`` the coarse step runs
+    two-level (`_coarse_assign`), so corpus-adaptive list counts keep the
+    assignment at ~2√k distance evaluations per vector.
     """
-    vb = ivf_assign(
+    vb = _coarse_assign(
         vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vvec")),
-        centroids, "__vvec", nprobe=1,
+        centroids, "__vvec", nprobe=1, hier_threshold=hier_threshold,
     )
     qb = F.broadcast(
-        ivf_assign(
+        _coarse_assign(
             queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")),
-            centroids, "__qvec", nprobe=nprobe,
+            centroids, "__qvec", nprobe=nprobe, hier_threshold=hier_threshold,
         )
     )
     scored = (
@@ -956,13 +978,13 @@ def semantic_dedup_keep(
     vonly = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
     )
-    if k_clusters >= hier_threshold:
-        # corpus-adaptive k makes flat assignment n·k ≈ n²/250 — switch
-        # to the two-level ~n·2√k scan once k is large enough to matter
-        # (gate SFs stay on the flat path, so gate results are identical)
-        assigned = ivf_assign_two_level(vonly, cents, "__v", nprobe=1)
-    else:
-        assigned = ivf_assign(vonly, cents, "__v", nprobe=1)
+    # corpus-adaptive k makes flat assignment n·k ≈ n²/250 — the shared
+    # dispatcher switches to the two-level ~n·2√k scan once k is large
+    # enough to matter (gate SFs stay on the flat path, so gate results
+    # are identical)
+    assigned = _coarse_assign(
+        vonly, cents, "__v", nprobe=1, hier_threshold=hier_threshold
+    )
     keyed = assigned.select("id", F.col("ivf_list").alias("cluster"))
     if prefilter_bits is not None:
         bk = embedding_band_keys(
@@ -1228,6 +1250,7 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    hier_threshold: int = 32,
 ) -> DataFrame:
     """IVF-PQ over residuals — the production FAISS ``IVFx,PQy`` layout,
     composed from the audited halves: `ivf_assign` buckets the corpus
@@ -1255,7 +1278,10 @@ def ivfpq_residual_topk(
         f"{cents}[ivf_list], (x, c) -> x - c)"
     )
     enc = (
-        ivf_assign(vectors, centroids, vec_col, nprobe=1)
+        _coarse_assign(
+            vectors, centroids, vec_col, nprobe=1,
+            hier_threshold=hier_threshold,
+        )
         .withColumn("__res", F.expr(residual))
         .select(
             F.col(id_col).alias("neighbor_id"),
@@ -1266,7 +1292,10 @@ def ivfpq_residual_topk(
         )
     )
     qs = (
-        ivf_assign(queries, centroids, vec_col, nprobe=nprobe)
+        _coarse_assign(
+            queries, centroids, vec_col, nprobe=nprobe,
+            hier_threshold=hier_threshold,
+        )
         .select(
             F.col(id_col).alias("query_id"),
             "ivf_list",

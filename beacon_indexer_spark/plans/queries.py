@@ -3470,6 +3470,267 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_sales_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape — the one OLAP family TPC-H doesn't stress:
+    a MULTI-LEVEL rollup over the product/time hierarchy
+    (p_type, p_brand, o_year, o_month) followed by a windowed top-k
+    WITHIN each top-level partition of the rollup output (top 5 revenue
+    rows per p_type, the grand-total partition included).
+
+    Plan shape at 100 TB: the rollup is ONE Expand + one map-side-
+    combined hash aggregate (each fact row fans to its 5 grouping sets
+    before the shuffle; the shuffle carries aggregated partials only);
+    the top-k window runs over the AGGREGATED rollup rows — bounded by
+    |types|·|brands|·|months| grouping cells, never fact-table size —
+    partitioned by p_type (never unpartitioned). Revenue is
+    decimal-exact cents; ordering tie-breaks are fully specified with
+    explicit NULL placement so both engines rank identically."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    rolled = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .rollup("p_type", "p_brand", "o_year", "o_month")
+        .agg(
+            F.sum(rev).cast("double").alias("sumsales"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.desc("sumsales"),
+        F.asc("gid"),
+        F.asc_nulls_first("p_brand"),
+        F.asc_nulls_first("o_year"),
+        F.asc_nulls_first("o_month"),
+    )
+    return (
+        rolled.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.coalesce("p_type", F.lit("(all)")).alias("p_type"),
+            F.coalesce("p_brand", F.lit("(all)")).alias("p_brand"),
+            F.coalesce("o_year", F.lit(-1)).cast("long").alias("o_year"),
+            F.coalesce("o_month", F.lit(-1)).cast("long").alias("o_month"),
+            F.round("sumsales", 2).alias("sumsales"),
+            "gid",
+            "rk",
+        )
+    )
+
+
+ORACLE_SALES_ROLLUP_TOPK = """
+WITH rolled AS (
+  SELECT p_type, p_brand,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DOUBLE) AS sumsales,
+         CAST(GROUPING(p_type) * 8 + GROUPING(p_brand) * 4
+              + GROUPING(year(o_orderdate)) * 2
+              + GROUPING(month(o_orderdate)) AS BIGINT) AS gid
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY ROLLUP (p_type, p_brand, year(o_orderdate), month(o_orderdate))),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY p_type
+           ORDER BY sumsales DESC, gid ASC,
+                    p_brand ASC NULLS FIRST,
+                    o_year ASC NULLS FIRST,
+                    o_month ASC NULLS FIRST) AS rk
+  FROM rolled)
+SELECT coalesce(p_type, '(all)') AS p_type,
+       coalesce(p_brand, '(all)') AS p_brand,
+       coalesce(o_year, -1) AS o_year,
+       coalesce(o_month, -1) AS o_month,
+       round(sumsales, 2) AS sumsales,
+       gid,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+def q_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 shape: gross-margin ranking WITHIN each level of a
+    rollup hierarchy — rollup(p_type, p_brand) margins with
+    ``lochierarchy`` (how many levels were rolled up) and a per-level
+    rank partitioned by (lochierarchy, parent p_type). The distinctive
+    Q36 feature vs Q67 is the GROUPING()-derived partition key: subtotal
+    rows compete only against their siblings at the same hierarchy
+    level, never against leaf rows.
+
+    Margin stays decimal-exact in cents until the final double division;
+    ranking uses row_number with a fully-specified tie-break (margin,
+    then names with explicit NULL placement) so both engines agree
+    bit-for-bit. Plan: lineitem ⋈ derived-partsupp co-partitioned on the
+    SAME keys, part broadcast, one Expand + one map-side-combined
+    aggregate, and the rank window runs over grouping cells only."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    ps = _derived_partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_cents"
+    )
+    rev_cents = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+        * 100
+    )
+    cost_cents = F.col("ps_supplycost_cents").cast("decimal(38,0)") * F.col(
+        "l_quantity"
+    ).cast(_DEC)
+    rolled = (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_type", "p_brand")
+        .agg(
+            F.sum(rev_cents).alias("__rev"),
+            F.sum(cost_cents).alias("__cost"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+    # gid: 0 = leaf, 1 = brand rolled up, 3 = grand total
+    lochierarchy = (
+        F.when(F.col("gid") == 0, 0)
+        .when(F.col("gid") == 1, 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    margin = F.round(
+        (F.col("__rev") - F.col("__cost")).cast("double")
+        / F.col("__rev").cast("double"),
+        6,
+    )
+    staged = rolled.select(
+        "p_type",
+        "p_brand",
+        "gid",
+        lochierarchy.alias("lochierarchy"),
+        margin.alias("margin"),
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("p_type")),
+    ).orderBy(
+        F.asc("margin"),
+        F.asc_nulls_first("p_type"),
+        F.asc_nulls_first("p_brand"),
+    )
+    return (
+        staged.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.coalesce("p_type", F.lit("(all)")).alias("p_type"),
+            F.coalesce("p_brand", F.lit("(all)")).alias("p_brand"),
+            "lochierarchy",
+            "margin",
+            "rk",
+        )
+    )
+
+
+ORACLE_MARGIN_ROLLUP_RANK = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+  FROM lineitem),
+psc AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 31 + ps_suppkey * 17) % 90000 + 10000 AS ps_supplycost_cents
+  FROM ps),
+rolled AS (
+  SELECT p_type, p_brand,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             * 100) AS rev,
+         SUM(CAST(ps_supplycost_cents AS DECIMAL(38,0))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS cost,
+         CAST(GROUPING(p_type) * 2 + GROUPING(p_brand) AS BIGINT) AS gid
+  FROM lineitem
+  JOIN psc ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY ROLLUP (p_type, p_brand)),
+staged AS (
+  SELECT p_type, p_brand, gid,
+         CAST(CASE WHEN gid = 0 THEN 0 WHEN gid = 1 THEN 1 ELSE 2 END
+              AS BIGINT) AS lochierarchy,
+         round(CAST(rev - cost AS DOUBLE) / CAST(rev AS DOUBLE), 6) AS margin
+  FROM rolled),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY lochierarchy,
+                        CASE WHEN lochierarchy = 0 THEN p_type END
+           ORDER BY margin ASC,
+                    p_type ASC NULLS FIRST,
+                    p_brand ASC NULLS FIRST) AS rk
+  FROM staged)
+SELECT coalesce(p_type, '(all)') AS p_type,
+       coalesce(p_brand, '(all)') AS p_brand,
+       lochierarchy,
+       margin,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+def q_events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all four grouping sets —
+    leaf, per-type, per-hour, grand total — in ONE pass. Like rollup,
+    Spark plans a single Expand (4-way fan per input row) feeding one
+    map-side-combined hash aggregate, so the shuffle carries
+    |types|·24·4 aggregated cells, never event rows; the alternative
+    (four UNION ALL aggregations) scans the fact table four times."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.hour("ts").cast("long").alias("hour"),
+            "user_id",
+        )
+        .cube("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("hour", F.lit(-1)).cast("long").alias("hour"),
+            "n_events",
+            "n_users",
+            "gid",
+        )
+    )
+
+
+ORACLE_EVENTS_TYPE_HOUR_CUBE = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(CAST(hour(ts) AS BIGINT), -1) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts)) AS BIGINT) AS gid
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+"""
+
+
 def q_lineitem_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per ship-year quantity sums spread across l_returnflag
     columns — the wide-report reshape. Spark's pivot with an EXPLICIT
@@ -19688,6 +19949,104 @@ ORDER BY source
 """
 
 
+_EPOCH_BUDGET_MULT = 2  # train-token budget as a multiple of corpus tokens
+_EPOCH_CAP = 4.0  # beyond ~4 epochs repeated data stops helping (data-
+#                   constrained scaling, Muennighoff et al. 2023)
+
+
+def q_source_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a train-token
+    budget of 2× the corpus, split it across sources by the α=1/2
+    temperature weights (the `domain_temperature_sampling` rule applied
+    to TOKEN mass), convert each source's share to EPOCHS over its
+    unique tokens, cap at 4 epochs (where repetition stops helping), and
+    report the tokens actually served under the cap — the per-source
+    repetition plan a budgeted pretraining run executes.
+
+    Determinism contract: sqrt is IEEE-correctly-rounded (bit-identical
+    across engines); per-source weights quantize to 1e-9 integers BEFORE
+    the denominator sum (order-free exact integer arithmetic); epochs
+    and served tokens derive from exact integer budgets. One count
+    aggregation + |sources|-row arithmetic, one-row broadcast attach."""
+    from beacon_indexer_spark.operators import text as TX
+
+    per = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .groupBy("source")
+        .agg(
+            F.sum(TX.token_count(F.col("text")))
+            .cast("long")
+            .alias("tokens")
+        )
+    )
+    wq = F.round(F.sqrt(F.col("tokens").cast("double")) * 1e9, 0).cast("long")
+    q = per.withColumn("__wq", wq)
+    tot = q.agg(
+        F.sum("__wq").cast("long").alias("__wtot"),
+        F.sum("tokens").cast("long").alias("__ntot"),
+    )
+    frac = F.col("__wq").cast("double") / F.col("__wtot").cast("double")
+    budget = F.floor(
+        F.col("__ntot") * F.lit(float(_EPOCH_BUDGET_MULT)) * frac
+    ).cast("long")
+    j = q.crossJoin(F.broadcast(tot)).withColumn("budget_tokens", budget)
+    epochs_raw = F.col("budget_tokens").cast("double") / F.greatest(
+        F.col("tokens"), F.lit(1)
+    ).cast("double")
+    epochs = F.least(epochs_raw, F.lit(_EPOCH_CAP))
+    served = F.least(
+        F.col("budget_tokens").cast("double"),
+        F.col("tokens").cast("double") * F.lit(_EPOCH_CAP),
+    )
+    return j.select(
+        "source",
+        "tokens",
+        F.round(frac, 6).alias("weight"),
+        "budget_tokens",
+        F.round(epochs, 6).alias("epochs"),
+        F.floor(served).cast("long").alias("served_tokens"),
+        (F.col("budget_tokens") - F.floor(served))
+        .cast("long")
+        .alias("unfilled_tokens"),
+    ).orderBy("source")
+
+
+ORACLE_SOURCE_EPOCH_ALLOCATION = rf"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len({_DD_TOKENS.format(c="text")})) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1),
+q AS (
+  SELECT source, tokens,
+         CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1e9, 0) AS BIGINT) AS wq
+  FROM per),
+tot AS (SELECT SUM(wq) AS wtot, SUM(tokens) AS ntot FROM q),
+j AS (
+  SELECT source, tokens,
+         CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE) AS frac,
+         CAST(floor(ntot * {float(_EPOCH_BUDGET_MULT)!r}
+                    * (CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE)))
+              AS BIGINT) AS budget_tokens
+  FROM q CROSS JOIN tot),
+e AS (
+  SELECT *,
+         least(CAST(budget_tokens AS DOUBLE)
+               / CAST(greatest(tokens, 1) AS DOUBLE), {_EPOCH_CAP!r}) AS epochs,
+         least(CAST(budget_tokens AS DOUBLE),
+               CAST(tokens AS DOUBLE) * {_EPOCH_CAP!r}) AS served
+  FROM j)
+SELECT source, tokens,
+       round(frac, 6) AS weight,
+       budget_tokens,
+       round(epochs, 6) AS epochs,
+       CAST(floor(served) AS BIGINT) AS served_tokens,
+       CAST(budget_tokens - floor(served) AS BIGINT) AS unfilled_tokens
+FROM e
+ORDER BY source
+"""
+
+
 def q_corpus_decontamination_spans(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -19862,6 +20221,99 @@ SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
             ELSE 'keep' END AS verdict
 FROM tk t LEFT JOIN covered c USING (doc_id)
 WHERE t.source <> 'src0'
+"""
+)
+
+
+def q_corpus_decontamination_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row corpus headline for the decontamination family (the
+    `corpus_dedup_summary` convention): keep/trim/drop document counts,
+    affected-doc count, and the contaminated-token share of the training
+    corpus — the numbers a curation run reports before deciding whether
+    span-stripping is worth a rewrite. Composes the per-doc verdict
+    (doc_contamination_verdict semantics) and reduces it to one row:
+    everything after the gram equi-join is |train docs| rows into one
+    aggregate."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    test = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    spans = D.cross_corpus_contamination_spans(
+        train, test, "doc_id", "text", k=8
+    )
+    covered = spans.groupBy("doc_id").agg(
+        F.sum("n_tokens").cast("long").alias("contam_tokens")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    base = train.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("doc_tokens"),
+    )
+    rate = F.coalesce("contam_tokens", F.lit(0)) / F.greatest(
+        "doc_tokens", F.lit(1)
+    )
+    per_doc = base.join(covered, "doc_id", "left").select(
+        "doc_tokens",
+        F.coalesce("contam_tokens", F.lit(0)).alias("ct"),
+        F.when(rate > 0.5, "drop")
+        .when(rate >= 0.05, "trim")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("verdict") == "keep").cast("int"))
+        .cast("long")
+        .alias("n_keep"),
+        F.sum((F.col("verdict") == "trim").cast("int"))
+        .cast("long")
+        .alias("n_trim"),
+        F.sum((F.col("verdict") == "drop").cast("int"))
+        .cast("long")
+        .alias("n_drop"),
+        F.sum((F.col("ct") > 0).cast("int"))
+        .cast("long")
+        .alias("docs_affected"),
+        F.sum("doc_tokens").cast("long").alias("total_tokens"),
+        F.sum("ct").cast("long").alias("contam_tokens"),
+        F.round(
+            F.sum("ct").cast("double")
+            / F.greatest(F.sum("doc_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("contam_token_share"),
+    )
+
+
+ORACLE_CORPUS_DECONTAMINATION_SUMMARY = (
+    _DECON_SPANS_CTE.format(toks=_DD_TOKENS.format(c="text"))
+    + r"""
+, covered AS (
+  SELECT doc_id, SUM(span_end - span_start + 1) AS contam_tokens
+  FROM spans GROUP BY doc_id),
+per_doc AS (
+  SELECT len(toks) AS doc_tokens,
+         COALESCE(contam_tokens, 0) AS ct,
+         CASE WHEN COALESCE(contam_tokens, 0)
+                   / CAST(greatest(len(toks), 1) AS DOUBLE) > 0.5 THEN 'drop'
+              WHEN COALESCE(contam_tokens, 0)
+                   / CAST(greatest(len(toks), 1) AS DOUBLE) >= 0.05 THEN 'trim'
+              ELSE 'keep' END AS verdict
+  FROM tk t LEFT JOIN covered c USING (doc_id)
+  WHERE t.source <> 'src0')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN verdict = 'trim' THEN 1 ELSE 0 END) AS BIGINT) AS n_trim,
+       CAST(SUM(CASE WHEN verdict = 'drop' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+       CAST(SUM(CASE WHEN ct > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+       CAST(SUM(doc_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(ct) AS BIGINT) AS contam_tokens,
+       round(CAST(SUM(ct) AS DOUBLE)
+             / CAST(greatest(SUM(doc_tokens), 1) AS DOUBLE), 6)
+         AS contam_token_share
+FROM per_doc
 """
 )
 
@@ -21755,6 +22207,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_decontamination_spans": q_corpus_decontamination_spans,
     "corpus_decontaminated_stats": q_corpus_decontaminated_stats,
     "domain_temperature_sampling": q_domain_temperature_sampling,
+    "source_epoch_allocation": q_source_epoch_allocation,
     "multimodal_video_scene_cuts": q_multimodal_video_scene_cuts,
     "multimodal_audio_silence": q_multimodal_audio_silence,
     "corpus_substring_incremental": q_corpus_substring_incremental,
@@ -21762,6 +22215,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_shingle_kmv_jaccard": q_source_shingle_kmv_jaccard,
     "corpus_substring_dedup_plan": q_corpus_substring_dedup_plan,
     "doc_contamination_verdict": q_doc_contamination_verdict,
+    "corpus_decontamination_summary": q_corpus_decontamination_summary,
     "embedding_kmeans": q_embedding_kmeans,
     "multimodal_audio_stats": q_multimodal_audio_stats,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -21773,6 +22227,9 @@ QUERIES: dict[str, QueryFn] = {
     "users_retained_intersect": q_users_retained_intersect,
     "doc_zorder_layout": q_doc_zorder_layout,
     "orders_priority_rollup": q_orders_priority_rollup,
+    "sales_rollup_topk": q_sales_rollup_topk,
+    "margin_rollup_rank": q_margin_rollup_rank,
+    "events_type_hour_cube": q_events_type_hour_cube,
     "lineitem_returnflag_pivot": q_lineitem_returnflag_pivot,
     "events_hopping_windows": q_events_hopping_windows,
     "user_moving_avg": q_user_moving_avg,
@@ -22093,6 +22550,7 @@ def oracles() -> dict[str, str]:
         "corpus_decontamination_spans": ORACLE_CORPUS_DECONTAMINATION_SPANS,
         "corpus_decontaminated_stats": ORACLE_CORPUS_DECONTAMINATED_STATS,
         "domain_temperature_sampling": ORACLE_DOMAIN_TEMPERATURE_SAMPLING,
+        "source_epoch_allocation": ORACLE_SOURCE_EPOCH_ALLOCATION,
         "multimodal_video_scene_cuts": ORACLE_MULTIMODAL_VIDEO_SCENE_CUTS,
         "multimodal_audio_silence": ORACLE_MULTIMODAL_AUDIO_SILENCE,
         "corpus_substring_incremental": ORACLE_CORPUS_SUBSTRING_INCREMENTAL,
@@ -22100,6 +22558,7 @@ def oracles() -> dict[str, str]:
         "source_shingle_kmv_jaccard": _oracle_source_shingle_kmv_jaccard_sql(),
         "corpus_substring_dedup_plan": ORACLE_CORPUS_SUBSTRING_DEDUP_PLAN,
         "doc_contamination_verdict": ORACLE_DOC_CONTAMINATION_VERDICT,
+        "corpus_decontamination_summary": ORACLE_CORPUS_DECONTAMINATION_SUMMARY,
         "embedding_kmeans": _oracle_embedding_kmeans_sql(),
         "multimodal_audio_stats": ORACLE_MULTIMODAL_AUDIO_STATS,
         "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
@@ -22111,6 +22570,9 @@ def oracles() -> dict[str, str]:
         "users_retained_intersect": ORACLE_USERS_RETAINED_INTERSECT,
         "doc_zorder_layout": _oracle_doc_zorder_sql(),
         "orders_priority_rollup": ORACLE_ORDERS_PRIORITY_ROLLUP,
+        "sales_rollup_topk": ORACLE_SALES_ROLLUP_TOPK,
+        "margin_rollup_rank": ORACLE_MARGIN_ROLLUP_RANK,
+        "events_type_hour_cube": ORACLE_EVENTS_TYPE_HOUR_CUBE,
         "lineitem_returnflag_pivot": ORACLE_LINEITEM_RETURNFLAG_PIVOT,
         "events_hopping_windows": ORACLE_EVENTS_HOPPING_WINDOWS,
         "user_moving_avg": ORACLE_USER_MOVING_AVG,

@@ -136,3 +136,80 @@ def test_semantic_dedup_survives_duplicate_heavy_corpus(spark):
     kept = [r.vec_id for r in out if r.keep]
     # identical vectors form 3 groups; exactly one keeper each
     assert sorted(kept) == [0, 1, 2]
+
+
+# ----------------------------------------------- two-level coarse in the ANN
+
+
+def _clustered_vectors(spark, n_clusters=36, per_cluster=4, dim=8):
+    """Well-separated clusters: one-hot-ish basis directions scaled, with
+    tiny deterministic jitter — coarse assignment is unambiguous."""
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            v = [0.0] * dim
+            v[c % dim] = 10.0 + c  # distinct magnitude per cluster
+            v[(c + 3) % dim] = float(c) / 7.0
+            v[(c + 5) % dim] = 0.01 * j  # jitter within cluster
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_topk_two_level_gate_matches_flat_on_separable_data(spark):
+    """At len(centroids) >= hier_threshold, ivf_topk's coarse step runs
+    two-level. At nprobe=1 on cleanly separable clusters the two-level
+    choice (nearest super, then nearest member) lands on the SAME list
+    as the flat global nearest-centroid scan, so the top-k must be
+    identical to the flat path (hier_threshold high enough to disable).
+    At nprobe>1 two-level probes within one super-group — a documented
+    approximation — so only the output contract is asserted there."""
+    from beacon_indexer_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    vecs = _clustered_vectors(spark)
+    cents = ivf_centroids(vecs, k=36)
+    qs = vecs.filter(F.col("vec_id") % 29 == 0)
+    flat = ivf_topk(vecs, qs, cents, k=3, nprobe=1, hier_threshold=10_000)
+    two = ivf_topk(vecs, qs, cents, k=3, nprobe=1, hier_threshold=32)
+    a = sorted(tuple(r) for r in flat.collect())
+    b = sorted(tuple(r) for r in two.collect())
+    assert a == b
+    assert len(a) > 0
+    # nprobe=2 under the gate: contract only (ranks contiguous, no self)
+    out = ivf_topk(vecs, qs, cents, k=3, nprobe=2, hier_threshold=32).collect()
+    by_q: dict = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivfpq_two_level_gate_runs_and_ranks(spark):
+    """ivfpq_residual_topk behind the same gate: with 36 lists the coarse
+    step is two-level; output contract (rank 1..k per query, self
+    excluded) must hold."""
+    from beacon_indexer_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_residual_topk,
+        pq_residual_codebooks,
+    )
+
+    vecs = _clustered_vectors(spark)
+    cents = ivf_centroids(vecs, k=36)
+    cbs = pq_residual_codebooks(vecs, cents, vec_col="embedding", m=2, k=4)
+    qs = vecs.filter(F.col("vec_id") < 3)
+    out = ivfpq_residual_topk(
+        vecs, qs, cents, cbs, k=3, nprobe=1, hier_threshold=32
+    ).collect()
+    assert len(out) > 0
+    by_q: dict = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
