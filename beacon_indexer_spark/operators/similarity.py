@@ -303,9 +303,12 @@ def ivf_assign_two_level(
     √k super-centroids first, then nearest member centroid within that
     super-group only — per-row cost ~2√k distance evaluations instead of
     k, which is what turns the SemDeDup corpus-adaptive k = n/250 from
-    an n·k ≈ n²/250 assignment into n·√k. The choice of super then group
-    is a deterministic function of the centroid list (see
-    `centroid_super_groups`), so the DuckDB oracle mirrors it exactly.
+    an n·k ≈ n²/250 assignment into n·√k. Serves the whole ANN family
+    through `_coarse_assign` (semantic dedup, `ivf_topk`,
+    `ivfpq_residual_topk`) behind the shared ≥32-centroid gate. The
+    choice of super then group is a deterministic function of the
+    centroid list (see `centroid_super_groups`), so the DuckDB oracle
+    mirrors it exactly.
     Approximation is confined to CLUSTER SHAPE (a vector near a group
     boundary may land in the neighbor cluster) — acceptable for coarse
     candidate generation, never used for exact scoring."""

@@ -3731,6 +3731,102 @@ GROUP BY CUBE (event_type, hour(ts))
 """
 
 
+def q_channel_cumulative_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS Q51 shape: two channels' CUMULATIVE revenue series meet in
+    a FULL OUTER join on (key, month), and the row flags where one
+    channel's running maximum overtakes the other — the
+    web-vs-store crossover detector. Channels here: returned ('R') vs
+    non-returned lineitem revenue per return-status-free month,
+    partitioned by l_linestatus as the series key.
+
+    Plan shape: each channel aggregates to |keys|·|months| cells BEFORE
+    anything wide (map-side combine), the cumulative windows are
+    PARTITIONED by key over those cells, the full outer join carries
+    cell-sized frames only, and the final crossover flag is a row-local
+    comparison. Revenue decimal-exact; cumulative sums stay decimal
+    inside the window and convert to double once."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        "l_returnflag",
+        F.date_trunc("month", "l_shipdate").alias("__m"),
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+        ).alias("__rev"),
+    )
+
+    def channel(flag_cond, name):
+        agg = (
+            li.filter(flag_cond)
+            .groupBy("l_linestatus", "__m")
+            .agg(F.sum("__rev").alias("__mrev"))
+        )
+        w = (
+            Window.partitionBy("l_linestatus")
+            .orderBy("__m")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return agg.select(
+            F.col("l_linestatus").alias(f"{name}_ls"),
+            F.col("__m").alias(f"{name}_m"),
+            F.sum("__mrev").over(w).cast("double").alias(f"cum_{name}"),
+        )
+
+    ret = channel(F.col("l_returnflag") == "R", "ret")
+    kept = channel(F.col("l_returnflag") != "R", "kept")
+    j = ret.join(
+        kept,
+        (F.col("ret_ls") == F.col("kept_ls"))
+        & (F.col("ret_m") == F.col("kept_m")),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("ret_ls", "kept_ls").alias("l_linestatus"),
+        F.unix_timestamp(F.coalesce("ret_m", "kept_m"))
+        .cast("long")
+        .alias("month_epoch"),
+        F.round(F.coalesce("cum_ret", F.lit(0.0)), 2).alias("cum_returned"),
+        F.round(F.coalesce("cum_kept", F.lit(0.0)), 2).alias("cum_kept"),
+        (
+            F.coalesce("cum_ret", F.lit(0.0))
+            > F.coalesce("cum_kept", F.lit(0.0))
+        )
+        .cast("int")
+        .alias("returns_ahead"),
+    )
+
+
+ORACLE_CHANNEL_CUMULATIVE_COMPARE = """
+WITH base AS (
+  SELECT l_linestatus, l_returnflag,
+         date_trunc('month', l_shipdate) AS m,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem),
+ret AS (
+  SELECT l_linestatus AS ls, m,
+         CAST(SUM(SUM(rev)) OVER (PARTITION BY l_linestatus ORDER BY m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_ret
+  FROM base WHERE l_returnflag = 'R' GROUP BY 1, 2),
+kept AS (
+  SELECT l_linestatus AS ls, m,
+         CAST(SUM(SUM(rev)) OVER (PARTITION BY l_linestatus ORDER BY m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_kept
+  FROM base WHERE l_returnflag <> 'R' GROUP BY 1, 2)
+SELECT coalesce(ret.ls, kept.ls) AS l_linestatus,
+       CAST(floor(epoch(coalesce(ret.m, kept.m))) AS BIGINT) AS month_epoch,
+       round(coalesce(cum_ret, 0.0), 2) AS cum_returned,
+       round(coalesce(cum_kept, 0.0), 2) AS cum_kept,
+       CAST(coalesce(cum_ret, 0.0) > coalesce(cum_kept, 0.0) AS INT)
+         AS returns_ahead
+FROM ret FULL OUTER JOIN kept ON ret.ls = kept.ls AND ret.m = kept.m
+"""
+
+
 def q_lineitem_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per ship-year quantity sums spread across l_returnflag
     columns — the wide-report reshape. Spark's pivot with an EXPLICIT
@@ -22230,6 +22326,7 @@ QUERIES: dict[str, QueryFn] = {
     "sales_rollup_topk": q_sales_rollup_topk,
     "margin_rollup_rank": q_margin_rollup_rank,
     "events_type_hour_cube": q_events_type_hour_cube,
+    "channel_cumulative_compare": q_channel_cumulative_compare,
     "lineitem_returnflag_pivot": q_lineitem_returnflag_pivot,
     "events_hopping_windows": q_events_hopping_windows,
     "user_moving_avg": q_user_moving_avg,
@@ -22573,6 +22670,7 @@ def oracles() -> dict[str, str]:
         "sales_rollup_topk": ORACLE_SALES_ROLLUP_TOPK,
         "margin_rollup_rank": ORACLE_MARGIN_ROLLUP_RANK,
         "events_type_hour_cube": ORACLE_EVENTS_TYPE_HOUR_CUBE,
+        "channel_cumulative_compare": ORACLE_CHANNEL_CUMULATIVE_COMPARE,
         "lineitem_returnflag_pivot": ORACLE_LINEITEM_RETURNFLAG_PIVOT,
         "events_hopping_windows": ORACLE_EVENTS_HOPPING_WINDOWS,
         "user_moving_avg": ORACLE_USER_MOVING_AVG,

@@ -114,6 +114,7 @@ _ALLOWED_CROSS = {
     "embedding_ann_ndcg",  # brute-force arm's broadcast query side
     "partsupp_value_concentration",  # broadcast ONE-ROW global-total attach
     "domain_temperature_sampling",  # broadcast ONE-ROW totals attach
+    "source_epoch_allocation",  # broadcast ONE-ROW totals attach (same shape)
     "embedding_stream_recall",  # exact-control arm's broadcast sampled queries
     "source_shingle_kmv_jaccard",  # broadcast ONE-ROW exact-audit attach
 }
