@@ -138,3 +138,63 @@ def leakage_safe_split(
         naive.alias("naive_split"),
         (split != naive).cast("int").alias("moved"),
     )
+
+
+def global_shuffle_order(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    salt: str = "shuf",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic GLOBAL training order (the epoch shuffle a
+    pretraining run executes): every row gets a total position in the
+    md5-shuffled order plus its output shard — reproducible across runs
+    and engines, no RNG state.
+
+    The scale problem: a global ``row_number() OVER (ORDER BY hash)`` is
+    an unpartitioned window — the whole corpus funnels through one task.
+    The two-level form used here is the distributed global-rank idiom:
+
+      1. bucket = the hash's first byte (hex prefix; bucket-major order
+         IS hash order because hex chars sort lexicographically by
+         value), a narrow map;
+      2. per-bucket counts → cumulative OFFSETS. 256 rows — bounded
+         driver-side state (the ivf-centroid precedent), shipped back as
+         a literal map;
+      3. rank WITHIN each bucket (a partitioned window over ~1/256 of
+         the corpus per partition) + the bucket's offset = the exact
+         global position.
+
+    Returns (id, shuffle_pos, shard): shuffle_pos is the dense 0-based
+    global rank, shard = shuffle_pos % n_shards (round-robin striping,
+    so every shard sees a uniform sample of the shuffled stream — the
+    property distributed data loaders need from an epoch shuffle)."""
+    h = F.md5(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    n_hex = len(f"{n_buckets - 1:x}")
+    staged = df.select(
+        F.col(id_col),
+        h.alias("__h"),
+        F.conv(F.substring(h, 1, n_hex), 16, 10).cast("int").alias("__b"),
+    )
+    counts = {
+        r["__b"]: r["cnt"]
+        for r in staged.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: list = []
+    acc = 0
+    for b in range(n_buckets):
+        offsets.extend([F.lit(b), F.lit(acc)])
+        acc += counts.get(b, 0)
+    off = F.element_at(F.create_map(*offsets), F.col("__b"))
+    w = Window.partitionBy("__b").orderBy("__h", id_col)
+    pos = (F.row_number().over(w) - 1 + off).cast("long")
+    return staged.select(
+        id_col,
+        pos.alias("shuffle_pos"),
+        (pos % n_shards).cast("long").alias("shard"),
+    )

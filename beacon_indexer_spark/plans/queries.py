@@ -20045,6 +20045,38 @@ ORDER BY source
 """
 
 
+def q_doc_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.py
+    global_shuffle_order): every document's total position in the
+    md5-shuffled training order plus its round-robin output shard — the
+    order + striping a distributed data loader consumes. The oracle is
+    the naive global ``row_number() OVER (ORDER BY md5)``; the engine
+    computes the SAME total order as 256 bucket-partitioned windows plus
+    broadcast cumulative offsets (bucket-major IS hash order), so no
+    task ever sees more than ~1/256 of the corpus — the distributed
+    global-rank idiom, machine-checked equal to the naive form."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return SP.global_shuffle_order(docs, "doc_id", n_shards=8)
+
+
+ORACLE_DOC_TRAIN_ORDER = """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5(concat('shuf:', CAST(CAST(doc_id AS BIGINT) AS VARCHAR))) AS hh
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY hh, doc_id) - 1 AS BIGINT)
+           AS shuffle_pos
+  FROM h)
+SELECT doc_id, shuffle_pos,
+       CAST(shuffle_pos % 8 AS BIGINT) AS shard
+FROM r
+"""
+
+
 _EPOCH_BUDGET_MULT = 2  # train-token budget as a multiple of corpus tokens
 _EPOCH_CAP = 4.0  # beyond ~4 epochs repeated data stops helping (data-
 #                   constrained scaling, Muennighoff et al. 2023)
@@ -22304,6 +22336,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_decontaminated_stats": q_corpus_decontaminated_stats,
     "domain_temperature_sampling": q_domain_temperature_sampling,
     "source_epoch_allocation": q_source_epoch_allocation,
+    "doc_train_order": q_doc_train_order,
     "multimodal_video_scene_cuts": q_multimodal_video_scene_cuts,
     "multimodal_audio_silence": q_multimodal_audio_silence,
     "corpus_substring_incremental": q_corpus_substring_incremental,
@@ -22648,6 +22681,7 @@ def oracles() -> dict[str, str]:
         "corpus_decontaminated_stats": ORACLE_CORPUS_DECONTAMINATED_STATS,
         "domain_temperature_sampling": ORACLE_DOMAIN_TEMPERATURE_SAMPLING,
         "source_epoch_allocation": ORACLE_SOURCE_EPOCH_ALLOCATION,
+        "doc_train_order": ORACLE_DOC_TRAIN_ORDER,
         "multimodal_video_scene_cuts": ORACLE_MULTIMODAL_VIDEO_SCENE_CUTS,
         "multimodal_audio_silence": ORACLE_MULTIMODAL_AUDIO_SILENCE,
         "corpus_substring_incremental": ORACLE_CORPUS_SUBSTRING_INCREMENTAL,

@@ -213,3 +213,41 @@ def test_ivfpq_two_level_gate_runs_and_ranks(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# --------------------------------------------------- global shuffle order
+
+
+def test_global_shuffle_order_is_total_and_distributed(spark):
+    """The two-level rank must (a) be a bijection onto 0..n-1, (b) match
+    the naive global ORDER BY (md5, id) rank exactly, and (c) contain NO
+    unpartitioned window — the whole point is computing a global rank
+    without funneling the corpus through one task."""
+    import re
+
+    from beacon_indexer_spark.operators.sampling import global_shuffle_order
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    out = global_shuffle_order(df, "doc_id", n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(
+        r"windowspecdefinition\([^,()]+ (?:ASC|DESC) NULLS", plan
+    ), "unpartitioned window in global_shuffle_order"
+    rows = out.collect()
+    assert sorted(r.shuffle_pos for r in rows) == list(range(500))
+    # naive oracle: global sort by (hash, id)
+    import hashlib
+
+    naive = sorted(
+        (hashlib.md5(f"shuf:{i}".encode()).hexdigest(), i) for i in range(500)
+    )
+    want = {i: pos for pos, (_, i) in enumerate(naive)}
+    assert all(want[r.doc_id] == r.shuffle_pos for r in rows)
+    assert all(r.shard == r.shuffle_pos % 4 for r in rows)
+    # round-robin striping: shard sizes differ by at most 1
+    from collections import Counter
+
+    sizes = Counter(r.shard for r in rows).values()
+    assert max(sizes) - min(sizes) <= 1
