@@ -3497,14 +3497,21 @@ def q_sales_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast(_DEC) * (
         F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
     )
-    rolled = (
+    # two-phase rollup: aggregate to LEAF cells first (plain groupBy —
+    # map-side combine over fact rows), then rollup over the cells.
+    # Decimal sums re-aggregate exactly, so the result is identical to a
+    # direct rollup while the 5-way Expand fans over |cells| rows
+    # (bounded by |types|·|brands|·|months|) instead of fact rows —
+    # measured ~2× at sf0.1, and the gap widens with fact-table size.
+    leaf = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .rollup("p_type", "p_brand", "o_year", "o_month")
-        .agg(
-            F.sum(rev).cast("double").alias("sumsales"),
-            F.grouping_id().cast("long").alias("gid"),
-        )
+        .groupBy("p_type", "p_brand", "o_year", "o_month")
+        .agg(F.sum(rev).alias("__leaf"))
+    )
+    rolled = leaf.rollup("p_type", "p_brand", "o_year", "o_month").agg(
+        F.sum("__leaf").cast("double").alias("sumsales"),
+        F.grouping_id().cast("long").alias("gid"),
     )
     w = Window.partitionBy("p_type").orderBy(
         F.desc("sumsales"),
@@ -3593,19 +3600,25 @@ def q_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost_cents = F.col("ps_supplycost_cents").cast("decimal(38,0)") * F.col(
         "l_quantity"
     ).cast(_DEC)
-    rolled = (
+    # two-phase rollup (see q_sales_rollup_topk): leaf groupBy first so
+    # the Expand fans over |types|·|brands| cells, not fact rows
+    leaf = (
         li.join(
             ps,
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .rollup("p_type", "p_brand")
+        .groupBy("p_type", "p_brand")
         .agg(
-            F.sum(rev_cents).alias("__rev"),
-            F.sum(cost_cents).alias("__cost"),
-            F.grouping_id().cast("long").alias("gid"),
+            F.sum(rev_cents).alias("__lrev"),
+            F.sum(cost_cents).alias("__lcost"),
         )
+    )
+    rolled = leaf.rollup("p_type", "p_brand").agg(
+        F.sum("__lrev").alias("__rev"),
+        F.sum("__lcost").alias("__cost"),
+        F.grouping_id().cast("long").alias("gid"),
     )
     # gid: 0 = leaf, 1 = brand rolled up, 3 = grand total
     lochierarchy = (
