@@ -198,3 +198,54 @@ def global_shuffle_order(
         pos.alias("shuffle_pos"),
         (pos % n_shards).cast("long").alias("shard"),
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Curriculum ordering with round-robin source interleaving: within
+    each group (source/domain) rows rank by ``order_col`` DESC (best
+    first — quality-paced curriculum), and the global loader key strides
+    groups round-robin (position = within_rank · n_groups + group_index)
+    so consecutive training batches always mix domains instead of
+    draining one source at a time — the anti-hot-spotting property a
+    multi-domain loader needs.
+
+    Positions are strided, not dense: after a short group exhausts, its
+    slots go unused (harmless for an ordering key, and keeping the
+    stride exact makes the order reproducible and engine-checkable).
+
+    Scale shape: ONE group-partitioned window (never global); the group
+    index comes from the sorted distinct group list — bounded
+    driver-side state (domains are dozens, the ivf-centroid precedent)
+    shipped back as a literal map."""
+    groups = sorted(
+        r["g"]
+        for r in df.select(F.col(group_col).alias("g")).distinct().collect()
+    )
+    n = len(groups)
+    idx_entries: list = []
+    for i, g in enumerate(groups):
+        idx_entries.extend([F.lit(g), F.lit(i)])
+    gi = F.element_at(F.create_map(*idx_entries), F.col(group_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__ord"), F.asc(id_col)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(order_col).alias("__ord"),
+        )
+        .withColumn("src_rank", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            id_col,
+            group_col,
+            F.col("__ord").alias(order_col),
+            "src_rank",
+            (F.col("src_rank") * n + gi).cast("long").alias("curriculum_pos"),
+        )
+    )

@@ -20058,6 +20058,56 @@ ORDER BY source
 """
 
 
+def q_doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with round-robin domain interleaving
+    (operators/sampling.py curriculum_interleave): within each source
+    docs rank by quality DESC (best first), and the loader key strides
+    sources round-robin (src_rank · n_sources + source_index) so
+    consecutive batches always mix domains — quality-paced curriculum
+    without hot-spotting one source. One source-partitioned window; the
+    source index is bounded driver state (sorted distinct sources)."""
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.round(X.quality_score("text"), 6).alias("q6"),
+    )
+    return SP.curriculum_interleave(docs, "doc_id", "q6", "source")
+
+
+ORACLE_DOC_CURRICULUM_ORDER = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct
+  FROM documents),
+m AS (
+  SELECT doc_id, source, len(toks) AS nt, n_chars, n_punct,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl
+  FROM t),
+q AS (
+  SELECT doc_id, source,
+         round((least(n_chars / 500.0, 1.0) * 0.4
+           + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
+           + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
+           * (CASE WHEN nt > 0 THEN 1.0 ELSE 0.0 END), 6) AS q6
+  FROM m),
+r AS (
+  SELECT doc_id, source, q6,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY q6 DESC, doc_id) - 1 AS BIGINT)
+           AS src_rank,
+         CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS gi
+  FROM q)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, q6, src_rank,
+       CAST(src_rank * (SELECT COUNT(DISTINCT source) FROM documents) + gi
+            AS BIGINT) AS curriculum_pos
+FROM r
+"""
+
+
 def q_doc_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (operators/sampling.py
     global_shuffle_order): every document's total position in the
@@ -22350,6 +22400,7 @@ QUERIES: dict[str, QueryFn] = {
     "domain_temperature_sampling": q_domain_temperature_sampling,
     "source_epoch_allocation": q_source_epoch_allocation,
     "doc_train_order": q_doc_train_order,
+    "doc_curriculum_order": q_doc_curriculum_order,
     "multimodal_video_scene_cuts": q_multimodal_video_scene_cuts,
     "multimodal_audio_silence": q_multimodal_audio_silence,
     "corpus_substring_incremental": q_corpus_substring_incremental,
@@ -22695,6 +22746,7 @@ def oracles() -> dict[str, str]:
         "domain_temperature_sampling": ORACLE_DOMAIN_TEMPERATURE_SAMPLING,
         "source_epoch_allocation": ORACLE_SOURCE_EPOCH_ALLOCATION,
         "doc_train_order": ORACLE_DOC_TRAIN_ORDER,
+        "doc_curriculum_order": ORACLE_DOC_CURRICULUM_ORDER,
         "multimodal_video_scene_cuts": ORACLE_MULTIMODAL_VIDEO_SCENE_CUTS,
         "multimodal_audio_silence": ORACLE_MULTIMODAL_AUDIO_SILENCE,
         "corpus_substring_incremental": ORACLE_CORPUS_SUBSTRING_INCREMENTAL,

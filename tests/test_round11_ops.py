@@ -251,3 +251,29 @@ def test_global_shuffle_order_is_total_and_distributed(spark):
 
     sizes = Counter(r.shard for r in rows).values()
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_curriculum_interleave_strides_groups(spark):
+    """Round-robin property: sorting by curriculum_pos, the first
+    n_groups rows are each group's best row (one per group), and within
+    a group positions are strictly increasing with descending quality."""
+    from beacon_indexer_spark.operators.sampling import curriculum_interleave
+
+    rows = [
+        (1, "a", 0.9), (2, "a", 0.5), (3, "a", 0.1),
+        (4, "b", 0.8), (5, "b", 0.7),
+        (6, "c", 0.99),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = sorted(
+        curriculum_interleave(df, "doc_id", "q", "source").collect(),
+        key=lambda r: r.curriculum_pos,
+    )
+    # first wave: best of a, b, c in source order
+    assert [r.doc_id for r in out[:3]] == [1, 4, 6]
+    # strided positions: pos = src_rank * 3 + group_index
+    for r in out:
+        gi = {"a": 0, "b": 1, "c": 2}[r.source]
+        assert r.curriculum_pos == r.src_rank * 3 + gi
+    # positions are unique (a valid ordering key)
+    assert len({r.curriculum_pos for r in out}) == len(out)
