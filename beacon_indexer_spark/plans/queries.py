@@ -3711,15 +3711,25 @@ def q_events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|·24·4 aggregated cells, never event rows; the alternative
     (four UNION ALL aggregations) scans the fact table four times."""
     ev = _t(spark, sf_dir, "events")
-    return (
+    # two-phase cube: collapse to (type, hour, user) triples first (one
+    # map-side-combined groupBy carrying a count), then cube over the
+    # triples — the 4-way Expand fans over |triples| rows, never raw
+    # events, and the triple frame still holds every distinct-user fact
+    # each grouping set needs (sum the carried counts for n_events,
+    # count distinct users for n_users)
+    triples = (
         ev.select(
             "event_type",
             F.hour("ts").cast("long").alias("hour"),
             "user_id",
         )
-        .cube("event_type", "hour")
+        .groupBy("event_type", "hour", "user_id")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return (
+        triples.cube("event_type", "hour")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("__cnt").cast("long").alias("n_events"),
             F.countDistinct("user_id").cast("long").alias("n_users"),
             F.grouping_id().cast("long").alias("gid"),
         )
