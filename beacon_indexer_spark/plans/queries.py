@@ -20068,7 +20068,7 @@ ORDER BY source
 """
 
 
-def q_doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering with round-robin domain interleaving
     (operators/sampling.py curriculum_interleave): within each source
     docs rank by quality DESC (best first), and the loader key strides
@@ -20084,7 +20084,7 @@ def q_doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.curriculum_interleave(docs, "doc_id", "q6", "source")
 
 
-ORACLE_DOC_CURRICULUM_ORDER = r"""
+ORACLE_DOC_CURRICULUM_INTERLEAVE = r"""
 WITH t AS (
   SELECT doc_id, source,
          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
@@ -22410,7 +22410,7 @@ QUERIES: dict[str, QueryFn] = {
     "domain_temperature_sampling": q_domain_temperature_sampling,
     "source_epoch_allocation": q_source_epoch_allocation,
     "doc_train_order": q_doc_train_order,
-    "doc_curriculum_order": q_doc_curriculum_order,
+    "doc_curriculum_interleave": q_doc_curriculum_interleave,
     "multimodal_video_scene_cuts": q_multimodal_video_scene_cuts,
     "multimodal_audio_silence": q_multimodal_audio_silence,
     "corpus_substring_incremental": q_corpus_substring_incremental,
@@ -22756,7 +22756,7 @@ def oracles() -> dict[str, str]:
         "domain_temperature_sampling": ORACLE_DOMAIN_TEMPERATURE_SAMPLING,
         "source_epoch_allocation": ORACLE_SOURCE_EPOCH_ALLOCATION,
         "doc_train_order": ORACLE_DOC_TRAIN_ORDER,
-        "doc_curriculum_order": ORACLE_DOC_CURRICULUM_ORDER,
+        "doc_curriculum_interleave": ORACLE_DOC_CURRICULUM_INTERLEAVE,
         "multimodal_video_scene_cuts": ORACLE_MULTIMODAL_VIDEO_SCENE_CUTS,
         "multimodal_audio_silence": ORACLE_MULTIMODAL_AUDIO_SILENCE,
         "corpus_substring_incremental": ORACLE_CORPUS_SUBSTRING_INCREMENTAL,
