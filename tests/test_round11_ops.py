@@ -277,3 +277,28 @@ def test_curriculum_interleave_strides_groups(spark):
         assert r.curriculum_pos == r.src_rank * 3 + gi
     # positions are unique (a valid ordering key)
     assert len({r.curriculum_pos for r in out}) == len(out)
+
+
+def test_query_registry_integrity():
+    """The registry bug class round 11 hit: a new query accidentally
+    reusing an existing function name makes the later def shadow the
+    earlier one — both dict entries silently point at the new
+    implementation and the unique surface shrinks. Pin: no duplicate
+    q_* defs, no duplicate dict keys, and every declared query has an
+    oracle (or is a deliberate rows-only entry, currently none)."""
+    import re
+    from collections import Counter
+
+    import beacon_indexer_spark.plans.queries as Q
+
+    src = open(Q.__file__).read()
+    defs = re.findall(r"^def (q_\w+)\(", src, re.M)
+    dup_defs = [k for k, c in Counter(defs).items() if c > 1]
+    assert not dup_defs, f"duplicate query function defs: {dup_defs}"
+    m = re.search(r"QUERIES\s*[:=][^{]*\{(.*?)\n\}", src, re.S)
+    keys = re.findall(r'"([a-z0-9_]+)":', m.group(1))
+    dup_keys = [k for k, c in Counter(keys).items() if c > 1]
+    assert not dup_keys, f"duplicate QUERIES keys: {dup_keys}"
+    assert len(keys) == len(Q.QUERIES)
+    missing_oracles = set(Q.QUERIES) - set(Q.oracles())
+    assert not missing_oracles, f"queries without oracles: {missing_oracles}"
