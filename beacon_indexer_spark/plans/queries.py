@@ -707,10 +707,12 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dd_minhash_keyed_ctes() -> str:
+def _dd_minhash_keyed_ctes(where: str = "") -> str:
     """`base/hashed/sigs/keyed` CTE chain (doc_id → LSH band keys) —
     shared by the LSH-pairs, estimator-validation, and incremental-dedup
-    oracles so the banding mirror lives in ONE place."""
+    oracles so the banding mirror lives in ONE place. ``where`` (e.g.
+    " WHERE source <> 'src0'") restricts the corpus — default unchanged
+    so every existing oracle stays byte-identical."""
     rows = _MINHASH_K // _MINHASH_BANDS
     hashed, sig_cols = _dd_minhash_sigs()
     band_rows = []
@@ -722,15 +724,15 @@ def _dd_minhash_keyed_ctes() -> str:
             f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {parts})) AS key FROM sigs"
         )
     bands_union = "\nUNION ALL ".join(band_rows)
-    return f"""base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents),
+    return f"""base AS (SELECT doc_id, {_dd_shingles(3)} AS sh FROM documents{where}),
 hashed AS ({hashed}),
 sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
 keyed AS ({bands_union})"""
 
 
-def _oracle_minhash_lsh_sql() -> str:
+def _oracle_minhash_lsh_sql(where: str = "") -> str:
     return f"""
-WITH {_dd_minhash_keyed_ctes()}
+WITH {_dd_minhash_keyed_ctes(where)}
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
 FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """
@@ -1551,8 +1553,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_dedup_clusters_sql() -> str:
-    pairs = _oracle_minhash_lsh_sql().strip().rstrip(";")
+def _oracle_dedup_clusters_sql(where: str = "") -> str:
+    pairs = _oracle_minhash_lsh_sql(where).strip().rstrip(";")
     return f"""
 WITH RECURSIVE pairs AS ({pairs}),
 edges AS (SELECT id_a AS s, id_b AS t FROM pairs
@@ -2352,14 +2354,14 @@ def q_doc_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTERS_FINAL_SELECT = "SELECT CAST(s AS BIGINT) AS doc_id,"
 
 
-def _oracle_clusters_cte() -> str:
+def _oracle_clusters_cte(where: str = "") -> str:
     """`WITH RECURSIVE <...> , cl AS (<closure select>` — the dedup
     clusters oracle re-wrapped so its result is a CTE named ``cl``
     (callers append their own ``)`` + final SELECT). WITH RECURSIVE must
     stay the outermost WITH, so the splice rewrites the final SELECT
     in place; the marker is asserted so a reworded clusters oracle
     fails loudly here instead of emitting malformed SQL downstream."""
-    clusters = _oracle_dedup_clusters_sql().strip().rstrip(";")
+    clusters = _oracle_dedup_clusters_sql(where).strip().rstrip(";")
     body = clusters.replace("WITH RECURSIVE", "", 1).strip()
     assert _CLUSTERS_FINAL_SELECT in body, (
         "dedup clusters oracle changed its final SELECT — update "
@@ -5332,6 +5334,98 @@ SELECT CAST(q.doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN COALESCE(cl.cluster_id, q.doc_id) = q.doc_id
                   AND q.q6 >= 0.5 THEN 1 ELSE 0 END AS INT) AS include
 FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id
+"""
+
+
+def q_doc_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation decision from ONE staged run — this query
+    executes `plans/pipeline.py CurationRun.decision()` itself, so the
+    staged pipeline (not just its standalone query twins) is
+    oracle-gated end-to-end: src0 plays the held-out benchmark, the rest
+    of the corpus is the training candidate set, and every train doc
+    gets dedup keep + quality gate + split + decon keep/trim/drop + the
+    final ``admit`` flag. Clusters and contamination spans are staged
+    once (localCheckpoint) and every derived column reads the staged
+    blocks; the oracle re-derives the identical decision from raw SQL
+    (train-restricted LSH→CC recursive closure + gram-join decon)."""
+    from beacon_indexer_spark.plans.pipeline import CurationRun
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("source") != "src0")
+    test = docs.filter(F.col("source") == "src0")
+    run = CurationRun(
+        train, k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3,
+        split_fracs=_SPLIT_FRACS, test_docs=test, decon_k=8,
+    )
+    return run.decision()
+
+
+def _oracle_doc_curation_decision_sql() -> str:
+    bkt = _dd_md5_long("concat('13:', CAST(doc_id AS VARCHAR))")
+    where = " WHERE source <> 'src0'"
+    decon = _DECON_SPANS_CTE.format(
+        toks=_DD_TOKENS.format(c="text")
+    ).strip()
+    assert decon.startswith("WITH ")
+    decon_ctes = decon[len("WITH "):]  # splice after the recursive WITH
+    return rf"""
+{_oracle_clusters_cte(where)}
+), t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct,
+         ({bkt}) % 1000000 AS bkt
+  FROM documents{where}),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens, n_chars, n_punct, bkt,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl
+  FROM t),
+q AS (
+  SELECT doc_id,
+         round((least(n_chars / 500.0, 1.0) * 0.4
+               + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
+               + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
+               * (CASE WHEN n_tokens > 0 THEN 1.0 ELSE 0.0 END), 6) AS q6,
+         CASE WHEN bkt < 800000 THEN 'train'
+              WHEN bkt < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM m),
+{decon_ctes},
+covered AS (
+  SELECT doc_id, SUM(span_end - span_start + 1) AS contam_tokens
+  FROM spans GROUP BY doc_id),
+cv AS (
+  SELECT tk.doc_id,
+         COALESCE(c.contam_tokens, 0) AS contam_tokens,
+         round(COALESCE(c.contam_tokens, 0)
+               / CAST(greatest(len(tk.toks), 1) AS DOUBLE), 6) AS contam_rate,
+         CASE WHEN COALESCE(c.contam_tokens, 0)
+                   / CAST(greatest(len(tk.toks), 1) AS DOUBLE) > 0.5 THEN 'drop'
+              WHEN COALESCE(c.contam_tokens, 0)
+                   / CAST(greatest(len(tk.toks), 1) AS DOUBLE) >= 0.05 THEN 'trim'
+              ELSE 'keep' END AS verdict
+  FROM tk LEFT JOIN covered c USING (doc_id)
+  WHERE tk.source <> 'src0')
+SELECT CAST(q.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(cl.cluster_id, q.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN COALESCE(cl.cluster_id, q.doc_id) = q.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS keep,
+       q.q6,
+       CAST(CASE WHEN q.q6 >= 0.5 THEN 1 ELSE 0 END AS INT) AS q_pass,
+       q.split,
+       CAST(CASE WHEN COALESCE(cl.cluster_id, q.doc_id) = q.doc_id
+                  AND q.q6 >= 0.5 THEN 1 ELSE 0 END AS INT) AS include,
+       CAST(cv.contam_tokens AS BIGINT) AS contam_tokens,
+       cv.contam_rate,
+       cv.verdict AS contam_verdict,
+       CAST(CASE WHEN COALESCE(cl.cluster_id, q.doc_id) = q.doc_id
+                  AND q.q6 >= 0.5 AND cv.verdict <> 'drop'
+                 THEN 1 ELSE 0 END AS INT) AS admit
+FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id
+JOIN cv ON cv.doc_id = q.doc_id
 """
 
 
@@ -22456,6 +22550,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_value_winsorize": q_events_value_winsorize,
     "large_volume_customers": q_large_volume_customers,
     "doc_curation_manifest": q_doc_curation_manifest,
+    "doc_curation_decision": q_doc_curation_decision,
     "dedup_incremental": q_dedup_incremental,
     "events_value_mad": q_events_value_mad,
     "doc_langid_confusion": q_doc_langid_confusion,
@@ -22802,6 +22897,7 @@ def oracles() -> dict[str, str]:
         "events_value_winsorize": ORACLE_EVENTS_VALUE_WINSORIZE,
         "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
         "doc_curation_manifest": _oracle_doc_curation_manifest_sql(),
+        "doc_curation_decision": _oracle_doc_curation_decision_sql(),
         "dedup_incremental": _oracle_dedup_incremental_sql(),
         "events_value_mad": ORACLE_EVENTS_VALUE_MAD,
         "doc_langid_confusion": _oracle_doc_langid_confusion_sql(),

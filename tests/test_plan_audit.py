@@ -121,7 +121,11 @@ _ALLOWED_CROSS = {
 
 # iterative operator: executes during plan construction; its final plan is
 # a checkpoint scan, so there is nothing to audit statically
-_ITERATIVE = {"dedup_clusters", "doc_keep_list", "doc_keep_best", "semantic_dedup"}
+_ITERATIVE = {
+    "dedup_clusters", "doc_keep_list", "doc_keep_best", "semantic_dedup",
+    # CurationRun stages clusters + decon spans at construction time
+    "doc_curation_decision",
+}
 
 
 @pytest.fixture(scope="module")
