@@ -169,7 +169,23 @@ def global_shuffle_order(
     Returns (id, shuffle_pos, shard): shuffle_pos is the dense 0-based
     global rank, shard = shuffle_pos % n_shards (round-robin striping,
     so every shard sees a uniform sample of the shuffled stream — the
-    property distributed data loaders need from an epoch shuffle)."""
+    property distributed data loaders need from an epoch shuffle).
+
+    ``n_buckets`` must be a power of 16: the bucket is the hash's hex
+    prefix, whose lexicographic order IS hash order only when every
+    prefix value maps to a bucket. A non-power-of-16 count would leave
+    prefix values with no offset entry (NULL positions), and folding
+    them with a modulo would break the bucket-major = hash-order
+    invariant the global rank depends on — so the constraint is
+    validated, not papered over."""
+    if n_buckets < 16 or (n_buckets & (n_buckets - 1)) or (
+        n_buckets.bit_length() - 1
+    ) % 4:
+        raise ValueError(
+            f"n_buckets must be a power of 16 (16, 256, 4096, ...), "
+            f"got {n_buckets}: the hex-prefix bucket derivation only "
+            f"covers exactly 16^d values"
+        )
     h = F.md5(
         F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
     )

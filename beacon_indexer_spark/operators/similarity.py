@@ -455,14 +455,26 @@ def _coarse_assign(
     centroids: list[tuple[int, list[float]]],
     vec_col: str,
     nprobe: int,
-    hier_threshold: int = 32,
+    hier_threshold: int | None = 32,
 ) -> DataFrame:
     """Coarse-assignment dispatcher shared by the ANN family: flat
     nearest-of-k scan below ``hier_threshold`` centroids (exact coarse
     step, what the oracles mirror at gate SFs), two-level ~2√k scan at or
     above it (`ivf_assign_two_level`) — the switch that keeps corpus-
     adaptive k (n/250 lists at corpus scale) from turning assignment
-    into an n·k pass. Same gate as `semantic_dedup_keep`."""
+    into an n·k pass. Same gate as `semantic_dedup_keep`.
+
+    RESULTS-AFFECTING DEFAULT (changed r11): callers with >=32
+    centroids previously got the exact flat coarse scan and now get the
+    two-level approximation without a call-site change — boundary
+    vectors near a super-group frontier can land in a different list,
+    moving top-k membership/recall. Pass ``hier_threshold=None`` (or any
+    value > len(centroids)) to pin the exact flat path; the measured
+    recall floor of the two-level path on non-separable, duplicate-heavy
+    embeddings is recorded in SCALE.md and pinned by
+    tests/test_round12_ops.py."""
+    if hier_threshold is None:
+        return ivf_assign(df, centroids, vec_col, nprobe=nprobe)
     if len(centroids) >= hier_threshold:
         return ivf_assign_two_level(df, centroids, vec_col, nprobe=nprobe)
     return ivf_assign(df, centroids, vec_col, nprobe=nprobe)
@@ -476,7 +488,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 2,
-    hier_threshold: int = 32,
+    hier_threshold: int | None = 32,
 ) -> DataFrame:
     """IVF approximate top-k: score only corpus vectors whose inverted list
     matches one of the query's ``nprobe`` probed lists.
@@ -937,7 +949,7 @@ def semantic_dedup_keep(
     prefilter_bits: int | None = None,
     prefilter_bands: int = 6,
     dim: int = 64,
-    hier_threshold: int = 32,
+    hier_threshold: int | None = 32,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication ACTION: coarse-cluster the
     embedding space (nearest of k deterministic centroids), score every
@@ -1253,7 +1265,7 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
-    hier_threshold: int = 32,
+    hier_threshold: int | None = 32,
 ) -> DataFrame:
     """IVF-PQ over residuals — the production FAISS ``IVFx,PQy`` layout,
     composed from the audited halves: `ivf_assign` buckets the corpus

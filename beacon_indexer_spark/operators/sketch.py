@@ -117,7 +117,18 @@ def kmv_jaccard(
     (jaccard/union/inter = 0.0) rather than NULL 0/0. All remaining
     arithmetic happens on ≤2k rows via orderBy+limit (TakeOrdered, no
     full sort). md5-deterministic end to end: the DuckDB oracle
-    reproduces every estimate bit for bit."""
+    reproduces every estimate bit for bit.
+
+    Cardinality floor: the prefilter makes this a SKETCH for unions of
+    at least ~k·prefilter_denom distinct keys (the regime where the
+    bottom-k fills). Below that the estimator degrades to a
+    1/prefilter_denom distinct-sample — unbiased for union_est but
+    coarse for jaccard_est (few or zero survivors). For small sets
+    where the pre-r11 exact behavior is wanted, pass
+    ``prefilter_denom=1``: the prefilter becomes a no-op and every
+    distinct key reaches the bottom-k window (fine at small scale; the
+    default 16 exists so 100 TB unions never shuffle their full
+    distinct key sets)."""
     cutoff = _H // prefilter_denom
     hashed = (
         df.filter(F.col(group_col).isin(grp_a, grp_b))
