@@ -298,6 +298,7 @@ def ivf_assign_two_level(
     vec_col: str = "embedding",
     nprobe: int = 1,
     n_super: int | None = None,
+    super_probe: int = 1,
 ) -> DataFrame:
     """Hierarchical coarse assignment (FAISS-IMI shape): nearest of
     √k super-centroids first, then nearest member centroid within that
@@ -311,33 +312,70 @@ def ivf_assign_two_level(
     mirrors it exactly.
     Approximation is confined to CLUSTER SHAPE (a vector near a group
     boundary may land in the neighbor cluster) — acceptable for coarse
-    candidate generation, never used for exact scoring."""
+    candidate generation, never used for exact scoring.
+
+    ``super_probe`` widens the first level: the member lists of the
+    ``super_probe`` nearest super-groups union before the nprobe
+    member selection — per-row cost ~(√k + super_probe·√k) distance
+    evaluations, still O(√k). On NON-separable data (one dense blob,
+    the regime where every super-group frontier cuts through real
+    density) super_probe=1 measured recall@10 at 0.78x the flat coarse
+    scan on the hostile corpus of tests/test_round12_ops.py;
+    super_probe=2 restores it above the 0.9x floor (SCALE.md). The
+    query-facing ANN entry points default to 2; `semantic_dedup_keep`
+    stays at 1, whose two-level choice its DuckDB oracle mirrors
+    branch for branch."""
     if n_super is None:
         n_super = max(1, math.isqrt(len(centroids)))
     groups = centroid_super_groups(centroids, n_super)
     sup_structs = _d2_structs(
         [(sid, dict(centroids)[sid]) for sid in groups], vec_col
     )
-    ssel = (
-        "array_sort(array(" + ", ".join(sup_structs) + "))[0].cid"
-    )
-    branches = []
-    for sid, members in groups.items():
-        if not members:
-            # A super-group is empty when an identical earlier super exists
-            # (duplicate vectors md5-sampled among the first √k centroids):
-            # equal-distance ties in both `centroid_super_groups` and ssel
-            # resolve to the LOWER id, so this sid is unreachable from ssel
-            # — and an empty branch would emit transform(slice(array_sort(
-            # array()), ...)) which fails analysis on the untyped array().
-            continue
-        member_structs = _d2_structs(members, vec_col)
-        branches.append(
-            f"WHEN {int(sid)} THEN transform(slice(array_sort(array("
-            + ", ".join(member_structs)
-            + f")), 1, {int(nprobe)}), s -> s.cid)"
+    sorted_sup = "array_sort(array(" + ", ".join(sup_structs) + "))"
+    if super_probe <= 1:
+        ssel = sorted_sup + "[0].cid"
+        branches = []
+        for sid, members in groups.items():
+            if not members:
+                # A super-group is empty when an identical earlier super
+                # exists (duplicate vectors md5-sampled among the first √k
+                # centroids): equal-distance ties in both
+                # `centroid_super_groups` and ssel resolve to the LOWER id,
+                # so this sid is unreachable from ssel — and an empty branch
+                # would emit transform(slice(array_sort(array()), ...))
+                # which fails analysis on the untyped array().
+                continue
+            member_structs = _d2_structs(members, vec_col)
+            branches.append(
+                f"WHEN {int(sid)} THEN transform(slice(array_sort(array("
+                + ", ".join(member_structs)
+                + f")), 1, {int(nprobe)}), s -> s.cid)"
+            )
+        lists_sql = f"CASE {ssel} " + " ".join(branches) + " END"
+    else:
+        # widened first level: CONCAT the member-struct arrays of the
+        # super_probe nearest supers, one sort, one slice. The per-super
+        # member arrays stay CASE-dispatched (only the selected groups'
+        # distances evaluate per row); a selected sid with an EMPTY group
+        # (duplicate super centroid — reachable here at ranks >= 2, unlike
+        # the rank-1 tie above) or a rank past the super count coalesces
+        # to a typed empty array.
+        arr_branches = " ".join(
+            f"WHEN {int(sid)} THEN array("
+            + ", ".join(_d2_structs(members, vec_col))
+            + ")"
+            for sid, members in groups.items()
+            if members
         )
-    lists_sql = f"CASE {ssel} " + " ".join(branches) + " END"
+        empty = "CAST(array() AS array<struct<d2: double, cid: int>>)"
+        picked = ", ".join(
+            f"coalesce(CASE {sorted_sup}[{i}].cid {arr_branches} END, {empty})"
+            for i in range(int(super_probe))
+        )
+        lists_sql = (
+            f"transform(slice(array_sort(concat({picked})), 1, "
+            f"{int(nprobe)}), s -> s.cid)"
+        )
     return (
         vectors.withColumn("__lists", F.expr(lists_sql))
         .withColumn("ivf_list", F.explode("__lists"))
@@ -456,6 +494,7 @@ def _coarse_assign(
     vec_col: str,
     nprobe: int,
     hier_threshold: int | None = 32,
+    super_probe: int = 1,
 ) -> DataFrame:
     """Coarse-assignment dispatcher shared by the ANN family: flat
     nearest-of-k scan below ``hier_threshold`` centroids (exact coarse
@@ -476,7 +515,9 @@ def _coarse_assign(
     if hier_threshold is None:
         return ivf_assign(df, centroids, vec_col, nprobe=nprobe)
     if len(centroids) >= hier_threshold:
-        return ivf_assign_two_level(df, centroids, vec_col, nprobe=nprobe)
+        return ivf_assign_two_level(
+            df, centroids, vec_col, nprobe=nprobe, super_probe=super_probe
+        )
     return ivf_assign(df, centroids, vec_col, nprobe=nprobe)
 
 
@@ -489,6 +530,7 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 2,
     hier_threshold: int | None = 32,
+    super_probe: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: score only corpus vectors whose inverted list
     matches one of the query's ``nprobe`` probed lists.
@@ -498,16 +540,22 @@ def ivf_topk(
     this scans ~nprobe/k_lists of the corpus per query instead of all of it.
     With ``len(centroids) >= hier_threshold`` the coarse step runs
     two-level (`_coarse_assign`), so corpus-adaptive list counts keep the
-    assignment at ~2√k distance evaluations per vector.
+    assignment at ~2√k distance evaluations per vector. ``super_probe=2``
+    widens the two-level first stage on BOTH sides (corpus bucketing and
+    query probing) — the recall repair measured on non-separable data in
+    tests/test_round12_ops.py; it costs one extra √k member-group scan
+    per row and nothing at all below the gate (flat path ignores it).
     """
     vb = _coarse_assign(
         vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vvec")),
         centroids, "__vvec", nprobe=1, hier_threshold=hier_threshold,
+        super_probe=super_probe,
     )
     qb = F.broadcast(
         _coarse_assign(
             queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")),
             centroids, "__qvec", nprobe=nprobe, hier_threshold=hier_threshold,
+            super_probe=super_probe,
         )
     )
     scored = (
@@ -1266,6 +1314,7 @@ def ivfpq_residual_topk(
     k: int = 5,
     nprobe: int = 2,
     hier_threshold: int | None = 32,
+    super_probe: int = 2,
 ) -> DataFrame:
     """IVF-PQ over residuals — the production FAISS ``IVFx,PQy`` layout,
     composed from the audited halves: `ivf_assign` buckets the corpus
@@ -1295,7 +1344,7 @@ def ivfpq_residual_topk(
     enc = (
         _coarse_assign(
             vectors, centroids, vec_col, nprobe=1,
-            hier_threshold=hier_threshold,
+            hier_threshold=hier_threshold, super_probe=super_probe,
         )
         .withColumn("__res", F.expr(residual))
         .select(
@@ -1309,7 +1358,7 @@ def ivfpq_residual_topk(
     qs = (
         _coarse_assign(
             queries, centroids, vec_col, nprobe=nprobe,
-            hier_threshold=hier_threshold,
+            hier_threshold=hier_threshold, super_probe=super_probe,
         )
         .select(
             F.col(id_col).alias("query_id"),
