@@ -22426,6 +22426,184 @@ FROM ({union})
     )
 
 
+
+
+def q_events_channel_intersect_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS Q38/Q87 set-op family (the multi-channel INTERSECT/EXCEPT
+    count shapes): users active in ALL THREE channels (view, click,
+    purchase — Q38's three-way INTERSECT count) and users active in the
+    first channel ONLY (Q87's EXCEPT chain), one row.
+
+    Scale shape — the set ops are NOT executed as row-wise intersects of
+    fact frames: the fact table reduces to DISTINCT (user, channel) rows
+    (map-side combine), one groupBy folds each user's channel presence
+    into three flags, and both counts are flag arithmetic over |users|
+    rows. A literal ``a INTERSECT b INTERSECT c`` ships three full
+    distinct frames through two extra shuffles; this form shuffles the
+    (user, channel) pairs once. The DuckDB oracle runs the LITERAL
+    INTERSECT/EXCEPT chains, proving the rewrite exact."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"), "event_type"
+        )
+        .distinct()
+    )
+    flags = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("__v"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("__c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("__p"),
+    )
+    return flags.agg(
+        F.sum(F.col("__v") * F.col("__c") * F.col("__p"))
+        .cast("long")
+        .alias("n_all_three"),
+        F.sum(
+            (
+                (F.col("__v") == 1) & (F.col("__c") == 0) & (F.col("__p") == 0)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_view_only"),
+    )
+
+
+ORACLE_EVENTS_CHANNEL_INTERSECT_COUNTS = """
+WITH v AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
+      WHERE event_type = 'click'),
+p AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
+      WHERE event_type = 'purchase')
+SELECT
+  (SELECT COUNT(*) FROM (SELECT user_id FROM v
+                         INTERSECT SELECT user_id FROM c
+                         INTERSECT SELECT user_id FROM p)) AS n_all_three,
+  (SELECT COUNT(*) FROM (SELECT user_id FROM v
+                         EXCEPT SELECT user_id FROM c
+                         EXCEPT SELECT user_id FROM p)) AS n_view_only
+"""
+
+
+def q_part_cross_priority_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS Q14 cross-channel shape: parts sold under ALL of the three
+    top order priorities (1-URGENT, 2-HIGH, 3-MEDIUM — the three
+    "channels"), then per-priority revenue and distinct-part counts over
+    that qualifying intersection only.
+
+    Scale shape: the qualifying-part list derives from DISTINCT
+    (partkey, priority) pairs folded by one groupBy + HAVING
+    count-distinct = 3 — never a row-wise INTERSECT of three fact
+    scans — and rejoins the fact rows as an equi semi-join on partkey.
+    The oracle computes the same part list with literal INTERSECTs."""
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("o_orderpriority").isin(pri))
+    )
+    qual = (
+        li.select("l_partkey", "o_orderpriority")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("o_orderpriority").alias("__n"))
+        .filter(F.col("__n") == 3)
+        .select("l_partkey")
+    )
+    return (
+        li.join(qual, "l_partkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PART_CROSS_PRIORITY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, o_orderpriority, l_extendedprice, l_discount
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+),
+qual AS (
+  SELECT l_partkey FROM li WHERE o_orderpriority = '1-URGENT'
+  INTERSECT SELECT l_partkey FROM li WHERE o_orderpriority = '2-HIGH'
+  INTERSECT SELECT l_partkey FROM li WHERE o_orderpriority = '3-MEDIUM'
+)
+SELECT o_orderpriority,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM li
+WHERE l_partkey IN (SELECT l_partkey FROM qual)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customer_bulk_order_tickets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS Q34/Q73 consecutive-count having-join shape: "tickets"
+    (orders) with an unusually large item count (8-13 lineitems — the
+    Q34 between-bound), HAVING-filtered at the ticket grain and joined
+    back through orders to the customer, returning (c_custkey, c_name,
+    o_orderkey, n_items) ordered by count desc then keys.
+
+    Scale shape: the count runs at the l_orderkey grain FIRST (partial
+    aggregate, map-side combine), the HAVING prunes to the rare bulk
+    tickets, and only the survivors join orders -> customer — the join
+    input is the having-filtered frame, never the fact table. At 100 TB
+    the orderkey groupBy is the only full shuffle; both joins carry
+    ~|bulk tickets| rows."""
+    cnts = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .filter(F.col("n_items").between(8, 13))
+    )
+    return (
+        cnts.join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "o_orderkey", "n_items")
+        .orderBy(F.desc("n_items"), "c_custkey", "o_orderkey")
+    )
+
+
+ORACLE_CUSTOMER_BULK_ORDER_TICKETS = """
+SELECT c_custkey, c_name, o_orderkey, n_items
+FROM (SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 8 AND 13) t
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY n_items DESC, c_custkey, o_orderkey
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -22528,6 +22706,9 @@ QUERIES: dict[str, QueryFn] = {
     "margin_rollup_rank": q_margin_rollup_rank,
     "events_type_hour_cube": q_events_type_hour_cube,
     "channel_cumulative_compare": q_channel_cumulative_compare,
+    "events_channel_intersect_counts": q_events_channel_intersect_counts,
+    "part_cross_priority_revenue": q_part_cross_priority_revenue,
+    "customer_bulk_order_tickets": q_customer_bulk_order_tickets,
     "lineitem_returnflag_pivot": q_lineitem_returnflag_pivot,
     "events_hopping_windows": q_events_hopping_windows,
     "user_moving_avg": q_user_moving_avg,
@@ -22875,6 +23056,10 @@ def oracles() -> dict[str, str]:
         "margin_rollup_rank": ORACLE_MARGIN_ROLLUP_RANK,
         "events_type_hour_cube": ORACLE_EVENTS_TYPE_HOUR_CUBE,
         "channel_cumulative_compare": ORACLE_CHANNEL_CUMULATIVE_COMPARE,
+        "events_channel_intersect_counts":
+            ORACLE_EVENTS_CHANNEL_INTERSECT_COUNTS,
+        "part_cross_priority_revenue": ORACLE_PART_CROSS_PRIORITY_REVENUE,
+        "customer_bulk_order_tickets": ORACLE_CUSTOMER_BULK_ORDER_TICKETS,
         "lineitem_returnflag_pivot": ORACLE_LINEITEM_RETURNFLAG_PIVOT,
         "events_hopping_windows": ORACLE_EVENTS_HOPPING_WINDOWS,
         "user_moving_avg": ORACLE_USER_MOVING_AVG,
