@@ -161,3 +161,27 @@ def test_semantic_dedup_two_level_verdict_stability_on_hostile_data(
         if len(ids) > 1:
             keepers = [i for i in ids if rows[i]["keep"]]
             assert len(keepers) == 1, (len(ids), len(keepers))
+
+
+# --------------------------------------------- global_shuffle_order guard
+
+
+def test_global_shuffle_order_rejects_non_power_of_16_buckets():
+    """Hex-prefix bucketing only covers exactly 16^d values: 64 or 100
+    buckets would leave prefixes with no offset entry (silent NULL
+    shuffle_pos) — the constraint is validated, not papered over."""
+    import pytest as _pytest
+
+    from beacon_indexer_spark.operators.sampling import global_shuffle_order
+
+    for bad in (0, 1, 8, 64, 100, 255, 4095):
+        with _pytest.raises(ValueError, match="power of 16"):
+            global_shuffle_order(None, "id", n_buckets=bad)
+
+
+def test_global_shuffle_order_accepts_powers_of_16(spark):
+    from beacon_indexer_spark.operators.sampling import global_shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    out = global_shuffle_order(df, "id", n_buckets=16).collect()
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(50))
