@@ -22604,6 +22604,128 @@ ORDER BY n_items DESC, c_custkey, o_orderkey
 """
 
 
+
+
+def q_doc_streaming_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING curation decision as a batch-expressible query
+    (streaming/curation.py `admit_decision` — the pure function
+    `StreamingCuration` runs per micro-batch inside foreachBatch): docs
+    with doc_id % 5 == 4 play the arriving batch, the rest of the
+    non-eval corpus is the STORED band-key index, source='src0' is the
+    held-out eval corpus reduced to its distinct 8-gram set. Every batch
+    doc gets the full online verdict — dup_of/n_matches under
+    first-seen-wins semantics (stored index + earlier-id batch mates),
+    quality q6 + split, contamination keep/trim/drop, and the composed
+    ``admit`` flag.
+
+    Scale shape: one staged `minhash_band_keys` frame serves both join
+    sides (the dedup_incremental discipline); the dedup candidate join
+    and the gram join are both equi-joins bounded by O(batch + matched
+    index rows); quality/split are narrow maps. The DuckDB oracle
+    mirrors the ONLINE semantics (prior OR earlier-id predicate on the
+    band join) — not the batch CC clustering, which is the documented
+    deviation streaming trades for O(batch) ingest."""
+    from beacon_indexer_spark.streaming.curation import admit_decision
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("source") != "src0")
+    is_new = F.col("doc_id") % 5 == 4
+    keyed = D.minhash_band_keys(
+        train, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
+        shingle_n=3,
+    ).localCheckpoint(eager=False)
+    eval_grams = D.token_kgram_positions(
+        docs.filter(F.col("source") == "src0"), "doc_id", "text", 8
+    ).select("gram").distinct()
+    return admit_decision(
+        train.filter(is_new),
+        "doc_id",
+        "text",
+        stored_keys=keyed.filter(~is_new),
+        batch_keys=keyed.filter(is_new),
+        eval_grams=eval_grams,
+        k=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        decon_k=8,
+    )
+
+
+def _oracle_doc_streaming_admit_sql() -> str:
+    bkt = _dd_md5_long("concat('13:', CAST(doc_id AS VARCHAR))")
+    where = " WHERE source <> 'src0'"
+    decon = _DECON_SPANS_CTE.format(
+        toks=_DD_TOKENS.format(c="text")
+    ).strip()
+    assert decon.startswith("WITH ")
+    decon_ctes = decon[len("WITH "):]
+    return rf"""
+WITH {_dd_minhash_keyed_ctes(where)},
+nk AS (SELECT * FROM keyed WHERE doc_id % 5 = 4),
+cands AS (
+  SELECT band, key, doc_id, TRUE AS prior FROM keyed WHERE doc_id % 5 <> 4
+  UNION ALL
+  SELECT band, key, doc_id, FALSE AS prior FROM nk),
+dd AS (
+  SELECT n.doc_id, MIN(c.doc_id) AS dup_of,
+         COUNT(DISTINCT c.doc_id) AS n_matches
+  FROM nk n JOIN cands c ON n.band = c.band AND n.key = c.key
+  WHERE c.prior OR c.doc_id < n.doc_id
+  GROUP BY 1),
+qt AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct,
+         ({bkt}) % 1000000 AS bkt
+  FROM documents
+  WHERE source <> 'src0' AND doc_id % 5 = 4),
+qm AS (
+  SELECT doc_id, len(toks) AS n_tokens, n_chars, n_punct, bkt,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl
+  FROM qt),
+qq AS (
+  SELECT doc_id, n_tokens,
+         round((least(n_chars / 500.0, 1.0) * 0.4
+               + greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5) * 0.3
+               + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.3)
+               * (CASE WHEN n_tokens > 0 THEN 1.0 ELSE 0.0 END), 6) AS q6,
+         CASE WHEN bkt < 800000 THEN 'train'
+              WHEN bkt < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM qm),
+{decon_ctes},
+covered AS (
+  SELECT doc_id, SUM(span_end - span_start + 1) AS contam_tokens
+  FROM spans GROUP BY doc_id)
+SELECT CAST(qq.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(dd.dup_of, qq.doc_id) AS BIGINT) AS dup_of,
+       CAST(COALESCE(dd.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(CASE WHEN dd.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+       qq.q6,
+       CAST(CASE WHEN qq.q6 >= 0.5 THEN 1 ELSE 0 END AS INT) AS q_pass,
+       qq.split,
+       CAST(CASE WHEN dd.dup_of IS NULL AND qq.q6 >= 0.5
+                 THEN 1 ELSE 0 END AS INT) AS include,
+       CAST(COALESCE(c.contam_tokens, 0) AS BIGINT) AS contam_tokens,
+       round(COALESCE(c.contam_tokens, 0)
+             / CAST(greatest(qq.n_tokens, 1) AS DOUBLE), 6) AS contam_rate,
+       CASE WHEN COALESCE(c.contam_tokens, 0)
+                 / CAST(greatest(qq.n_tokens, 1) AS DOUBLE) > 0.5 THEN 'drop'
+            WHEN COALESCE(c.contam_tokens, 0)
+                 / CAST(greatest(qq.n_tokens, 1) AS DOUBLE) >= 0.05 THEN 'trim'
+            ELSE 'keep' END AS contam_verdict,
+       CAST(CASE WHEN dd.dup_of IS NULL AND qq.q6 >= 0.5
+                  AND NOT (COALESCE(c.contam_tokens, 0)
+                           / CAST(greatest(qq.n_tokens, 1) AS DOUBLE) > 0.5)
+                 THEN 1 ELSE 0 END AS INT) AS admit
+FROM qq
+LEFT JOIN dd ON dd.doc_id = qq.doc_id
+LEFT JOIN covered c ON c.doc_id = qq.doc_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -22709,6 +22831,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_channel_intersect_counts": q_events_channel_intersect_counts,
     "part_cross_priority_revenue": q_part_cross_priority_revenue,
     "customer_bulk_order_tickets": q_customer_bulk_order_tickets,
+    "doc_streaming_admit": q_doc_streaming_admit,
     "lineitem_returnflag_pivot": q_lineitem_returnflag_pivot,
     "events_hopping_windows": q_events_hopping_windows,
     "user_moving_avg": q_user_moving_avg,
@@ -23060,6 +23183,7 @@ def oracles() -> dict[str, str]:
             ORACLE_EVENTS_CHANNEL_INTERSECT_COUNTS,
         "part_cross_priority_revenue": ORACLE_PART_CROSS_PRIORITY_REVENUE,
         "customer_bulk_order_tickets": ORACLE_CUSTOMER_BULK_ORDER_TICKETS,
+        "doc_streaming_admit": _oracle_doc_streaming_admit_sql(),
         "lineitem_returnflag_pivot": ORACLE_LINEITEM_RETURNFLAG_PIVOT,
         "events_hopping_windows": ORACLE_EVENTS_HOPPING_WINDOWS,
         "user_moving_avg": ORACLE_USER_MOVING_AVG,

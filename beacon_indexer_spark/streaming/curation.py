@@ -44,6 +44,130 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def admit_decision(
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    stored_keys: DataFrame | None = None,
+    batch_keys: DataFrame | None = None,
+    eval_grams: DataFrame | None = None,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    quality_threshold: float = 0.5,
+    split_fracs: list[tuple[str, float]] | None = None,
+    decon_k: int = 8,
+    drop_threshold: float = 0.5,
+    trim_threshold: float = 0.05,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The pure per-batch curation decision — a function of (batch,
+    stored band-key index, eval-corpus distinct grams), no file IO:
+    (doc_id, dup_of, n_matches, keep, q6, q_pass, split, include,
+    contam_tokens, contam_rate, contam_verdict, admit).
+
+    ``stored_keys`` is the accumulated (id, band, key) LSH index (None =
+    empty corpus); ``batch_keys`` optionally supplies the batch's own
+    band keys pre-staged (callers sharing one `minhash_band_keys` frame
+    across both sides); ``eval_grams`` the eval corpus's DISTINCT
+    ``gram`` column (None = no decon stage). Used by `StreamingCuration`
+    inside foreachBatch and exposed directly so the decision is
+    oracle-checkable as a batch query (`doc_streaming_admit` in
+    plans/queries.py runs it against a recursive-free DuckDB mirror of
+    the online semantics)."""
+    from beacon_indexer_spark.operators.dedup import (
+        _merge_marked_spans,
+        minhash_band_keys,
+        token_kgram_positions,
+    )
+    from beacon_indexer_spark.operators.sampling import split_assign
+    from beacon_indexer_spark.operators.text import quality_score
+
+    idc = id_col
+    split_fracs = split_fracs or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    # ---- dedup: batch keys vs stored index + earlier-id batch keys
+    if batch_keys is None:
+        batch_keys = minhash_band_keys(
+            batch_df, idc, text_col, k=k, bands=bands, shingle_n=shingle_n
+        )
+        if checkpoint:
+            batch_keys = batch_keys.localCheckpoint()
+    cand = batch_keys.select(
+        "band", "key",
+        F.col(idc).alias("__old"),
+        F.lit(False).alias("__prior"),
+    )
+    if stored_keys is not None:
+        cand = stored_keys.select(
+            "band", "key",
+            F.col(idc).alias("__old"),
+            F.lit(True).alias("__prior"),
+        ).unionByName(cand)
+    dups = (
+        batch_keys.join(cand, ["band", "key"])
+        # stored docs always precede the batch; within the batch,
+        # smaller id = earlier (online first-seen-wins order)
+        .filter(F.col("__prior") | (F.col("__old") < F.col(idc)))
+        .groupBy(idc)
+        .agg(
+            F.min("__old").alias("dup_of"),
+            F.countDistinct("__old").alias("n_matches"),
+        )
+    )
+    # ---- decon: batch grams vs the eval-gram set
+    if eval_grams is not None:
+        grams = token_kgram_positions(batch_df, idc, text_col, decon_k)
+        marked = grams.join(eval_grams, "gram").select("doc_id", "pos")
+        covered = (
+            _merge_marked_spans(marked, decon_k)
+            .groupBy("doc_id")
+            .agg(F.sum("n_tokens").cast("long").alias("contam_tokens"))
+            .withColumnRenamed("doc_id", idc)
+        )
+    else:
+        covered = batch_df.select(
+            F.col(idc).cast("long").alias(idc)
+        ).limit(0).withColumn("contam_tokens", F.lit(0).cast("long"))
+    # ---- narrow per-row stages + assembly
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    spine = batch_df.select(
+        F.col(idc).cast("long").alias(idc),
+        F.round(quality_score(text_col), 6).alias("q6"),
+        split_assign(F.col(idc), split_fracs).alias("split"),
+        F.size(toks).cast("long").alias("__doc_tokens"),
+    )
+    joined = spine.join(dups, idc, "left").join(covered, idc, "left")
+    keep = F.col("dup_of").isNull().cast("int")
+    q_pass = (F.col("q6") >= quality_threshold).cast("int")
+    include = (keep.cast("boolean") & q_pass.cast("boolean")).cast("int")
+    contam_tokens = F.coalesce("contam_tokens", F.lit(0)).cast("long")
+    rate = contam_tokens / F.greatest("__doc_tokens", F.lit(1))
+    verdict = (
+        F.when(rate > drop_threshold, "drop")
+        .when(rate >= trim_threshold, "trim")
+        .otherwise("keep")
+    )
+    return joined.select(
+        idc,
+        F.coalesce("dup_of", F.col(idc)).cast("long").alias("dup_of"),
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        keep.alias("keep"),
+        "q6",
+        q_pass.alias("q_pass"),
+        "split",
+        include.alias("include"),
+        contam_tokens.alias("contam_tokens"),
+        F.round(rate, 6).alias("contam_rate"),
+        verdict.alias("contam_verdict"),
+        (include.cast("boolean") & (verdict != "drop"))
+        .cast("int")
+        .alias("admit"),
+    )
+
+
 class StreamingCuration:
     """foreachBatch curation: build once, call ``ingest`` per micro-batch.
 
@@ -115,106 +239,34 @@ class StreamingCuration:
 
     def decide_batch(self, batch_df: DataFrame) -> DataFrame:
         """The decision frame for one micro-batch, WITHOUT index
-        mutation — (doc_id, dup_of, n_matches, keep, q6, q_pass, split,
-        include, contam_tokens, contam_rate, contam_verdict, admit).
-        Pure function of (batch, current indexes): callers that need
-        exactly-once semantics can re-run it idempotently before
+        mutation — delegates to the pure `admit_decision` with the
+        stored indexes read from parquet. Idempotent: callers that need
+        exactly-once semantics can re-run it before
         `append_batch_keys`."""
-        from beacon_indexer_spark.operators.dedup import (
-            _merge_marked_spans,
-            minhash_band_keys,
-            token_kgram_positions,
+        stored = (
+            self.spark.read.parquet(self.band_index_path)
+            if self._index_nonempty(self.band_index_path)
+            else None
         )
-        from beacon_indexer_spark.operators.sampling import split_assign
-        from beacon_indexer_spark.operators.text import quality_score
-
-        idc = self.id_col
-        # ---- dedup: batch keys vs stored index + earlier-id batch keys
-        bkeys = minhash_band_keys(
-            batch_df, idc, self.text_col,
-            k=self.k, bands=self.bands, shingle_n=self.shingle_n,
-        ).localCheckpoint()
-        cand = bkeys.select(
-            "band", "key",
-            F.col(idc).alias("__old"),
-            F.lit(False).alias("__prior"),
+        eval_grams = (
+            self.spark.read.parquet(self.gram_index_path)
+            if self._index_nonempty(self.gram_index_path)
+            else None
         )
-        if self._index_nonempty(self.band_index_path):
-            stored = self.spark.read.parquet(self.band_index_path).select(
-                "band", "key",
-                F.col(idc).alias("__old"),
-                F.lit(True).alias("__prior"),
-            )
-            cand = stored.unionByName(cand)
-        dups = (
-            bkeys.join(cand, ["band", "key"])
-            # stored docs always precede the batch; within the batch,
-            # smaller id = earlier (online first-seen-wins order)
-            .filter(F.col("__prior") | (F.col("__old") < F.col(idc)))
-            .groupBy(idc)
-            .agg(
-                F.min("__old").alias("dup_of"),
-                F.countDistinct("__old").alias("n_matches"),
-            )
-        )
-        # ---- decon: batch grams vs the static eval-gram index
-        if self._index_nonempty(self.gram_index_path):
-            grams = token_kgram_positions(
-                batch_df, idc, self.text_col, self.decon_k
-            )
-            gidx = self.spark.read.parquet(self.gram_index_path)
-            marked = grams.join(gidx, "gram").select("doc_id", "pos")
-            covered = (
-                _merge_marked_spans(marked, self.decon_k)
-                .groupBy("doc_id")
-                .agg(F.sum("n_tokens").cast("long").alias("contam_tokens"))
-                .withColumnRenamed("doc_id", idc)
-            )
-        else:
-            covered = batch_df.select(
-                F.col(idc).cast("long").alias(idc)
-            ).limit(0).withColumn(
-                "contam_tokens", F.lit(0).cast("long")
-            )
-        # ---- narrow per-row stages + assembly
-        toks = F.filter(
-            F.split(F.lower(F.col(self.text_col)), r"\s+"),
-            lambda t: t != "",
-        )
-        spine = batch_df.select(
-            F.col(idc).cast("long").alias(idc),
-            F.round(quality_score(self.text_col), 6).alias("q6"),
-            split_assign(F.col(idc), self.split_fracs).alias("split"),
-            F.size(toks).cast("long").alias("__doc_tokens"),
-        )
-        joined = (
-            spine.join(dups, idc, "left").join(covered, idc, "left")
-        )
-        keep = F.col("dup_of").isNull().cast("int")
-        q_pass = (F.col("q6") >= self.quality_threshold).cast("int")
-        include = (keep.cast("boolean") & q_pass.cast("boolean")).cast("int")
-        contam_tokens = F.coalesce("contam_tokens", F.lit(0)).cast("long")
-        rate = contam_tokens / F.greatest("__doc_tokens", F.lit(1))
-        verdict = (
-            F.when(rate > self.drop_threshold, "drop")
-            .when(rate >= self.trim_threshold, "trim")
-            .otherwise("keep")
-        )
-        return joined.select(
-            idc,
-            F.coalesce("dup_of", F.col(idc)).cast("long").alias("dup_of"),
-            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
-            keep.alias("keep"),
-            "q6",
-            q_pass.alias("q_pass"),
-            "split",
-            include.alias("include"),
-            contam_tokens.alias("contam_tokens"),
-            F.round(rate, 6).alias("contam_rate"),
-            verdict.alias("contam_verdict"),
-            (include.cast("boolean") & (verdict != "drop"))
-            .cast("int")
-            .alias("admit"),
+        return admit_decision(
+            batch_df,
+            self.id_col,
+            self.text_col,
+            stored_keys=stored,
+            eval_grams=eval_grams,
+            k=self.k,
+            bands=self.bands,
+            shingle_n=self.shingle_n,
+            quality_threshold=self.quality_threshold,
+            split_fracs=self.split_fracs,
+            decon_k=self.decon_k,
+            drop_threshold=self.drop_threshold,
+            trim_threshold=self.trim_threshold,
         )
 
     def append_batch_keys(self, batch_df: DataFrame) -> None:
