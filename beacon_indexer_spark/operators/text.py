@@ -877,3 +877,56 @@ def heaps_law_curve(
         (F.col("__tprev") + F.col("__toks")).cast("long").alias("cum_tokens"),
         (F.col("__vprev") + F.col("__new")).cast("long").alias("cum_vocab"),
     )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    salt: str = "qw",
+    n_weights: int = 2001,
+) -> DataFrame:
+    """fastText-style hashed LINEAR quality classifier (the model-based
+    filter CCNet / RefinedWeb pipelines run after the heuristic gates):
+    every token hashes to a fixed weight in [-1, 1], the document score
+    is the mean token weight, label = 'keep' when the score is
+    non-negative. Returns (id, n_tokens, lin_score, label).
+
+    A real deployment loads trained weights (a broadcast map or a
+    weight-table join); here the weight table is the md5 hash itself —
+    ``w(t) = ((md5_60bit(salt:t) mod n_weights) - (n_weights-1)/2) /
+    1024`` — which keeps the operator deterministic and
+    oracle-checkable while exercising the exact production plan: a
+    shuffle-free narrow map, one sequential fold per document (no token
+    explode, no join). Swapping in trained weights changes only the
+    ``w(t)`` expression.
+
+    Cross-engine exactness: the weight denominator is a POWER OF TWO,
+    so every weight and every running sum is exactly representable and
+    the fold is integer-exact in doubles (a /1000 denominator put one
+    sf0.01 doc's mean exactly on a 5e-7 decimal boundary, where Spark
+    and DuckDB round() disagree); the reported score uses the
+    floor(x*1e6 + 0.5) half-up formulation both engines compute
+    identically (the `quantized_topk` discipline), and the label
+    derives from the UNROUNDED score."""
+    half = (n_weights - 1) // 2
+    toks = F.filter(
+        F.split(F.lower(_col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+    def w(t: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), t)), 1, 15),
+            16, 10,
+        ).cast("long")
+        return (h % n_weights - F.lit(half)).cast("double") / F.lit(1024.0)
+
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w(t))
+    score = F.when(n > 0, total / n.cast("double")).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        n.cast("long").alias("n_tokens"),
+        (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("lin_score"),
+        F.when(score >= 0, "keep").otherwise("cull").alias("label"),
+    )

@@ -22726,6 +22726,43 @@ LEFT JOIN covered c ON c.doc_id = qq.doc_id
 """
 
 
+
+
+def q_doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/text.py
+    `hashed_classifier_score` — the fastText-style linear classifier
+    stage CCNet/RefinedWeb run after heuristic gates): per-doc mean
+    hashed token weight + keep/cull label. Shuffle-free narrow map, one
+    sequential fold per document — the exact plan a trained-weight
+    deployment uses (only the weight expression changes)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return X.hashed_classifier_score(docs, "doc_id", "text")
+
+
+def _oracle_doc_classifier_score_sql() -> str:
+    toks = _DD_TOKENS.format(c="text")
+    w = (
+        "(CAST(" + _dd_hex15_to_long("md5(concat('qw:', t))")
+        + " % 2001 AS BIGINT) - 1000) / 1024.0"
+    )
+    return rf"""
+WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+sc AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(toks, t -> {w})), (a, b) -> a + b)
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS raw
+  FROM tk)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor(raw * 1e6 + 0.5) / 1e6 AS lin_score,
+       CASE WHEN raw >= 0 THEN 'keep' ELSE 'cull' END AS label
+FROM sc
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "pruned_scan_topk": q_pruned_scan_topk,
     "pricing_summary": q_pricing_summary,
@@ -22832,6 +22869,7 @@ QUERIES: dict[str, QueryFn] = {
     "part_cross_priority_revenue": q_part_cross_priority_revenue,
     "customer_bulk_order_tickets": q_customer_bulk_order_tickets,
     "doc_streaming_admit": q_doc_streaming_admit,
+    "doc_classifier_score": q_doc_classifier_score,
     "lineitem_returnflag_pivot": q_lineitem_returnflag_pivot,
     "events_hopping_windows": q_events_hopping_windows,
     "user_moving_avg": q_user_moving_avg,
@@ -23184,6 +23222,7 @@ def oracles() -> dict[str, str]:
         "part_cross_priority_revenue": ORACLE_PART_CROSS_PRIORITY_REVENUE,
         "customer_bulk_order_tickets": ORACLE_CUSTOMER_BULK_ORDER_TICKETS,
         "doc_streaming_admit": _oracle_doc_streaming_admit_sql(),
+        "doc_classifier_score": _oracle_doc_classifier_score_sql(),
         "lineitem_returnflag_pivot": ORACLE_LINEITEM_RETURNFLAG_PIVOT,
         "events_hopping_windows": ORACLE_EVENTS_HOPPING_WINDOWS,
         "user_moving_avg": ORACLE_USER_MOVING_AVG,
