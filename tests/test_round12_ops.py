@@ -185,3 +185,36 @@ def test_global_shuffle_order_accepts_powers_of_16(spark):
     df = spark.createDataFrame([(i,) for i in range(50)], "id long")
     out = global_shuffle_order(df, "id", n_buckets=16).collect()
     assert sorted(r["shuffle_pos"] for r in out) == list(range(50))
+
+
+# --------------------------------------------- hashed linear classifier
+
+
+def test_hashed_classifier_score_edges(spark):
+    """Empty/whitespace docs get the defined zero verdict (n_tokens 0,
+    score 0.0, 'keep'); scores are partitioning-invariant (narrow map +
+    sequential fold); every weight is a multiple of 1/1024 so the mean
+    of a single-token doc reproduces the token's exact weight."""
+    from beacon_indexer_spark.operators.text import hashed_classifier_score
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello"), (4, "hello hello")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            hashed_classifier_score(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["lin_score"] == 0.0
+    assert rows[1]["label"] == "keep"
+    assert rows[2]["n_tokens"] == 0
+    # identical tokens -> identical mean regardless of count
+    assert rows[3]["lin_score"] == rows[4]["lin_score"]
+    # reported score is the 1e-6 floor-half-up rounding of an exact
+    # k/1024 rational: recovering k and re-rounding must reproduce it
+    import math
+
+    k = round(rows[3]["lin_score"] * 1024)
+    assert rows[3]["lin_score"] == math.floor(k / 1024 * 1e6 + 0.5) / 1e6
+    # partitioning invariance
+    one = {r["doc_id"]: r["lin_score"] for r in
+           hashed_classifier_score(df.repartition(7), "doc_id", "text").collect()}
+    assert one == {k: v["lin_score"] for k, v in rows.items()}
