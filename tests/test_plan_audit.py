@@ -288,3 +288,33 @@ def test_decontamination_test_side_aggregates_before_join(plans):
     plan = plans["corpus_decontamination_spans"]
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_set_op_family_never_row_wise_intersects(plans):
+    # r12 TPC-DS set-op family: the scalable rewrite folds channel
+    # presence with ONE groupBy — a physical Intersect/Except (two extra
+    # full-frame shuffles per set op) must never appear, even though the
+    # ORACLES run the literal set-op chains
+    for name in (
+        "events_channel_intersect_counts",
+        "part_cross_priority_revenue",
+    ):
+        plan = plans[name]
+        assert "Intersect" not in plan and "Except" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bulk_tickets_aggregates_before_joins(plans):
+    # Q34/Q73 shape: the ticket-grain count + HAVING must sit BELOW both
+    # joins (partial agg on lineitem, then the filtered survivors join
+    # orders -> customer), so the join inputs are the rare bulk tickets
+    plan = plans["customer_bulk_order_tickets"]
+    agg_pos = plan.find("HashAggregate")
+    join_pos = min(
+        p for p in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+        if p >= 0
+    )
+    # executedPlan prints top-down: the join must appear BEFORE (above)
+    # the aggregate that feeds it
+    assert 0 <= join_pos < agg_pos, (join_pos, agg_pos)
+    assert "partial_count" in plan, "ticket count lost its partial aggregate"
