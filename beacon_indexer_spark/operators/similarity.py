@@ -354,12 +354,16 @@ def ivf_assign_two_level(
         lists_sql = f"CASE {ssel} " + " ".join(branches) + " END"
     else:
         # widened first level: CONCAT the member-struct arrays of the
-        # super_probe nearest supers, one sort, one slice. The per-super
-        # member arrays stay CASE-dispatched (only the selected groups'
-        # distances evaluate per row); a selected sid with an EMPTY group
-        # (duplicate super centroid — reachable here at ranks >= 2, unlike
-        # the rank-1 tie above) or a rank past the super count coalesces
-        # to a typed empty array.
+        # super_probe nearest supers, one sort, one slice. The super
+        # distance array computes ONCE — it binds to a lambda variable
+        # through transform(slice(...)) instead of being re-inlined per
+        # probe rank (Catalyst inlines projection aliases, so a
+        # withColumn staging would not deduplicate it; a lambda binding
+        # does). The per-super member arrays stay CASE-dispatched (only
+        # the selected groups' distances evaluate per row); a selected
+        # sid with an EMPTY group (duplicate super centroid — reachable
+        # here at ranks >= 2, unlike the rank-1 tie above) yields a NULL
+        # CASE arm filtered before the flatten.
         arr_branches = " ".join(
             f"WHEN {int(sid)} THEN array("
             + ", ".join(_d2_structs(members, vec_col))
@@ -367,13 +371,13 @@ def ivf_assign_two_level(
             for sid, members in groups.items()
             if members
         )
-        empty = "CAST(array() AS array<struct<d2: double, cid: int>>)"
-        picked = ", ".join(
-            f"coalesce(CASE {sorted_sup}[{i}].cid {arr_branches} END, {empty})"
-            for i in range(int(super_probe))
+        picked = (
+            f"flatten(filter(transform(slice({sorted_sup}, 1, "
+            f"{int(super_probe)}), ss -> CASE ss.cid {arr_branches} END), "
+            f"a -> a IS NOT NULL))"
         )
         lists_sql = (
-            f"transform(slice(array_sort(concat({picked})), 1, "
+            f"transform(slice(array_sort({picked}), 1, "
             f"{int(nprobe)}), s -> s.cid)"
         )
     return (
