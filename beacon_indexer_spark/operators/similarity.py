@@ -332,54 +332,32 @@ def ivf_assign_two_level(
         [(sid, dict(centroids)[sid]) for sid in groups], vec_col
     )
     sorted_sup = "array_sort(array(" + ", ".join(sup_structs) + "))"
-    if super_probe <= 1:
-        ssel = sorted_sup + "[0].cid"
-        branches = []
-        for sid, members in groups.items():
-            if not members:
-                # A super-group is empty when an identical earlier super
-                # exists (duplicate vectors md5-sampled among the first √k
-                # centroids): equal-distance ties in both
-                # `centroid_super_groups` and ssel resolve to the LOWER id,
-                # so this sid is unreachable from ssel — and an empty branch
-                # would emit transform(slice(array_sort(array()), ...))
-                # which fails analysis on the untyped array().
-                continue
-            member_structs = _d2_structs(members, vec_col)
-            branches.append(
-                f"WHEN {int(sid)} THEN transform(slice(array_sort(array("
-                + ", ".join(member_structs)
-                + f")), 1, {int(nprobe)}), s -> s.cid)"
-            )
-        lists_sql = f"CASE {ssel} " + " ".join(branches) + " END"
-    else:
-        # widened first level: CONCAT the member-struct arrays of the
-        # super_probe nearest supers, one sort, one slice. The super
-        # distance array computes ONCE — it binds to a lambda variable
-        # through transform(slice(...)) instead of being re-inlined per
-        # probe rank (Catalyst inlines projection aliases, so a
-        # withColumn staging would not deduplicate it; a lambda binding
-        # does). The per-super member arrays stay CASE-dispatched (only
-        # the selected groups' distances evaluate per row); a selected
-        # sid with an EMPTY group (duplicate super centroid — reachable
-        # here at ranks >= 2, unlike the rank-1 tie above) yields a NULL
-        # CASE arm filtered before the flatten.
-        arr_branches = " ".join(
-            f"WHEN {int(sid)} THEN array("
-            + ", ".join(_d2_structs(members, vec_col))
-            + ")"
-            for sid, members in groups.items()
-            if members
-        )
-        picked = (
-            f"flatten(filter(transform(slice({sorted_sup}, 1, "
-            f"{int(super_probe)}), ss -> CASE ss.cid {arr_branches} END), "
-            f"a -> a IS NOT NULL))"
-        )
-        lists_sql = (
-            f"transform(slice(array_sort({picked}), 1, "
-            f"{int(nprobe)}), s -> s.cid)"
-        )
+    # ONE form for every super_probe (r12): the sorted super array binds
+    # to a lambda variable via transform(slice(...)) so it computes once
+    # per row; the selected supers' member arrays CASE-dispatch (only
+    # the chosen groups' distances evaluate), NULL arms from EMPTY
+    # super-groups (duplicate super centroids — unreachable at rank 1 by
+    # the lower-id tie rule, reachable at ranks >= 2) filter before the
+    # flatten, and one final sort + slice yields the nprobe member
+    # lists. Measured at n=20k/k=128 this lambda-bound form is ~3x
+    # faster than the per-rank re-inlined CASE chain it replaces and on
+    # par with the flat scan even at this modest k (SCALE.md r12).
+    arr_branches = " ".join(
+        f"WHEN {int(sid)} THEN array("
+        + ", ".join(_d2_structs(members, vec_col))
+        + ")"
+        for sid, members in groups.items()
+        if members
+    )
+    picked = (
+        f"flatten(filter(transform(slice({sorted_sup}, 1, "
+        f"{max(1, int(super_probe))}), ss -> CASE ss.cid {arr_branches} "
+        f"END), a -> a IS NOT NULL))"
+    )
+    lists_sql = (
+        f"transform(slice(array_sort({picked}), 1, "
+        f"{int(nprobe)}), s -> s.cid)"
+    )
     return (
         vectors.withColumn("__lists", F.expr(lists_sql))
         .withColumn("ivf_list", F.explode("__lists"))
