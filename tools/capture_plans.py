@@ -1,0 +1,48 @@
+"""Capture `.explain("formatted")` for named queries into plans/r12/.
+
+Usage:
+    python tools/capture_plans.py <tag> name1,name2,...
+writes plans/r12/<name>_<tag>.txt for each query.
+
+Construction-time probe jobs (eager bucket-cap probes, broadcast_if_small
+counts) run as part of building the plan — that is the same region
+bench.py times, so the captured plan is the one the bench executes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from beacon_indexer_spark.plans.queries import QUERIES  # noqa: E402
+from beacon_indexer_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2].split(",")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    out_dir = os.path.join(REPO, "plans", "r12")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="bis-plans", master=f"local[{cpus}]")
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {path} ({len(buf.getvalue())} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
