@@ -41,11 +41,16 @@ def bpe_ish_token_count(text: ColumnOrName) -> Column:
 
 
 def _exclusive_prefix(
-    sums, key: str, val: str, out: str, fan: int = 65536, _level: int = 0,
+    sums, key: str, val, out, fan: int = 65536, _level: int = 0,
     max_key: int | None = None,
 ):
     """Distributed exclusive prefix sum over integer-keyed rows:
     ``out = sum(val) over all rows with key' < key``.
+
+    ``val`` / ``out`` may be single column names or equal-length lists:
+    several prefix sums over the SAME key share one window, one
+    aggregation and one recursion (r12 — callers that previously ran the
+    machinery twice and equi-joined the results pay it once).
 
     EVERY window is partitioned (bounded fan-in — no unpartitioned window
     anywhere, at any input size): keys group into super-keys of ``fan``
@@ -73,40 +78,52 @@ def _exclusive_prefix(
 
     assert isinstance(sums, DataFrame)
     assert fan >= 2, "fan must be >= 2"
+    vals = [val] if isinstance(val, str) else list(val)
+    outs = [out] if isinstance(out, str) else list(out)
+    assert len(vals) == len(outs) and vals, "val/out must pair up"
     if (max_key is not None and max_key <= 0) or _level >= math.ceil(
         64 / math.log2(fan)
     ):
         # keys here have collapsed to the single value 0 (data-aware bound
         # with keys >= 0, or x DIV fan^depth with fan^depth >= 2^64):
         # exactly one group, nothing precedes it
-        return sums.withColumn(out, F.lit(0).cast("long"))
+        for o in outs:
+            sums = sums.withColumn(o, F.lit(0).cast("long"))
+        return sums
     sup = f"__sup{_level}"
+    wcols = [f"__within{i}" for i in range(len(vals))]
     lv = sums.withColumn(sup, F.expr(f"CAST({key} DIV {fan} AS BIGINT)"))
     w = (
         Window.partitionBy(sup)
         .orderBy(key)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    within = lv.withColumn("__within", F.coalesce(F.sum(val).over(w), F.lit(0)))
+    within = lv
+    for v, wc in zip(vals, wcols):
+        within = within.withColumn(
+            wc, F.coalesce(F.sum(v).over(w), F.lit(0))
+        )
     if max_key is not None and 0 <= max_key < fan:
         # single super-group (sup == 0 for every row, still ≤ fan rows per
         # window partition): no predecessor groups exist, so the within-
         # group cumsum IS the answer — skip the one-row recursion and its
         # broadcast join entirely
-        return within.withColumn(out, F.col("__within").cast("long")).drop(
-            sup, "__within"
-        )
-    supoff = f"__supoff{_level}"
-    sup_sums = lv.groupBy(sup).agg(F.sum(val).alias("__supsum"))
-    sup_off = _exclusive_prefix(
-        sup_sums, sup, "__supsum", supoff, fan, _level + 1,
-        max_key=None if max_key is None else max_key // fan,
-    ).select(sup, supoff)
-    return (
-        within.join(F.broadcast(sup_off), sup)
-        .withColumn(out, F.col(supoff) + F.col("__within"))
-        .drop(sup, "__within", supoff)
+        for o, wc in zip(outs, wcols):
+            within = within.withColumn(o, F.col(wc).cast("long"))
+        return within.drop(sup, *wcols)
+    supoffs = [f"__supoff{_level}_{i}" for i in range(len(vals))]
+    supsums = [f"__supsum{i}" for i in range(len(vals))]
+    sup_sums = lv.groupBy(sup).agg(
+        *[F.sum(v).alias(s) for v, s in zip(vals, supsums)]
     )
+    sup_off = _exclusive_prefix(
+        sup_sums, sup, supsums, supoffs, fan, _level + 1,
+        max_key=None if max_key is None else max_key // fan,
+    ).select(sup, *supoffs)
+    res = within.join(F.broadcast(sup_off), sup)
+    for o, so, wc in zip(outs, supoffs, wcols):
+        res = res.withColumn(o, F.col(so) + F.col(wc))
+    return res.drop(sup, *wcols, *supoffs)
 
 
 def pack_documents(

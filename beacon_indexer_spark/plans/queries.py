@@ -43,13 +43,35 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # shared fragments
 # ---------------------------------------------------------------------------
 
+# Table METADATA memo (schema + scan-split count), keyed per application:
+# a production deployment reads fixed table schemas from a catalog/metastore
+# instead of re-inferring them from parquet footers on every query build —
+# this memo is the local equivalent. Metadata only, never results: every
+# action still scans the parquet files (re-inference on this data measures
+# ~130-210 ms of driver time per read at sf0.1; the explicit-schema read is
+# ~38 ms, and the split-count via df.rdd another ~170 ms saved per call).
+_TABLE_SCHEMAS: dict[tuple[str, str, str], object] = {}
+_SCAN_PARTS: dict[tuple[str, str, str], int] = {}
+_CONF_APPLIED: set[str] = set()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # the driver's events table stores TIMESTAMP(NANOS), which the vectorized
-    # parquet reader rejects — read nanos as long and convert exactly
-    # (integer `div`, no double round-trip).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    app = spark.sparkContext.applicationId
+    if app not in _CONF_APPLIED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # the driver's events table stores TIMESTAMP(NANOS), which the
+        # vectorized parquet reader rejects — read nanos as long and convert
+        # exactly (integer `div`, no double round-trip).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _CONF_APPLIED.add(app)
+    key = (app, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _TABLE_SCHEMAS.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _TABLE_SCHEMAS[key] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
@@ -81,12 +103,74 @@ def _spread(df: DataFrame) -> DataFrame:
     scan produced fewer input splits than cores (small files → 1 split →
     single-threaded CPU-heavy expressions). At real scale inputs have many
     splits and this is a no-op; it deliberately runs AFTER the scan so
-    filter/column pushdown is unaffected."""
+    filter/column pushdown is unaffected.
+
+    Prefer `_ts` / `_spread_as` for base tables: deriving the split count
+    via `df.rdd` forces a full plan→RDD conversion per call."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+def _scan_parts(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized scan-split count for a base table — a pure function of the
+    file layout and session read confs, so deriving it once per
+    application is exact."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    n = _SCAN_PARTS.get(key)
+    if n is None:
+        n = _t(spark, sf_dir, name).rdd.getNumPartitions()
+        _SCAN_PARTS[key] = n
+    return n
+
+
+def _spread_as(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """`_spread` for a NARROW transformation of table ``name`` (filter /
+    select keep the scan's partitioning, so the memoized split count of
+    the base table applies exactly)."""
+    n = spark.sparkContext.defaultParallelism
+    if _scan_parts(spark, sf_dir, name) < n:
+        return df.repartition(n)
+    return df
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_spread(_t(...))`` with the split count memoized per table."""
+    return _spread_as(_t(spark, sf_dir, name), spark, sf_dir, name)
+
+
+def _hist_prefix(hist: DataFrame, key: str, val, out):
+    """Bounded-depth exclusive prefix over a TINY aggregated histogram.
+
+    Lazily checkpoints ``hist`` (ONE materialization shared by the probe,
+    the prefix pass, and whatever totals the caller derives from the
+    returned frame), probes the key bounds — a job over the materialized
+    histogram blocks, not a corpus pass — and runs ``_exclusive_prefix``
+    at the data-aware depth instead of the static 64-bit depth (4 levels
+    of window + broadcast join, r12 measured as the dominant cost of the
+    histogram-statistics family at bench scale). Negative keys shift to
+    start at zero first — an order-preserving translation, so prefix
+    sums are unchanged — and shift back after.
+
+    Returns ``(hist, prefixed)``; callers MUST read totals off the
+    returned (checkpointed) ``hist`` so the upstream aggregation is
+    computed once. ``val``/``out`` may be lists (multi-val form)."""
+    from beacon_indexer_spark.operators.text import _exclusive_prefix
+
+    hist = hist.localCheckpoint(eager=False)
+    b = hist.agg(F.min(key).alias("mn"), F.max(key).alias("mx")).first()
+    mn, mx = b["mn"], b["mx"]
+    if mn is None:
+        return hist, _exclusive_prefix(hist, key, val, out, max_key=0)
+    if mn >= 0:
+        return hist, _exclusive_prefix(hist, key, val, out, max_key=mx)
+    shifted = hist.withColumn(key, F.col(key) - F.lit(mn))
+    res = _exclusive_prefix(shifted, key, val, out, max_key=mx - mn)
+    return hist, res.withColumn(key, F.col(key) + F.lit(mn))
 
 
 def _dd_minhash_base(x: str) -> str:
@@ -483,7 +567,7 @@ FROM events WHERE user_id < 20
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F5/F6/F8: content fingerprint (md5 of canonical text), sorted-token
     fingerprint, hex popcount, hex-prefix→int64."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     # stage fp as a column so the md5+normalize tree evaluates once, not 3×
     staged = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -516,7 +600,7 @@ FROM base
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counting (whitespace + BPE-ish regex), quality
     scoring, mean token length."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         X.token_count("text").cast("long").alias("n_tokens"),
@@ -555,7 +639,7 @@ FROM m
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-lexicon argmax, deterministic ties)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         X.lang_id("text").alias("pred_lang"),
@@ -594,7 +678,7 @@ FROM s
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups (hash-groupBy on normalized-content fingerprint)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = D.exact_duplicates(docs, "doc_id", "text")
     return out.select(
         "fp",
@@ -628,7 +712,7 @@ def _dd_shingles(n: int = 3) -> str:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (exact set similarity, shingle-blocked
     join — never a cross join)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1, shingle_n=3)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -658,7 +742,7 @@ _MINHASH_BANDS = 4
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (shingle → k salted md5-derived hashes → min)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
     return sigs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -697,7 +781,7 @@ FROM hashed
 
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs (band-bucket equi-join)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -740,7 +824,7 @@ FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (majority vote over token md5 bits)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = D.simhash(docs, "doc_id", "text")
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
 
@@ -782,7 +866,7 @@ SELECT doc_id, simhash FROM sh
 
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k (brute force baseline) for query vectors id<5."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.brute_force_topk(emb, queries, k=5)
     return out.select(
@@ -826,7 +910,7 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut candidates ~30× while planted-cluster recall at cosine ≈ 0.98
     stays ≥ 0.95 by the band bound 1-(1-p^8)^4 (tests/test_near_dup_recall
     asserts it against numpy ground truth)."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     out = S.embedding_near_duplicates(
         emb, dim=64, threshold=0.35, n_bits=32, bands=4
     )
@@ -883,7 +967,7 @@ def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     every new vector a total verdict (dup_of, n_matches, is_dup). The
     embedding sibling of `dedup_incremental`: together they give
     streaming ingest both text and semantic dedup."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     is_new = F.col("vec_id") % 5 == 4
     m = S.embedding_incremental_duplicates(
         emb.filter(~is_new), emb.filter(is_new),
@@ -1441,7 +1525,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation cosine are all mirrored in DuckDB SQL
     (_oracle_similarity_ivf_sql); recall vs brute force is additionally
     asserted in tests/test_similarity_ivf.py."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     cents = S.ivf_centroids(emb, k=8)
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.ivf_topk(emb, queries, cents, k=5, nprobe=2)
@@ -1542,7 +1626,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: LSH candidate pairs → connected components
     (min-label propagation, O(diameter) rounds). The oracle computes the
     identical transitive closure with a recursive CTE."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -1601,7 +1685,7 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed TF-IDF
     (operators/text.py tfidf_top_terms) — corpus stats via two map-side
     aggregations and a broadcast count, no driver action."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = X.tfidf_top_terms(docs, "doc_id", "text", k=3)
     return out.select(
         F.col("id").cast("long").alias("doc_id"),
@@ -1723,7 +1807,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding corpus + reconstruction
     error (training-data shipping / ANN shortlist compression;
     operators/similarity.py quantize_embedding). Narrow map, no shuffle."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     # two-step: scale staged as a column FIRST, codes reference it (the
     # O(d) scale aggregate inlined in the per-element lambda would be
     # O(d^2) per row — no subexpression elimination inside HOF lambdas)
@@ -1853,7 +1937,7 @@ def q_doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle fraction + hottest shingle frequency per document
     (operators/text.py repetition_stats — explode + two map-side-combined
     aggs, never an in-row quadratic scan)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = X.repetition_stats(docs, "doc_id", "text", shingle_n=3)
     return out.select(
         F.col("id").cast("long").alias("doc_id"),
@@ -1895,7 +1979,7 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stand-in benchmark sample; production uses 13-gram shingles, same
     plan). The eval shingle set broadcasts; the corpus never shuffles for
     the join (operators/dedup.py cross_corpus_overlap)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     tr = docs.filter(F.col("doc_id") % 50 != 0)
     out = D.cross_corpus_overlap(tr, ev, "doc_id", "text", shingle_n=3, min_common=2)
@@ -1923,7 +2007,7 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND token count in [10, 1000] (Gopher-ish length bounds). Per-doc
     quality is rounded to 6dp and summed as DECIMAL so the cross-engine
     aggregate is exact regardless of partition order."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     scored = docs.select(
         "lang",
         F.round(X.quality_score("text"), 6).cast("decimal(10,6)").alias("q6"),
@@ -2035,7 +2119,7 @@ def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     int_dot/sqrt(int_norms) — scales cancel, all accumulation is exact
     integer, so cross-engine parity is bit-exact with zero float-sum
     drift. Same broadcast-query plan shape as the brute-force baseline."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.quantized_topk(emb, queries, k=5)
     return out.select(
@@ -2095,7 +2179,7 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     over DISTINCT signature classes (159M → 2.1M sf1 candidates,
     measured). ``bands``/``max_bucket`` apply only to the banded
     ``max_dist > 3`` fallback — not exercised here."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = D.simhash_hamming_pairs(docs, "doc_id", "text", max_dist=3)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -2128,7 +2212,7 @@ def q_doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency rollup (operators/text.py pack_stats): docs and
     tokens landing in each 512-token pack window, utilization per pack —
     the batch-shape health check before shipping a packed corpus."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = X.pack_stats(docs, "doc_id", "text", capacity=512)
     return out.select(
         F.col("pack_id").cast("long").alias("pack_id"),
@@ -2161,7 +2245,7 @@ def q_doc_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus needs): doc count, language spread, decimal-exact mean quality,
     quality-gate pass rate, mean length. One map-side-combined groupBy
     over pure column expressions."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     scored = docs.select(
         "source",
         "lang",
@@ -2229,7 +2313,7 @@ def q_corpus_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted count (map-side-combined groupBy + TakeOrdered; ties break
     lexically). The shuffle carries (token, partial_count) — bounded by
     vocabulary, not corpus size."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
     )
@@ -2259,7 +2343,7 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare-sized; the chunk text itself feeds downstream embedding.
     Text is lowercased BEFORE chunking so the Spark hash and the oracle's
     lower()-based tokenizer agree on mixed-case corpora too."""
-    docs = _spread(_t(spark, sf_dir, "documents")).withColumn(
+    docs = _ts(spark, sf_dir, "documents").withColumn(
         "text", F.lower("text")
     )
     out = X.chunk_windows(docs, "doc_id", "text", window=32, stride=24)
@@ -2299,7 +2383,7 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_containment_pairs): |A∩B| / min(|A|,|B|) — catches a document
     EMBEDDED in another, which symmetric Jaccard dilutes toward zero as
     the host grows. Same shingle-blocked plan as the Jaccard query."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = D.ngram_containment_pairs(
         docs, "doc_id", "text", threshold=0.8, shingle_n=3
     )
@@ -2336,7 +2420,7 @@ def q_doc_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     document. The cluster frame is broadcast only when its PROBED row
     count allows (high-dup raw-crawl corpora fall back to a shuffle
     join — see `broadcast_if_small`)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -2394,7 +2478,7 @@ def q_doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0 — can't upsample by filtering), and the tokens the plan yields.
     Pure aggregation + deterministic double arithmetic; feeds
     `stratified_hash_sample(source → rate)` to execute the plan."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     per_source = (
         docs.select("source", X.token_count("text").alias("nt"))
         .groupBy("source")
@@ -2443,7 +2527,7 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster-center statistic under SemDeDup-style curation and drift
     monitoring. posexplode + one map-side-combined groupBy(label, pos) —
     the shuffle is bounded by n_labels x dim, never corpus size."""
-    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    vecs = _ts(spark, sf_dir, "embeddings")
     return S.label_centroids(vecs, "embedding", "label")
 
 
@@ -2464,7 +2548,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py label_outliers) — the mislabeled/off-
     distribution screen run before training. Centroids broadcast (n_labels
     x dim rows at any corpus size); the distance pass is a narrow map."""
-    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    vecs = _ts(spark, sf_dir, "embeddings")
     out = S.label_outliers(vecs, "vec_id", "embedding", "label", k=3)
     return out.select(
         "label", F.col("vec_id").cast("long").alias("vec_id"), "l2_dist", "rank"
@@ -2505,7 +2589,7 @@ def q_token_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast one-row crossJoins so the whole plan stays lazy. Final
     ordering is a 20-row TakeOrdered on the ROUNDED score (engine-stable,
     ties broken lexically)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     uni = (
         docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("t"))
         .groupBy("t")
@@ -2577,7 +2661,7 @@ def q_corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated sources show collapsed TTR). Two map-side-combined
     aggregations joined on source; the distinct-term count shuffles
     (source, term) pairs — vocabulary-bounded, never corpus-row-bounded."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     tk = (
         docs.select(
@@ -2765,7 +2849,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_ivfpq shared-scan move; measured −18% at sf1). At 100 TB
     the same line holds: block storage of one (id, vector) projection,
     evicted LRU, vs 5 corpus re-scans + re-shuffles."""
-    vecs = _spread(_t(spark, sf_dir, "embeddings")).localCheckpoint(
+    vecs = _ts(spark, sf_dir, "embeddings").localCheckpoint(
         eager=False
     )
     k = max(8, vecs.count() // 250)
@@ -2913,7 +2997,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_topk): m=8 subspaces x k=16 deterministic codewords; the corpus is
     scanned as 8-int codes and scored by asymmetric distance (ADC) against
     the 5 probe queries — the FAISS-style compressed-domain scan path."""
-    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    vecs = _ts(spark, sf_dir, "embeddings")
     cbs = S.pq_codebooks(vecs, "vec_id", "embedding", m=8, k=16)
     qs = vecs.filter(F.col("vec_id") < 5)
     out = S.pq_topk(vecs, qs, cbs, "vec_id", "embedding", k=5)
@@ -3130,7 +3214,7 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     count aggregation, token->count equi-join (vocabulary-sized build
     side), corpus total attached via broadcast one-row crossJoin, then a
     map-side-combined per-doc mean. No driver action, no UDF."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(X.tokens(F.lower(F.col("text")))).alias("t"),
@@ -3174,7 +3258,7 @@ def q_doc_passage_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup — every shuffle carries (hash, id)-sized rows. Text is
     lowercased BEFORE chunking so the Spark hash and the oracle's
     lower()-based tokenizer agree on mixed-case corpora too."""
-    docs = _spread(_t(spark, sf_dir, "documents")).withColumn(
+    docs = _ts(spark, sf_dir, "documents").withColumn(
         "text", F.lower("text")
     )
     ch = X.chunk_windows(docs, "doc_id", "text", window=16, stride=16).select(
@@ -3236,7 +3320,7 @@ def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops corpus-common minima from blocking (this corpus's small
     vocabulary makes low-hash shingles recur — measured: the surviving
     pairs are the planted duplicates, stable across scale factors)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = D.winnow_pairs(
         docs, "doc_id", "text", n=3, w=4, min_shared=4, df_cap=12
     )
@@ -3292,7 +3376,7 @@ def q_corpus_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     merging touching coverage intervals. Hot boilerplate grams cost their
     occurrence count, never its square — the property the single-machine
     suffix array cannot give you distributed."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     return D.substring_dup_spans(docs, "doc_id", "text", k=8).select(
         "doc_id", "span_start", "span_end", "n_tokens"
     )
@@ -3343,7 +3427,7 @@ def q_corpus_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact duplicated >= 8-token substring — the curation signal used to
     trim or drop mostly-copied training documents. Spans are disjoint
     maximal runs so the covered-token sum is exact."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     return D.substring_dup_rate(docs, "doc_id", "text", k=8).select(
         "doc_id", "doc_tokens", "dup_tokens", "dup_rate"
     )
@@ -3374,7 +3458,7 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment — pure integers, stable across engines."""
     from beacon_indexer_spark.operators.clustering import kmeans_assign
 
-    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    vecs = _ts(spark, sf_dir, "embeddings")
     out = kmeans_assign(vecs, "vec_id", "embedding", k=4, iters=2)
     return out.select(F.col("id").alias("vec_id"), "cluster")
 
@@ -4192,7 +4276,7 @@ def q_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components. Composes the candidate generator with two
     bounded aggregations: the (node, degree) shuffle is bounded by docs
     that HAVE a duplicate, the histogram by distinct degrees."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -4287,7 +4371,7 @@ def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     `redact_pii`), and checksum the redacted output. Map-only narrow
     expressions into one map-side-combined aggregate — no shuffle except
     the per-source agg, no UDF."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     base = docs.select(
         "source",
         _inject_pii(F.col("text"), F.col("doc_id")).alias("__t"),
@@ -4360,7 +4444,7 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings, and engines. Per (split, lang): docs + token sums —
     the table a mixture planner consumes. Narrow label expression + one
     map-side-combined aggregate."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     base = docs.select(
         SP.split_assign(F.col("doc_id"), _SPLIT_FRACS).alias("split"),
         "lang",
@@ -4401,7 +4485,7 @@ def q_corpus_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     The estimator's shuffle is prefilter_denom× cheaper than the exact
     side — at 100 TB you ship only the estimate; the exact branch here
     exists to put the observed error in the result."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     sh = docs.select(
         "lang", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
     )
@@ -4456,7 +4540,7 @@ def q_source_shingle_kmv_jaccard(
     shuffle. Exact union/intersection attach as audit columns so the
     observed estimator error is in the result (the corpus_shingle_kmv
     convention)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     sh = docs.filter(F.col("source").isin("src0", "src1")).select(
         "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
     )
@@ -4545,7 +4629,7 @@ def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/sampling.py `per_group_cap`): rank docs within each source
     by quality desc (doc_id tie-break) and emit the keep/reject VERDICT
     for every doc. One partitioned window pass keyed by source."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     scored = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "source",
@@ -4603,7 +4687,7 @@ def q_corpus_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is bounded BEFORE any collect via a partitioned window, so
     stopword rows cost max_postings entries, never a million-element
     aggregate state."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     idx = X.build_postings(docs, "doc_id", "text", max_postings=_POSTINGS_CAP)
     return idx.orderBy(F.desc("df_docs"), "term").limit(20)
 
@@ -4809,7 +4893,7 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float PageRank cannot be engine-reproducible)."""
     from beacon_indexer_spark.operators import graph as G
 
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -4906,7 +4990,7 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency squared. An unrestricted shingle self-join here
     would be d²/2 rows for a stop-shingle present in d documents — a
     scale-killer on real corpora ("the end of"-class trigrams, d ~ 1e6)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     # ONE signature pass: the banding consumes the same staged frame the
     # estimate reads (lazy checkpoint — materialized by the LSH probe job)
     sigs = D.minhash_signatures(
@@ -5272,7 +5356,7 @@ def q_doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — `broadcast_if_small`); quality and split are narrow
     expressions on the spine — one corpus scan feeds everything but the
     LSH shuffle."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -5350,7 +5434,7 @@ def q_doc_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train-restricted LSH→CC recursive closure + gram-join decon)."""
     from beacon_indexer_spark.plans.pipeline import CurationRun
 
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
     test = docs.filter(F.col("source") == "src0")
     run = CurationRun(
@@ -5437,7 +5521,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-paired — and every new doc gets a total verdict
     (dup_of, n_matches, is_dup). This is the per-batch path a streaming
     ingest runs between full-corpus dedup rebuilds."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     # stage the band keys once (lazy checkpoint): both join sides filter
     # the SAME materialized frame — without it the shingle/minhash/banding
     # pipeline executes twice, once per differently-filtered input
@@ -5553,7 +5637,7 @@ def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic classifier against labels before trusting its routing.
     One narrow prediction expression + one map-side-combined aggregate
     bounded by |langs|²."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     return (
         docs.select(
             X.lang_id("text").alias("pred_lang"),
@@ -5578,7 +5662,7 @@ def q_corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate — the one-row report a curation run logs. Every input is an
     already-bounded frame (CC output = only docs WITH duplicates), so
     the final assembly is cross-joins of one-row aggregates."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -5640,7 +5724,7 @@ def q_doc_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by document length and the df aggregate itself is map-side
     combined. At 100 TB, write the scrubbed text in the reassembly job's
     sink so text rides exactly those two exchanges and nothing more."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     # lower BEFORE chunking (the doc_chunk_windows / doc_passage_dup_rate
     # convention) so the Spark hash and the oracle's lower()-based
     # tokenizer agree on mixed-case corpora
@@ -5724,7 +5808,7 @@ def q_corpus_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("source").isin(_DRIFT_A, _DRIFT_B)
     )
-    ex = _spread(docs).select(
+    ex = _spread_as(docs, spark, sf_dir, "documents").select(
         "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("term")
     )
     counts = (
@@ -5857,7 +5941,7 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beacon_indexer_spark.operators import dsir as DS
 
     n_buckets = 256
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     counts = DS.hashed_ngram_counts(
         docs, "doc_id", "text", n_buckets=n_buckets
     ).localCheckpoint(eager=False)
@@ -5941,7 +6025,7 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle self-join), computed ONCE, and the 5-threshold sweep is an
     explode over that one pair frame — the whole curve costs one extra
     pairs×5 aggregation, not 5 dedup runs."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(
         docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
     ).localCheckpoint(eager=False)
@@ -6056,7 +6140,7 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier material. Plan: one (shingle) min-aggregate (shingle-
     vocabulary-bounded), one join back through the same (id, shingle)
     frame, one per-doc aggregate — the `doc_tfidf` shuffle shape."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     sh = docs.select(
         F.col("doc_id").cast("long").alias("id"),
         F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
@@ -6111,7 +6195,7 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     square stays inside int64; embedding coordinates are unit-norm-ish
     (|x| < 1 in every fixture). min/max are order-independent already
     and stay on the raw doubles."""
-    e = _spread(_t(spark, sf_dir, "embeddings"))
+    e = _ts(spark, sf_dir, "embeddings")
     x = e.select(
         F.posexplode("embedding").alias("dim", "__x")
     ).select(F.col("dim").cast("long").alias("dim"), F.col("__x").cast("double").alias("__x"))
@@ -6168,7 +6252,7 @@ def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw share, smoothed sampling weight, and the expected tokens drawn
     under a fixed budget. Pure |langs|-bounded aggregation; the share
     normalizers attach as broadcast one-row aggregates (never a window)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     per_lang = (
         docs.select("lang", X.token_count("text").alias("nt"))
         .groupBy("lang")
@@ -6226,7 +6310,7 @@ def q_dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the corrected b-bit estimate side by side — the audit that says
     whether the 8× smaller index is safe to ship. One signature pass
     (staged, shared with the banding), pair-bounded joins."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(
         docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
     ).localCheckpoint(eager=False)
@@ -6383,7 +6467,7 @@ def q_doc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH→CC spine as `doc_keep_list`; the winner is a per-cluster
     partitioned window (never global), and singletons keep themselves by
     construction."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -6457,7 +6541,7 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED score (engine-stable total order with doc_id tie-break). The
     inverted-index sibling (`corpus_postings`) materializes the index;
     this is the query-time scorer."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     per_doc = _bm25_per_doc(docs)
     return (
         per_doc.select(
@@ -6560,7 +6644,7 @@ def q_doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     training shards — a skewed shard becomes the slow file every data
     loader waits on). |shards|-bounded aggregation; the mean attaches as
     a broadcast one-row aggregate."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     from beacon_indexer_spark.operators.dedup import _md5_long
 
     shard = (_md5_long(F.col("doc_id").cast("string"), 17) % _N_SHARDS)
@@ -6611,7 +6695,7 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring over a posexploded index range) → one |char-pairs|-bounded
     aggregate (≤ alphabet² keys) → TakeOrdered. At 100 TB the shuffle
     carries (pair, partial count) only."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
     )
@@ -6655,7 +6739,7 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a plausible vocabulary. All model frames are vocabulary-bounded
     (unigram and bigram count tables); they attach to the token stream
     through equi-joins, never a window."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     big = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(X.word_shingles(F.col("text"), 2)).alias("bg"),
@@ -6711,7 +6795,7 @@ def q_source_ngram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     KL = Σ_w p_s(w)·ln(p_s(w)/p_c(w)) with add-1 smoothing over the
     shared vocabulary, folded sequentially in token order per source —
     engine-reproducible. Everything is |vocab|- or |sources|-bounded."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("t")
     )
@@ -6779,7 +6863,7 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives a SimCLR/DPR-style objective trains against. Query side
     broadcast with labels, label filter below the scoring expression,
     partitioned top-k window."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = S.hard_negative_topk(emb, queries, k=5)
     return out.select(
@@ -6827,7 +6911,7 @@ def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak into training ones. Pair side is the post-banding candidate
     list; the source dim is a 2-column projection; aggregations keyed by
     source-pair (bounded by n_sources^2)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -6873,7 +6957,7 @@ def q_doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     curriculum-learning LM runs feed the optimizer. Total order
     (n_tokens, doc_id) for cross-engine determinism; window PARTITIONED
     by source, never global."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = X.curriculum_phases(docs, "doc_id", "text", "source", n_phases=4)
     return out.select(
         F.col("id").alias("doc_id"),
@@ -6901,7 +6985,7 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py centroid_similarity) — the class/source
     drift monitor run before mixture re-weighting. Both stages bounded
     by n_labels x dim / n_labels^2 x dim rows, corpus-size-independent."""
-    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    vecs = _ts(spark, sf_dir, "embeddings")
     out = S.centroid_similarity(vecs, "embedding", "label")
     return out.select(
         F.col("label_a").cast("long").alias("label_a"),
@@ -6935,7 +7019,7 @@ def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the number that actually feeds a training-mix planner (raw token
     counts overstate sources that are mostly self-copies). One keyed
     left join (probe-guarded broadcast) + one |sources|-bounded agg."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -6999,7 +7083,7 @@ def q_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage_safe_split): split verdicts hash the CLUSTER id, so near-
     copies never straddle the eval boundary; `moved` flags docs a naive
     per-doc hash split would have leaked to the other side."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -7044,7 +7128,7 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     char_entropy) — the model-free gibberish screen (base64 blobs high,
     padding low). Shuffles bounded by |alphabet| per doc via map-side
     partial aggregation, never text length."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     return X.char_entropy(docs, "doc_id", "text").withColumnRenamed(
         "id", "doc_id"
     )
@@ -7070,7 +7154,7 @@ def q_doc_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation density + hard-keyword count with an is_code verdict —
     the source-separation gate run before mixing code into an LM corpus.
     Two regex column expressions, no shuffle."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     out = X.code_likeness(docs, "doc_id", "text")
     return out.withColumnRenamed("id", "doc_id")
 
@@ -7105,7 +7189,7 @@ def q_lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose fertility is far above the corpus norm is being shredded by
     the tokenizer and will train poorly). Two tokenize expressions, one
     |langs|-bounded aggregate."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     base = docs.select(
         "lang",
         X.token_count("text").cast("long").alias("__ws"),
@@ -7143,7 +7227,7 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     equalizing preprocessing before distance-based curation. Stats
     aggregate keyed by pos (8 groups at any corpus size), broadcast
     back; dims pruned BEFORE the stats pass."""
-    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    vecs = _ts(spark, sf_dir, "embeddings")
     out = S.standardize_dims(vecs, "vec_id", "embedding", k=8)
     return out.withColumnRenamed("id", "vec_id")
 
@@ -7174,7 +7258,7 @@ def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical_diversity) — catches template/boilerplate expansion (a long
     doc built from few distinct words) that length and quality gates
     miss. Pure column expressions, no shuffle."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     return X.lexical_diversity(docs, "doc_id", "text").withColumnRenamed(
         "id", "doc_id"
     )
@@ -7204,7 +7288,7 @@ def q_corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary? Each term contributes at its FIRST bucket only
     (vocabulary-bounded min-aggregate); running totals via the
     bounded-fan-in partitioned prefix sum, no global window."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     return X.heaps_law_curve(
         docs, "doc_id", "text", bucket_docs=_HEAPS_BUCKET_DOCS
     )
@@ -7237,7 +7321,7 @@ def q_embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind whitening/PCA decisions. One d²-bounded aggregate + a
     TakeOrdered; total (|cov| desc, i, j) order for deterministic
     selection."""
-    vecs = _spread(_t(spark, sf_dir, "embeddings"))
+    vecs = _ts(spark, sf_dir, "embeddings")
     return S.dim_covariance_topk(vecs, "embedding", k=20)
 
 
@@ -7267,7 +7351,7 @@ def q_dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     every dedup run ships with): LSH → CC → cluster sizes (singletons
     included via the coalesce-to-own-id spine) → docs/clusters per size.
     Aggregations keyed by cluster then by size — output-bounded."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -7347,7 +7431,7 @@ def q_corpus_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     content? Drives whether dedup effort targets short-doc blocking or
     long-doc fingerprints. Fixed CASE bands (no quantile dependence);
     the keep verdict rides the LSH → CC spine."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -7415,7 +7499,7 @@ def q_doc_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a full-corpus run. Exact side is candidate-driven
     (`candidate_common_shingles` — bounded by pairs x shingles/doc,
     never df²)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     ).localCheckpoint(eager=False)
@@ -7646,7 +7730,7 @@ def q_doc_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     code-switched / concatenated-crawl documents hurt monolingual
     training even when argmax langid looks confident. Pure column
     expressions over the shared marker lexicons."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     scores = X.lang_scores(F.col("text"))
     arr = F.array(*[scores[lang] for lang in sorted(scores)])
     desc = F.sort_array(arr, asc=False)
@@ -7755,7 +7839,7 @@ def q_doc_quality_vs_dup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pass deleting' (top-right cell) is the tradeoff number a
     curation review asks for first. Rides the LSH → CC spine; one
     4-group aggregate."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -7824,7 +7908,7 @@ def q_corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     are vocabulary²-bounded; the head sum is a 100-row TakeOrdered with
     a total (count desc, bigram) order; totals attach as one-row
     broadcasts."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     bc = (
         docs.select(F.explode(X.word_shingles("text", 2)).alias("bg"))
         .groupBy("bg")
@@ -8060,7 +8144,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force top-5, per query — the number that decides whether
     nprobe/k_lists are production-ready. Composes the two audited
     operators; the compare joins two 25-row frames."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     cents = S.ivf_centroids(emb, k=8)
     ivf = S.ivf_topk(emb, queries, cents, k=5, nprobe=2).select(
@@ -8110,7 +8194,7 @@ def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by n_sources (collect_set per token, map-side combined);
     pairs expand WITHIN the row; the union term is |A|+|B|-common over
     per-source distinct-token counts."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     st = docs.select(
         "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("__t")
     ).distinct()
@@ -8278,7 +8362,7 @@ def q_doc_len_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL) sum, so the result is partition-order-independent at any
     parallelism (the repo's cross-engine determinism convention; an
     unordered float SUM can flip the 6th rounded decimal at scale)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     dec = "decimal(38,0)"
     base = docs.select(
         X.token_count("text").alias("__xi"),
@@ -8411,7 +8495,7 @@ def q_corpus_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     committing to 0.5. ONE aggregation pass computes every threshold's
     conditional sums (no per-threshold rescan, no cross join); the
     5-column row unpivots with stack()."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     base = docs.select(
         F.round(X.quality_score("text"), 6).alias("__q"),
         X.token_count("text").cast("long").alias("__nt"),
@@ -8473,7 +8557,7 @@ def q_embedding_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     killer (a probe into a hot cell scans 10x the vectors). Assignment
     is a narrow map (centroids ship as literals); sizes are one k-group
     aggregate; the mean attaches as a one-row broadcast."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     cents = S.ivf_centroids(emb, k=8)
     lists = S.ivf_assign(emb, cents, "embedding", nprobe=1)
     sizes = lists.groupBy("ivf_list").agg(
@@ -8735,7 +8819,7 @@ def q_corpus_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (the LM-difficulty / compressibility proxy; the same
     pair stream BPE merge induction counts). ln(T) - sum(c ln c)/T over
     an alphabet²-bounded aggregate — one row out."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
     idx = tok.select(
         "w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
@@ -8844,7 +8928,7 @@ def q_doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of terms seen exactly once — a young/diverse source has a
     fat hapax tail; a templated source doesn't. Vocabulary-bounded
     aggregates only."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tc = (
         docs.select(
             "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("__t")
@@ -9000,7 +9084,7 @@ def q_doc_keep_policy_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies, plus the fraction of clusters where some dropped copy is
     longer — the number that justifies switching to the best_quality
     policy. Cluster-keyed aggregate + one-row rollup."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -9059,7 +9143,7 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     residuals; this is the one-glance check. Sequential-fold norm (the
     engine-portable accumulation), bucket counts bounded by the norm
     range, one-row total attach."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     sq = F.aggregate(
         F.transform(F.col("embedding"), lambda x: x.cast("double")),
         F.lit(0.0),
@@ -9302,7 +9386,7 @@ def q_embedding_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame
     (map-side combined; |dims|·|labels| groups regardless of corpus
     size), and the per-dim combination across labels is a label-ordered
     sequential fold — nothing order-dependent anywhere."""
-    e = _spread(_t(spark, sf_dir, "embeddings"))
+    e = _ts(spark, sf_dir, "embeddings")
     x = e.select(
         F.col("label").cast("long").alias("label"),
         F.posexplode("embedding").alias("dim", "__x"),
@@ -9403,7 +9487,7 @@ def q_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the one-glance check before trusting simhash banding. Pure
     integer bit counts over a 64-group aggregate; the signature stream
     is the same map-only simhash pass the dedup queries use."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     sh = D.simhash(docs, "doc_id", "text")
     bits = sh.select(
         F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"), "simhash"
@@ -9463,11 +9547,11 @@ def q_customer_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = hist.withColumn("__s", F.col("__r") * F.col("__f"))
     hist = hist.localCheckpoint(eager=False)
     mx = hist.agg(F.max("__r").alias("mx")).first()["mx"]
-    cf = _exclusive_prefix(hist, "__r", "__f", "__pf", max_key=mx)
-    cs = _exclusive_prefix(
-        hist.select("__r", "__s"), "__r", "__s", "__ps", max_key=mx
+    # both prefixes share one window + one recursion (multi-val form) —
+    # previously two full prefix passes equi-joined back on __r
+    j = _exclusive_prefix(
+        hist, "__r", ["__f", "__s"], ["__pf", "__ps"], max_key=mx
     )
-    j = cf.join(cs.select("__r", "__ps"), "__r")
     tot = hist.agg(
         F.sum("__f").cast("long").alias("__N"),
         F.sum("__s").cast("long").alias("__T"),
@@ -9539,7 +9623,7 @@ def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates: corpus term counts (map-side combined), then per-
     (source, term) counts joined against the broadcast K-row head —
     nothing scales with document count except the first scan."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("w")
     )
@@ -9660,7 +9744,7 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered (count desc, term); ranks, logs, and all five OLS sums
     are rank-ordered sequential folds over ONE K-bounded array — exact
     reproducibility at any parallelism, no unordered float reduction."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
         .groupBy("w")
@@ -9764,7 +9848,7 @@ def q_embedding_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) and runs over distinct-value rows, never raw coordinates; the
     rank threshold compares in exact int64 (100·cum ≥ q·n — no float
     rank arithmetic)."""
-    e = _spread(_t(spark, sf_dir, "embeddings"))
+    e = _ts(spark, sf_dir, "embeddings")
     x = e.select(F.posexplode("embedding").alias("dim", "__x")).select(
         F.col("dim").cast("long").alias("dim"),
         F.round(F.col("__x").cast("double") * 1e9, 0).cast("long").alias("__xi"),
@@ -9893,7 +9977,7 @@ def q_doc_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail). Prefix keys group once (map-side combined); counts re-attach
     by an equi-join on the prefix key, so nothing is quadratic in
     corpus size."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     pre = docs.select(
         "source",
         F.concat_ws(
@@ -10019,7 +10103,7 @@ def q_embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force top-k (query side broadcast, corpus scanned once);
     r1/r2 quantize to 1e-9 fixed-point so the ratio is a ratio of exact
     integers, and the log-sum folds in query-id order."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     nn = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 100), k=2)
     per_q = nn.groupBy("query_id").agg(
         F.round((1.0 - F.max(F.when(F.col("rank") == 1, F.col("cos_sim")))) * 1e9, 0)
@@ -10102,7 +10186,7 @@ def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the shared corpus vocabulary on a |sources|×|vocab| grid, JSD
     folded in term order per pair. Every frame is dimension-bounded
     (sources × vocab), independent of document count."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("t")
     )
@@ -10194,7 +10278,7 @@ def q_embedding_quant_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs error quantizes to 1e-9 fixed-point so the corpus mean is an
     exact integer sum; worst-case is an order-independent MAX. The
     sweep unpivots in-row (array explode) — no per-width rescan."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     v = F.col("__v")
     staged = emb.select(
         F.col("vec_id").alias("vec_id"),
@@ -10285,7 +10369,7 @@ def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation run should union them; near-total agreement licenses
     running only the cheaper one. Composes the two audited pipelines
     and full-outer-joins their |pairs|-bounded outputs — one row out."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     mh = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     ).select("id_a", "id_b", F.lit(1).alias("__m"))
@@ -10340,7 +10424,7 @@ def q_corpus_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels: md5-bucketed term folds (≤256 buckets, each term-ordered)
     then one bucket-ordered fold — exact reproducibility without ever
     collecting the whole vocabulary into one array."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
 
     def _h(counts: DataFrame, key: str):
         c_d = F.col("__c").cast("double")
@@ -10458,7 +10542,7 @@ def q_embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     points). Composes the audited brute-force top-k (query side
     broadcast); label attach is two id-keyed equi-joins; output is
     |labels|-bounded."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     labels = emb.select(F.col("vec_id").alias("__id"), F.col("label").alias("__l"))
     nn = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 100), k=1)
     j = (
@@ -10529,7 +10613,7 @@ def q_corpus_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     √(j(1−j)/k) tradeoff that decides how many hashes a production run
     pays for. Per-pair errors quantize to 1e-9 so the means are exact
     integer sums."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(
         docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
     )
@@ -10739,7 +10823,7 @@ def q_doc_embedding_quality_norm_corr(spark: SparkSession, sf_dir: str) -> DataF
     and vectors should be re-normalized before ANN. Both variables
     quantize to 1e-6 fixed-point BEFORE the five sums (exact DECIMAL
     reductions, partition-order-independent); the join is id-keyed."""
-    docs = _spread(_t(spark, sf_dir, "documents")).select(
+    docs = _ts(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("__id"),
         F.round(X.quality_score("text") * 1e6, 0).cast("long").alias("__xi"),
     )
@@ -10821,7 +10905,7 @@ def q_corpus_head_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat curve means a long productive tail worth a bigger tokenizer).
     One vocab-bounded count pass, one K-row TakeOrdered head; all three
     coverages read exact-integer prefix sums of ONE sorted array."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
     tot = tok.agg(F.count(F.lit(1)).cast("long").alias("__t"))
     head = (
@@ -10910,11 +10994,11 @@ def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = hist.withColumn("__s", F.col("__v") * F.col("__f"))
     hist = hist.localCheckpoint(eager=False)
     mx = hist.agg(F.max("__v").alias("mx")).first()["mx"]
-    cf = _exclusive_prefix(hist, "__v", "__f", "__pf", max_key=mx)
-    cs = _exclusive_prefix(
-        hist.select("__v", "__s"), "__v", "__s", "__ps", max_key=mx
+    # both prefixes share one window + one recursion (multi-val form) —
+    # previously two full prefix passes equi-joined back on __v
+    j = _exclusive_prefix(
+        hist, "__v", ["__f", "__s"], ["__pf", "__ps"], max_key=mx
     )
-    j = cf.join(cs.select("__v", "__ps"), "__v")
     tot = hist.agg(
         F.sum("__f").cast("long").alias("__N"),
         F.sum("__s").cast("long").alias("__T"),
@@ -11026,7 +11110,7 @@ def q_dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     that predicts the shuffle bill and flags a degenerate band (one hot
     bucket holding half the corpus) before a full-corpus dedup run pays
     for it. Pure integer aggregates over the (band, key) sizes."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     keyed = D.minhash_band_keys(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
@@ -11064,7 +11148,7 @@ def q_embedding_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment is the audited literal-centroid narrow map; residual and
     norm energies are per-row sequential folds quantized to 1e-9 before
     exact integer per-list sums."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     cents = S.ivf_centroids(emb, k=8)
     lists = S.ivf_assign(emb, cents, "embedding", nprobe=1)
     cent_arr = F.array(
@@ -11156,7 +11240,7 @@ def q_embedding_mean_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFr
     per-dim exact integer sums, closed form — an O(n²) statistic at
     O(n·d) cost, exact at any parallelism (1e-9 fixed-point before
     every reduction)."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
@@ -11226,7 +11310,7 @@ def q_doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token-count histogram through the bounded-fan prefix sum."""
     from beacon_indexer_spark.operators.text import _exclusive_prefix
 
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     nt = docs.select(X.token_count("text").alias("__t")).filter(
         F.col("__t") > 0
     )
@@ -11584,7 +11668,7 @@ def q_doc_lang_length_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers over a |langs|×|bands| table; expected values and
     the χ² fold combine in (lang, band) order — deterministic at any
     parallelism."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     band = (
         F.when(X.token_count("text") < 20, "short")
         .when(X.token_count("text") < 60, "medium")
@@ -11728,7 +11812,7 @@ def q_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     source is about (and the eyeball check on the JSD/KL divergence
     numbers). Vocab-bounded frames; top-3 selection is a
     source-partitioned window over the (source, term) table."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(X.tokens(F.lower(F.col("text")))).alias("t")
     )
@@ -11805,7 +11889,7 @@ def q_embedding_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     land — merge candidates, mislabeled pockets, duplicated concepts).
     Same audited brute-force top-k spine as the agreement query;
     |labels|²-bounded output with row-normalized shares."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     labels = emb.select(F.col("vec_id").alias("__id"), F.col("label").alias("__l"))
     nn = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 100), k=1)
     j = (
@@ -11986,7 +12070,7 @@ def q_corpus_split_half_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     between-source divergence number (a source-pair JSD is only
     meaningful if it clears this floor). Same smoothed-grid JSD
     machinery as `source_js_divergence`, one pair, term-ordered fold."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         (F.col("doc_id") % 2).cast("long").alias("__half"),
         F.explode(X.tokens(F.lower(F.col("text")))).alias("t"),
@@ -12124,7 +12208,7 @@ def q_doc_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     subwords per word; a spike at length 1 flags tokenization debris).
     Length-bounded aggregate over the token stream; one-row total
     attach."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(X.tokens(F.lower(F.col("text")))).alias("__w")
     ).select(F.length("__w").cast("long").alias("token_len"))
@@ -12697,7 +12781,7 @@ def q_corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow int64 at corpus scale)."""
     from beacon_indexer_spark.operators.text import _exclusive_prefix
 
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
     )
@@ -12764,7 +12848,7 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE corpus scan (the audited brute-force shape) and per-(point,
     label) distance sums are integer folds. a = mean own-label distance
     (self excluded), b = min other-label mean, s = (b-a)/max(a,b)."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     uq = F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
@@ -12881,7 +12965,7 @@ def q_embedding_knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-9 ints so every pairwise dot is exact; the sample broadcasts over
     ONE corpus scan and the k-th order statistic comes from a window
     partitioned BY SAMPLE POINT (never unpartitioned)."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     uq = F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
@@ -12975,7 +13059,7 @@ def q_source_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dim exact integer sums of 1e-9-quantized unit vectors, so the
     centroid dot/norms are ratios of exact integers; everything after
     the per-(source, dim) aggregation is |sources|-bounded."""
-    docs = _spread(_t(spark, sf_dir, "documents")).select(
+    docs = _ts(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("__id"), "source"
     )
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -13090,17 +13174,18 @@ def q_events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("__day"), F.lit("1970-01-01")).alias("__k"),
         "__day", "__x",
     )
-    pre = _exclusive_prefix(keyed, "__k", "__x", "__pre")
-    cnt = _exclusive_prefix(
-        keyed.withColumn("__one", F.lit(1)), "__k", "__one", "__d0"
-    ).select("__k", (F.col("__d0") + 1).alias("__d"))
+    # value prefix + day-rank prefix share one window/recursion
+    # (multi-val form) — previously two passes equi-joined on __k
+    pre = _exclusive_prefix(
+        keyed.withColumn("__one", F.lit(1)),
+        "__k", ["__x", "__one"], ["__pre", "__d0"],
+    ).withColumn("__d", F.col("__d0") + 1)
     tot = daily.agg(
         F.sum("__x").cast(dec).alias("__t"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
     j = (
-        pre.join(cnt, "__k")
-        .withColumn("__prefix", F.col("__pre") + F.col("__x"))
+        pre.withColumn("__prefix", F.col("__pre") + F.col("__x"))
         .crossJoin(F.broadcast(tot))
     )
     c = (
@@ -13249,7 +13334,7 @@ def q_doc_hapax_burden_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary — both shuffles vocabulary-bounded; each hapax occurs in
     exactly one doc, so the join output is bounded by hapax count.
     Top-k ties break on doc_id."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
     )
@@ -13313,7 +13398,7 @@ def q_embedding_knn_purity_sweep(
     neighbor lists; the three k's reuse them (the swept table is
     |sample| x 5 rows, driver-free). Majority ties break on the
     smaller label."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     uq = F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
@@ -13982,8 +14067,8 @@ def q_events_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "click", 1).otherwise(0)
         ).alias("__fb"),
     )
-    h = _exclusive_prefix(h, "__k", "__fa", "__pa")
-    h = _exclusive_prefix(h, "__k", "__fb", "__pb")
+    # one shared window/recursion for both ECDF prefixes (multi-val form)
+    h = _exclusive_prefix(h, "__k", ["__fa", "__fb"], ["__pa", "__pb"])
     tot = h.agg(
         F.sum("__fa").cast("long").alias("__na"),
         F.sum("__fb").cast("long").alias("__nb"),
@@ -14044,7 +14129,7 @@ def q_corpus_source_token_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the effective-source count 1/HHI. One vocabulary-free aggregation
     (per-source token totals), exact integer squares (DECIMAL), ONE-ROW
     total attach."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
         F.sum(
             F.size(X.tokens(F.lower(F.col("text"))))
@@ -14216,7 +14301,7 @@ def q_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit run before any embedding-gated curation step silently drops
     the un-embedded tail. Left-semi join on id, |sources|-bounded
     rollup."""
-    docs = _spread(_t(spark, sf_dir, "documents")).select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -14647,7 +14732,7 @@ def q_doc_ingestion_drift_deciles(
     mix shift mid-ingest. The id range is a ONE-ROW attach; both means
     are exact integer sums (tokens, 1e-6-quantized quality) divided at
     the end."""
-    docs = _spread(_t(spark, sf_dir, "documents")).select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(X.tokens(F.lower(F.col("text")))).cast("long").alias("__nt"),
         F.round(X.quality_score("text") * 1e6, 0).cast("long").alias("__q"),
@@ -14946,7 +15031,7 @@ def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-biased sample that is REPRODUCIBLE across runs and engines (no
     RNG state), the right shape for audit-grade corpus sampling at any
     scale: one map pass + TakeOrdered, no shuffle of the corpus."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     w = F.size(X.tokens(F.lower(F.col("text")))).cast("long")
     u_long = D._md5_long(F.col("doc_id").cast("string"), 77)
     base = docs.select(
@@ -15038,7 +15123,7 @@ def q_corpus_df_truncation_impact(
     removed, as shares. Everything runs on the (df -> term count)
     HISTOGRAM (bounded by distinct df levels); the three thresholds and
     the totals attach as tiny broadcasts."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
     ).distinct()
@@ -15531,7 +15616,7 @@ def q_embedding_dim_ablation_recall(
     are exact integer sums over 1e-9-quantized units (ties on dim
     index); both retrievals rank with (distance, cid) determinism; the
     intersection is an exact pair join."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     uq = F.transform(v, lambda x: F.round(x / nrm * 1e9, 0).cast("long"))
@@ -15948,7 +16033,7 @@ def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     each triangle exactly once; the edge list is materialized once and
     every join is on edge keys — the classic distributed triangle count,
     bounded by the dup-pair graph, never the corpus."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     edges = (
         D.minhash_lsh_candidates(
             docs, "doc_id", "text",
@@ -16695,7 +16780,7 @@ def q_embedding_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking window."""
     from beacon_indexer_spark.operators.text import _exclusive_prefix
 
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     scored = emb.select(
@@ -16888,7 +16973,7 @@ def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding space one-dimensional' red flag for representation
     collapse."""
     dec = "decimal(38,0)"
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     q = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
@@ -17162,7 +17247,7 @@ def q_corpus_lang_source_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     All Σ p·ln p terms run over the |langs × sources| contingency table
     as 1e-9-quantized integer sums (order-free); margins attach as
     broadcast joins, the grand total as a ONE-ROW broadcast."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     ).localCheckpoint(eager=False)
@@ -17282,8 +17367,8 @@ def q_doc_text_embedding_agreement(
     pipeline shows a large lift; lift ≈ 0 means the embeddings don't
     see what the shingles see. Pair dots are exact integer folds of
     1e-9 unit components; the pair join is bounded by the dup graph."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    docs = _ts(spark, sf_dir, "documents")
+    emb = _ts(spark, sf_dir, "embeddings")
     dec = "decimal(38,0)"
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
@@ -17755,7 +17840,7 @@ def q_doc_length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     |distinct lengths| histogram is 10-row arithmetic."""
     from beacon_indexer_spark.operators.text import _exclusive_prefix
 
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     w = F.size(X.tokens(F.lower(F.col("text")))).cast("long")
     base = docs.select(F.col("doc_id").cast("long").alias("__id"), w.alias("__w"))
     mid = base.agg(
@@ -17763,11 +17848,22 @@ def q_doc_length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     halves = base.crossJoin(F.broadcast(mid)).select(
         "__w", (F.col("__id") <= F.col("__mid")).alias("__ref")
-    ).localCheckpoint(eager=False)
-    rhist = halves.filter("__ref").groupBy("__w").agg(
-        F.count(F.lit(1)).cast("long").alias("__f")
     )
-    rh = _exclusive_prefix(rhist, "__w", "__f", "__cum")
+    # ONE aggregation pass over the corpus: the (length, half) histogram
+    # is tiny (|distinct lengths| × 2 rows) and every downstream frame —
+    # reference histogram, totals, edges, per-bin counts — derives from
+    # it. r12: previously halves itself was checkpointed and re-read by
+    # three separate aggregations; the prefix sum also ran the full
+    # static 64-bit depth, now bounded by a max-length probe on the
+    # checkpointed histogram (a ~hundreds-of-rows job, not a corpus pass).
+    hist2 = halves.groupBy("__w", "__ref").agg(
+        F.count(F.lit(1)).cast("long").alias("__f")
+    ).localCheckpoint(eager=False)
+    mx = hist2.agg(F.max("__w").alias("mx")).first()["mx"]
+    rhist = hist2.filter("__ref").select("__w", "__f")
+    rh = _exclusive_prefix(
+        rhist, "__w", "__f", "__cum", max_key=mx if mx is not None else 0
+    )
     rtot = rhist.agg(F.sum("__f").cast("long").alias("__nr"))
     bins = spark.createDataFrame(
         [(b,) for b in range(1, 11)], "bin int"
@@ -17781,9 +17877,6 @@ def q_doc_length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bin")
         .agg(F.min("__w").alias("__edge"))
-    )
-    hist2 = halves.groupBy("__w", "__ref").agg(
-        F.count(F.lit(1)).cast("long").alias("__f")
     )
     assigned = (
         hist2.crossJoin(F.broadcast(edges))
@@ -17806,13 +17899,13 @@ def q_doc_length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("__r", F.lit(0)).alias("__r"),
         F.coalesce("__c", F.lit(0)).alias("__c"),
     )
-    tots = halves.agg(
-        F.sum(F.when(F.col("__ref"), 1).otherwise(0)).cast("long").alias(
-            "n_ref"
-        ),
-        F.sum(F.when(~F.col("__ref"), 1).otherwise(0)).cast("long").alias(
-            "n_cur"
-        ),
+    tots = hist2.agg(
+        F.sum(F.when(F.col("__ref"), F.col("__f")).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(~F.col("__ref"), F.col("__f")).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
     )
     jd = dense.crossJoin(F.broadcast(tots))
     pr = (F.col("__r").cast("double") + 0.5) / (
@@ -17954,7 +18047,7 @@ def q_embedding_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     known failure mode of high-dimensional kNN before trusting
     kNN-based clustering or dedup. One audited brute-force pass
     (broadcast query side), then an edge self-equi-join."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") < 100)
     edges = (
         S.brute_force_topk(sample, sample, k=5)
@@ -18047,7 +18140,7 @@ def q_corpus_chunk_dedup_planner(
     chunks hash with a size-salted md5 so the only shuffle carries
     (size, hash) with map-side combine; the tail chunk keeps its true
     token count so savings are token-exact."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     toks = X.tokens(F.lower(F.col("text")))
     base = docs.select(toks.alias("__tk")).filter(
         F.size("__tk") > 0
@@ -18236,7 +18329,7 @@ def q_corpus_audit_sample_planner(
     population correction n = n₀/(1 + (n₀−1)/N). Pass proxy is token
     count ≥ 30 (the long-doc gate). One |sources|-bounded aggregation;
     the plan is closed-form from exact counts."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     w = F.size(X.tokens(F.lower(F.col("text"))))
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -18476,7 +18569,7 @@ def q_corpus_postings_compression_estimate(
     no float log at power-of-two boundaries); gaps are term-partitioned
     LAG over the postings, the same bounded shuffle the postings query
     itself pays."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     post = docs.select(
         F.col("doc_id").cast("long").alias("__d"),
         F.explode(
@@ -18699,7 +18792,7 @@ def q_corpus_junk_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     navigation/boilerplate sources from prose BEFORE quality scoring.
     Map-only classification (regex in the Java/RE2 common subset) into
     one |sources|-bounded aggregation."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         "source",
         F.explode(X.tokens(F.lower(F.col("text")))).alias("__t"),
@@ -18766,7 +18859,7 @@ def q_embedding_ingestion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinates re-quantize before the dot/norm sums, so every float
     reduction is an exact integer sum; shuffles are |deciles × dims|-
     bounded."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     dec = "decimal(38,0)"
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
@@ -19087,7 +19180,7 @@ def q_dedup_fingerprint_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     each step up. The 'how much more would looser matching delete'
     read before choosing a policy. Three md5 map passes sharing one
     token computation; three |fingerprint|-bounded rollups."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     toks = X.tokens(F.lower(F.col("text")))
     fps = docs.select(
         X.fingerprint("text").alias("__fe"),
@@ -19353,7 +19446,7 @@ def q_corpus_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Poisson assumptions behind tf-idf-style weighting. One token
     pass into a vocabulary-bounded (term → df, cf) rollup;
     deterministic TakeOrdered output."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     tok = docs.select(
         F.col("doc_id").cast("long").alias("__d"),
         F.explode(X.tokens(F.lower(F.col("text")))).alias("__t"),
@@ -19973,7 +20066,7 @@ def q_corpus_substring_incremental(
     DISTINCT gram index (written once at ingest in production), the
     batch pays one equi-join; per-batch cost is O(batch), the corpus is
     never re-paired."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 5 == 4
     return D.cross_corpus_contamination_spans(
         docs.filter(is_new), docs.filter(~is_new), "doc_id", "text", k=8
@@ -20019,7 +20112,7 @@ def q_corpus_substring_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports before deciding whether span-removal is worth a rewrite
     pass. Derived from `substring_dup_rate` (disjoint spans, exact
     sums)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     rates = D.substring_dup_rate(docs, "doc_id", "text", k=8)
     return rates.agg(
         F.sum("doc_tokens").cast("long").alias("total_tokens"),
@@ -20064,7 +20157,7 @@ def q_corpus_substring_dedup_plan(
     passage. The occurrence rank rides the same gram-partitioned window
     as the occurrence count — no extra shuffle over
     `corpus_substring_spans`."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     return D.substring_dup_spans_keep_first(
         docs, "doc_id", "text", k=8
     ).select("doc_id", "span_start", "span_end", "n_tokens")
@@ -20120,7 +20213,7 @@ def q_domain_temperature_sampling(
     summation-order dependence. |domains|-row arithmetic after one count
     aggregation."""
     per = (
-        _spread(_t(spark, sf_dir, "documents"))
+        _ts(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
@@ -20170,7 +20263,7 @@ def q_doc_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive batches always mix domains — quality-paced curriculum
     without hot-spotting one source. One source-partitioned window; the
     source index is bounded driver state (sorted distinct sources)."""
-    docs = _spread(_t(spark, sf_dir, "documents")).select(
+    docs = _ts(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "source",
         F.round(X.quality_score("text"), 6).alias("q6"),
@@ -20222,7 +20315,7 @@ def q_doc_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cumulative offsets (bucket-major IS hash order), so no
     task ever sees more than ~1/256 of the corpus — the distributed
     global-rank idiom, machine-checked equal to the naive form."""
-    docs = _spread(_t(spark, sf_dir, "documents")).select(
+    docs = _ts(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
     return SP.global_shuffle_order(docs, "doc_id", n_shards=8)
@@ -20267,7 +20360,7 @@ def q_source_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beacon_indexer_spark.operators import text as TX
 
     per = (
-        _spread(_t(spark, sf_dir, "documents"))
+        _ts(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(
             F.sum(TX.token_count(F.col("text")))
@@ -20353,7 +20446,7 @@ def q_corpus_decontamination_spans(
     DISTINCT gram set (bounded by the benchmark size); the train side
     pays one equi-join — strictly cheaper than full substring dedup, no
     self-pairing anywhere."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     test = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return D.cross_corpus_contamination_spans(
@@ -20412,7 +20505,7 @@ def q_corpus_decontaminated_stats(
     oracle's independent reconstruction (positions → anti-range filter →
     ordered string_agg). One HOF filter per doc, tokens never explode on
     the Spark side."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     test = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     spans = D.cross_corpus_contamination_spans(
@@ -20465,7 +20558,7 @@ def q_doc_contamination_verdict(
     rest), 'drop' (> 50%: mostly benchmark text). The span aggregation
     is a per-doc sum of disjoint maximal runs (exact); docs with no
     contamination report rate 0 through the left join."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     test = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     spans = D.cross_corpus_contamination_spans(
@@ -20531,7 +20624,7 @@ def q_corpus_decontamination_summary(
     (doc_contamination_verdict semantics) and reduces it to one row:
     everything after the gram equi-join is |train docs| rows into one
     aggregate."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     test = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     spans = D.cross_corpus_contamination_spans(
@@ -20758,7 +20851,7 @@ def q_embedding_stream_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts per-micro-batch foreachBatch rows equal this batch shape."""
     from beacon_indexer_spark.streaming.drift import ann_recall_monitor
 
-    emb = _spread(_t(spark, sf_dir, "embeddings")).localCheckpoint(
+    emb = _ts(spark, sf_dir, "embeddings").localCheckpoint(
         eager=False
     )
     is_new = F.col("vec_id") % 5 == 4
@@ -20881,7 +20974,7 @@ def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy checkpoint: the Lloyd fit + codebook sample + encode + probe
     # chain issues ~8 driver-blocking jobs over this frame — one
     # materialized scan serves them all instead of re-reading parquet
-    emb = _spread(_t(spark, sf_dir, "embeddings")).localCheckpoint(eager=False)
+    emb = _ts(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
     cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
     cbs = S.pq_residual_codebooks(emb, cents, "vec_id", "embedding", m=8, k=16)
     qs = emb.filter(F.col("vec_id") < 5)
@@ -21159,7 +21252,7 @@ def q_doc_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream of the two scans scales with the corpus. Oracle mirrors
     every stage (same rounded scores, same tie-breaks, same sequential
     folds) in DuckDB SQL."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     lex20 = (
         _bm25_per_doc(docs)
         .select(
@@ -21325,7 +21418,7 @@ def q_similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied is visible (and oracle-checked)."""
     from beacon_indexer_spark.operators.clustering import kmeans_centroids
 
-    emb = _spread(_t(spark, sf_dir, "embeddings")).localCheckpoint(eager=False)
+    emb = _ts(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
     # ^ same shared-scan barrier as q_similarity_ivfpq_residual
     cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
     cbs = S.pq_residual_codebooks(
@@ -21482,7 +21575,9 @@ def q_events_user_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread ONLY the projected key column across cores: cm_cells fans
     # each key to depth=4 md5 rows — CPU-bound on few input splits, and a
     # full-row repartition would move the whole table to save it
-    cells = K.cm_cells(_spread(e.select("user_id")), "user_id")
+    cells = K.cm_cells(
+        _spread_as(e.select("user_id"), spark, sf_dir, "events"), "user_id"
+    )
     keys = e.select("user_id").distinct()
     est = K.cm_query(cells, keys, "user_id")
     exact = e.groupBy(F.col("user_id").cast("string").alias("key")).agg(
@@ -21780,7 +21875,7 @@ def q_embedding_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an order-sensitive metric. DCG sums fold over rank-sorted
     10-element lists (deterministic accumulation); corpus-scale work is
     the two ranking passes, both already audited."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     cents = S.ivf_centroids(emb, k=8)
     queries = emb.filter(F.col("vec_id") < 5)
     approx = S.ivf_topk(emb, queries, cents, k=10, nprobe=2)
@@ -22282,7 +22377,7 @@ def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale work is one cosine map + TakeOrdered, exactly the
     brute-force arm's shape. Oracle unrolls the five picks as CTEs with
     the same rounded sims and unrounded-score ordering."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _ts(spark, sf_dir, "embeddings")
     zero = F.lit(0.0).cast("double")
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("__q")
@@ -22627,7 +22722,7 @@ def q_doc_streaming_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation streaming trades for O(batch) ingest."""
     from beacon_indexer_spark.streaming.curation import admit_decision
 
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
     is_new = F.col("doc_id") % 5 == 4
     keyed = D.minhash_band_keys(
@@ -22735,7 +22830,7 @@ def q_doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed token weight + keep/cull label. Shuffle-free narrow map, one
     sequential fold per document — the exact plan a trained-weight
     deployment uses (only the weight expression changes)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _ts(spark, sf_dir, "documents")
     return X.hashed_classifier_score(docs, "doc_id", "text")
 
 

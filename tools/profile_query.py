@@ -1,18 +1,20 @@
 """Per-query cost breakdown for the optimization rounds: where does a
 bench second actually go at sf0.1?
 
-For each named query (comma list in argv[1], default a representative
-sample) reports, from a warm JVM:
+For each named query (comma list in argv[1]) runs ITERS (default 3)
+iterations of the bench's exact timed region — build (query function
+call) + noop-sink execution — and reports the LAST iteration's split,
+plus the job count of that iteration:
 
-- build_s:   Python-side DataFrame construction (query function call)
-- plan_s:    analysis + optimization + physical planning (explain cost)
-- exec_s:    noop-sink execution of a freshly built plan
-- jobs:      Spark jobs launched by the exec (probe/checkpoint jobs show
-             up here — they are part of the timed region in bench.py)
-- second_s:  a SECOND noop execution of another freshly built plan —
-             separates one-time codegen/JIT cost from steady-state cost
+- build_s:  steady-state Python-side DataFrame construction, including
+            any eager probe jobs the constructor runs
+- exec_s:   steady-state noop-sink execution of the freshly built plan
+- total_s:  build + exec (comparable to the bench's per-rep number)
+- jobs:     Spark jobs launched during the last build+exec (broadcast
+            jobs, checkpoint materialisations, probes — serial job
+            latency is pure fixed overhead at sf0.1)
 
-Usage: python tools/profile_query.py [name1,name2,...]
+Usage: python tools/profile_query.py name1,name2,... [iters]
 """
 
 from __future__ import annotations
@@ -36,42 +38,31 @@ DEFAULT = (
 
 def main() -> None:
     names = (sys.argv[1] if len(sys.argv) > 1 else DEFAULT).split(",")
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     spark = get_spark(app_name="bis-profile", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
     # warm like bench.py
     QUERIES["table_counts"](spark, sf_dir).collect()
     st = spark.sparkContext.statusTracker()
 
-    print(f"{'query':42s} {'build':>7s} {'plan':>7s} {'exec':>7s} "
-          f"{'jobs':>5s} {'second':>7s}")
+    print(f"{'query':42s} {'build':>7s} {'exec':>7s} {'total':>7s} {'jobs':>5s}")
     for name in names:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        t1 = time.perf_counter()
-        import contextlib
-        import io
-
-        with contextlib.redirect_stdout(io.StringIO()):
-            df.explain("formatted")  # forces analysis+optimization+planning
-        t2 = time.perf_counter()
-        j0 = len(st.getJobIdsForGroup(None) or [])
-        # rebuild so the probe jobs (run during construction) are charged
-        # to build_s, and exec_s times a fresh plan like bench.py does
+        build = ex = 0.0
+        jobs = 0
+        for _ in range(iters):
+            j0 = len(st.getJobIdsForGroup(None) or [])
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            t2 = time.perf_counter()
+            j1 = len(st.getJobIdsForGroup(None) or [])
+            build, ex, jobs = t1 - t0, t2 - t1, j1 - j0
+        print(f"{name:42s} {build:7.3f} {ex:7.3f} {build + ex:7.3f} {jobs:5d}")
         sys.stdout.flush()
-        t3 = time.perf_counter()
-        df2 = fn(spark, sf_dir)
-        df2.write.mode("overwrite").format("noop").save()
-        t4 = time.perf_counter()
-        j1 = len(st.getJobIdsForGroup(None) or [])
-        df3 = fn(spark, sf_dir)
-        df3.write.mode("overwrite").format("noop").save()
-        t5 = time.perf_counter()
-        print(
-            f"{name:42s} {t1 - t0:7.3f} {t2 - t1:7.3f} {t4 - t3:7.3f} "
-            f"{j1 - j0:5d} {t5 - t4:7.3f}"
-        )
     spark.stop()
 
 
