@@ -681,11 +681,17 @@ def connected_components(
     # lazy checkpoints: edges and the init labels are consumed by several
     # branches of every round's plan, but they don't need their own job —
     # round 0's checkpoint job materializes both exactly once, and later
-    # rounds reuse the stored blocks (two fewer job launches per call)
+    # rounds reuse the stored blocks (two fewer job launches per call).
+    # No distinct (r12): every in-repo pair generator already emits
+    # DISTINCT (id_a < id_b) pairs, so the two directed projections
+    # cannot collide and the old edge-level distinct was a pure extra
+    # exchange + dedupe of the whole edge set. Duplicate edges from a
+    # hypothetical non-distinct caller stay CORRECT (min-label over a
+    # multigraph equals min-label over its simple graph) — they only pay
+    # their multiplicity in the per-round join.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
         .localCheckpoint(eager=False)
     )
     # init label = min(self, neighbors) — one aggregation over the

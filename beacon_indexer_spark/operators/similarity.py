@@ -1518,3 +1518,69 @@ def dim_covariance_topk(
         .orderBy(F.abs(F.col("cov")).desc(), "pos_i", "pos_j")
         .limit(k)
     )
+
+
+def gramian_partials(df: DataFrame, qcol: str, d: int) -> DataFrame:
+    """Exact integer Gramian + column sums of a quantized-vector column,
+    as per-Arrow-batch PARTIALS: one output row per input batch with
+    ``__g`` (the d*d row-major Gramian contribution, array<long>) and
+    ``__c`` (the d column sums, array<long>).
+
+    The scalable two-phase Gramian shape (one data pass builds a d²
+    accumulator; everything after is constant-size) with the data pass
+    handed to vectorized native code instead of a JVM explode: the
+    equivalent ``posexplode(flatten(transform(transform(...))))`` plan
+    evaluates interpreted higher-order lambdas and materializes a
+    d²-element array PER ROW (measured 3.9 s at bench scale for d=64 —
+    the single most expensive executor stage in the surface), where one
+    ``numpy`` int64 matmul per batch is exact and near-free. Quantize to
+    int64 IN SPARK first (JVM HALF_UP rounding, so cross-engine parity
+    is untouched) and pass ONLY the quantized column — the map is
+    narrow, shuffle-free, and its output is #batches rows regardless of
+    corpus size; downstream partial-sum aggregation shuffles
+    #batches × d² cells, never n × d².
+
+    int64-exactness contract: |q| ≤ 1e7 gives per-product ≤ 1e14, so a
+    batch must stay under ~9e4 rows (default Arrow batches are 10k) for
+    the per-batch partial to be provably overflow-free; the final
+    cross-batch sum is the caller's (DECIMAL) aggregate. Null or
+    ragged vectors must be filtered/normalized upstream — the pass
+    asserts both.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("__g", T.ArrayType(T.LongType()), False),
+            T.StructField("__c", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def part(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            col = batch.column(0)
+            n = len(col)
+            if n == 0:
+                continue
+            if col.null_count:
+                raise ValueError("null vector reached gramian_partials")
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            if vals.size != n * d:
+                raise ValueError(
+                    f"ragged vectors: {vals.size} values for {n} rows of dim {d}"
+                )
+            m = vals.astype(np.int64, copy=False).reshape(n, d)
+            g = (m.T @ m).ravel()
+            c = m.sum(axis=0, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([g.tolist()], type=pa.list_(pa.int64())),
+                    pa.array([c.tolist()], type=pa.list_(pa.int64())),
+                ],
+                names=["__g", "__c"],
+            )
+
+    return df.select(qcol).mapInArrow(part, schema)

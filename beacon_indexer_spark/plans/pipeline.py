@@ -247,15 +247,43 @@ class CurationRun:
         self.drop_threshold = drop_threshold
         self.trim_threshold = trim_threshold
         self._contam: DataFrame | None = None
-        pairs = minhash_lsh_candidates(
-            docs, id_col, text_col, k=k, bands=bands,
-            shingle_n=shingle_n, max_bucket=max_bucket,
-        )
-        # staged once: checkpoint-backed, conditionally broadcast-hinted
-        # (raw-crawl dup rates fall back to a shuffle join)
-        self.clusters = broadcast_if_small(
-            connected_components(pairs).withColumnRenamed("node", id_col)
-        )
+
+        def _stage_clusters() -> DataFrame:
+            pairs = minhash_lsh_candidates(
+                docs, id_col, text_col, k=k, bands=bands,
+                shingle_n=shingle_n, max_bucket=max_bucket,
+            )
+            # staged once: checkpoint-backed, conditionally broadcast-
+            # hinted (raw-crawl dup rates fall back to a shuffle join)
+            return broadcast_if_small(
+                connected_components(pairs).withColumnRenamed(
+                    "node", id_col
+                )
+            )
+
+        if test_docs is None:
+            self.clusters = _stage_clusters()
+        else:
+            # r12: the two stagings are INDEPENDENT — the LSH→CC cluster
+            # chain (bucket probe + per-round CC jobs) and the decon gram
+            # join don't read each other — so materialize them from two
+            # driver threads and let the scheduler interleave their jobs
+            # (the overlap-independent-jobs idiom). Each staged frame is
+            # still computed exactly once; only the serial wall-clock of
+            # "clusters, THEN contamination" is removed.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_clusters = pool.submit(
+                    inheritable_thread_target(_stage_clusters)
+                )
+                fut_contam = pool.submit(
+                    inheritable_thread_target(self._contamination)
+                )
+                self.clusters = fut_clusters.result()
+                fut_contam.result()
 
     def _spine(self) -> DataFrame:
         return self.docs.select(

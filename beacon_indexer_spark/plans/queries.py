@@ -152,9 +152,11 @@ def _hist_prefix(hist: DataFrame, key: str, val, out):
     histogram blocks, not a corpus pass — and runs ``_exclusive_prefix``
     at the data-aware depth instead of the static 64-bit depth (4 levels
     of window + broadcast join, r12 measured as the dominant cost of the
-    histogram-statistics family at bench scale). Negative keys shift to
+    histogram-statistics family at bench scale). Keys always shift to
     start at zero first — an order-preserving translation, so prefix
-    sums are unchanged — and shift back after.
+    sums are unchanged — and shift back after; the depth is therefore
+    bounded by the key RANGE (epoch-minute or 1e9-quantized keys with a
+    narrow spread stay at ONE window level), not the key magnitude.
 
     Returns ``(hist, prefixed)``; callers MUST read totals off the
     returned (checkpointed) ``hist`` so the upstream aggregation is
@@ -166,7 +168,7 @@ def _hist_prefix(hist: DataFrame, key: str, val, out):
     mn, mx = b["mn"], b["mx"]
     if mn is None:
         return hist, _exclusive_prefix(hist, key, val, out, max_key=0)
-    if mn >= 0:
+    if mn == 0:
         return hist, _exclusive_prefix(hist, key, val, out, max_key=mx)
     shifted = hist.withColumn(key, F.col(key) - F.lit(mn))
     res = _exclusive_prefix(shifted, key, val, out, max_key=mx - mn)
@@ -6033,10 +6035,14 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
         shingle_n=3, sigs=sigs,
     ).localCheckpoint(eager=False)
+    # staged once for its three consumers (sizes + both sides of
+    # candidate_common_shingles) — r12, measured faster than relying on
+    # in-job ReuseExchange here (the jac checkpoint splits the consumers
+    # across jobs)
     sh = docs.select(
         F.col("doc_id").cast("long").alias("id"),
         F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
     common = D.candidate_common_shingles(
         pairs, sh, id_col="id", shingle_col="__s"
@@ -6141,6 +6147,9 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-bounded), one join back through the same (id, shingle)
     frame, one per-doc aggregate — the `doc_tfidf` shuffle shape."""
     docs = _ts(spark, sf_dir, "documents")
+    # NOT checkpointed (r12, measured): both consumers land in one job
+    # where ReuseExchange dedupes the distinct's exchange; a checkpoint
+    # only adds a full materialization (0.90 s -> 1.39 s)
     sh = docs.select(
         F.col("doc_id").cast("long").alias("id"),
         F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
@@ -7503,6 +7512,10 @@ def q_doc_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     ).localCheckpoint(eager=False)
+    # NOT checkpointed (r12, measured): all three consumers (sizes +
+    # both sides of candidate_common_shingles) land in ONE final job,
+    # where ReuseExchange already dedupes the distinct's exchange — a
+    # checkpoint only adds a full materialization (2.96 s -> 3.86 s)
     sh = docs.select(
         F.col("doc_id").cast("long").alias("id"),
         F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
@@ -8705,12 +8718,10 @@ def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     with count c occupy ranks [cum+1, cum+f], so sum(rank*x) over the
     group is c*(f*cum + f*(f+1)/2) in closed form. No unpartitioned
     window, no per-user sort."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("__c"))
     hist = per_user.groupBy("__c").agg(F.count(F.lit(1)).alias("__f"))
-    h = _exclusive_prefix(hist, "__c", "__f", "__cum")
+    hist, h = _hist_prefix(hist, "__c", "__f", "__cum")
     s1 = (
         F.col("__c")
         * (
@@ -10614,16 +10625,22 @@ def q_corpus_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays for. Per-pair errors quantize to 1e-9 so the means are exact
     integer sums."""
     docs = _ts(spark, sf_dir, "documents")
+    # ONE signature pass staged for all three consumers (banding via
+    # sigs=, the sig_a probe side, the sig_b build side) — previously the
+    # lazy plan re-ran the shingle+hash pipeline per branch (r12); the
+    # shingle set is likewise staged once for its three consumers
+    # (sizes + both sides of candidate_common_shingles)
     sigs = D.minhash_signatures(
         docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
-    )
+    ).localCheckpoint(eager=False)
     pairs = D.minhash_lsh_candidates(
-        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
+        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
+        shingle_n=3, sigs=sigs,
     ).localCheckpoint(eager=False)
     sh = docs.select(
         F.col("doc_id").cast("long").alias("id"),
         F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
     common = D.candidate_common_shingles(
         pairs, sh, id_col="id", shingle_col="__s"
@@ -11975,7 +11992,15 @@ def q_supplier_latency_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("__d"),
         )
     )
-    hist = lat.groupBy("suppkey", "__d").agg(F.count(F.lit(1)).alias("__c"))
+    # staged once (r12): the (supplier, day) histogram sits on the
+    # lineitem⋈orders shuffle join and feeds THREE consumers (the
+    # per-supplier cumulative window, the per-supplier totals, and the
+    # global day histogram whose bounds probe runs at build) — without
+    # the checkpoint the probe paid the join once and the exec paid it
+    # again per branch
+    hist = lat.groupBy("suppkey", "__d").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint(eager=False)
     w = (
         Window.partitionBy("suppkey")
         .orderBy("__d")
@@ -12779,15 +12804,13 @@ def q_corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by distinct frequency LEVELS, not vocabulary. All
     intermediates are exact integers (DECIMAL(38,0) — rank·count sums
     overflow int64 at corpus scale)."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     docs = _ts(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(X.tokens(F.lower(F.col("text")))).alias("token")
     )
     per_tok = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
     hist = per_tok.groupBy("__c").agg(F.count(F.lit(1)).alias("__f"))
-    h = _exclusive_prefix(hist, "__c", "__f", "__cum")
+    hist, h = _hist_prefix(hist, "__c", "__f", "__cum")
     dec = "decimal(38,0)"
     s1 = (
         F.col("__c").cast(dec)
@@ -13157,8 +13180,6 @@ def q_events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded-fan-in prefix over DAYS (|days|-bounded, no
     unpartitioned window); cusum_d = prefix_d·D − d·T stays an exact
     integer (scaled by D), and the argmax breaks ties on earliest day."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -13175,12 +13196,15 @@ def q_events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__day", "__x",
     )
     # value prefix + day-rank prefix share one window/recursion
-    # (multi-val form) — previously two passes equi-joined on __k
-    pre = _exclusive_prefix(
+    # (multi-val form) — previously two passes equi-joined on __k;
+    # depth probe-bounded to ONE level (day-ordinal range ≪ 65536) and
+    # the totals read the SAME checkpointed frame as the prefix
+    keyed, pre = _hist_prefix(
         keyed.withColumn("__one", F.lit(1)),
         "__k", ["__x", "__one"], ["__pre", "__d0"],
-    ).withColumn("__d", F.col("__d0") + 1)
-    tot = daily.agg(
+    )
+    pre = pre.withColumn("__d", F.col("__d0") + 1)
+    tot = keyed.agg(
         F.sum("__x").cast(dec).alias("__t"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
@@ -13863,8 +13887,6 @@ def q_customer_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from cents-histogram prefix sums (integer thresholds
     2*cum >= n, never float ranks, no unpartitioned window) and attach
     as ONE-ROW broadcasts; the output is exactly 4 rows."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("__bal"),
@@ -13878,16 +13900,19 @@ def q_customer_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__sp")
         )
     )
+    # base feeds four consumers (two median histograms, the quadrant
+    # labeling, the customer total) — one lazy checkpoint materializes
+    # the join once; both medians ride probe-bounded prefix depth
     base = cust.join(spend, "c_custkey", "left").select(
         "c_custkey", "__bal",
         F.coalesce("__sp", F.lit(0)).cast("long").alias("__sp"),
-    )
+    ).localCheckpoint(eager=False)
 
     def _median(col: str):
         hist = base.groupBy(F.col(col).alias("__k")).agg(
             F.count(F.lit(1)).alias("__f")
         )
-        h = _exclusive_prefix(hist, "__k", "__f", "__cum")
+        hist, h = _hist_prefix(hist, "__k", "__f", "__cum")
         tot = hist.agg(F.sum("__f").alias("__n"))
         return (
             h.crossJoin(F.broadcast(tot))
@@ -14051,8 +14076,6 @@ def q_events_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflows int64 at corpus scale), so the argmax is engine-exact;
     prefix sums run through the bounded-fan-in machinery, never an
     unpartitioned window."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
         & F.col("value").isNotNull()
@@ -14067,9 +14090,10 @@ def q_events_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "click", 1).otherwise(0)
         ).alias("__fb"),
     )
-    # one shared window/recursion for both ECDF prefixes (multi-val form)
-    h = _exclusive_prefix(h, "__k", ["__fa", "__fb"], ["__pa", "__pb"])
-    tot = h.agg(
+    # one shared window/recursion for both ECDF prefixes (multi-val
+    # form), probe-bounded depth off the checkpointed cents histogram
+    _hck, h = _hist_prefix(h, "__k", ["__fa", "__fb"], ["__pa", "__pb"])
+    tot = _hck.agg(
         F.sum("__fa").cast("long").alias("__na"),
         F.sum("__fb").cast("long").alias("__nb"),
     )
@@ -14864,18 +14888,26 @@ def q_customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-deriving the scan+crossJoin+groupBy per consumer.
 
     # BOTH per-half medians from ONE histogram + ONE prefix-sum pass: the
-    # composite key (__half << 42) | __sp keeps halves contiguous and
-    # order-preserving (spend cents stay far below 2^42), the within-half
+    # composite key (half-1)*span + (sp-min) keeps halves contiguous and
+    # order-preserving (offset < span within each half), the within-half
     # exclusive cumsum is the composite cumsum minus the preceding half's
     # total, and the two 2*cum >= n thresholds pivot into a single
     # broadcast row (m1, m2). Halving the serial broadcast-job chain is
     # the whole point — at this query's scale fixed job latency, not
-    # data, dominates.
-    hist = per.groupBy("__half", "__sp").agg(F.count(F.lit(1)).alias("__f"))
+    # data, dominates. The span comes from a probe over the checkpointed
+    # histogram, so the composite DOMAIN is 2x the actual spend spread —
+    # one or two prefix levels instead of the 2^42-magnitude static four.
+    hist = per.groupBy("__half", "__sp").agg(
+        F.count(F.lit(1)).alias("__f")
+    ).localCheckpoint(eager=False)
+    b = hist.agg(F.min("__sp").alias("mn"), F.max("__sp").alias("mx")).first()
+    mn, spn = b["mn"] or 0, (b["mx"] or 0) - (b["mn"] or 0) + 1
     comp = hist.withColumn(
-        "__k", (F.col("__half").cast("long") * (2 ** 42) + F.col("__sp"))
+        "__k",
+        (F.col("__half") - 1).cast("long") * F.lit(spn)
+        + (F.col("__sp") - F.lit(mn)),
     )
-    h = _exclusive_prefix(comp, "__k", "__f", "__cum")
+    h = _exclusive_prefix(comp, "__k", "__f", "__cum", max_key=2 * spn - 1)
     tots = hist.groupBy("__half").agg(F.sum("__f").alias("__n"))
     n1 = tots.groupBy().pivot("__half", [1, 2]).sum("__n").select(
         F.col("1").alias("__n1"), F.col("2").alias("__n2")
@@ -15075,13 +15107,11 @@ def q_events_value_equidepth_hist(
     VALUE HISTOGRAM with bounded-fan-in prefix sums and integer
     thresholds (10*cum >= b*n) — never a full sort, never a float
     rank; the 10 bucket ids attach as a tiny broadcast."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     hist = ev.groupBy(
         F.round(F.col("value") * 100, 0).cast("long").alias("__k")
     ).agg(F.count(F.lit(1)).alias("__f"))
-    h = _exclusive_prefix(hist, "__k", "__f", "__cum")
+    hist, h = _hist_prefix(hist, "__k", "__f", "__cum")
     tot = hist.agg(F.sum("__f").alias("__n"))
     bs = spark.createDataFrame(
         [(b,) for b in range(1, 11)], "decile int"
@@ -15318,8 +15348,6 @@ def q_events_session_concurrency_peak(
     earliest-minute ties. Sessions are the repo's 30-min-gap definition
     (user-partitioned windows); everything after the per-session
     aggregate is |active minutes|-bounded."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
@@ -15345,7 +15373,9 @@ def q_events_session_concurrency_peak(
         per_sess.select(F.col("__em").alias("__m"), F.lit(-1).alias("__d"))
     )
     hist = deltas.groupBy("__m").agg(F.sum("__d").alias("__nd"))
-    pre = _exclusive_prefix(hist, "__m", "__nd", "__p")
+    # probe-bounded: zero-basing the epoch-minute key collapses the
+    # ~29M-magnitude domain to the data's actual minute RANGE (1 level)
+    hist, pre = _hist_prefix(hist, "__m", "__nd", "__p")
     scored = pre.select(
         "__m", (F.col("__p") + F.col("__nd")).alias("__conc")
     )
@@ -15464,8 +15494,6 @@ def q_events_km_conversion_survival(
     Π(1 − d/n) folds as 1e-9-quantized log terms through the
     bounded-fan-in prefix, so S(t) and the median crossing are
     engine-exact."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(
@@ -15502,9 +15530,10 @@ def q_events_km_conversion_survival(
     hist = cohort.groupBy("__day").agg(
         F.sum("__e").cast("long").alias("__d"),
         F.count(F.lit(1)).cast("long").alias("__a"),
-    ).localCheckpoint(eager=False)
-    # risk set n_i = total - (all subjects leaving strictly before day i)
-    pre = _exclusive_prefix(hist, "__day", "__a", "__left")
+    )
+    # risk set n_i = total - (all subjects leaving strictly before day i);
+    # probe-bounded depth (day range ≪ 65536 ⇒ ONE window level)
+    hist, pre = _hist_prefix(hist, "__day", "__a", "__left")
     tot = hist.agg(F.sum("__a").cast("long").alias("__n_tot"))
     withn = pre.crossJoin(F.broadcast(tot)).select(
         "__day", "__d",
@@ -15521,7 +15550,7 @@ def q_events_km_conversion_survival(
         ).cast("long"),
     ).otherwise(F.lit(0))
     terms = withn.select("__day", lnq.alias("__l"))
-    cum = _exclusive_prefix(terms, "__day", "__l", "__pl")
+    _tck, cum = _hist_prefix(terms, "__day", "__l", "__pl")
     curve = cum.select(
         "__day", (F.col("__pl") + F.col("__l")).alias("__cl")
     ).localCheckpoint(eager=False)
@@ -16539,8 +16568,6 @@ def q_events_daily_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     day → day+1 self-equi-join — LAG semantics with no unpartitioned
     window. Everything after the |days|-bounded histogram is exact
     integer arithmetic; E[R] and Var[R] are closed-form."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
@@ -16557,7 +16584,7 @@ def q_events_daily_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__d", F.coalesce("__c", F.lit(0)).alias("__c")
     ).localCheckpoint(eager=False)
     hist = filled.groupBy("__c").agg(F.count(F.lit(1)).alias("__f"))
-    h = _exclusive_prefix(hist, "__c", "__f", "__cum")
+    hist, h = _hist_prefix(hist, "__c", "__f", "__cum")
     nd = filled.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     med = (
         h.crossJoin(F.broadcast(nd))
@@ -16778,8 +16805,6 @@ def q_embedding_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram: Σ pos_k·(2·neg_below_k + neg_k) / (2·P·N) — integer
     arithmetic end-to-end, one |distinct norms| shuffle, no per-row
     ranking window."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     emb = _ts(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
@@ -16804,7 +16829,7 @@ def q_embedding_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__y").cast("long").alias("__p"),
         F.sum(1 - F.col("__y")).cast("long").alias("__g"),
     )
-    h = _exclusive_prefix(hist, "__q", "__g", "__gb")
+    hist, h = _hist_prefix(hist, "__q", "__g", "__gb")
     dec = "decimal(38,0)"
     agg = h.agg(
         F.sum("__p").cast("long").alias("n_pos"),
@@ -16886,15 +16911,12 @@ def q_events_value_expected_shortfall(
     come off the cents VALUE HISTOGRAM with integer thresholds
     (20·cum ≥ 19·n) and exact integer tail sums; no sort, no float
     rank."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     hist = ev.groupBy(
         F.round(F.col("value") * 100, 0).cast("long").alias("__k")
     ).agg(F.count(F.lit(1)).cast("long").alias("__f"))
-    h = _exclusive_prefix(hist, "__k", "__f", "__cum").localCheckpoint(
-        eager=False
-    )
+    hist, h = _hist_prefix(hist, "__k", "__f", "__cum")
+    h = h.localCheckpoint(eager=False)  # consumed by the VaR + tail branches
     tot = hist.agg(F.sum("__f").cast("long").alias("__n"))
     var_ = (
         h.crossJoin(F.broadcast(tot))
@@ -16978,18 +17000,28 @@ def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"),
     )
-    ex = emb.select(
-        F.posexplode(
-            F.flatten(
-                F.transform(
-                    q, lambda qi: F.transform(q, lambda qj: qi * qj)
-                )
-            )
-        ).alias("__p", "__v")
+    # r12: the n×d² outer-product pass runs as ONE vectorized integer
+    # matmul per Arrow batch (operators/similarity.py gramian_partials)
+    # instead of a posexplode over interpreted nested HOF lambdas that
+    # materialized a 4096-element array per row — same exact integer
+    # partials, summed to the same DECIMAL totals; the shuffle now
+    # carries #batches × d² cells, never n × d². The isNotNull filter
+    # mirrors posexplode's null-array behavior (emits nothing).
+    parts = S.gramian_partials(
+        emb.select(q.alias("__q")).filter(F.col("__q").isNotNull()),
+        "__q",
+        _PCA_D,
+    ).localCheckpoint(eager=False)
+    sij = (
+        parts.select(F.posexplode("__g").alias("__p", "__v"))
+        .groupBy("__p")
+        .agg(F.sum(F.col("__v").cast(dec)).alias("__s"))
     )
-    sij = ex.groupBy("__p").agg(F.sum(F.col("__v").cast(dec)).alias("__s"))
-    di = emb.select(F.posexplode(q).alias("__i", "__qi"))
-    si = di.groupBy("__i").agg(F.sum(F.col("__qi").cast(dec)).alias("__si"))
+    si = (
+        parts.select(F.posexplode("__c").alias("__i", "__v"))
+        .groupBy("__i")
+        .agg(F.sum(F.col("__v").cast(dec)).alias("__si"))
+    )
     cnt = emb.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     covdf = (
         sij.withColumn("__i", F.expr(f"__p div {_PCA_D}"))
@@ -17046,9 +17078,18 @@ def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.array(*([F.lit(0.125)] * d))
     st = one
     for step in range(3):
+        # r12: a lazy checkpoint BARRIER per iteration step. Without it
+        # Catalyst collapses the three projections and substitutes the
+        # previous step's vector EXPRESSION at each of matvec's d²
+        # references — an exponentially nested tree that cost ~3.8 s to
+        # plan and ~3 s to evaluate interpreted on ONE row. Each barrier
+        # is a one-row materialization (ms), and every matvec then reads
+        # stored values instead of re-deriving its predecessor d² times.
         st = st.select(
             "__fl", "n_vectors", matvec(fl, v if step == 0 else F.col("__v")).alias("__w")
-        ).select("__fl", "n_vectors", norm_q(F.col("__w")).alias("__v"))
+        ).select(
+            "__fl", "n_vectors", norm_q(F.col("__w")).alias("__v")
+        ).localCheckpoint(eager=False)
     final = st.select(
         "__fl", "n_vectors", "__v", matvec(fl, F.col("__v")).alias("__w")
     )
@@ -19248,8 +19289,6 @@ def q_part_size_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·cum_below + f + 1 (doubled to stay integer), each row joins its
     two ranks via broadcast rank maps, and ρ is Pearson on exact
     DECIMAL rank sums — no sort, no per-row ranking window."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     dec = "decimal(38,0)"
     p = _t(spark, sf_dir, "part").select(
         F.col("p_size").cast("long").alias("__x"),
@@ -19258,7 +19297,7 @@ def q_part_size_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rank_map(c: str) -> DataFrame:
         hist = p.groupBy(c).agg(F.count(F.lit(1)).alias("__f"))
-        h = _exclusive_prefix(hist, c, "__f", "__cb")
+        _hck, h = _hist_prefix(hist, c, "__f", "__cb")
         return h.select(
             c, (2 * F.col("__cb") + F.col("__f") + 1).alias(f"__r{c}")
         )
@@ -19491,8 +19530,6 @@ def q_events_value_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-fan-in prefix; the peak search runs on the |days|² day-pair
     grid (a ~30-row table squared, not data), ties resolved to the
     earliest trough then earliest peak."""
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
-
     dec = "decimal(38,0)"
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = ev.groupBy(
@@ -19504,7 +19541,7 @@ def q_events_value_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("__c")
     )
-    h = _exclusive_prefix(daily, "__d", "__c", "__cb")
+    _dck, h = _hist_prefix(daily, "__d", "__c", "__cb")
     cum = h.select(
         "__d", (F.col("__cb") + F.col("__c")).alias("__cum")
     ).localCheckpoint(eager=False)
@@ -21675,7 +21712,6 @@ def q_events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     sort; integer ranks keep both engines bit-identical (no 0.1·n
     float-boundary surprises)."""
     from beacon_indexer_spark.operators import sketches as K
-    from beacon_indexer_spark.operators.text import _exclusive_prefix
 
     e = _t(spark, sf_dir, "events")
     samp = K.bottomk_sample(e, "value", "event_id", k=256)
@@ -21687,7 +21723,7 @@ def q_events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         hist = vals.groupBy(
             F.round(F.col("value") * 100, 0).cast("long").alias("__k")
         ).agg(F.count(F.lit(1)).cast("long").alias("__f"))
-        h = _exclusive_prefix(hist, "__k", "__f", "__cum")
+        hist, h = _hist_prefix(hist, "__k", "__f", "__cum")
         tot = hist.agg(F.sum("__f").cast("long").alias("__n"))
         return (
             h.crossJoin(F.broadcast(tot))
