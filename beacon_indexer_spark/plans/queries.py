@@ -175,6 +175,23 @@ def _hist_prefix(hist: DataFrame, key: str, val, out):
     return hist, res.withColumn(key, F.col(key) + F.lit(mn))
 
 
+def _parallel_build(*fns):
+    """Construct several INDEPENDENT query fragments from driver threads
+    (the overlap-independent-jobs idiom): each fragment's eager
+    construction-time jobs (bucket-cap probes, checkpoint
+    materializations, CC rounds) interleave on the scheduler instead of
+    running serially. Results return in argument order; each fragment is
+    still built exactly once. Use ONLY for fragments with no data
+    dependency on each other."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+        futs = [pool.submit(inheritable_thread_target(fn)) for fn in fns]
+        return [f.result() for f in futs]
+
+
 def _dd_minhash_base(x: str) -> str:
     """md5_60(x, salt 0) mod P — the per-shingle base hash of the minhash
     universal-hash family (operators/dedup.py)."""
@@ -10381,11 +10398,18 @@ def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     running only the cheaper one. Composes the two audited pipelines
     and full-outer-joins their |pairs|-bounded outputs — one row out."""
     docs = _ts(spark, sf_dir, "documents")
-    mh = D.minhash_lsh_candidates(
-        docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
-    ).select("id_a", "id_b", F.lit(1).alias("__m"))
-    hp = D.simhash_hamming_pairs(docs, "doc_id", "text", max_dist=3).select(
-        "id_a", "id_b", F.lit(1).alias("__h")
+    # the two detector pipelines are independent — build them from two
+    # driver threads so their construction-time probe/checkpoint jobs
+    # interleave instead of running serially (r12, §2.6 idiom; A/B
+    # measured 2.5 s vs 3.1 s serial)
+    mh, hp = _parallel_build(
+        lambda: D.minhash_lsh_candidates(
+            docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
+            shingle_n=3,
+        ).select("id_a", "id_b", F.lit(1).alias("__m")),
+        lambda: D.simhash_hamming_pairs(
+            docs, "doc_id", "text", max_dist=3
+        ).select("id_a", "id_b", F.lit(1).alias("__h")),
     )
     j = mh.join(hp, ["id_a", "id_b"], "full_outer")
     return j.agg(
