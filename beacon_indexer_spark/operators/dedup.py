@@ -650,6 +650,9 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    node_col: str = "node",
+    label_col: str = "cluster_id",
+    broadcast_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment from candidate pairs: (node, cluster_id)
     where cluster_id = the minimum id reachable through the pair graph —
@@ -660,9 +663,10 @@ def connected_components(
     (path halving) — convergence in O(log diameter) rounds, so max_iter=25
     covers any component a dedup job can produce (2^25-hop chains). Raises
     if the cap is still hit: silently returning partially-converged labels
-    would split one duplicate cluster into several. Each round is two
-    equi-joins + a map-side-combined min agg — O(|E|) shuffle per round,
-    nothing driver-side but the convergence counter. Convergence is
+    would split one duplicate cluster into several. Each round is ONE
+    equi-join (the neighbor and pointer-jump lookups union their request
+    sets first) + a map-side-combined min agg — O(|E|+|V|) shuffle per
+    round, nothing driver-side but the convergence counter. Convergence is
     detected in the SAME job that materializes the round (ONE job per
     round): each node's previous label rides through the union as
     ``__old`` (max-folded in the same aggregate), and an ``observe``
@@ -675,13 +679,30 @@ def connected_components(
     driver OOMs just stringifying it. Checkpointing truncates lineage to
     the materialized result (on a durable cluster job, swap in
     ``checkpoint()`` with a checkpoint dir for executor-loss resilience).
+
+    r12: the label frame's row count rides each round's existing
+    ``observe`` (plus one count on the init aggregation), and while it
+    stays at or below ``broadcast_rows`` (the `broadcast_if_small`
+    ceiling; ~tens of MB for a two-long-column frame) the per-round
+    lookup join takes an explicit ``F.broadcast`` hint on the label
+    side — each round then plans ONE exchange (the final min agg)
+    instead of five (two shuffle joins' four plus the agg), which at
+    bench scale removes four serial AQE stage materialisations per
+    round and at cluster scale removes four shuffles of the label set.
+    Above the ceiling (raw-crawl dup rates)
+    every join falls back to the shuffle plan unchanged — the guard is
+    the measured row count, not an estimate. Pass ``broadcast_rows=None``
+    to pin the pure-shuffle plan. The returned frame carries the final
+    observed row count as ``_bis_rows`` so `broadcast_if_small` can skip
+    its probe job; ``node_col``/``label_col`` name the output columns at
+    the source (a ``withColumnRenamed`` on top would shed the count).
     """
     from pyspark.sql import Observation
 
-    # lazy checkpoints: edges and the init labels are consumed by several
-    # branches of every round's plan, but they don't need their own job —
-    # round 0's checkpoint job materializes both exactly once, and later
-    # rounds reuse the stored blocks (two fewer job launches per call).
+    # lazy checkpoint: edges are consumed by several branches of every
+    # round's plan, but they don't need their own job — the init-label
+    # checkpoint job materializes them once, and later rounds reuse the
+    # stored blocks.
     # No distinct (r12): every in-repo pair generator already emits
     # DISTINCT (id_a < id_b) pairs, so the two directed projections
     # cannot collide and the old edge-level distinct was a pure extra
@@ -701,6 +722,11 @@ def connected_components(
     # confirmation pass — instead of two; chains still halve per round.
     # Correctness is invariant to init as long as each label is the min
     # of a reachable set containing the node itself.
+    # Eager checkpoint + observed count (r12): the construction-time cost
+    # is unchanged (the lazy form already executed these stages at
+    # plan→RDD conversion); eager materialisation is what makes the row
+    # count available to pick the per-round join strategy below.
+    obs0 = Observation("cc_init")
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("__mn"))
@@ -708,33 +734,45 @@ def connected_components(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("__mn")).alias("label"),
         )
-        .localCheckpoint(eager=False)
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
+    n_labels = int(obs0.get["n"] or 0)
     null_l = F.lit(None).cast(pairs.schema[id_a].dataType)
     for i in range(max_iter):
-        neighbor = edges.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "label", null_l.alias("__old"))
-        # pointer jump (path halving): node's label → that label's label —
-        # doubles propagation distance per round, turning long chains from
-        # O(diameter) into O(log diameter)
-        jumped = (
-            labels.select(F.col("node"), F.col("label").alias("__via"))
-            .join(
-                labels.select(
-                    F.col("node").alias("__via"), F.col("label").alias("label")
-                ),
-                "__via",
-            )
-            .select("node", "label", null_l.alias("__old"))
+        # the label frame is node-deduplicated and exactly counted by the
+        # previous round's observation — broadcast it into the per-round
+        # lookup join while it provably fits
+        lab = (
+            F.broadcast(labels)
+            if broadcast_rows is not None and n_labels <= broadcast_rows
+            else labels
         )
+        # ONE lookup join per round (r12): the neighbor propagation
+        # (node dst learns label[src]) and the pointer jump / path
+        # halving (node n learns label[label[n]] — doubles propagation
+        # distance per round, turning long chains from O(diameter) into
+        # O(log diameter)) are both "label[key] delivered to out-node"
+        # lookups, so their request sets union FIRST (a narrow scan of
+        # the two checkpoints) and resolve through a single equi-join
+        # against the label frame — one broadcast (or one exchange pair)
+        # per round instead of two.
+        requests = edges.select(
+            F.col("dst").alias("__out"), F.col("src").alias("__key")
+        ).unionByName(
+            labels.select(
+                F.col("node").alias("__out"), F.col("label").alias("__key")
+            )
+        )
+        looked_up = requests.join(
+            lab, requests["__key"] == lab["node"]
+        ).select(F.col("__out").alias("node"), "label", null_l.alias("__old"))
         # every node has exactly ONE row from the labels branch, so
         # max(__old) recovers its previous label inside the same aggregate
         own = labels.select("node", "label", F.col("label").alias("__old"))
         obs = Observation(f"cc_round_{i}")
         merged = (
-            own.unionByName(neighbor)
-            .unionByName(jumped)
+            own.unionByName(looked_up)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("__old").alias("__old"))
             .observe(
@@ -742,10 +780,12 @@ def connected_components(
                 F.sum(
                     F.when(F.col("label") < F.col("__old"), 1).otherwise(0)
                 ).alias("changed"),
+                F.count(F.lit(1)).alias("n"),
             )
             .localCheckpoint()
         )
         labels = merged.select("node", "label")
+        n_labels = int(obs.get["n"] or 0)
         # empty graph ⇒ sum over zero rows is NULL, which must read as
         # converged (0 changes), not "never converges"
         if (obs.get["changed"] or 0) == 0:
@@ -755,7 +795,11 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds — "
             "component diameter exceeds 2^max_iter hops (raise max_iter)"
         )
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    out = labels.select(
+        F.col("node").alias(node_col), F.col("label").alias(label_col)
+    )
+    out._bis_rows = n_labels  # read by broadcast_if_small; metadata only
+    return out
 
 
 def broadcast_if_small(df: DataFrame, max_rows: int = 4_000_000) -> DataFrame:
@@ -775,7 +819,16 @@ def broadcast_if_small(df: DataFrame, max_rows: int = 4_000_000) -> DataFrame:
     that is a scan of cached blocks, not a recompute; either way the
     checkpointed frame is what the caller joins, so the probe's
     materialization is reused, never repeated. Same observe/probe
-    pattern as `cross_corpus_overlap`'s eval-side guard."""
+    pattern as `cross_corpus_overlap`'s eval-side guard.
+
+    r12: frames that already KNOW their row count (CC output carries the
+    final round's observed count as ``_bis_rows``) skip the probe job
+    entirely — one fewer serial job per cluster-spine query, identical
+    verdict (the observed count IS the count the probe would measure)."""
+    known = getattr(df, "_bis_rows", None)
+    if known is not None:
+        # CC output is already checkpoint-backed; no extra barrier needed
+        return F.broadcast(df) if known <= max_rows else df
     checkpointed = df.localCheckpoint(eager=False)
     if checkpointed.count() <= max_rows:
         return F.broadcast(checkpointed)

@@ -1069,11 +1069,9 @@ def semantic_dedup_keep(
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b")
     )
-    groups = (
-        connected_components(dup)
-        .withColumnRenamed("node", "vec_id")
-        .withColumnRenamed("cluster_id", "group_id")
-    )
+    # output columns named at the source so CC's observed row count stays
+    # on the frame and broadcast_if_small skips its probe job (r12)
+    groups = connected_components(dup, node_col="vec_id", label_col="group_id")
     spine = vectors.select(F.col(id_col).cast("long").alias("vec_id"))
     joined = spine.join(broadcast_if_small(groups), "vec_id", "left")
     gid = F.coalesce(F.col("group_id"), F.col("vec_id"))
@@ -1248,6 +1246,7 @@ def pq_residual_codebooks(
     vec_col: str = "embedding",
     m: int = 8,
     k: int = 16,
+    sample: list[tuple[int, list[float]]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks trained on RESIDUALS: the
     `pq_codebooks` md5-smallest-k sample, but each sample vector is first
@@ -1261,8 +1260,16 @@ def pq_residual_codebooks(
     ||c||², ties to the smaller cid — in the same IEEE-double operation
     order, so the k sample residuals (and therefore every downstream ADC
     distance) are bit-identical to an engine-side computation and the
-    DuckDB oracle can re-derive them from SQL alone."""
-    samp = ivf_centroids(vectors, id_col, vec_col, k=k)
+    DuckDB oracle can re-derive them from SQL alone.
+
+    ``sample``: pass a precomputed `ivf_centroids(vectors, ..., k=k)`
+    result to skip the sampling jobs here — the sample is INDEPENDENT of
+    ``centroids``, so a caller that also fits coarse centroids can build
+    both from concurrent driver threads (overlap-independent-jobs) and
+    hand the sample in; the residual reduction below is identical."""
+    samp = sample if sample is not None else ivf_centroids(
+        vectors, id_col, vec_col, k=k
+    )
     res = []
     for _, v in samp:
         best_d2: float | None = None

@@ -254,11 +254,11 @@ class CurationRun:
                 shingle_n=shingle_n, max_bucket=max_bucket,
             )
             # staged once: checkpoint-backed, conditionally broadcast-
-            # hinted (raw-crawl dup rates fall back to a shuffle join)
+            # hinted (raw-crawl dup rates fall back to a shuffle join);
+            # node_col at the source keeps CC's observed row count on the
+            # frame so broadcast_if_small skips its probe job (r12)
             return broadcast_if_small(
-                connected_components(pairs).withColumnRenamed(
-                    "node", id_col
-                )
+                connected_components(pairs, node_col=id_col)
             )
 
         if test_docs is None:

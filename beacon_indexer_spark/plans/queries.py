@@ -2443,7 +2443,7 @@ def q_doc_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
-    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    clusters = D.connected_components(pairs, node_col="doc_id")
     spine = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
     joined = spine.join(D.broadcast_if_small(clusters), "doc_id", "left")
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
@@ -5379,7 +5379,7 @@ def q_doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
-    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    clusters = D.connected_components(pairs, node_col="doc_id")
     spine = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(X.quality_score("text"), 6).alias("q6"),
@@ -6497,7 +6497,7 @@ def q_doc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
-    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    clusters = D.connected_components(pairs, node_col="doc_id")
     spine = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(X.quality_score("text"), 6).alias("q6"),
@@ -7049,7 +7049,7 @@ def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
-    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    clusters = D.connected_components(pairs, node_col="doc_id")
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "source",
@@ -7113,7 +7113,7 @@ def q_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
-    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    clusters = D.connected_components(pairs, node_col="doc_id")
     return SP.leakage_safe_split(
         docs,
         D.broadcast_if_small(clusters),
@@ -7381,7 +7381,7 @@ def q_dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
-    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    clusters = D.connected_components(pairs, node_col="doc_id")
     spine = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     sizes = (
@@ -7461,7 +7461,7 @@ def q_corpus_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
-    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    clusters = D.connected_components(pairs, node_col="doc_id")
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         X.token_count("text").cast("long").alias("__nt"),
@@ -7873,7 +7873,7 @@ def q_doc_quality_vs_dup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
-    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    clusters = D.connected_components(pairs, node_col="doc_id")
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(X.quality_score("text"), 6).alias("__q6"),
@@ -9116,7 +9116,7 @@ def q_doc_keep_policy_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS, shingle_n=3
     )
-    clusters = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    clusters = D.connected_components(pairs, node_col="doc_id")
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         X.token_count("text").cast("long").alias("__nt"),
@@ -21036,8 +21036,17 @@ def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain issues ~8 driver-blocking jobs over this frame — one
     # materialized scan serves them all instead of re-reading parquet
     emb = _ts(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
-    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
-    cbs = S.pq_residual_codebooks(emb, cents, "vec_id", "embedding", m=8, k=16)
+    # the Lloyd fit and the PQ codebook SAMPLE are independent (the
+    # sample is reduced against the fitted centroids only on the driver,
+    # after both exist) — build them from two driver threads so the two
+    # serial collect chains interleave (r12, overlap-independent-jobs)
+    cents, samp = _parallel_build(
+        lambda: kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2),
+        lambda: S.ivf_centroids(emb, "vec_id", "embedding", k=16),
+    )
+    cbs = S.pq_residual_codebooks(
+        emb, cents, "vec_id", "embedding", m=8, k=16, sample=samp
+    )
     qs = emb.filter(F.col("vec_id") < 5)
     out = S.ivfpq_residual_topk(
         emb, qs, cents, cbs, "vec_id", "embedding", k=5, nprobe=2
@@ -21480,10 +21489,14 @@ def q_similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beacon_indexer_spark.operators.clustering import kmeans_centroids
 
     emb = _ts(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
-    # ^ same shared-scan barrier as q_similarity_ivfpq_residual
-    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    # ^ same shared-scan barrier as q_similarity_ivfpq_residual, and the
+    # same concurrent fit+sample staging (r12, overlap-independent-jobs)
+    cents, samp = _parallel_build(
+        lambda: kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2),
+        lambda: S.ivf_centroids(emb, "vec_id", "embedding", k=16),
+    )
     cbs = S.pq_residual_codebooks(
-        emb, cents, "vec_id", "embedding", m=8, k=16
+        emb, cents, "vec_id", "embedding", m=8, k=16, sample=samp
     )
     qs = emb.filter(F.col("vec_id") < 5)
     short = S.ivfpq_residual_topk(

@@ -161,3 +161,80 @@ def test_connected_components_multigraph_equals_simple_graph(spark):
     b = _rows(connected_components(ddf), "node", "cluster_id")
     assert a == b
     assert a == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 7), (8, 7), (9, 7)]
+
+
+def test_connected_components_broadcast_equals_shuffle_rounds(spark):
+    """The r12 probe-guarded broadcast of the label frame inside each CC
+    round must label any graph identically to the pure-shuffle plan —
+    including a long chain that needs several pointer-jumping rounds and
+    a graph above the broadcast ceiling (forced via broadcast_rows=0)."""
+    from beacon_indexer_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(60, 80)]  # diameter 20 → >2 rounds
+    extra = [(5, 9), (9, 11), (200, 300)]
+    df = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    bcast = _rows(connected_components(df), "node", "cluster_id")
+    shuf = _rows(
+        connected_components(df, broadcast_rows=0), "node", "cluster_id"
+    )
+    assert bcast == shuf
+    assert all(c == 60 for n, c in bcast if 60 <= n <= 80)
+
+
+def test_connected_components_carries_row_count_for_broadcast(spark):
+    """CC output carries its final observed row count; broadcast_if_small
+    reads it instead of running a count job, and the verdict matches the
+    true count on both sides of the ceiling."""
+    from beacon_indexer_spark.operators.dedup import (
+        broadcast_if_small,
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = connected_components(df, node_col="doc_id")
+    assert out.columns == ["doc_id", "cluster_id"]
+    n = out.count()
+    assert getattr(out, "_bis_rows", None) == n == 5
+    hinted = broadcast_if_small(out)
+    # the broadcast hint must survive into the optimized plan
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString() or \
+        "broadcast" in hinted._jdf.queryExecution().optimizedPlan().toString().lower()
+    # above-ceiling: falls back to the plain frame (no hint), same rows
+    plain = broadcast_if_small(out, max_rows=2)
+    assert _rows(plain, "doc_id", "cluster_id") == _rows(
+        out, "doc_id", "cluster_id"
+    )
+
+
+def test_connected_components_empty_pairs(spark):
+    from beacon_indexer_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_pq_residual_codebooks_accepts_precomputed_sample(spark):
+    """Passing the ivf_centroids sample explicitly (the r12 concurrent
+    fit+sample staging) must reproduce the internally-sampled codebooks
+    exactly."""
+    from beacon_indexer_spark.operators.similarity import (
+        ivf_centroids,
+        pq_residual_codebooks,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), float(i % 2), 1.0])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [5.0, 4.0, 1.0, 1.0])]
+    inline = pq_residual_codebooks(
+        vecs, cents, "vec_id", "embedding", m=2, k=4
+    )
+    samp = ivf_centroids(vecs, "vec_id", "embedding", k=4)
+    staged = pq_residual_codebooks(
+        vecs, cents, "vec_id", "embedding", m=2, k=4, sample=samp
+    )
+    assert inline == staged
