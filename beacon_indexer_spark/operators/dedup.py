@@ -1174,6 +1174,9 @@ def fuzzy_name_pairs(
     w = max_dist + 1
     if band_lengths is None:
         df = df.localCheckpoint(eager=False)
+        # .rdd materializes the lazy checkpoint; the probe below then
+        # reads the stored blocks, so the split count is free here
+        n_parts = df.rdd.getNumPartitions()
         probe = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.min(F.length(F.col(name_col))).alias("mn"),
@@ -1184,6 +1187,16 @@ def fuzzy_name_pairs(
             probe["n"] > band_threshold_rows
             and spread_bands >= band_min_spread
         )
+        # r12 spread: a small-file scan hands the edit-distance stage a
+        # SINGLE partition (the verify kernel is CPU-dense, its bytes are
+        # tiny — AQE's byte-based coalescing cannot help). Repartition by
+        # the BLOCK KEY up to the session parallelism so a sort-merge
+        # block join reuses the exchange and a broadcast join's probe
+        # side runs wide. No-op whenever the input already has >= cores
+        # partitions (any real deployment), like plans/queries._spread.
+        n_cores = df.sparkSession.sparkContext.defaultParallelism
+        if n_parts < n_cores:
+            df = df.repartition(n_cores, *[F.col(c) for c in block_cols])
     if band_lengths:
         band = (F.length(F.col(name_col)) / w).cast("long")
         left = df.select(

@@ -127,20 +127,49 @@ def _scan_parts(spark: SparkSession, sf_dir: str, name: str) -> int:
 
 
 def _spread_as(
-    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str,
+    by: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """`_spread` for a NARROW transformation of table ``name`` (filter /
     select keep the scan's partitioning, so the memoized split count of
-    the base table applies exactly)."""
+    the base table applies exactly).
+
+    ``by``: spread by HASH on these columns instead of round-robin — use
+    the columns of the query's FIRST downstream shuffle (its groupBy /
+    join / window key) so the emulated splits double as that operation's
+    exchange (§2.4 "two operations keyed the same way share one
+    exchange"): the plan then carries ONE exchange where round-robin
+    carries two, and skips round-robin's per-partition
+    sort-before-repartition (hash placement is already deterministic
+    under retry). Only pass HIGH-cardinality keys — a low-cardinality
+    ``by`` collapses the spread to |distinct| partitions, which is worse
+    than no spread. Like the round-robin form this is a NO-OP whenever
+    the scan already has >= cores splits (any real deployment): at scale
+    the operation's own exchange strategy — including map-side partial
+    aggregation upstream of it — is exactly what it was without ``by``."""
     n = spark.sparkContext.defaultParallelism
     if _scan_parts(spark, sf_dir, name) < n:
+        if by:
+            if not _SPREAD_BY_ENABLED:  # A/B harness hook (tests only)
+                return df
+            return df.repartition(n, *[F.col(c) for c in by])
         return df.repartition(n)
     return df
 
 
-def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# flipped by the optimization-round A/B harness to compare keyed-spread
+# plans against the unspread baseline INSIDE one JVM (interleaved reps
+# cancel JVM aging, the dominant noise in cross-process A/Bs); always
+# True in production and in the bench
+_SPREAD_BY_ENABLED = True
+
+
+def _ts(
+    spark: SparkSession, sf_dir: str, name: str,
+    by: tuple[str, ...] | None = None,
+) -> DataFrame:
     """``_spread(_t(...))`` with the split count memoized per table."""
-    return _spread_as(_t(spark, sf_dir, name), spark, sf_dir, name)
+    return _spread_as(_t(spark, sf_dir, name), spark, sf_dir, name, by=by)
 
 
 def _hist_prefix(hist: DataFrame, key: str, val, out):
@@ -3590,11 +3619,13 @@ def q_sales_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by p_type (never unpartitioned). Revenue is
     decimal-exact cents; ordering tie-breaks are fully specified with
     explicit NULL placement so both engines rank identically."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # keyed spreads: both sides land pre-partitioned on the orders join
+    # key, so the join shuffles neither side locally (§2.4)
+    li = _ts(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
         "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
-    orders = _t(spark, sf_dir, "orders").select(
+    orders = _ts(spark, sf_dir, "orders", by=("o_orderkey",)).select(
         "o_orderkey",
         F.year("o_orderdate").cast("long").alias("o_year"),
         F.month("o_orderdate").cast("long").alias("o_month"),
@@ -3689,7 +3720,8 @@ def q_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. Plan: lineitem ⋈ derived-partsupp co-partitioned on the
     SAME keys, part broadcast, one Expand + one map-side-combined
     aggregate, and the rank window runs over grouping cells only."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # keyed spread: co-partitions with the partsupp join (§2.4)
+    li = _ts(spark, sf_dir, "lineitem", by=("l_partkey", "l_suppkey")).select(
         "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount",
     )
@@ -4799,7 +4831,9 @@ def q_lineitem_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is rewritten integer-exact (5·qty·cnt < sum_qty) so no
     cross-engine float division enters the predicate. The per-part agg
     frame is part-count-sized → broadcastable; AQE picks that at runtime."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # keyed spread: the per-part rollup AND the decorrelated join-back
+    # are both keyed on l_partkey — one exchange serves both (§2.4)
+    li = _ts(spark, sf_dir, "lineitem", by=("l_partkey",)).select(
         "l_partkey",
         F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
@@ -5320,7 +5354,8 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the fact chain. The qualifying-keys frame is aggregated FIRST —
     the decorrelated HAVING — so the expensive joins run only on the
     qualifying minority; top-100 is TakeOrderedAndProject."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # keyed spread: the per-order rollup reuses the spread exchange
+    li = _ts(spark, sf_dir, "lineitem", by=("l_orderkey",)).select(
         "l_orderkey", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
     )
     big = (
@@ -6408,7 +6443,8 @@ def q_events_type_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sessionize shape (partitioned, never global); the trigram counts
     aggregate over a |types|³-bounded key space; the final top-20 is a
     TakeOrdered on (count desc, trigram)."""
-    ev = _t(spark, sf_dir, "events")
+    # keyed spread: the per-user session window reuses it (§2.4)
+    ev = _ts(spark, sf_dir, "events", by=("user_id",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_sess = F.when(
@@ -8671,9 +8707,10 @@ def q_customer_returns_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem with DECIMAL-exact revenue, returned = l_returnflag 'R'.
     One |segments|-bounded rollup after the keyed joins; the customer
     dim side broadcasts."""
+    # keyed spreads: both fact sides pre-partitioned on the orderkey join
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    o = _ts(spark, sf_dir, "orders", by=("o_orderkey",))
+    li = _ts(spark, sf_dir, "lineitem", by=("l_orderkey",))
     j = (
         li.select(
             "l_orderkey",
@@ -13696,7 +13733,9 @@ def q_supplier_assortment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard rollup. One fact-table aggregation (two exact distincts +
     a DECIMAL revenue sum), then a broadcast name attach; ties break on
     suppkey."""
-    li = _t(spark, sf_dir, "lineitem")
+    # keyed spread: the distinct-agg family exchanges on suppkey-prefixed
+    # keys, which a suppkey hash partitioning already satisfies (§2.4)
+    li = _ts(spark, sf_dir, "lineitem", by=("l_suppkey",))
     per = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
         F.countDistinct("l_partkey").cast("long").alias("n_parts"),
         F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
@@ -18292,7 +18331,9 @@ def q_part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     price / Σ quantity per supplier). Supplier prices quantize to 1e-6
     units so the per-part moments are exact integers; two bounded
     rollups, TakeOrdered output."""
-    li = _t(spark, sf_dir, "lineitem")
+    # keyed spread: the per-supplier rollup is the first shuffle, so the
+    # spread IS its exchange (one exchange, complete agg — §2.4)
+    li = _ts(spark, sf_dir, "lineitem", by=("l_partkey", "l_suppkey"))
     dec = "decimal(38,0)"
     per_supp = li.groupBy(
         F.col("l_partkey").cast("long").alias("part"),
@@ -18710,7 +18751,9 @@ def q_orders_revenue_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order sum; one orderkey-keyed join; mismatch = |diff| beyond a
     5-cent rounding tolerance."""
     dec = "decimal(38,0)"
-    li = _t(spark, sf_dir, "lineitem")
+    # keyed spreads: per-order rollup and the orders probe side land
+    # pre-partitioned on the reconciliation join key (§2.4)
+    li = _ts(spark, sf_dir, "lineitem", by=("l_orderkey",))
     per_order = li.groupBy(
         F.col("l_orderkey").cast("long").alias("__k")
     ).agg(
@@ -18724,7 +18767,7 @@ def q_orders_revenue_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").cast(dec)
         ).cast("long").alias("__lc")
     )
-    o = _t(spark, sf_dir, "orders").select(
+    o = _ts(spark, sf_dir, "orders", by=("o_orderkey",)).select(
         F.col("o_orderkey").cast("long").alias("__k"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("__oc"),
     )
@@ -19052,10 +19095,14 @@ def q_part_brand_type_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     the observed-cells identity χ² = Σ o²·N/(r_b·c_t) − N so zero cells
     never materialize; each cell term is 1e-6-quantized for an
     order-free sum; margins attach as broadcast joins."""
+    # no checkpoint (r12): all four consumers of `cells` land in the ONE
+    # final-aggregate job, where ReuseExchange already dedupes the cell
+    # aggregation's exchange — a lazy checkpoint here only adds its
+    # build-time stage execution (the change-4 lesson applied)
     p = _t(spark, sf_dir, "part")
     cells = p.groupBy("p_brand", "p_type").agg(
         F.count(F.lit(1)).cast("long").alias("__o")
-    ).localCheckpoint(eager=False)
+    )
     rb = cells.groupBy("p_brand").agg(F.sum("__o").cast("long").alias("__rb"))
     ct = cells.groupBy("p_type").agg(F.sum("__o").cast("long").alias("__ct"))
     tot = cells.agg(
@@ -20778,7 +20825,8 @@ def q_nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Profit stays decimal-exact in CENTS (revenue·100 − cost_cents·qty —
     no decimal division anywhere); one double division by 100 at
     output."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # keyed spread: co-partitions with the partsupp join (§2.4)
+    li = _ts(spark, sf_dir, "lineitem", by=("l_partkey", "l_suppkey")).select(
         "l_orderkey", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount",
     )
@@ -22191,7 +22239,9 @@ def q_user_session_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared bucket claims it and no distinct shuffle is needed). Never an
     inequality join; per-bucket volume is bounded by concurrent sessions
     per hour."""
-    e = _t(spark, sf_dir, "events")
+    # keyed spread: the sessionize window partitions by user_id, so the
+    # spread IS its exchange (§2.4)
+    e = _ts(spark, sf_dir, "events", by=("user_id",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_sess = F.when(

@@ -238,3 +238,83 @@ def test_pq_residual_codebooks_accepts_precomputed_sample(spark):
         vecs, cents, "vec_id", "embedding", m=2, k=4, sample=samp
     )
     assert inline == staged
+
+
+# ------------------------------------------------------------ keyed spread
+
+
+def test_spread_as_keyed_spreads_and_preserves_rows(spark, sf_dir):
+    """`_spread_as(..., by=...)` hash-spreads an under-parallel scan by
+    the given columns up to the session parallelism, changing NOTHING
+    about the rows — and the downstream shuffle keyed the same way
+    reuses the spread exchange (one Exchange in the plan)."""
+    from beacon_indexer_spark.plans.queries import _t, _ts
+
+    base = _t(spark, sf_dir, "orders")
+    keyed = _ts(spark, sf_dir, "orders", by=("o_custkey",))
+    assert keyed.rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    agg_b = sorted(
+        (r["o_custkey"], r["n"])
+        for r in base.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    agg_k = sorted(
+        (r["o_custkey"], r["n"])
+        for r in keyed.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    assert agg_b == agg_k
+    plan = (
+        keyed.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the groupBy reuses the spread's hash partitioning: exactly the
+    # spread exchange, no second shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_spread_by_disabled_flag_returns_input(spark, sf_dir):
+    """The A/B-harness flag turns keyed spreads into identity — and the
+    results are identical either way (the equivalence the whole A/B
+    methodology rests on)."""
+    from beacon_indexer_spark.plans import queries as Q
+
+    try:
+        Q._SPREAD_BY_ENABLED = False
+        off = Q._ts(spark, sf_dir, "orders", by=("o_custkey",))
+        n_off = off.rdd.getNumPartitions()
+    finally:
+        Q._SPREAD_BY_ENABLED = True
+    on = Q._ts(spark, sf_dir, "orders", by=("o_custkey",))
+    assert n_off < on.rdd.getNumPartitions()
+    assert sorted(map(tuple, off.collect())) == sorted(
+        map(tuple, on.collect())
+    )
+
+
+def test_fuzzy_name_pairs_spread_input_identical(spark):
+    """fuzzy_name_pairs' under-parallel block-key spread changes the
+    physical placement only: pairs from a 1-partition input equal pairs
+    from a pre-spread input."""
+    from beacon_indexer_spark.operators.dedup import fuzzy_name_pairs
+
+    rows = [
+        (i, f"acme widget {i % 7}{'x' * (i % 3)}", f"b{i % 3}")
+        for i in range(120)
+    ]
+    df1 = spark.createDataFrame(rows, "id long, name string, blk string")
+    one = df1.coalesce(1)
+    wide = df1.repartition(8)
+    p1 = fuzzy_name_pairs(one, "id", "name", ["blk"], max_dist=3)
+    p2 = fuzzy_name_pairs(wide, "id", "name", ["blk"], max_dist=3)
+    k = lambda df: sorted(
+        (r["id_a"], r["id_b"], r["dist"]) for r in df.collect()
+    )
+    assert k(p1) == k(p2)
