@@ -20,6 +20,8 @@ JVM-hash-seed dependence).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -104,7 +106,8 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}) — min over shingles of k salted hashes.
 
@@ -116,11 +119,17 @@ def minhash_signatures(
     once: (1) tokenize+shingle (regexp-heavy) → shingle array; (2) ONE md5
     per shingle reduced mod P; then each of the k signatures is just
     ``min((a_i*h + b_i) mod P)`` — integer arithmetic, no further hashing.
+
+    ``shingled``: pass a pre-built ``(id_col, __sh)`` shingle-array frame
+    (e.g. a checkpoint shared with an exact-Jaccard side) to skip the
+    tokenize+shingle stage here — callers that consume the shingle sets
+    AND the signatures pay the regexp-heavy pass once (r13, §1.2).
     """
-    shingled = df.select(
-        F.col(id_col).cast("long").alias(id_col),
-        word_shingles(text_col, shingle_n).alias("__sh"),
-    )
+    if shingled is None:
+        shingled = df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            word_shingles(text_col, shingle_n).alias("__sh"),
+        )
     hashed = shingled.select(
         F.col(id_col),
         F.transform(F.col("__sh"), lambda s: _md5_long(s, 0) % MINHASH_P).alias("__h"),
@@ -645,6 +654,14 @@ def winnow_pairs(
     return counted.filter(F.col("n_shared") >= min_shared)
 
 
+# extra pointer jumps per CC round on the BROADCAST path (see
+# connected_components): each jump is one more probe of the same in-memory
+# broadcast relation (no job, no exchange) and extends path compression from
+# label[label[n]] to label^(1+jumps)[n], cutting the number of serial rounds
+# on chain-shaped components. 0 = the r12 single-jump plan (A/B hook).
+_CC_BROADCAST_EXTRA_JUMPS = 2
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -653,6 +670,7 @@ def connected_components(
     node_col: str = "node",
     label_col: str = "cluster_id",
     broadcast_rows: int | None = 4_000_000,
+    extra_jumps: int | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment from candidate pairs: (node, cluster_id)
     where cluster_id = the minimum id reachable through the pair graph —
@@ -739,15 +757,14 @@ def connected_components(
     )
     n_labels = int(obs0.get["n"] or 0)
     null_l = F.lit(None).cast(pairs.schema[id_a].dataType)
+    if extra_jumps is None:
+        extra_jumps = _CC_BROADCAST_EXTRA_JUMPS
     for i in range(max_iter):
         # the label frame is node-deduplicated and exactly counted by the
         # previous round's observation — broadcast it into the per-round
         # lookup join while it provably fits
-        lab = (
-            F.broadcast(labels)
-            if broadcast_rows is not None and n_labels <= broadcast_rows
-            else labels
-        )
+        bcast = broadcast_rows is not None and n_labels <= broadcast_rows
+        lab = F.broadcast(labels) if bcast else labels
         # ONE lookup join per round (r12): the neighbor propagation
         # (node dst learns label[src]) and the pointer jump / path
         # halving (node n learns label[label[n]] — doubles propagation
@@ -757,22 +774,65 @@ def connected_components(
         # the two checkpoints) and resolve through a single equi-join
         # against the label frame — one broadcast (or one exchange pair)
         # per round instead of two.
+        #
+        # r13: the old separate `own` union branch is redundant — the
+        # pointer-jump delivery label[label[n]] <= label[n] (labels only
+        # shrink toward the component min), so a node's own label never
+        # wins the min; and the labels-branch request row (__out = n,
+        # __key = label[n]) already KNOWS n's previous label, so __old
+        # rides the request instead of a third |V|-row union branch.
+        # Every node has exactly ONE labels-branch row, so max(__old)
+        # still recovers its previous label inside the same aggregate.
         requests = edges.select(
-            F.col("dst").alias("__out"), F.col("src").alias("__key")
+            F.col("dst").alias("__out"),
+            F.col("src").alias("__key"),
+            null_l.alias("__old"),
         ).unionByName(
             labels.select(
-                F.col("node").alias("__out"), F.col("label").alias("__key")
+                F.col("node").alias("__out"),
+                F.col("label").alias("__key"),
+                F.col("label").alias("__old"),
             )
         )
         looked_up = requests.join(
             lab, requests["__key"] == lab["node"]
-        ).select(F.col("__out").alias("node"), "label", null_l.alias("__old"))
-        # every node has exactly ONE row from the labels branch, so
-        # max(__old) recovers its previous label inside the same aggregate
-        own = labels.select("node", "label", F.col("label").alias("__old"))
+        ).select(F.col("__out").alias("node"), "label", "__old")
+        # r13 extra pointer jumps (BROADCAST path only): with the label
+        # frame already an in-memory broadcast relation, each further
+        # label^(j)[n] delivery is one more probe of the SAME broadcast
+        # (ReuseExchange — no new job, no exchange, |V| extra rows into
+        # the existing aggregate) and multiplies per-round path
+        # compression, cutting the count of serial rounds on chain
+        # components. The shuffle fallback keeps the r12 single-jump
+        # plan: there an extra jump would be a full |V| shuffle join per
+        # level — exactly the wrong trade at raw-crawl scale. Depth is
+        # physical-plan-only: any jump depth converges to the same
+        # min-reachable fixpoint, and changed == 0 still certifies the
+        # standard operator's fixpoint (the jump deliveries are a
+        # superset of the standard ones).
+        if bcast and extra_jumps > 0:
+            cur = labels.select(
+                F.col("node").alias("__out"), F.col("label").alias("__key")
+            )
+            # advance to label^2 (already delivered by the main lookup),
+            # then deliver label^3 .. label^(2+extra_jumps)
+            cur = cur.join(lab, cur["__key"] == lab["node"]).select(
+                F.col("__out"), F.col("label").alias("__key")
+            )
+            for _j in range(extra_jumps):
+                cur = cur.join(lab, cur["__key"] == lab["node"]).select(
+                    F.col("__out"), F.col("label").alias("__key")
+                )
+                looked_up = looked_up.unionByName(
+                    cur.select(
+                        F.col("__out").alias("node"),
+                        F.col("__key").alias("label"),
+                        null_l.alias("__old"),
+                    )
+                )
         obs = Observation(f"cc_round_{i}")
         merged = (
-            own.unionByName(looked_up)
+            looked_up
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("__old").alias("__old"))
             .observe(
@@ -802,7 +862,11 @@ def connected_components(
     return out
 
 
-def broadcast_if_small(df: DataFrame, max_rows: int = 4_000_000) -> DataFrame:
+def broadcast_if_small(
+    df: DataFrame,
+    max_rows: int = 4_000_000,
+    expect_rows_known: bool = False,
+) -> DataFrame:
     """Conditional broadcast for frames whose size is DATA-dependent —
     the duplicate-cluster frame above all. "Dup clusters are a few
     percent of the corpus" holds for curated text but NOT for raw web
@@ -824,11 +888,33 @@ def broadcast_if_small(df: DataFrame, max_rows: int = 4_000_000) -> DataFrame:
     r12: frames that already KNOW their row count (CC output carries the
     final round's observed count as ``_bis_rows``) skip the probe job
     entirely — one fewer serial job per cluster-spine query, identical
-    verdict (the observed count IS the count the probe would measure)."""
+    verdict (the observed count IS the count the probe would measure).
+
+    r13: ``_bis_rows`` is a plain Python attribute, so ANY intervening
+    DataFrame transformation sheds it and the probe job silently
+    returns — correct, but a silent de-optimization. Callers that hand
+    this function a frame that SHOULD carry the count (CC output taken
+    straight from `connected_components`) pass ``expect_rows_known=True``:
+    a shed count then raises under ``SPARK_GRAFT_DEV_ASSERT=1`` (the test
+    suite sets it) and logs a warning otherwise, instead of silently
+    re-adding the probe."""
     known = getattr(df, "_bis_rows", None)
     if known is not None:
         # CC output is already checkpoint-backed; no extra barrier needed
         return F.broadcast(df) if known <= max_rows else df
+    if expect_rows_known:
+        msg = (
+            "broadcast_if_small(expect_rows_known=True) received a frame "
+            "without _bis_rows — an intervening transformation shed the "
+            "observed row count; falling back to the probe job. Take the "
+            "connected_components output unmodified (name columns via "
+            "node_col/label_col at the source) to keep the count."
+        )
+        if os.environ.get("SPARK_GRAFT_DEV_ASSERT") == "1":
+            raise AssertionError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     checkpointed = df.localCheckpoint(eager=False)
     if checkpointed.count() <= max_rows:
         return F.broadcast(checkpointed)
@@ -1174,13 +1260,19 @@ def fuzzy_name_pairs(
     w = max_dist + 1
     if band_lengths is None:
         df = df.localCheckpoint(eager=False)
-        # .rdd materializes the lazy checkpoint; the probe below then
-        # reads the stored blocks, so the split count is free here
+        # .rdd builds the checkpoint RDD without running a job;
+        # getNumPartitions is metadata, and the probe's collect below is
+        # what materializes the blocks the join then reuses — the split
+        # count is free here
         n_parts = df.rdd.getNumPartitions()
         probe = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.min(F.length(F.col(name_col))).alias("mn"),
             F.max(F.length(F.col(name_col))).alias("mx"),
+            # block-key cardinality rides the same probe: a keyed spread
+            # on a low-cardinality key collapses to |blocks| populated
+            # partitions — worse than round-robin (r12 ADVICE)
+            F.countDistinct(*[F.col(c) for c in block_cols]).alias("nb"),
         ).collect()[0]
         spread_bands = ((probe["mx"] or 0) - (probe["mn"] or 0)) // w + 1
         band_lengths = (
@@ -1194,9 +1286,17 @@ def fuzzy_name_pairs(
         # block join reuses the exchange and a broadcast join's probe
         # side runs wide. No-op whenever the input already has >= cores
         # partitions (any real deployment), like plans/queries._spread.
+        # r13: when the key is too coarse to fill the cores (docstring
+        # tells callers to pick COARSE blocks), a keyed spread would run
+        # |blocks|-wide — round-robin instead; the broadcast-join probe
+        # side then runs full-width and the SMJ path pays the same block
+        # exchange it always did.
         n_cores = df.sparkSession.sparkContext.defaultParallelism
         if n_parts < n_cores:
-            df = df.repartition(n_cores, *[F.col(c) for c in block_cols])
+            if (probe["nb"] or 0) >= n_cores:
+                df = df.repartition(n_cores, *[F.col(c) for c in block_cols])
+            else:
+                df = df.repartition(n_cores)
     if band_lengths:
         band = (F.length(F.col(name_col)) / w).cast("long")
         left = df.select(

@@ -1073,7 +1073,9 @@ def semantic_dedup_keep(
     # on the frame and broadcast_if_small skips its probe job (r12)
     groups = connected_components(dup, node_col="vec_id", label_col="group_id")
     spine = vectors.select(F.col(id_col).cast("long").alias("vec_id"))
-    joined = spine.join(broadcast_if_small(groups), "vec_id", "left")
+    joined = spine.join(
+        broadcast_if_small(groups, expect_rows_known=True), "vec_id", "left"
+    )
     gid = F.coalesce(F.col("group_id"), F.col("vec_id"))
     return joined.select(
         "vec_id",

@@ -653,8 +653,15 @@ def build_postings(
     list is capped BEFORE any collect_list via a partitioned row_number
     window, so a stopword's million-document posting list costs one
     window pass and materializes `max_postings` entries — the aggregate
-    state is bounded per term. df/tf come from the same exploded frame
-    (two map-side-combined aggs joined on term).
+    state is bounded per term.
+
+    r13 (§2.4, §1.2): ONE tokenize pass and TWO exchanges, no joins —
+    the old shape tokenized twice (tf's map side and the distinct's) and
+    reassembled df/tf/head through a three-way join. Now a single
+    map-side-combined (term, id) count gives per-doc tf; the window
+    re-keys it by term; and df/tf/postings all fold in ONE aggregate
+    that reuses the window's partitioning (groupBy on the window's
+    partition key adds no exchange).
     """
     from pyspark.sql import Window
 
@@ -662,34 +669,33 @@ def build_postings(
         F.col(id_col).cast("long").alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    tf = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tf_total"))
-    pairs = exploded.distinct()
-    df_counts = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
-    w = Window.partitionBy("term").orderBy("id")
-    head = (
-        pairs.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= max_postings)
-        .groupBy("term")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("id")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("postings")
-        )
+    per_doc = exploded.groupBy("term", "id").agg(
+        F.count(F.lit(1)).alias("__tf")
     )
-    return (
-        df_counts.join(tf, "term")
-        .join(head, "term")
-        .select(
-            "term",
-            F.col("df_docs").cast("long").alias("df_docs"),
-            F.col("tf_total").cast("long").alias("tf_total"),
-            "postings",
-            (F.col("df_docs") > max_postings).cast("int").alias("truncated"),
-        )
+    w = Window.partitionBy("term").orderBy("id")
+    ranked = per_doc.withColumn("__r", F.row_number().over(w))
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs"),
+        F.sum("__tf").cast("long").alias("tf_total"),
+        # collect_list skips nulls: only the first max_postings ids per
+        # term survive the when(); sorted for a deterministic list
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__r") <= max_postings, F.col("id"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    ).select(
+        "term",
+        "df_docs",
+        "tf_total",
+        "postings",
+        (F.col("df_docs") > max_postings).cast("int").alias("truncated"),
     )
 
 
@@ -855,39 +861,53 @@ def heaps_law_curve(
     bucket, and both running totals use the bounded-fan-in recursive
     prefix sum from `pack_documents` (every window partitioned; no
     global ORDER BY funnel).
+
+    r13 (§2.4, §1.2): the vocabulary and token-sum branches both fold
+    from ONE map-side-combined (term, bucket) aggregation — identical
+    subtrees, so ReuseExchange materializes the tokenize+explode pass
+    once where the old shape ran tokenize twice (explode for vocabulary,
+    size() for token sums). explode_outer keeps all-empty buckets alive
+    (they must still emit a curve row). The joined per-bucket frame is
+    lazily checkpointed BEFORE the key-domain probe, so the probe's
+    first() materializes the blocks the prefix pass then reads — the old
+    probe executed the whole join once at build and again at exec. Both
+    running totals share one window via the multi-value prefix.
     """
     bucket = F.floor(F.col(id_col) / bucket_docs).cast("long")
     toks = docs.select(
         bucket.alias("bucket"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("__term"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("__term"),
+    )
+    tb = toks.groupBy("__term", "bucket").agg(
+        # null __term = an empty/whitespace-only document's placeholder
+        # row: keeps its bucket present, contributes zero tokens
+        F.sum(
+            F.when(F.col("__term").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("__c")
     )
     new_terms = (
-        toks.groupBy("__term")
+        tb.filter(F.col("__term").isNotNull())
+        .groupBy("__term")
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("__new"))
     )
-    per_bucket = (
-        docs.select(
-            bucket.alias("bucket"),
-            token_count(F.col(text_col)).cast("long").alias("__nt"),
+    per_bucket = tb.groupBy("bucket").agg(F.sum("__c").alias("__toks"))
+    frame = (
+        per_bucket.join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("__toks").cast("long").alias("__toks"),
+            F.coalesce(F.col("__new"), F.lit(0)).cast("long").alias("__new"),
         )
-        .groupBy("bucket")
-        .agg(F.sum("__nt").alias("__toks"))
-    )
-    frame = per_bucket.join(new_terms, "bucket", "left").select(
-        "bucket",
-        F.col("__toks").cast("long").alias("__toks"),
-        F.coalesce(F.col("__new"), F.lit(0)).cast("long").alias("__new"),
+        .localCheckpoint(eager=False)
     )
     # the bucket-key domain probe keeps the prefix-sum recursion at one
     # level for any realistic corpus (same pattern as pack_documents)
     mx = frame.select(F.max("bucket").alias("mx")).first()["mx"]
     frame = _exclusive_prefix(
-        frame, "bucket", "__toks", "__tprev", max_key=mx
-    )
-    frame = _exclusive_prefix(
-        frame, "bucket", "__new", "__vprev", max_key=mx
+        frame, "bucket", ["__toks", "__new"], ["__tprev", "__vprev"],
+        max_key=mx,
     )
     return frame.select(
         "bucket",

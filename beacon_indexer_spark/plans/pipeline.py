@@ -258,7 +258,8 @@ class CurationRun:
             # node_col at the source keeps CC's observed row count on the
             # frame so broadcast_if_small skips its probe job (r12)
             return broadcast_if_small(
-                connected_components(pairs, node_col=id_col)
+                connected_components(pairs, node_col=id_col),
+                expect_rows_known=True,
             )
 
         if test_docs is None:
@@ -561,33 +562,64 @@ class CurationRun:
         ``admit`` = include AND contam_verdict != 'drop' (trimmed docs
         stay admitted; their spans are stripped by `strip_spans` on the
         way out). Both staged frames (clusters, contamination spans) are
-        read from checkpoint blocks — no LSH/CC or gram join re-runs."""
-        man = self.manifest()
-        ver = self.contamination_verdict().select(
-            F.col("doc_id").alias(self.id_col),
-            "contam_tokens",
-            "contam_rate",
-            F.col("verdict").alias("contam_verdict"),
+        read from checkpoint blocks — no LSH/CC or gram join re-runs.
+
+        r13 (§2.4, §3.1): the verdict derivation is COLLAPSED into the
+        manifest spine — one corpus scan computes q6, split AND the
+        token count the contamination rate divides by, then the tiny
+        per-doc coverage aggregate (contaminated docs only, read from
+        the staged span checkpoint) left-joins in. The old shape built
+        `manifest()` and `contamination_verdict()` as two independent
+        full-corpus frames — a second corpus scan+tokenize and a
+        full-width sort-merge join of two corpus-sized sides — to
+        produce byte-identical columns."""
+        from beacon_indexer_spark.operators.sampling import split_assign
+        from beacon_indexer_spark.operators.text import quality_score
+
+        toks = F.filter(
+            F.split(F.lower(F.col(self.text_col)), r"\s+"), lambda t: t != ""
         )
-        return man.join(ver, self.id_col, "left").select(
-            man[self.id_col],
-            "cluster_id",
-            "keep",
+        spine = self.docs.select(
+            F.col(self.id_col).cast("long").alias(self.id_col),
+            F.round(quality_score(self.text_col), 6).alias("q6"),
+            split_assign(F.col(self.id_col), self.split_fracs).alias("split"),
+            F.size(toks).cast("long").alias("__doc_tokens"),
+        )
+        joined = spine.join(self.clusters, self.id_col, "left")
+        covered = self._contamination().groupBy("doc_id").agg(
+            F.sum("n_tokens").cast("long").alias("contam_tokens")
+        )
+        joined = joined.join(
+            covered.withColumnRenamed("doc_id", self.id_col),
+            self.id_col,
+            "left",
+        )
+        cid = F.coalesce(F.col("cluster_id"), F.col(self.id_col))
+        keep = self._keep_col(cid)
+        q_pass = (F.col("q6") >= self.quality_threshold).cast("int")
+        include = (keep.cast("boolean") & q_pass.cast("boolean")).cast("int")
+        rate = F.coalesce("contam_tokens", F.lit(0)) / F.greatest(
+            "__doc_tokens", F.lit(1)
+        )
+        verdict = (
+            F.when(rate > self.drop_threshold, "drop")
+            .when(rate >= self.trim_threshold, "trim")
+            .otherwise("keep")
+        )
+        return joined.select(
+            self.id_col,
+            cid.cast("long").alias("cluster_id"),
+            keep.alias("keep"),
             "q6",
-            "q_pass",
+            q_pass.alias("q_pass"),
             "split",
-            "include",
+            include.alias("include"),
             F.coalesce("contam_tokens", F.lit(0))
             .cast("long")
             .alias("contam_tokens"),
-            F.coalesce("contam_rate", F.lit(0.0)).alias("contam_rate"),
-            F.coalesce("contam_verdict", F.lit("keep")).alias(
-                "contam_verdict"
-            ),
-            (
-                F.col("include").cast("boolean")
-                & (F.coalesce("contam_verdict", F.lit("keep")) != "drop")
-            )
+            F.round(rate, 6).alias("contam_rate"),
+            verdict.alias("contam_verdict"),
+            (include.cast("boolean") & (verdict != "drop"))
             .cast("int")
             .alias("admit"),
         )

@@ -2474,7 +2474,7 @@ def q_doc_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = D.connected_components(pairs, node_col="doc_id")
     spine = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
-    joined = spine.join(D.broadcast_if_small(clusters), "doc_id", "left")
+    joined = spine.join(D.broadcast_if_small(clusters, expect_rows_known=True), "doc_id", "left")
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     return joined.select(
         "doc_id",
@@ -5044,10 +5044,19 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be d²/2 rows for a stop-shingle present in d documents — a
     scale-killer on real corpora ("the end of"-class trigrams, d ~ 1e6)."""
     docs = _ts(spark, sf_dir, "documents")
+    # ONE tokenize+shingle pass (r13, §1.2): the signature side and the
+    # exact-Jaccard side both read this staged shingle-array frame — the
+    # LSH probe job materializes it; the old shape ran the regexp-heavy
+    # shingle pipeline twice (once inside minhash_signatures, once for
+    # the exact side's explode).
+    shingled = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        X.word_shingles("text", 3).alias("__sh"),
+    ).localCheckpoint(eager=False)
     # ONE signature pass: the banding consumes the same staged frame the
     # estimate reads (lazy checkpoint — materialized by the LSH probe job)
     sigs = D.minhash_signatures(
-        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3, shingled=shingled
     ).localCheckpoint(eager=False)
     # pairs feed BOTH the estimate join and the exact-side expansion —
     # lazy checkpoint so the LSH banding pipeline runs once, not twice
@@ -5070,9 +5079,9 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = pairs.join(sa, "id_a").join(sb, "id_b").select(
         "id_a", "id_b", (matches / F.lit(float(_MINHASH_K))).alias("__est")
     )
-    sh = docs.select(
-        F.col("doc_id").cast("long").alias("id"),
-        F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
+    sh = shingled.select(
+        F.col("doc_id").alias("id"),
+        F.explode("__sh").alias("__s"),
     ).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
     common = D.candidate_common_shingles(
@@ -5420,7 +5429,7 @@ def q_doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(X.quality_score("text"), 6).alias("q6"),
         SP.split_assign(F.col("doc_id"), _SPLIT_FRACS).alias("split"),
     )
-    joined = spine.join(D.broadcast_if_small(clusters), "doc_id", "left")
+    joined = spine.join(D.broadcast_if_small(clusters, expect_rows_known=True), "doc_id", "left")
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     keep = (cid == F.col("doc_id")).cast("int")
     q_pass = (F.col("q6") >= 0.5).cast("int")
@@ -6538,7 +6547,7 @@ def q_doc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(X.quality_score("text"), 6).alias("q6"),
     )
-    joined = spine.join(D.broadcast_if_small(clusters), "doc_id", "left")
+    joined = spine.join(D.broadcast_if_small(clusters, expect_rows_known=True), "doc_id", "left")
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     staged = joined.select(
         "doc_id", cid.cast("long").alias("cluster_id"), "q6"
@@ -7091,7 +7100,7 @@ def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         X.token_count("text").cast("long").alias("__nt"),
     )
-    joined = base.join(D.broadcast_if_small(clusters), "doc_id", "left")
+    joined = base.join(D.broadcast_if_small(clusters, expect_rows_known=True), "doc_id", "left")
     keep = F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")
     return (
         joined.groupBy("source")
@@ -7152,7 +7161,7 @@ def q_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = D.connected_components(pairs, node_col="doc_id")
     return SP.leakage_safe_split(
         docs,
-        D.broadcast_if_small(clusters),
+        D.broadcast_if_small(clusters, expect_rows_known=True),
         "doc_id",
         train_rate=_SPLIT_TRAIN_RATE,
         salt=_SPLIT_SALT,
@@ -7421,7 +7430,7 @@ def q_dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     sizes = (
-        spine.join(D.broadcast_if_small(clusters), "doc_id", "left")
+        spine.join(D.broadcast_if_small(clusters, expect_rows_known=True), "doc_id", "left")
         .select(cid.alias("__cid"))
         .groupBy("__cid")
         .agg(F.count(F.lit(1)).alias("__sz"))
@@ -7502,7 +7511,7 @@ def q_corpus_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         X.token_count("text").cast("long").alias("__nt"),
     )
-    joined = base.join(D.broadcast_if_small(clusters), "doc_id", "left")
+    joined = base.join(D.broadcast_if_small(clusters, expect_rows_known=True), "doc_id", "left")
     keep = F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")
     band = (
         F.when(F.col("__nt") <= 32, "a_le32")
@@ -7915,7 +7924,7 @@ def q_doc_quality_vs_dup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(X.quality_score("text"), 6).alias("__q6"),
         X.token_count("text").cast("long").alias("__nt"),
     )
-    joined = base.join(D.broadcast_if_small(clusters), "doc_id", "left")
+    joined = base.join(D.broadcast_if_small(clusters, expect_rows_known=True), "doc_id", "left")
     keep = (
         F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")
     ).cast("int")
@@ -10528,16 +10537,31 @@ def q_corpus_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return s, tot
 
-    uni = (
-        docs.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("t"))
-        .groupBy("t")
+    # r13 (§2.4, §1.2): ONE scan+explode for both gram orders — tokens
+    # never contain whitespace (split on \s+), bigrams always do (space-
+    # joined), so the unigram and bigram streams are disjoint and one
+    # map-side-combined count over their concat serves both. The staged
+    # gram-count frame is a lazy checkpoint: the `uni`/`big` filters push
+    # through the aggregate onto the grouping key (so the four `_h`
+    # consumers would NOT hit ReuseExchange — their pre-aggregate filters
+    # differ) and re-reading the vocabulary-sized checkpoint blocks beats
+    # re-running the regexp tokenize+explode+aggregate per consumer (the
+    # old shape paid that pipeline 4×: s-chain and tot for each order).
+    grams = (
+        docs.select(
+            F.explode(
+                F.concat(
+                    X.tokens(F.lower(F.col("text"))),
+                    X.word_shingles(F.col("text"), 2),
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
     )
-    big = (
-        docs.select(F.explode(X.word_shingles(F.col("text"), 2)).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
+    uni = grams.filter(~F.col("g").contains(" ")).withColumnRenamed("g", "t")
+    big = grams.filter(F.col("g").contains(" ")).withColumnRenamed("g", "bg")
     su, tu = _h(uni, "t")
     sb, tb = _h(big, "bg")
     row = (

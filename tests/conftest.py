@@ -7,6 +7,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# dev-mode assertions: silent de-optimizations (e.g. a CC consumer that
+# shed the observed row count) fail loudly under the suite instead of
+# quietly re-adding probe jobs in production paths
+os.environ.setdefault("SPARK_GRAFT_DEV_ASSERT", "1")
+
 from beacon_indexer_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

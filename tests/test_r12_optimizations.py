@@ -276,8 +276,11 @@ def test_spread_as_keyed_spreads_and_preserves_rows(spark, sf_dir):
         .toString()
     )
     # the groupBy reuses the spread's hash partitioning: exactly the
-    # spread exchange, no second shuffle
-    assert plan.count("Exchange hashpartitioning") <= 1
+    # spread exchange, no second shuffle. == 1, not <= 1: the spread is
+    # asserted to have fired above (getNumPartitions), so the single
+    # exchange must BE the spread's — a 0-exchange or vacuous pass would
+    # mean the assertion stopped pinning exchange reuse.
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_spread_by_disabled_flag_returns_input(spark, sf_dir):

@@ -37,15 +37,19 @@ def main() -> None:
         return time.time() - t0
 
     print(f"{'query':42s} {'base':>7s} {'keyed':>7s} {'delta':>7s}")
-    for name in names:
-        run(name, False); run(name, True)  # warm both plans
-        base, keyed = [], []
-        for _ in range(pairs):
-            base.append(run(name, False))
-            keyed.append(run(name, True))
-        mb, mk = statistics.median(base), statistics.median(keyed)
-        print(f"{name:42s} {mb:7.3f} {mk:7.3f} {mk-mb:+7.3f}")
-    Q._SPREAD_BY_ENABLED = True
+    # try/finally: an exception mid-loop must not leave the module flag
+    # False for a caller that imported Q and reuses it after this run
+    try:
+        for name in names:
+            run(name, False); run(name, True)  # warm both plans
+            base, keyed = [], []
+            for _ in range(pairs):
+                base.append(run(name, False))
+                keyed.append(run(name, True))
+            mb, mk = statistics.median(base), statistics.median(keyed)
+            print(f"{name:42s} {mb:7.3f} {mk:7.3f} {mk-mb:+7.3f}")
+    finally:
+        Q._SPREAD_BY_ENABLED = True
 
 
 if __name__ == "__main__":

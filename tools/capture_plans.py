@@ -29,7 +29,9 @@ def main() -> None:
     names = sys.argv[2].split(",")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="bis-plans", master=f"local[{cpus}]")
     for name in names:
