@@ -659,7 +659,17 @@ def winnow_pairs(
 # broadcast relation (no job, no exchange) and extends path compression from
 # label[label[n]] to label^(1+jumps)[n], cutting the number of serial rounds
 # on chain-shaped components. 0 = the r12 single-jump plan (A/B hook).
-_CC_BROADCAST_EXTRA_JUMPS = 2
+#
+# MEASURED 0 (r13, tools/ab_cc.py interleaved same-JVM, sf0.1, 32 cores):
+# jumps=2 lost on every LSH->CC spine query (+0.43..+0.67 s medians over
+# corpus_dedup_summary / source_token_budget / dedup_cluster_size_dist /
+# split_leakage_guard / doc_keep_list) and jumps=1 lost too (+0.18..+0.54).
+# Dup components on real near-dup corpora are SHALLOW (mostly 2-3 nodes),
+# so extra jumps never cut the round count — they only push |V| more rows
+# per jump through the broadcast join into the min-aggregate every round.
+# The hook + equivalence tests stay so a chain-heavy corpus can flip it
+# after measuring (tools/ab_cc.py).
+_CC_BROADCAST_EXTRA_JUMPS = 0
 
 
 def connected_components(

@@ -554,6 +554,97 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_exact_scored(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ONE corpus scan serving BOTH the probe-limited IVF top-k and the
+    exact brute-force control (r13, §1.2/§2.4). Every ANN quality gate
+    (recall, nDCG, the streaming freshness monitor) composes `ivf_topk`
+    + `brute_force_topk` over the SAME corpus and queries — two corpus
+    scans, two cosine passes and a pair join — yet the exact control
+    already scores every (query, corpus) pair the IVF side could ever
+    surface. Here the exact cosine is computed once per pair and the
+    IVF side degenerates to a candidacy FLAG (the corpus vector's single
+    nearest list ∈ the query's ``nprobe`` probed lists — exactly the
+    flat `ivf_topk` candidate set), and both rankings fall out of ONE
+    window sort (identical partitioning+ordering → one exchange, one
+    sort, two window expressions):
+
+    - ``rank`` — exact rank (row_number, cos desc / neighbor_id asc);
+      rows with rank <= k are exactly `brute_force_topk`'s output.
+    - ``ivf_rank`` — running count of candidate rows under the SAME
+      order; candidate rows with ivf_rank <= k are exactly `ivf_topk`'s
+      flat-path output (corpus side assigns nprobe=1, so a pair hits at
+      most once and the multi-probe max() dedup is vacuous).
+
+    Only rows in either top-k survive. FLAT PATH ONLY: callers must be
+    below the `ivf_topk` two-level gate (``hier_threshold``, default 32)
+    — above it the two-level coarse assignment changes candidate sets
+    and composing the two operators stays the right shape, so this
+    raises rather than silently diverging.
+    Returns (query_id, neighbor_id, cos_sim, is_cand, rank, ivf_rank).
+    """
+    if len(centroids) >= 32:
+        raise ValueError(
+            "ivf_exact_scored is flat-path only (< 32 centroids); compose "
+            "ivf_topk + brute_force_topk for two-level corpora"
+        )
+    q_scored = F.expr(
+        "array(" + ", ".join(_d2_structs(centroids, "__qvec")) + ")"
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        ).withColumn(
+            "__qlists",
+            F.transform(
+                F.slice(F.array_sort(q_scored), 1, nprobe),
+                lambda s: s["cid"],
+            ),
+        )
+    )
+    v_scored = F.expr(
+        "array(" + ", ".join(_d2_structs(centroids, "__vvec")) + ")"
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vvec")
+    ).withColumn("__vlist", F.element_at(F.array_sort(v_scored), 1)["cid"])
+    scored = (
+        v.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__vvec")).alias("cos_sim"),
+            F.array_contains(F.col("__qlists"), F.col("__vlist"))
+            .cast("int")
+            .alias("is_cand"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        "is_cand",
+        F.row_number().over(w).alias("rank"),
+        F.sum("is_cand").over(wsum).alias("ivf_rank"),
+    )
+    return ranked.filter(
+        (F.col("rank") <= k)
+        | ((F.col("is_cand") == 1) & (F.col("ivf_rank") <= k))
+    )
+
+
 def hard_negative_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -6089,8 +6089,16 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode over that one pair frame — the whole curve costs one extra
     pairs×5 aggregation, not 5 dedup runs."""
     docs = _ts(spark, sf_dir, "documents")
+    # ONE tokenize+shingle pass (r13, §1.2): the signature side and the
+    # exact-Jaccard side both read this staged shingle-array frame — the
+    # dedup_minhash_est move applied to the sweep.
+    shingled = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        X.word_shingles("text", 3).alias("__sh"),
+    ).localCheckpoint(eager=False)
     sigs = D.minhash_signatures(
-        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3,
+        shingled=shingled,
     ).localCheckpoint(eager=False)
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
@@ -6100,9 +6108,9 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate_common_shingles) — r12, measured faster than relying on
     # in-job ReuseExchange here (the jac checkpoint splits the consumers
     # across jobs)
-    sh = docs.select(
-        F.col("doc_id").cast("long").alias("id"),
-        F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
+    sh = shingled.select(
+        F.col("doc_id").alias("id"),
+        F.explode("__sh").alias("__s"),
     ).distinct().localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
     common = D.candidate_common_shingles(
@@ -8222,24 +8230,29 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     cents = S.ivf_centroids(emb, k=8)
-    ivf = S.ivf_topk(emb, queries, cents, k=5, nprobe=2).select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("neighbor_id").cast("long").alias("neighbor_id"),
-    )
-    bf = S.brute_force_topk(emb, queries, k=5).select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("neighbor_id").cast("long").alias("neighbor_id"),
-    )
-    hits = ivf.join(bf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("__h")
-    )
-    qids = bf.select("query_id").distinct()
-    return qids.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hits"),
-        F.round(
-            F.coalesce(F.col("__h"), F.lit(0)).cast("double") / 5.0, 6
-        ).alias("recall_at_5"),
+    # ONE corpus scan for both rankings (r13, §1.2): IVF membership is a
+    # flag on the exact control's scored frame, so |exact ∩ approx| is a
+    # predicate over the exact top-5 rows — the old shape scanned the
+    # corpus twice (ivf_topk + brute_force_topk) and joined the two
+    # 25-row frames. Every query with any pair has exact-top-5 rows, so
+    # the per-query groups ARE the old bf-derived qids.
+    pairs = S.ivf_exact_scored(emb, queries, cents, k=5, nprobe=2)
+    return (
+        pairs.filter(F.col("rank") <= 5)
+        .groupBy(F.col("query_id").cast("long").alias("query_id"))
+        .agg(
+            F.sum(
+                ((F.col("is_cand") == 1) & (F.col("ivf_rank") <= 5))
+                .cast("int")
+            ).alias("__h")
+        )
+        .select(
+            "query_id",
+            F.col("__h").cast("long").alias("n_hits"),
+            F.round(F.col("__h").cast("double") / 5.0, 6).alias(
+                "recall_at_5"
+            ),
+        )
     )
 
 
@@ -10715,16 +10728,23 @@ def q_corpus_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy plan re-ran the shingle+hash pipeline per branch (r12); the
     # shingle set is likewise staged once for its three consumers
     # (sizes + both sides of candidate_common_shingles)
+    # ONE tokenize+shingle pass shared by the signature and exact sides
+    # (r13, §1.2 — the dedup_minhash_est move applied to the sweep)
+    shingled = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        X.word_shingles("text", 3).alias("__sh"),
+    ).localCheckpoint(eager=False)
     sigs = D.minhash_signatures(
-        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3,
+        shingled=shingled,
     ).localCheckpoint(eager=False)
     pairs = D.minhash_lsh_candidates(
         docs, "doc_id", "text", k=_MINHASH_K, bands=_MINHASH_BANDS,
         shingle_n=3, sigs=sigs,
     ).localCheckpoint(eager=False)
-    sh = docs.select(
-        F.col("doc_id").cast("long").alias("id"),
-        F.explode(X.word_shingles(F.col("text"), 3)).alias("__s"),
+    sh = shingled.select(
+        F.col("doc_id").alias("id"),
+        F.explode("__sh").alias("__s"),
     ).distinct().localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
     common = D.candidate_common_shingles(
@@ -22023,8 +22043,20 @@ def q_embedding_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _ts(spark, sf_dir, "embeddings")
     cents = S.ivf_centroids(emb, k=8)
     queries = emb.filter(F.col("vec_id") < 5)
-    approx = S.ivf_topk(emb, queries, cents, k=10, nprobe=2)
-    exact = S.brute_force_topk(emb, queries, k=10)
+    # ONE corpus scan for both rankings (r13, §1.2), checkpoint-staged
+    # because the two DCG aggregations are separate consumers — the old
+    # shape ran ivf_topk + brute_force_topk (two corpus scans, two
+    # cosine passes); the surviving frame is <= 2k rows per query.
+    pairs = S.ivf_exact_scored(
+        emb, queries, cents, k=10, nprobe=2
+    ).localCheckpoint(eager=False)
+    approx = pairs.filter(
+        (F.col("is_cand") == 1) & (F.col("ivf_rank") <= 10)
+    ).select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("ivf_rank").alias("rank"),
+    )
+    exact = pairs.filter(F.col("rank") <= 10)
     zero = F.lit(0.0).cast("double")
 
     def dcg(df, out):

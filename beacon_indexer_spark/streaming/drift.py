@@ -250,10 +250,14 @@ def ann_recall_monitor(
     division."""
     from beacon_indexer_spark.operators.similarity import (
         brute_force_topk,
+        ivf_exact_scored,
         ivf_topk,
     )
 
     if max_queries is not None:
+        # staged: the sampled batch feeds the scoring join AND the
+        # n_queries count — the md5 sort-limit job runs once, not twice
+        # (r13, §1.2)
         batch_df = (
             batch_df.withColumn(
                 "__r", F.md5(F.col(id_col).cast("string"))
@@ -261,18 +265,36 @@ def ann_recall_monitor(
             .orderBy("__r", id_col)
             .limit(max_queries)
             .drop("__r")
+            .localCheckpoint(eager=False)
         )
-    approx = ivf_topk(
-        corpus, batch_df, centroids, id_col=id_col, vec_col=vec_col,
-        k=k, nprobe=nprobe,
-    ).select("query_id", "neighbor_id")
-    exact = brute_force_topk(
-        corpus, batch_df, id_col=id_col, vec_col=vec_col, k=k
-    ).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .agg(F.count(F.lit(1)).cast("long").alias("__hits"))
-    )
+    if len(centroids) < 32:
+        # ONE corpus scan for both rankings (r13, §1.2): the exact
+        # control already scores every pair the IVF side could surface,
+        # so IVF membership is a flag on the control's scored frame and
+        # the exact∩approx join collapses into a window predicate.
+        pairs = ivf_exact_scored(
+            corpus, batch_df, centroids, id_col=id_col, vec_col=vec_col,
+            k=k, nprobe=nprobe,
+        )
+        hits = pairs.filter(
+            (F.col("rank") <= k)
+            & (F.col("is_cand") == 1)
+            & (F.col("ivf_rank") <= k)
+        ).agg(F.count(F.lit(1)).cast("long").alias("__hits"))
+    else:
+        # two-level coarse path: candidate sets depend on the hierarchical
+        # assignment — keep the audited operator composition
+        approx = ivf_topk(
+            corpus, batch_df, centroids, id_col=id_col, vec_col=vec_col,
+            k=k, nprobe=nprobe,
+        ).select("query_id", "neighbor_id")
+        exact = brute_force_topk(
+            corpus, batch_df, id_col=id_col, vec_col=vec_col, k=k
+        ).select("query_id", "neighbor_id")
+        hits = (
+            exact.join(approx, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("__hits"))
+        )
     nq = batch_df.select(F.count(F.lit(1)).cast("long").alias("n_queries"))
     out = nq.crossJoin(F.broadcast(hits))
     recall = F.coalesce(F.col("__hits"), F.lit(0)).cast("double") / (

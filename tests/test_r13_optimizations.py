@@ -106,3 +106,64 @@ def test_cc_extra_jumps_shuffle_path_equivalent(spark):
         )
     )
     assert got == want
+
+
+# --------------------------------------------- ANN single-scan quality gates
+
+
+def _vec_corpus(spark, n=100, dim=16):
+    """Deterministic clustered corpus (test_similarity_ivf fixture shape)."""
+    rows = []
+    for vid in range(n):
+        cluster = vid % 4
+        vec = [0.0] * dim
+        for d in range(dim):
+            base = 1.0 if d // 4 == cluster else 0.0
+            jitter = ((vid * 31 + d * 17) % 13 - 6) / 100.0
+            vec[d] = base + jitter
+        rows.append((vid, vec))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+@pytest.mark.parametrize("k,nprobe", [(5, 2), (10, 1), (3, 3)])
+def test_ivf_exact_scored_matches_composed_operators(spark, k, nprobe):
+    """The single-scan frame must reproduce BOTH audited operators
+    byte-for-byte: rank<=k rows == brute_force_topk, candidate rows with
+    ivf_rank<=k == ivf_topk (flat path) — ranks, ids and cosines."""
+    from beacon_indexer_spark.operators import similarity as S
+
+    vectors = _vec_corpus(spark).localCheckpoint()
+    queries = vectors.filter(F.col("vec_id") < 4)
+    cents = S.ivf_centroids(vectors, k=8)
+    pairs = S.ivf_exact_scored(
+        vectors, queries, cents, k=k, nprobe=nprobe
+    ).localCheckpoint()
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], round(r["cos_sim"], 12))
+            for r in rows
+        )
+
+    exact_new = pairs.filter(F.col("rank") <= k).collect()
+    exact_old = S.brute_force_topk(vectors, queries, k=k).collect()
+    assert key(exact_new) == key(exact_old)
+
+    ivf_new = (
+        pairs.filter((F.col("is_cand") == 1) & (F.col("ivf_rank") <= k))
+        .withColumn("rank", F.col("ivf_rank"))
+        .collect()
+    )
+    ivf_old = S.ivf_topk(vectors, queries, cents, k=k, nprobe=nprobe).collect()
+    assert key(ivf_new) == key(ivf_old)
+
+
+def test_ivf_exact_scored_rejects_two_level_counts(spark):
+    from beacon_indexer_spark.operators import similarity as S
+
+    vectors = _vec_corpus(spark, n=40)
+    cents = [(i, [float(i)] * 16) for i in range(32)]
+    with pytest.raises(ValueError, match="flat-path"):
+        S.ivf_exact_scored(vectors, vectors.limit(1), cents, k=5)
